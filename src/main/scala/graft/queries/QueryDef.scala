@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One driver-checkable operator query: a Spark implementation plus (where
+  * SQL-expressible) an equivalent DuckDB oracle over the same parquet
+  * tables. Column names and ordering are kept identical on both sides so
+  * the driver's sorted-column hash compare passes.
+  */
+final case class QueryDef(
+    name: String,
+    /** SURVEY.md §2 operator ids this query exercises, e.g. "P1", "J3". */
+    covers: Seq[String],
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def sql(name: String, covers: Seq[String], oracle: String)(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, covers, fn, Some(oracle))
+
+  /** Deterministic cross-engine rounding: floor(x*10^d + 0.5)/10^d.
+    * Spark's round() on doubles goes through BigDecimal.valueOf (shortest
+    * decimal repr) while DuckDB rounds the raw double, so exact halves like
+    * 4.725 split between engines; this form evaluates identically in both
+    * given identical input doubles. Use for ratios of small integers; plain
+    * round() is fine for "continuous" doubles (dot products etc.). */
+  def floorRound(c: org.apache.spark.sql.Column, d: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{floor, lit}
+    val p = math.pow(10, d)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  def rowsOnly(name: String, covers: Seq[String])(
+      fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, covers, fn, None)
+}
+
+/** Shared table loaders. */
+object Tables {
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark 4 only reads as
+    * long via the legacy flag; normalize back to a (microsecond) timestamp
+    * column so downstream code sees an ordinary TimestampType. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    val e = t(s, dir, "events")
+    if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else e
+  }
+
+  /** embeddings with the float vector widened to double once, up front, so
+    * every downstream kernel accumulates in f64 (matches the oracle). */
+  def emb(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    e.select(e("vec_id"), e("embedding").cast("array<double>").as("emb"), e("label"))
+  }
+}

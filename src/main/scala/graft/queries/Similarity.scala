@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps._
+
+/** Vector-search operator surface: brute-force top-k, IVF coarse
+  * assignment/pruned search (the reference's core query path,
+  * SURVEY.md §2.4 J3 / §2.5 A5-A10 / §3.1), and MaxSim late-interaction
+  * scoring. Deterministic variants here use data-derived "centroids"
+  * (embeddings vec_id < 8) so a DuckDB oracle can verify them exactly;
+  * the trained-KMeans engine path lives in graft.index.
+  *
+  * Scale notes: the query/centroid side is always tiny => broadcast; the
+  * only shuffle is the argmax/groupBy on vec_id which uses partial
+  * aggregation (max of struct) — no window, no driver collect.
+  */
+object Similarity {
+  import QueryDef._
+
+  /** argmax-by-score with deterministic tie-break (lowest centroid id),
+    * as a partial-aggregable max-of-struct. */
+  private def argmaxCentroid(df: DataFrame): DataFrame =
+    df.groupBy(col("vec_id"))
+      .agg(max(struct(col("score").as("s"), (-col("centroid")).as("negc"))).as("m"))
+      .select(col("vec_id"), (-col("m.negc")).cast("long").as("centroid"))
+
+  /** assignment of every embedding to its nearest (max inner product)
+    * centroid, centroids = embeddings with vec_id < 8. */
+  private def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.emb(s, dir)
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid"), col("emb").as("cemb"))
+    argmaxCentroid(
+      e.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("centroid"), dot(col("emb"), col("cemb")).as("score")))
+  }
+
+  private def queryVec(s: SparkSession, dir: String): DataFrame =
+    Tables.emb(s, dir).filter(col("vec_id") === 0).select(col("emb").as("qe"))
+
+  val defs: Seq[QueryDef] = Seq(
+    // A8/F2 — brute-force exact inner-product top-k (the rerank kernel and
+    // the ANN correctness baseline).
+    sql("q_dot_topk", Seq("A8", "F2", "T3"),
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(list_inner_product(embedding::DOUBLE[], qe), 4) AS score
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        Tables.emb(s, dir).filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(queryVec(s, dir)))
+          .select(col("vec_id"), round(dot(col("emb"), col("qe")), 4).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(20)
+    },
+
+    // F1/F2 — cosine top-k (same formula on both sides: dot/(||a||*||b||)).
+    sql("q_cosine_topk", Seq("F1", "F2"),
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_inner_product(embedding::DOUBLE[], qe) /
+        |    (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+        |     sqrt(list_inner_product(qe, qe))), 4) AS score
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        Tables.emb(s, dir).filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(queryVec(s, dir)))
+          .select(col("vec_id"), round(cosine(col("emb"), col("qe")), 4).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(20)
+    },
+
+    // Q2/S4 — IVF coarse assignment: broadcast centroids + per-row argmax
+    // inner product (reference: lintdb/quantizers/CoarseQuantizer.cpp:108-121,
+    // lintdb/schema/DocProcessor.cpp:183-198).
+    sql("q_ivf_assign", Seq("Q2", "S4"),
+      """SELECT vec_id, centroid FROM (
+        |  SELECT e.vec_id, c.vec_id AS centroid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_inner_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |               c.vec_id) AS rn
+        |  FROM embeddings e, embeddings c WHERE c.vec_id < 8)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin) {
+      (s, dir) => ivfAssign(s, dir).orderBy("vec_id")
+    },
+
+    // J3 + two-phase — full IVF search: probe the top-2 centroids for the
+    // query, union their posting lists (partition pruning at scale), exact
+    // rerank, top-10 (reference: lintdb/query/QueryNode.cpp:29-101,
+    // QueryExecutor.cpp:14-71).
+    sql("q_ivf_search", Seq("J3", "A9", "A10", "T1", "T2", "T3"),
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        |cents AS (SELECT vec_id AS centroid, embedding::DOUBLE[] AS cemb
+        |          FROM embeddings WHERE vec_id < 8),
+        |probe AS (SELECT centroid FROM cents, q
+        |          ORDER BY list_inner_product(cemb, qe) DESC, centroid LIMIT 2),
+        |assign AS (SELECT vec_id, centroid FROM (
+        |  SELECT e.vec_id, c.centroid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_inner_product(e.embedding::DOUBLE[], c.cemb) DESC, c.centroid) AS rn
+        |  FROM embeddings e, cents c) WHERE rn = 1),
+        |cand AS (SELECT vec_id FROM assign JOIN probe USING (centroid))
+        |SELECT e.vec_id, round(list_inner_product(e.embedding::DOUBLE[], q.qe), 4) AS score
+        |FROM embeddings e JOIN cand USING (vec_id), q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.emb(s, dir)
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid"), col("emb").as("cemb"))
+        val probe = cents.crossJoin(broadcast(queryVec(s, dir)))
+          .select(col("centroid"), dot(col("cemb"), col("qe")).as("cs"))
+          .orderBy(col("cs").desc, col("centroid"))
+          .limit(2)
+          .select("centroid")
+        val cand = ivfAssign(s, dir).join(broadcast(probe), "centroid").select("vec_id")
+        e.join(cand, "vec_id")
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(queryVec(s, dir)))
+          .select(col("vec_id"), round(dot(col("emb"), col("qe")), 4).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10)
+    },
+
+    // A5/A8 — MaxSim late-interaction scoring: docs = label groups (their
+    // member vectors are the "tokens"), query = 4 tokens; per (doc, qtoken)
+    // max inner product, then sum over qtokens (reference:
+    // lintdb/scoring/plaid.cpp:65-95 and 119-185).
+    sql("q_maxsim", Seq("A5", "A6", "A8"),
+      """SELECT label, round(sum(m), 4) AS maxsim FROM (
+        |  SELECT e.label, q.vec_id AS qid,
+        |    max(list_inner_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])) AS m
+        |  FROM embeddings e, embeddings q WHERE q.vec_id < 4
+        |  GROUP BY 1, 2)
+        |GROUP BY label ORDER BY maxsim DESC, label""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.emb(s, dir)
+        val q = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("qid"), col("emb").as("qe"))
+        e.crossJoin(broadcast(q))
+          .groupBy(col("label"), col("qid"))
+          .agg(max(dot(col("emb"), col("qe"))).as("m"))
+          .groupBy(col("label"))
+          .agg(round(sum(col("m")), 4).as("maxsim"))
+          .orderBy(col("maxsim").desc, col("label"))
+    },
+
+    // A7/A10 — centroid pruning: per-centroid max over query tokens, then
+    // top-n_probe (reference: lintdb/scoring/plaid.cpp:98-117,
+    // KnnNearestCentroids.cpp:38-110).
+    sql("q_centroid_topk", Seq("A7", "A10", "T4", "T5"),
+      """SELECT centroid, round(maxscore, 4) AS maxscore FROM (
+        |  SELECT c.vec_id AS centroid,
+        |    max(list_inner_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])) AS maxscore
+        |  FROM embeddings c, embeddings q WHERE c.vec_id < 8 AND q.vec_id < 4
+        |  GROUP BY 1)
+        |ORDER BY maxscore DESC, centroid LIMIT 4""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.emb(s, dir)
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("centroid"), col("emb").as("cemb"))
+        val q = e.filter(col("vec_id") < 4).select(col("emb").as("qe"))
+        cents.crossJoin(broadcast(q))
+          .groupBy(col("centroid"))
+          .agg(max(dot(col("cemb"), col("qe"))).as("ms"))
+          .select(col("centroid"), round(col("ms"), 4).as("maxscore"))
+          .orderBy(col("maxscore").desc, col("centroid"))
+          .limit(4)
+    },
+
+    // Embedding-cosine near-duplicate pairs — brute-force upper-triangle
+    // baseline (oracle-checkable); the LSH-bucketed scale path is
+    // q_neardup_lsh in TextPipeline (rows-only).
+    sql("q_neardup_cosine", Seq("D5"),
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY cos DESC, a_id, b_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.emb(s, dir)
+        val a = e.select(col("vec_id").as("a_id"), col("emb").as("ea"))
+        val b = e.select(col("vec_id").as("b_id"), col("emb").as("eb"))
+        a.join(broadcast(b), col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), round(cosine(col("ea"), col("eb")), 4).as("cos"))
+          .orderBy(col("cos").desc, col("a_id"), col("b_id"))
+          .limit(20)
+    }
+  )
+}

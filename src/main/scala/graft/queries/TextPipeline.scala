@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data pipeline operators over the `documents` table:
+  * deduplication (exact, shingle-Jaccard, MinHash+LSH, SimHash), text
+  * analysis (token counting, quality scoring, language id, fingerprinting).
+  *
+  * Scale design: nothing here does an O(n^2) cross join — near-dup
+  * detection goes through an inverted shingle index (explode -> join on
+  * shingle -> pair counts), MinHash goes through banded LSH buckets, and
+  * SimHash through 16-bit band buckets, so each is a set of key-partitioned
+  * shuffles that scale out linearly-ish with corpus size.
+  */
+object TextPipeline {
+  import QueryDef._
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.t(s, dir, "documents")
+
+  private val toks: Column = split(col("text"), " ")
+
+  /** distinct 3-word shingles per doc (docs shorter than 3 tokens dropped). */
+  private def shingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))")).as("s"))
+      .distinct()
+
+  /** candidate pairs sharing >= 1 shingle, with exact Jaccard over the
+    * distinct-shingle sets — the inverted-index (no cross join) plan. */
+  private def jaccardPairs(d: DataFrame): DataFrame = {
+    val sh = shingles(d)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(n.as("na"), col("a_id") === col("na.doc_id"))
+      .join(n.as("nb"), col("b_id") === col("nb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("common") * lit(1.0) / (col("na.c") + col("nb.c") - col("common")))
+          .as("jaccard_raw"))
+      .select(col("a_id"), col("b_id"), col("jaccard_raw"),
+        QueryDef.floorRound(col("jaccard_raw"), 4).as("jaccard"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // D1 — exact dedup: hash-aggregate on full content; keeper = min id.
+    sql("q_dedup_exact", Seq("D1"),
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir).groupBy(col("text"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+          .select("keep_id", "n_dups")
+          .orderBy("keep_id")
+    },
+
+    // D4 — n-gram Jaccard near-dup pairs via inverted shingle index.
+    sql("q_neardup_jaccard", Seq("D4"),
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM t, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+        |p AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS common
+        |      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  floor(common * 1.0 / (na.c + nb.c - common) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM p JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |WHERE common * 1.0 / (na.c + nb.c - common) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin) {
+      (s, dir) =>
+        jaccardPairs(docs(s, dir))
+          .filter(col("jaccard_raw") >= 0.8)
+          .select("a_id", "b_id", "jaccard")
+          .orderBy("a_id", "b_id")
+    },
+
+    // TA3 — token counting (whitespace tokenization).
+    sql("q_token_count", Seq("TA3"),
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+          .orderBy("doc_id")
+    },
+
+    // TA2 — quality scoring: stopword ratio + average token length.
+    sql("q_quality_score", Seq("TA2"),
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  floor(len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the'))
+        |    * 1.0 / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS stop_ratio,
+        |  floor((n_chars - (len(string_split(text, ' ')) - 1))
+        |    * 1.0 / len(string_split(text, ' ')) * 100 + 0.5) / 100 AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          QueryDef.floorRound(size(filter(toks, x => x === "a" || x === "the"))
+            * lit(1.0) / size(toks), 4).as("stop_ratio"),
+          QueryDef.floorRound((col("n_chars") - (size(toks) - 1)) * lit(1.0) / size(toks), 2)
+            .as("avg_tok_len"))
+          .orderBy("doc_id")
+    },
+
+    // TA1 — language id: stopword-marker scoring with a deterministic
+    // argmax (en >= de >= es >= fr on ties).
+    sql("q_lang_id", Seq("TA1"),
+      """WITH sc AS (SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of')) AS en_s,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'der' OR x = 'die' OR x = 'und')) AS de_s,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'el' OR x = 'los' OR x = 'que')) AS es_s,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'le' OR x = 'les' OR x = 'est')) AS fr_s
+        |  FROM documents)
+        |SELECT doc_id, en_s,
+        |  CASE WHEN en_s >= de_s AND en_s >= es_s AND en_s >= fr_s THEN 'en'
+        |       WHEN de_s >= es_s AND de_s >= fr_s THEN 'de'
+        |       WHEN es_s >= fr_s THEN 'es' ELSE 'fr' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        def score(words: String*): Column =
+          size(filter(toks, x => words.map(x === _).reduce(_ || _))).cast("long")
+        docs(s, dir).select(
+          col("doc_id"),
+          score("the", "a", "of").as("en_s"),
+          score("der", "die", "und").as("de_s"),
+          score("el", "los", "que").as("es_s"),
+          score("le", "les", "est").as("fr_s"))
+          .select(col("doc_id"), col("en_s"),
+            when(col("en_s") >= col("de_s") && col("en_s") >= col("es_s")
+              && col("en_s") >= col("fr_s"), "en")
+              .when(col("de_s") >= col("es_s") && col("de_s") >= col("fr_s"), "de")
+              .when(col("es_s") >= col("fr_s"), "es")
+              .otherwise("fr").as("pred_lang"))
+          .orderBy("doc_id")
+    },
+
+    // D2 — MinHash + banded LSH near-dup candidates, verified with exact
+    // Jaccard. 16 xxhash64 permutations, 4 bands x 4 rows; candidates =
+    // band-bucket collisions (key-partitioned join, no cross join).
+    // No SQL oracle: DuckDB lacks Spark's xxhash64. Driver rows-only check;
+    // semantics asserted in MinHashSpec against jaccardPairs.
+    rowsOnly("q_dedup_minhash", Seq("D2")) { (s, dir) =>
+      val sh = shingles(docs(s, dir))
+      val sigCols = (0 until 16).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+      val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      val bands = (0 until 4).map { b =>
+        sigs.select(col("doc_id"), lit(b).as("band"),
+          xxhash64((b * 4 until (b + 1) * 4).map(i => col(s"h$i")): _*).as("bucket"))
+      }.reduce(_ unionByName _)
+      val candPairs = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      jaccardPairs(docs(s, dir))
+        .join(candPairs, Seq("a_id", "b_id"), "left_semi")
+        .filter(col("jaccard_raw") >= 0.5)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    },
+
+    // D3 — SimHash: 64-bit signature from token hashes (per-bit majority
+    // vote), near-dup pairs = same 16-bit band + hamming distance <= 8.
+    rowsOnly("q_dedup_simhash", Seq("D3")) { (s, dir) =>
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(toks).as("w"))
+        .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      val bitSums = (0 until 64).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+      val sig = tok.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(b =>
+            when(col(s"b$b") >= 0, lit(1L << b)).otherwise(0L): Column)
+            .reduce(_ bitwiseOR _).as("simhash"))
+      val bands = (0 until 4).map(b =>
+        sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF).as("bucket")))
+        .reduce(_ unionByName _)
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+        .orderBy("a_id", "b_id")
+    },
+
+    // TA4 — document fingerprinting: full-content hash + min-shingle
+    // (winnowing-style) fingerprint. Deterministic; rows-only check.
+    rowsOnly("q_fingerprint", Seq("TA4")) { (s, dir) =>
+      val sh = shingles(docs(s, dir))
+      val minSh = sh.groupBy(col("doc_id")).agg(min(xxhash64(col("s"))).as("min_shingle_fp"))
+      docs(s, dir).select(col("doc_id"), xxhash64(col("text")).as("content_fp"))
+        .join(minSh, Seq("doc_id"), "left")
+        .orderBy("doc_id")
+    },
+
+    // D5-scale — embedding near-dup via random-hyperplane LSH buckets
+    // (the 100-TB path; brute-force oracle twin is q_neardup_cosine).
+    rowsOnly("q_neardup_lsh", Seq("D5")) { (s, dir) =>
+      import graft.functions.VectorOps._
+      val e = Tables.emb(s, dir)
+      // deterministic pseudo-random hyperplanes from xxhash64 of (plane, dim)
+      val dim = 64
+      val planes = (0 until 16).map { p =>
+        val terms = (0 until dim).map { d =>
+          val w = ((d * 16 + p) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
+          col("emb").getItem(d) * lit(w)
+        }.reduce(_ + _)
+        when(terms >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      val sig = e.select(col("vec_id"), col("emb"), planes.reduce(_ bitwiseOR _).as("bucket"))
+      sig.as("a").join(sig.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(cosine(col("a.emb"), col("b.emb")), 4).as("cos"))
+        .filter(col("cos") >= 0.2)
+        .orderBy(col("cos").desc, col("a_id"), col("b_id"))
+    }
+  )
+}
