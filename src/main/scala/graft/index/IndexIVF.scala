@@ -1,0 +1,337 @@
+package graft.index
+
+import graft.core._
+import graft.query.{QueryNode, SearchOptions}
+import graft.quantizers.{Binarizer, CoarseQuantizer, IdentityQuantizer, Quantizer}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's index: the reference's `IndexIVF` (lintdb/index.h:60-211)
+  * re-expressed as a directory of partitioned Parquet tables + JSON metadata
+  * + saved centroid/codec models, with every lifecycle operation a Spark job.
+  *
+  * Physical layout (SURVEY §7.1; replaces the RocksDB column families of
+  * lintdb/cf.h / KeyBuilder.h):
+  *
+  *  - `postings/`  (tenant, field, centroid, doc_id) — the inverted index
+  *    for tensor fields, hive-partitioned by (tenant, field) and sorted by
+  *    centroid within files so an `centroid IN (...)` probe prunes to
+  *    row-groups (the Spark analogue of the reference's prefix seek,
+  *    InvertedIterator.h:20-68). At cluster scale you would additionally
+  *    bucket by centroid; noted, not needed at test SF.
+  *  - `scalars/`   (tenant, field, value_str, value_num, doc_id) — postings
+  *    for scalar Indexed fields; equality matches value_str, ranges use
+  *    value_num (KeyBuilder.h:236-276 embeds the typed value in the key).
+  *  - `context/`   (tenant, field, doc_id, doc_codes, doc_residuals) — the
+  *    ColBERT context data (per-token centroid ids + packed residual codes;
+  *    DataTypes.h:97-100, DocEncoder.cpp:292-304).
+  *  - `docs/`      (tenant, doc_id, <one column per Stored field>) — forward
+  *    index (DocEncoder.cpp:267-288).
+  *  - `_meta/`     schema.json, mapper.json, <field>.centroids.json,
+  *    <field>.binarizer.json (index.cpp:317-352).
+  *
+  * Duplicate adds keep duplicate postings, and search dedups by doc_id at
+  * query time — matching the reference (SURVEY §7.5.6).
+  */
+final class IndexIVF private (
+    val spark: SparkSession,
+    val path: String,
+    val schema: GSchema) {
+
+  val mapper: FieldMapper = FieldMapper.fromSchema(schema)
+  var coarse: Map[String, CoarseQuantizer] = Map.empty
+  var quantizers: Map[String, Quantizer] = Map.empty
+
+  import IndexIVF._
+
+  private def p(name: String) = s"$path/$name"
+  def postingsDf: DataFrame = spark.read.parquet(p("postings"))
+  def scalarsDf: DataFrame = spark.read.parquet(p("scalars"))
+  def contextDf: DataFrame = spark.read.parquet(p("context"))
+  def docsDf: DataFrame = spark.read.parquet(p("docs"))
+
+  def isTrained(field: String): Boolean = coarse.contains(field)
+
+  // ---------------------------------------------------------------- train
+
+  /** Learn coarse centroids per tensor field, then train the residual codec
+    * on (a sqrt-subsample of) centroid residuals — reference
+    * lintdb/index.cpp:198-315. Everything distributed: k-means is MLlib,
+    * residuals and per-dim averages are DataFrame aggs; only the dim-length
+    * quantile computation happens on the driver. */
+  def train(docs: DataFrame): Unit = {
+    schema.tensorFields.foreach { f =>
+      val params = f.parameters
+      require(params.numCentroids > 0, s"${f.name}: numCentroids required to train")
+      val tokens = docs.select(explode(col(f.name)).as("vec"))
+      val cq = CoarseQuantizer.train(tokens, params.numCentroids, params.numIterations)
+      coarse += f.name -> cq
+      cq.save(p(s"_meta/${f.name}.centroids.json"))
+
+      val quant: Quantizer = params.quantizerKind match {
+        case QuantizerKind.NONE => IdentityQuantizer(params.dimensions)
+        case QuantizerKind.BINARIZER =>
+          // sqrt-subsample above 1e5 embeddings (index.cpp:260-280)
+          val n = tokens.count()
+          val sampled = if (n > 1e5.toLong)
+            tokens.sample(withReplacement = false, math.sqrt(n.toDouble) / n, 42L)
+          else tokens
+          val bc = spark.sparkContext.broadcast(cq)
+          val residualUdf = udf { (vec: Seq[Float]) =>
+            val v = vec.toArray
+            bc.value.residual(v, bc.value.assign(v)).toSeq
+          }
+          // per-dim average residual, distributed (train input of
+          // Binarizer.cpp:60-85 is reduced to a dim-length vector)
+          val perDim = sampled.select(posexplode(residualUdf(col("vec"))).as(Seq("pos", "r")))
+            .groupBy(col("pos")).agg(avg(col("r")).as("avg_r"))
+            .collect().sortBy(_.getInt(0)).map(_.getDouble(1).toFloat)
+          val b = Binarizer.train(perDim, params.nbits)
+          b.save(p(s"_meta/${f.name}.binarizer.json"))
+          b
+        case QuantizerKind.PRODUCT_ENCODER =>
+          throw new UnsupportedOperationException("PRODUCT_ENCODER: planned (SURVEY §7.2 M6)")
+      }
+      quantizers += f.name -> quant
+    }
+  }
+
+  // ------------------------------------------------------------------ add
+
+  /** Ingest a DataFrame of documents: one row per doc, column `id` plus one
+    * column per schema field (TENSOR fields as array<array<float>>).
+    * The reference's per-doc OpenMP pipeline (DocProcessor.cpp:36-181)
+    * becomes one declarative pipeline per field: explode tokens -> broadcast
+    * argmax centroid assignment -> residual-codec encode -> regroup per doc.
+    * Matching the reference quirk, the codec encodes the RAW token vector,
+    * not the residual (DocProcessor.cpp:209-229; SURVEY §3.2). */
+  def add(tenant: Long, docs: DataFrame): Unit = {
+    val unknown = docs.columns.filterNot(c => c == "id" || schema.fields.exists(_.name == c))
+    require(unknown.isEmpty, s"unknown fields: ${unknown.mkString(",")}")
+
+    schema.tensorFields.foreach { f =>
+      require(isTrained(f.name), s"field ${f.name} is not trained")
+      val fid = mapper.id(f.name)
+      val bc = spark.sparkContext.broadcast(coarse(f.name))
+      val bq = spark.sparkContext.broadcast(quantizers(f.name))
+      val assignUdf = udf((vec: Seq[Float]) => bc.value.assign(vec.toArray).toLong)
+      val encodeUdf = udf((vec: Seq[Float]) => bq.value.encode(vec.toArray))
+
+      val assigned = docs
+        .select(col("id").as("doc_id"), posexplode(col(f.name)).as(Seq("pos", "vec")))
+        .select(col("doc_id"), col("pos"),
+          assignUdf(col("vec")).as("centroid"), encodeUdf(col("vec")).as("code"))
+
+      // one posting row per doc x centroid (DocEncoder.cpp:71-104 groups
+      // token codes per centroid; the posting payload itself is empty for
+      // Colbert fields — codes live in context)
+      writeAppend(
+        assigned.select(lit(tenant).as("tenant"), lit(fid).as("field"),
+          col("centroid"), col("doc_id")).distinct()
+          .repartition(col("tenant"), col("field"))
+          .sortWithinPartitions("centroid"),
+        p("postings"), Seq("tenant", "field"))
+
+      if (f.needsContext) {
+        val concatBytes = udf((arr: Seq[Array[Byte]]) => arr.flatten.toArray)
+        val ctx = assigned
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("centroid"), col("code"))))
+            .as("toks"))
+          .select(
+            lit(tenant).as("tenant"), lit(fid).as("field"), col("doc_id"),
+            expr("transform(toks, t -> t.centroid)").as("doc_codes"),
+            concatBytes(expr("transform(toks, t -> t.code)")).as("doc_residuals"))
+        writeAppend(ctx, p("context"), Seq("tenant", "field"))
+      }
+    }
+
+    val scalarRows = schema.scalarIndexed.filter(f => docs.columns.contains(f.name)).map { f =>
+      val fid = mapper.id(f.name)
+      val vs = canonicalString(f, col(f.name))
+      val vn = canonicalNum(f, col(f.name))
+      docs.filter(col(f.name).isNotNull).select(
+        lit(tenant).as("tenant"), lit(fid).as("field"),
+        vs.as("value_str"), vn.as("value_num"), col("id").as("doc_id"))
+    }
+    if (scalarRows.nonEmpty)
+      writeAppend(scalarRows.reduce(_ unionByName _), p("scalars"), Seq("tenant", "field"))
+
+    val stored = schema.storedFields.filter(f => docs.columns.contains(f.name))
+    if (stored.nonEmpty) {
+      val d = docs.select(lit(tenant).as("tenant") +: col("id").as("doc_id") +:
+        stored.map(f => col(f.name)): _*)
+      writeAppend(d, p("docs"), Seq("tenant"))
+    }
+  }
+
+  // ------------------------------------------------------- remove / update
+
+  /** Delete docs by id: partition rewrite of the affected tenant's rows
+    * (reference: targeted key deletes via the mapping CF,
+    * RocksdbInvertedList.cpp:22-95). Rewrite keeps reads simple and matches
+    * remove-then-re-add semantics exactly; at 100 TB you would swap in an
+    * epoch-tagged tombstone table + periodic compaction instead — the read
+    * path already funnels through [[liveDocs]] so only that function and
+    * this one would change. */
+  def remove(tenant: Long, ids: Seq[Long]): Unit = {
+    val idSet = ids.toSet
+    val bcIds = spark.sparkContext.broadcast(idSet)
+    val keep = udf((t: Long, d: Long) => !(t == tenant && bcIds.value.contains(d)))
+    Seq("postings", "scalars", "context", "docs").foreach { tbl =>
+      rewrite(p(tbl), df => df.filter(keep(col("tenant"), col("doc_id"))),
+        if (tbl == "docs") Seq("tenant") else Seq("tenant", "field"))
+    }
+  }
+
+  /** remove + add (reference: lintdb/index.cpp:501-510). */
+  def update(tenant: Long, docs: DataFrame): Unit = {
+    val ids = docs.select(col("id")).collect().map(_.getLong(0)).toSeq
+    remove(tenant, ids)
+    add(tenant, docs)
+  }
+
+  /** Merge another index's contents (reference: lintdb/index.cpp:512-535 —
+    * key-by-key RocksDB copy; here a unionByName append per table). */
+  def merge(otherPath: String): Unit =
+    Seq("postings" -> Seq("tenant", "field"), "scalars" -> Seq("tenant", "field"),
+      "context" -> Seq("tenant", "field"), "docs" -> Seq("tenant")).foreach {
+      case (tbl, parts) =>
+        val other = spark.read.parquet(s"$otherPath/$tbl")
+        if (!other.isEmpty) writeAppend(other, p(tbl), parts)
+    }
+
+  private def rewrite(tablePath: String, f: DataFrame => DataFrame, parts: Seq[String]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
+    val orig = new org.apache.hadoop.fs.Path(tablePath)
+    f(spark.read.parquet(tablePath)).write.mode("overwrite")
+      .partitionBy(parts: _*).parquet(tmp.toString)
+    fs.delete(orig, true)
+    fs.rename(tmp, orig)
+  }
+
+  private def writeAppend(df: DataFrame, tablePath: String, parts: Seq[String]): Unit =
+    df.write.mode("append").partitionBy(parts: _*).parquet(tablePath)
+
+  // ---------------------------------------------------------------- search
+
+  def search(tenant: Long, root: QueryNode, k: Int,
+      opts: SearchOptions = SearchOptions()): DataFrame =
+    graft.query.Searcher.search(this, tenant, root, k, opts)
+
+  def save(): Unit = IndexIVF.writeMeta(path, schema)
+}
+
+object IndexIVF {
+
+  def create(spark: SparkSession, path: String, schema: GSchema): IndexIVF = {
+    writeMeta(path, schema)
+    val idx = new IndexIVF(spark, path, schema)
+    // eagerly materialize empty tables so every read path is total
+    empty(spark, postingsSchema).write.mode("overwrite")
+      .partitionBy("tenant", "field").parquet(s"$path/postings")
+    empty(spark, scalarsSchema).write.mode("overwrite")
+      .partitionBy("tenant", "field").parquet(s"$path/scalars")
+    empty(spark, contextSchema).write.mode("overwrite")
+      .partitionBy("tenant", "field").parquet(s"$path/context")
+    empty(spark, docsSchema(schema)).write.mode("overwrite")
+      .partitionBy("tenant").parquet(s"$path/docs")
+    idx
+  }
+
+  /** Open an existing index (read-only use is just "don't call mutators";
+    * reference: lintdb/index.cpp:40-58). */
+  def open(spark: SparkSession, path: String): IndexIVF = {
+    val schema = Json.read(s"$path/_meta/schema.json", classOf[GSchema])
+    val idx = new IndexIVF(spark, path, schema)
+    schema.tensorFields.foreach { f =>
+      val cPath = s"$path/_meta/${f.name}.centroids.json"
+      if (Json.exists(cPath)) {
+        idx.coarse += f.name -> CoarseQuantizer.load(cPath)
+        val bPath = s"$path/_meta/${f.name}.binarizer.json"
+        idx.quantizers += f.name -> (f.parameters.quantizerKind match {
+          case QuantizerKind.BINARIZER if Json.exists(bPath) => Binarizer.load(bPath)
+          case _ => IdentityQuantizer(f.parameters.dimensions)
+        })
+      }
+    }
+    idx
+  }
+
+  /** New writable index reusing a trained index's models (reference:
+    * lintdb/index.cpp:76-90). */
+  def copyTrained(other: IndexIVF, newPath: String): IndexIVF = {
+    val idx = create(other.spark, newPath, other.schema)
+    idx.coarse = other.coarse
+    idx.quantizers = other.quantizers
+    other.coarse.keys.foreach { f =>
+      other.coarse(f).save(s"$newPath/_meta/$f.centroids.json")
+      other.quantizers.get(f).foreach {
+        case b: Binarizer => b.save(s"$newPath/_meta/$f.binarizer.json")
+        case _ =>
+      }
+    }
+    idx
+  }
+
+  private def writeMeta(path: String, schema: GSchema): Unit = {
+    Json.write(s"$path/_meta/schema.json", schema)
+    Json.write(s"$path/_meta/mapper.json", FieldMapper.fromSchema(schema).nameToId)
+    Json.write(s"$path/_meta/metadata.json",
+      Map("format" -> "graft-ivf-parquet", "version" -> 1))
+  }
+
+  private def empty(spark: SparkSession, s: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+
+  val postingsSchema: StructType = StructType(Seq(
+    StructField("tenant", LongType), StructField("field", IntegerType),
+    StructField("centroid", LongType), StructField("doc_id", LongType)))
+  val scalarsSchema: StructType = StructType(Seq(
+    StructField("tenant", LongType), StructField("field", IntegerType),
+    StructField("value_str", StringType), StructField("value_num", DoubleType),
+    StructField("doc_id", LongType)))
+  val contextSchema: StructType = StructType(Seq(
+    StructField("tenant", LongType), StructField("field", IntegerType),
+    StructField("doc_id", LongType),
+    StructField("doc_codes", ArrayType(LongType)),
+    StructField("doc_residuals", BinaryType)))
+
+  def docsSchema(schema: GSchema): StructType = StructType(
+    StructField("tenant", LongType) +: StructField("doc_id", LongType) +:
+      schema.storedFields.map(f => StructField(f.name, sparkType(f))))
+
+  def sparkType(f: GField): DataType = f.dtype match {
+    case GDataType.INTEGER => LongType
+    case GDataType.FLOAT => FloatType
+    case GDataType.TEXT => StringType
+    case GDataType.DATETIME => TimestampType
+    case GDataType.TENSOR => ArrayType(ArrayType(FloatType))
+    case GDataType.QUANTIZED_TENSOR => BinaryType
+    case other => throw new IllegalArgumentException(s"unsupported stored type $other")
+  }
+
+  /** Canonical scalar encodings for the inverted key (the Spark analogue of
+    * the typed key encodings in KeyBuilder.h:21-57). */
+  def canonicalString(f: GField, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    f.dtype match {
+      case GDataType.DATETIME => unix_millis(c).cast("string")
+      case _ => c.cast("string")
+    }
+
+  def canonicalNum(f: GField, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    f.dtype match {
+      case GDataType.INTEGER | GDataType.FLOAT => c.cast("double")
+      case GDataType.DATETIME => unix_millis(c).cast("double")
+      case _ => lit(null).cast("double")
+    }
+
+  def canonicalValue(f: GField, v: Any): String = v match {
+    case ts: java.sql.Timestamp => ts.getTime.toString
+    case i: java.time.Instant => i.toEpochMilli.toString
+    case other => other.toString
+  }
+}

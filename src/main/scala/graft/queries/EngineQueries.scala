@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.core._
+import graft.index.IndexIVF
+import graft.query._
+import org.apache.spark.sql.functions._
+
+/** Driver-visible end-to-end runs of the actual engine ([[IndexIVF]]):
+  * create -> train (MLlib KMeans) -> add (posting/context build) -> search
+  * (two-phase PLAID). Results depend on trained centroids, so there is no
+  * SQL oracle — the driver records the rows-only check; determinism comes
+  * from the fixed KMeans seed, and exactness-vs-brute-force is asserted in
+  * IndexSpec.
+  */
+object EngineQueries {
+  import QueryDef._
+
+  /** docs = embeddings grouped by label (10 "documents" whose member
+    * vectors are the tokens), query = vec_ids 0..3 as the 4 query tokens. */
+  private def buildAndSearch(s: org.apache.spark.sql.SparkSession, dir: String,
+      quant: QuantizerKind.Value) = {
+    val e = Tables.t(s, dir, "embeddings")
+    val docs = e
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("toks"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label").cast("long").as("id"),
+        expr("transform(toks, t -> t.embedding)").as("colbert"),
+        col("n_vecs"))
+    val schema = GSchema(Seq(
+      GField.colbert("colbert", dimensions = 64, numCentroids = 16,
+        quantization = quant, numIterations = 4, nbits = 2),
+      GField(name = "n_vecs", dataType = GDataType.INTEGER.toString,
+        roles = Seq(FieldRole.Stored.toString))))
+    val path = java.nio.file.Files.createTempDirectory(s"graft_engine_$quant").toString
+    val idx = IndexIVF.create(s, path, schema)
+    idx.train(docs)
+    idx.add(tenant = 1, docs)
+    val query = e.filter(col("vec_id") < 4)
+      .orderBy("vec_id")
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    idx.search(1, VectorQuery("colbert", query), k = 5,
+      SearchOptions(kTopCentroids = 4, nProbe = 8))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // S1-S5 + J3/A5/A8/T1-T3 — the full reference query lifecycle
+    // (SURVEY §3.1) through the engine, identity codec.
+    rowsOnly("q_engine_search", Seq("S1", "S2", "S4", "S5", "J3", "A5", "A8")) {
+      (s, dir) => buildAndSearch(s, dir, QuantizerKind.NONE)
+    },
+    // Same with the PLAID binarizer codec in the loop (Q4).
+    rowsOnly("q_engine_search_binarized", Seq("Q4", "S4", "S5", "J3", "A5", "A8")) {
+      (s, dir) => buildAndSearch(s, dir, QuantizerKind.BINARIZER)
+    }
+  )
+}

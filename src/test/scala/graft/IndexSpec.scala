@@ -1,0 +1,193 @@
+package graft
+
+import graft.core._
+import graft.index.IndexIVF
+import graft.query._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Doc(id: Long, colbert: Seq[Seq[Float]], cat: String, num: Long)
+
+/** Parameterized E2E index tests: train -> add -> search -> filter -> load
+  * -> remove -> merge, over QuantizerKind NONE and BINARIZER — the port of
+  * the reference's tests/index_test.cpp:103-409 (SURVEY §5). */
+class IndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val dim = 16
+  val numDocs = 20
+  val tokensPerDoc = 5
+  val rnd = new scala.util.Random(42)
+  // fixed corpus: zero-centered random token embeddings (ColBERT embeddings
+  // are zero-centered unit vectors; the binarizer encodes RAW vectors with
+  // residual-trained quantiles — all-positive data would collapse to one
+  // bucket, matching reference behavior but useless as a ranking fixture)
+  val corpus: Map[Long, Seq[Seq[Float]]] = (0L until numDocs.toLong).map { i =>
+    i -> Seq.fill(tokensPerDoc)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+  }.toMap
+
+  def docsDf = {
+    import spark.implicits._
+    corpus.toSeq.sortBy(_._1).map { case (i, toks) =>
+      Doc(i, toks, if (i % 2 == 0) "even" else "odd", i % 3)
+    }.toDF()
+  }
+
+  def mkSchema(quant: QuantizerKind.Value) = GSchema(Seq(
+    GField.colbert("colbert", dim, numCentroids = 8,
+      quantization = quant, numIterations = 4, nbits = 2),
+    GField(name = "cat", dataType = GDataType.TEXT.toString,
+      roles = Seq(FieldRole.Indexed.toString, FieldRole.Stored.toString)),
+    GField.indexed("num", GDataType.INTEGER)))
+
+  def freshIndex(quant: QuantizerKind.Value): IndexIVF = {
+    val path = java.nio.file.Files.createTempDirectory(s"idx_$quant").toString
+    val idx = IndexIVF.create(spark, path, mkSchema(quant))
+    idx.train(docsDf)
+    idx.add(tenant = 1, docsDf)
+    idx
+  }
+
+  // exhaustive search options: probe everything, no pool cut
+  val exhaustive = SearchOptions(kTopCentroids = 8, nProbe = 8)
+
+  def query(docId: Long) = VectorQuery("colbert",
+    corpus(docId).map(_.toArray).toArray)
+
+  /** driver-side naive MaxSim over the raw corpus (normalized doc tokens) —
+    * ground truth for NONE quantization. */
+  def bruteForce(q: Array[Array[Float]]): Seq[(Long, Float)] =
+    corpus.toSeq.map { case (id, toks) =>
+      val score = q.map { qt =>
+        val best = toks.map { t =>
+          val norm = math.sqrt(t.map(x => x * x).sum).toFloat
+          t.zip(qt).map { case (a, b) => a * b }.sum / norm
+        }.max
+        math.max(best, 0f)
+      }.sum
+      (id, score)
+    }.sortBy { case (id, s) => (-s, id) }
+
+  test("NONE: search matches driver-side brute-force MaxSim ranking") {
+    val idx = freshIndex(QuantizerKind.NONE)
+    val got = idx.search(1, query(7), k = 5, exhaustive)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val expected = bruteForce(query(7).queryTokens).take(5)
+    assert(got.map(_._1).toSeq == expected.map(_._1))
+    got.zip(expected).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-4, s"score mismatch: $g vs $e")
+    }
+    // self-match: doc 7 must rank first
+    assert(got.head._1 == 7L)
+  }
+
+  test("BINARIZER: self-match still ranks first through the lossy codec") {
+    val idx = freshIndex(QuantizerKind.BINARIZER)
+    val got = idx.search(1, query(7), k = 5, exhaustive)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.nonEmpty)
+    assert(got.head == 7L)
+  }
+
+  test("And(vector, term) restricts results and sums filter score") {
+    val idx = freshIndex(QuantizerKind.NONE)
+    val q = AndQuery(Seq(query(7), TermQuery("cat", "odd")))
+    val rows = idx.search(1, q, k = 20, exhaustive.copy(secondPass = false))
+      .select("doc_id", "score").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 2 == 1), "only odd docs should match")
+    // filter child contributes +1.0 over the pure vector score (SURVEY §7.5.7)
+    val pure = idx.search(1, query(7), k = 20, exhaustive.copy(secondPass = false))
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - (pure(r.getLong(0)) + 1.0)) < 1e-4)
+    }
+  }
+
+  test("Term on absent value returns empty (index_test.cpp filter case)") {
+    val idx = freshIndex(QuantizerKind.NONE)
+    val q = AndQuery(Seq(query(7), TermQuery("cat", "missing")))
+    assert(idx.search(1, q, 10, exhaustive).count() == 0)
+  }
+
+  test("Term-only and Or queries work without a vector node") {
+    val idx = freshIndex(QuantizerKind.NONE)
+    val evens = idx.search(1, TermQuery("cat", "even"), 20, exhaustive)
+    assert(evens.count() == numDocs / 2)
+    val or = idx.search(1,
+      OrQuery(Seq(TermQuery("num", 0L), TermQuery("num", 1L))), 20, exhaustive)
+    assert(or.count() == corpus.keys.count(i => i % 3 == 0 || i % 3 == 1))
+  }
+
+  test("Range query (superset) selects numeric band") {
+    val idx = freshIndex(QuantizerKind.NONE)
+    val got = idx.search(1, RangeQuery("num", 1.0, 2.0), 50, exhaustive)
+    assert(got.count() == corpus.keys.count(i => i % 3 >= 1))
+  }
+
+  test("stored fields are hydrated in results") {
+    val idx = freshIndex(QuantizerKind.NONE)
+    val rows = idx.search(1, query(4), 3, exhaustive).collect()
+    assert(rows.head.schema.fieldNames.contains("cat"))
+    val top = rows.head
+    assert(top.getString(top.fieldIndex("cat"))
+      == (if (top.getLong(top.fieldIndex("doc_id")) % 2 == 0) "even" else "odd"))
+  }
+
+  test("tenant isolation: other tenants see nothing") {
+    val idx = freshIndex(QuantizerKind.NONE)
+    assert(idx.search(2, query(0), 10, exhaustive).count() == 0)
+  }
+
+  test("open() reloads schema + models and searches identically") {
+    val idx = freshIndex(QuantizerKind.NONE)
+    idx.save()
+    val reopened = IndexIVF.open(spark, idx.path)
+    val a = idx.search(1, query(3), 5, exhaustive).select("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = reopened.search(1, query(3), 5, exhaustive).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("remove deletes docs; re-add restores them (index.cpp:492-510)") {
+    val idx = freshIndex(QuantizerKind.NONE)
+    idx.remove(1, Seq(7L, 8L))
+    val got = idx.search(1, query(7), 20, exhaustive).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!got.contains(7L) && !got.contains(8L))
+    assert(got.nonEmpty)
+    // re-add just doc 7
+    import spark.implicits._
+    idx.add(1, Seq(Doc(7L, corpus(7L), "odd", 1L)).toDF())
+    val back = idx.search(1, query(7), 20, exhaustive).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(back.contains(7L) && !back.contains(8L))
+  }
+
+  test("duplicate add keeps doc searchable exactly once in results") {
+    val idx = freshIndex(QuantizerKind.NONE)
+    idx.add(1, docsDf) // add everything twice
+    val got = idx.search(1, query(7), 20, exhaustive).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(got.length == got.distinct.length, "query-time dedup by doc_id")
+  }
+
+  test("merge unions another index's contents (index.cpp:512-535)") {
+    val schema = mkSchema(QuantizerKind.NONE)
+    val pathA = java.nio.file.Files.createTempDirectory("idxA").toString
+    val a = IndexIVF.create(spark, pathA, schema)
+    a.train(docsDf)
+    import spark.implicits._
+    val half1 = corpus.toSeq.sortBy(_._1).take(10)
+      .map { case (i, t) => Doc(i, t, if (i % 2 == 0) "even" else "odd", i % 3) }
+    val half2 = corpus.toSeq.sortBy(_._1).drop(10)
+      .map { case (i, t) => Doc(i, t, if (i % 2 == 0) "even" else "odd", i % 3) }
+    a.add(1, half1.toDF())
+    val b = IndexIVF.copyTrained(a, java.nio.file.Files.createTempDirectory("idxB").toString)
+    b.add(1, half2.toDF())
+    a.merge(b.path)
+    val got = a.search(1, query(15), 20, exhaustive).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.contains(15L) && got.size == numDocs)
+  }
+}
