@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Inner product <a,b>. Sequential left-to-right accumulation. */
-  def dot(a: Column, b: Column): Column =
+  /** Inner product <a,b>. Sequential left-to-right accumulation, via the
+    * codegen'd [[DotProduct]] expression (stays in whole-stage codegen). */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
+
+  /** Interpreted HOF formulation — kept for plan-comparison tests. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** L2 norm ||a||. */

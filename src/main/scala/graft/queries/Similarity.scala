@@ -181,11 +181,16 @@ object Similarity {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY cos DESC, a_id, b_id LIMIT 20""".stripMargin) {
       (s, dir) =>
+        // norms are projected once per row before the pair join (computing
+        // them inside the pair expression would redo 2 dots x n^2 times)
         val e = Tables.emb(s, dir)
-        val a = e.select(col("vec_id").as("a_id"), col("emb").as("ea"))
-        val b = e.select(col("vec_id").as("b_id"), col("emb").as("eb"))
+        val a = e.select(col("vec_id").as("a_id"), col("emb").as("ea"),
+          l2norm(col("emb")).as("na"))
+        val b = e.select(col("vec_id").as("b_id"), col("emb").as("eb"),
+          l2norm(col("emb")).as("nb"))
         a.join(broadcast(b), col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"), round(cosine(col("ea"), col("eb")), 4).as("cos"))
+          .select(col("a_id"), col("b_id"),
+            round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos"))
           .orderBy(col("cos").desc, col("a_id"), col("b_id"))
           .limit(20)
     }

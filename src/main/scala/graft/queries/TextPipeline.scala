@@ -218,11 +218,12 @@ object TextPipeline {
         }.reduce(_ + _)
         when(terms >= 0, lit(1L << p)).otherwise(lit(0L))
       }
-      val sig = e.select(col("vec_id"), col("emb"), planes.reduce(_ bitwiseOR _).as("bucket"))
+      val sig = e.select(col("vec_id"), col("emb"), l2normalize(col("emb")).as("unit"),
+        planes.reduce(_ bitwiseOR _).as("bucket"))
       sig.as("a").join(sig.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          round(cosine(col("a.emb"), col("b.emb")), 4).as("cos"))
+          round(dot(col("a.unit"), col("b.unit")), 4).as("cos"))
         .filter(col("cos") >= 0.2)
         .orderBy(col("cos").desc, col("a_id"), col("b_id"))
     }
