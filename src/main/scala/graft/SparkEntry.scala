@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EngineQueries, QueryDef, Relational, Similarity, TextPipeline}
+import graft.queries.{EngineQueries, MultimodalQueries, QueryDef, Relational, Similarity, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ import graft.queries.{EngineQueries, QueryDef, Relational, Similarity, TextPipel
 object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
-    Relational.defs ++ Similarity.defs ++ TextPipeline.defs ++ EngineQueries.defs
+    Relational.defs ++ Similarity.defs ++ TextPipeline.defs ++
+      EngineQueries.defs ++ MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Two-phase IVF vector search — the reference's core query shape. */

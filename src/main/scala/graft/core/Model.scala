@@ -55,11 +55,11 @@ final case class GField(
 object GField {
   def colbert(name: String, dimensions: Int, numCentroids: Int,
       quantization: QuantizerKind.Value = QuantizerKind.NONE,
-      numIterations: Int = 10, nbits: Int = 1): GField =
+      numIterations: Int = 10, nbits: Int = 1, numSubquantizers: Int = 16): GField =
     GField(name, GDataType.TENSOR.toString, Seq(FieldRole.Colbert.toString),
       FieldParameters(dimensions = dimensions, numCentroids = numCentroids,
         quantization = quantization.toString, numIterations = numIterations,
-        nbits = nbits))
+        nbits = nbits, numSubquantizers = numSubquantizers))
 
   def indexed(name: String, dataType: GDataType.Value): GField =
     GField(name, dataType.toString, Seq(FieldRole.Indexed.toString))

@@ -2,7 +2,7 @@ package graft.index
 
 import graft.core._
 import graft.query.{QueryNode, SearchOptions}
-import graft.quantizers.{Binarizer, CoarseQuantizer, IdentityQuantizer, Quantizer}
+import graft.quantizers.{Binarizer, CoarseQuantizer, IdentityQuantizer, ProductEncoder, Quantizer}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -69,29 +69,41 @@ final class IndexIVF private (
       coarse += f.name -> cq
       cq.save(p(s"_meta/${f.name}.centroids.json"))
 
+      // sqrt-subsample above 1e5 embeddings (index.cpp:260-280); residuals
+      // computed executor-side against broadcast centroids
+      def sampledResiduals: DataFrame = {
+        val n = tokens.count()
+        val sampled = if (n > 1e5.toLong)
+          tokens.sample(withReplacement = false, math.sqrt(n.toDouble) / n, 42L)
+        else tokens
+        val bc = spark.sparkContext.broadcast(cq)
+        val residualUdf = udf { (vec: Seq[Float]) =>
+          val v = vec.toArray
+          bc.value.residual(v, bc.value.assign(v)).toSeq
+        }
+        sampled.select(residualUdf(col("vec")).as("r"))
+      }
+
       val quant: Quantizer = params.quantizerKind match {
         case QuantizerKind.NONE => IdentityQuantizer(params.dimensions)
         case QuantizerKind.BINARIZER =>
-          // sqrt-subsample above 1e5 embeddings (index.cpp:260-280)
-          val n = tokens.count()
-          val sampled = if (n > 1e5.toLong)
-            tokens.sample(withReplacement = false, math.sqrt(n.toDouble) / n, 42L)
-          else tokens
-          val bc = spark.sparkContext.broadcast(cq)
-          val residualUdf = udf { (vec: Seq[Float]) =>
-            val v = vec.toArray
-            bc.value.residual(v, bc.value.assign(v)).toSeq
-          }
           // per-dim average residual, distributed (train input of
           // Binarizer.cpp:60-85 is reduced to a dim-length vector)
-          val perDim = sampled.select(posexplode(residualUdf(col("vec"))).as(Seq("pos", "r")))
-            .groupBy(col("pos")).agg(avg(col("r")).as("avg_r"))
+          val perDim = sampledResiduals
+            .select(posexplode(col("r")).as(Seq("pos", "rv")))
+            .groupBy(col("pos")).agg(avg(col("rv")).as("avg_r"))
             .collect().sortBy(_.getInt(0)).map(_.getDouble(1).toFloat)
           val b = Binarizer.train(perDim, params.nbits)
           b.save(p(s"_meta/${f.name}.binarizer.json"))
           b
         case QuantizerKind.PRODUCT_ENCODER =>
-          throw new UnsupportedOperationException("PRODUCT_ENCODER: planned (SURVEY §7.2 M6)")
+          // the sqrt-subsample is driver-sized by construction; PQ codebook
+          // training is the only driver-side ML step (index.cpp:290-307)
+          val sample = sampledResiduals.collect()
+            .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+          val pe = ProductEncoder.train(sample, m = params.numSubquantizers)
+          pe.save(p(s"_meta/${f.name}.pq.json"))
+          pe
       }
       quantizers += f.name -> quant
     }
@@ -252,8 +264,11 @@ object IndexIVF {
       if (Json.exists(cPath)) {
         idx.coarse += f.name -> CoarseQuantizer.load(cPath)
         val bPath = s"$path/_meta/${f.name}.binarizer.json"
+        val pqPath = s"$path/_meta/${f.name}.pq.json"
         idx.quantizers += f.name -> (f.parameters.quantizerKind match {
           case QuantizerKind.BINARIZER if Json.exists(bPath) => Binarizer.load(bPath)
+          case QuantizerKind.PRODUCT_ENCODER if Json.exists(pqPath) =>
+            ProductEncoder.load(pqPath)
           case _ => IdentityQuantizer(f.parameters.dimensions)
         })
       }
@@ -271,6 +286,7 @@ object IndexIVF {
       other.coarse(f).save(s"$newPath/_meta/$f.centroids.json")
       other.quantizers.get(f).foreach {
         case b: Binarizer => b.save(s"$newPath/_meta/$f.binarizer.json")
+        case pe: ProductEncoder => pe.save(s"$newPath/_meta/$f.pq.json")
         case _ =>
       }
     }

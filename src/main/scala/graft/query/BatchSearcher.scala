@@ -1,0 +1,117 @@
+package graft.query
+
+import graft.index.IndexIVF
+import graft.scoring.Plaid
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch vector search: amortizes Spark job overhead across a whole set of
+  * queries (SURVEY §7.5.4 — the reference answers one query in ms inside a
+  * single process; a distributed engine must instead make ONE pass over the
+  * index for N queries).
+  *
+  * Plan shape: per-query planning (probe centroids + score matrix) happens
+  * on the driver over the small centroid matrix; one pruned scan of
+  * `postings` serves all queries via an exploded (query_id, centroid) probe
+  * table broadcast into the scan-side join; phase-1/phase-2 scoring are
+  * per-(query, doc) map work keyed by the broadcast query matrices; per-query
+  * top-k uses a row_number window partitioned by query_id (one shuffle).
+  */
+object BatchSearcher {
+
+  /** @param queries one row per query: (query_id: long,
+    *                tokens: array<array<float>>) */
+  def searchBatch(idx: IndexIVF, tenant: Long, field: String, queries: DataFrame,
+      k: Int, opts: SearchOptions = SearchOptions()): DataFrame = {
+    val spark = idx.spark
+    val fid = idx.mapper.id(field)
+    val f = idx.schema.field(field)
+    val dim = f.parameters.dimensions
+    val cq = idx.coarse.getOrElse(field,
+      throw new IllegalStateException(s"field $field is not trained"))
+    val nc = cq.numCentroids
+
+    // driver-side per-query planning (queries are small by construction)
+    val qRows = queries.select(col("query_id"), col("tokens")).collect().map { r =>
+      val qid = r.getLong(0)
+      val toks = r.getSeq[scala.collection.Seq[Float]](1).map(_.toArray).toArray
+      qid -> toks
+    }
+    val plans = qRows.map { case (qid, toks) =>
+      val nq = toks.length
+      val m = new Array[Float](nq * nc)
+      toks.zipWithIndex.foreach { case (t, i) =>
+        System.arraycopy(cq.scoreAll(t), 0, m, i * nc, nc)
+      }
+      val kTop = math.min(opts.kTopCentroids, nc)
+      val high = new Array[Float](nc)
+      (0 until nq).foreach { i =>
+        (0 until nc).map(c => (c, m(i * nc + c))).sortBy { case (c, s) => (-s, c) }
+          .take(kTop).foreach { case (c, s) => if (s > high(c)) high(c) = s }
+      }
+      val probes = high.zipWithIndex.filter(_._1 > 0)
+        .sortBy { case (s, c) => (-s, c) }.take(opts.nProbe).map(_._2.toLong)
+      (qid, toks, m, probes)
+    }
+
+    import spark.implicits._
+    val probeDf = plans.flatMap { case (qid, _, _, probes) =>
+      probes.map(c => (qid, c))
+    }.toSeq.toDF("query_id", "centroid")
+
+    val bMatrices = spark.sparkContext.broadcast(
+      plans.map { case (qid, toks, m, _) => qid -> (m, toks.length) }.toMap)
+    val bQueries = spark.sparkContext.broadcast(
+      plans.map { case (qid, toks, _, _) => qid -> toks.flatten }.toMap)
+
+    val candidates = idx.postingsDf
+      .filter(col("tenant") === tenant && col("field") === fid)
+      .join(broadcast(probeDf), Seq("centroid"))
+      .select(col("query_id"), col("doc_id")).distinct()
+
+    val ctx = idx.contextDf
+      .filter(col("tenant") === tenant && col("field") === fid)
+      .dropDuplicates("doc_id")
+      .select(col("doc_id"), col("doc_codes"), col("doc_residuals"))
+
+    val phase1Udf = udf { (qid: Long, codes: Seq[Long]) =>
+      val (m, nq) = bMatrices.value(qid)
+      Plaid.colbertCentroidScore(codes.toArray, m, nq, nc).toDouble
+    }
+    val phase1 = candidates.join(ctx.select("doc_id", "doc_codes"), Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        phase1Udf(col("query_id"), col("doc_codes")).as("score"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val pool = phase1.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= opts.numSecondPass).drop("rn")
+
+    val bq = spark.sparkContext.broadcast(idx.quantizers(field))
+    val rerankUdf = udf { (qid: Long, codes: Seq[Long], residuals: Array[Byte]) =>
+      val quant = bq.value
+      val n = codes.length
+      val doc = new Array[Float](n * dim)
+      var i = 0
+      while (i < n) {
+        val tok = quant.decode(java.util.Arrays.copyOfRange(
+          residuals, i * quant.codeSize, (i + 1) * quant.codeSize))
+        System.arraycopy(tok, 0, doc, i * dim, dim)
+        i += 1
+      }
+      val q = bQueries.value(qid)
+      Plaid.scoreByResiduals(q, q.length / dim, doc, n, dim, normalize = true).toDouble
+    }
+    val reranked =
+      if (opts.secondPass)
+        pool.join(ctx, Seq("doc_id"))
+          .select(col("query_id"), col("doc_id"),
+            rerankUdf(col("query_id"), col("doc_codes"), col("doc_residuals")).as("score"))
+      else pool
+
+    reranked.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import graft.index.IndexIVF
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming subsystem — a deliberate superset: the reference has no
+  * streaming at all (SURVEY §2.11); its nearest analogue is incremental
+  * `add`/`merge` (lintdb/index.cpp:481-535). Here ingestion is Structured
+  * Streaming driving the same batch `add` pipeline through foreachBatch, so
+  * every micro-batch gets the full explode -> assign -> encode -> append
+  * path and the index stays queryable throughout.
+  */
+object StreamingIngest {
+
+  /** Attach a streaming DataFrame of documents (same shape as
+    * [[IndexIVF.add]] input) to an index. Caller stops the returned query. */
+  def start(idx: IndexIVF, tenant: Long, docs: DataFrame,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) idx.add(tenant, batch)
+      }
+      .start()
+
+  /** Event-time windowed aggregation with watermark over a stream with a
+    * `ts` timestamp column — the streaming twin of q_events_window; used by
+    * StreamingSpec to prove the same plan runs incrementally. */
+  def windowedCounts(events: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("sum_value"))
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.core._
+import graft.index.IndexIVF
+import graft.query._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch search must agree with N independent single-query searches. */
+class BatchSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("searchBatch == per-query search results") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(3)
+    val corpus = (0L until 30L).map { i =>
+      i -> Seq.fill(4)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }.toMap
+    val path = java.nio.file.Files.createTempDirectory("idx_batch").toString
+    val idx = IndexIVF.create(spark, path, GSchema(Seq(
+      GField.colbert("colbert", dim, numCentroids = 6, numIterations = 4))))
+    val docs = corpus.toSeq.sortBy(_._1).map { case (i, t) => Doc(i, t, "x", 0L) }
+      .toDF().select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("colbert"))
+    idx.train(docs)
+    idx.add(1, docs)
+
+    val opts = SearchOptions(kTopCentroids = 3, nProbe = 6)
+    val queryIds = Seq(2L, 11L, 23L)
+    val queriesDf = queryIds.map(qid => (qid, corpus(qid))).toDF("query_id", "tokens")
+
+    val batch = BatchSearcher.searchBatch(idx, 1, "colbert", queriesDf, k = 5, opts)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+
+    queryIds.foreach { qid =>
+      val single = idx.search(1, VectorQuery("colbert", corpus(qid).map(_.toArray).toArray),
+          k = 5, opts)
+        .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid).map(_._1) == single.map(_._1), s"doc ranking for query $qid")
+      batch(qid).zip(single).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) < 1e-6)
+      }
+    }
+  }
+}

@@ -34,7 +34,7 @@ class IndexSpec extends AnyFunSuite {
 
   def mkSchema(quant: QuantizerKind.Value) = GSchema(Seq(
     GField.colbert("colbert", dim, numCentroids = 8,
-      quantization = quant, numIterations = 4, nbits = 2),
+      quantization = quant, numIterations = 4, nbits = 2, numSubquantizers = 4),
     GField(name = "cat", dataType = GDataType.TEXT.toString,
       roles = Seq(FieldRole.Indexed.toString, FieldRole.Stored.toString)),
     GField.indexed("num", GDataType.INTEGER)))
@@ -83,6 +83,14 @@ class IndexSpec extends AnyFunSuite {
 
   test("BINARIZER: self-match still ranks first through the lossy codec") {
     val idx = freshIndex(QuantizerKind.BINARIZER)
+    val got = idx.search(1, query(7), k = 5, exhaustive)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.nonEmpty)
+    assert(got.head == 7L)
+  }
+
+  test("PRODUCT_ENCODER: self-match still ranks first through PQ codes") {
+    val idx = freshIndex(QuantizerKind.PRODUCT_ENCODER)
     val got = idx.search(1, query(7), k = 5, exhaustive)
       .select("doc_id").collect().map(_.getLong(0))
     assert(got.nonEmpty)

@@ -1,0 +1,77 @@
+package graft
+
+import graft.core._
+import graft.index.IndexIVF
+import graft.query._
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("foreachBatch streaming ingest feeds the index incrementally") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(1)
+    val corpus = (0L until 12L).map { i =>
+      i -> Seq.fill(3)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }.toMap
+
+    val path = java.nio.file.Files.createTempDirectory("idx_stream").toString
+    val schema = GSchema(Seq(
+      GField.colbert("colbert", dim, numCentroids = 4, numIterations = 3)))
+    val idx = IndexIVF.create(spark, path, schema)
+    idx.train(corpus.toSeq.sortBy(_._1).map { case (i, t) => Doc(i, t, "x", 0L) }
+      .toDF().select(col("id"), col("colbert")))
+
+    // write the docs out as parquet files, stream them back in
+    val srcDir = java.nio.file.Files.createTempDirectory("stream_src").toString
+    corpus.toSeq.sortBy(_._1).map { case (i, t) => Doc(i, t, "x", 0L) }.toDF()
+      .select(col("id"), col("colbert"))
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1) // several micro-batches
+      .parquet(srcDir)
+
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
+    val q = StreamingIngest.start(idx, tenant = 1, stream, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    // ingest completeness: every streamed doc has context + postings rows
+    assert(idx.contextDf.select("doc_id").distinct().count() == 12)
+    assert(idx.postingsDf.select("doc_id").distinct().count() == 12)
+    // and the index is searchable (self-match; note centroids whose query
+    // score is <= 0 are pruned, faithful to KnnNearestCentroids.cpp:71, so
+    // full recall of all 12 docs is not guaranteed for a random query)
+    val query = VectorQuery("colbert", corpus(5L).map(_.toArray).toArray)
+    val got = idx.search(1, query, 12, SearchOptions(kTopCentroids = 4, nProbe = 4))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.contains(5L))
+  }
+
+  test("windowed aggregation with watermark matches the batch plan") {
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    // batch ground truth
+    val expected = events
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    // run the same aggregation as a file-source stream over a copy of events
+    val dir = java.nio.file.Files.createTempDirectory("ev").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+    val agg = StreamingIngest.windowedCounts(stream)
+    val qn = s"stream_counts_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table(qn)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+}
