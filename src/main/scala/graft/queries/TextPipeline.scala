@@ -143,9 +143,11 @@ object TextPipeline {
 
     // D2 — MinHash + banded LSH near-dup candidates, verified with exact
     // Jaccard. 16 xxhash64 permutations, 4 bands x 4 rows; candidates =
-    // band-bucket collisions (key-partitioned join, no cross join).
-    // No SQL oracle: DuckDB lacks Spark's xxhash64. Driver rows-only check;
-    // semantics asserted in MinHashSpec against jaccardPairs.
+    // band-bucket collisions (key-partitioned join, no cross join); exact
+    // Jaccard is then computed ONLY for the candidate pairs via their
+    // broadcast shingle sets — the O(candidates) verify that makes this the
+    // 100 TB path (vs the all-pairs inverted-index join of D4).
+    // No SQL oracle: DuckDB lacks Spark's xxhash64; rows-only check.
     rowsOnly("q_dedup_minhash", Seq("D2")) { (s, dir) =>
       val sh = shingles(docs(s, dir))
       val sigCols = (0 until 16).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
@@ -159,27 +161,47 @@ object TextPipeline {
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      jaccardPairs(docs(s, dir))
-        .join(candPairs, Seq("a_id", "b_id"), "left_semi")
+      val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("s")).as("set"))
+      candPairs
+        .join(sets.select(col("doc_id").as("a_id"), col("set").as("sa")), Seq("a_id"))
+        .join(sets.select(col("doc_id").as("b_id"), col("set").as("sb")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (size(array_intersect(col("sa"), col("sb"))) * lit(1.0) /
+            size(array_union(col("sa"), col("sb")))).as("jaccard_raw"))
         .filter(col("jaccard_raw") >= 0.5)
-        .select("a_id", "b_id", "jaccard")
+        .select(col("a_id"), col("b_id"),
+          QueryDef.floorRound(col("jaccard_raw"), 4).as("jaccard"))
         .orderBy("a_id", "b_id")
     },
 
     // D3 — SimHash: 64-bit signature from token hashes (per-bit majority
     // vote), near-dup pairs = same 16-bit band + hamming distance <= 8.
+    // The signature is one pass over each doc's token array (a scalar
+    // function, no explode + 64 shuffled aggregations).
     rowsOnly("q_dedup_simhash", Seq("D3")) { (s, dir) =>
-      val tok = docs(s, dir)
-        .select(col("doc_id"), explode(toks).as("w"))
-        .select(col("doc_id"), xxhash64(col("w")).as("h"))
-      val bitSums = (0 until 64).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-      val sig = tok.groupBy(col("doc_id"))
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(b =>
-            when(col(s"b$b") >= 0, lit(1L << b)).otherwise(0L): Column)
-            .reduce(_ bitwiseOR _).as("simhash"))
+      val simhashUdf = udf { (tokens: Seq[String]) =>
+        val counts = new Array[Int](64)
+        tokens.foreach { t =>
+          // splitmix64 over the token's utf8 bytes — stable across runs
+          var h = 0L
+          t.getBytes("UTF-8").foreach { byte =>
+            var z = (h ^ byte) + 0x9e3779b97f4a7c15L
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+            h = z ^ (z >>> 31)
+          }
+          var b = 0
+          while (b < 64) {
+            if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (counts(b) >= 0) sig |= 1L << b; b += 1 }
+        sig
+      }
+      val sig = docs(s, dir).select(col("doc_id"), simhashUdf(toks).as("simhash"))
       val bands = (0 until 4).map(b =>
         sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF).as("bucket")))

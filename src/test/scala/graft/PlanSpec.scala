@@ -1,0 +1,65 @@
+package graft
+
+import graft.queries.{Relational, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the scale-critical properties: predicate
+  * pushdown to parquet, projection pruning, broadcast joins for small
+  * sides, partition pruning on the engine's hive-partitioned tables. These
+  * are the properties that keep the operators viable at 100 TB — asserted
+  * here so a regression in plan shape fails CI, not just a benchmark.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  def planOf(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_term_eq pushes the equality filter and prunes columns at the scan") {
+    val p = planOf("q_term_eq")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)]"), p)
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double,o_orderpriority:string>"), p)
+  }
+
+  test("q_term_range pushes both range bounds") {
+    val p = planOf("q_term_range")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_shipdate"), p)
+  }
+
+  test("q_meta_join broadcasts the dimension side") {
+    val p = planOf("q_meta_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_dot_topk plans as TakeOrderedAndProject (no full sort)") {
+    val p = planOf("q_dot_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("engine postings scan prunes hive partitions on (tenant, field)") {
+    import spark.implicits._
+    import graft.core._
+    import graft.index.IndexIVF
+    val dim = 16
+    val rnd = new scala.util.Random(5)
+    val docs = (0L until 8L).map(i =>
+      Doc(i, Seq.fill(2)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1)), "x", 0L)).toDF()
+      .select(col("id"), col("colbert"))
+    val idx = IndexIVF.create(spark,
+      java.nio.file.Files.createTempDirectory("idx_plan").toString,
+      GSchema(Seq(GField.colbert("colbert", dim, 4, numIterations = 2))))
+    idx.train(docs)
+    idx.add(1, docs)
+    val scan = idx.postingsDf
+      .filter(col("tenant") === 1 && col("field") === 0 && col("centroid").isin(0L, 1L))
+    val p = scan.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(tenant"), p)
+    // centroid predicate reaches the parquet reader for row-group pruning
+    assert(p.contains("PushedFilters: [In(centroid"), p)
+  }
+}
