@@ -1,6 +1,5 @@
 package graft.query
 
-import graft.core.GDataType
 import graft.index.IndexIVF
 import graft.scoring.Plaid
 import org.apache.spark.sql.DataFrame
@@ -15,6 +14,10 @@ import org.apache.spark.sql.functions._
   *    `context` codes, And = multi-way inner join on doc_id, Or = full-outer
   *    union — Catalyst's sort-merge/broadcast joins replace the hand-built
   *    merge iterators (DocIterator.cpp:136-322).
+  *  - Like the reference's iterator tree (which intersects BEFORE scoring,
+  *    QueryExecutor.cpp:21-26), And computes the candidate-id intersection
+  *    first and restricts each child's scoring to it, so phase-1 never
+  *    scores a doc a sibling filter would drop.
   *  - Query planning (centroid selection, KnnNearestCentroids.cpp) happens
   *    on the driver against the small centroid matrix; the per-query
   *    (numQueryTokens x numCentroids) score matrix is broadcast, never
@@ -23,66 +26,115 @@ import org.apache.spark.sql.functions._
   *    scores for all candidates -> top num_second_pass -> phase-2 exact
   *    MaxSim on decompressed residuals (normalize=true, ColBERTScorer
   *    semantics: the exact score REPLACES the approximate one) -> top k ->
-  *    hydrate Stored fields from `docs`.
+  *    hydrate Stored fields from `docs`. The context table is scanned ONCE:
+  *    codes and residuals ride together through the pool cut (the pool is
+  *    <= num_second_pass rows, so carrying the residual bytes through the
+  *    per-partition top-k heap is cheaper than a second context join at
+  *    scale).
   */
 object Searcher {
 
   def search(idx: IndexIVF, tenant: Long, root: QueryNode, k: Int,
       opts: SearchOptions): DataFrame = {
     val spark = idx.spark
-    val phase1 = compile(idx, tenant, root, opts)
-
     val vectorNodes = collectVectors(root)
+    val needRerank = opts.secondPass && vectorNodes.nonEmpty
+    val phase1 = compile(idx, tenant, root, opts, restrict = None,
+      carryContext = needRerank)
+
     val reranked =
-      if (opts.secondPass && vectorNodes.nonEmpty) {
+      if (needRerank) {
         val v = vectorNodes.head
         val f = idx.schema.field(v.field)
-        val fid = idx.mapper.id(v.field)
         val dim = f.parameters.dimensions
         val nq = v.queryTokens.length
         val flatQuery = v.queryTokens.flatten
         val bq = spark.sparkContext.broadcast(idx.quantizers(v.field))
         val bquery = spark.sparkContext.broadcast(flatQuery)
         val rerankUdf = udf { (codes: Seq[Long], residuals: Array[Byte]) =>
-          val quant = bq.value
-          val n = codes.length
-          val doc = new Array[Float](n * dim)
-          var i = 0
-          while (i < n) {
-            val tok = quant.decode(java.util.Arrays.copyOfRange(
-              residuals, i * quant.codeSize, (i + 1) * quant.codeSize))
-            System.arraycopy(tok, 0, doc, i * dim, dim)
-            i += 1
+          // doc matched only by non-vector OR children -> no colbert context
+          // -> score 0.0, matching ColBERTScorer (Scorer.cpp:23-28)
+          if (codes == null || residuals == null) 0.0
+          else {
+            val quant = bq.value
+            val n = codes.length
+            val doc = new Array[Float](n * dim)
+            var i = 0
+            while (i < n) {
+              val tok = quant.decode(java.util.Arrays.copyOfRange(
+                residuals, i * quant.codeSize, (i + 1) * quant.codeSize))
+              System.arraycopy(tok, 0, doc, i * dim, dim)
+              i += 1
+            }
+            Plaid.scoreByResiduals(bquery.value, nq, doc, n, dim, normalize = true)
+              .toDouble
           }
-          Plaid.scoreByResiduals(bquery.value, nq, doc, n, dim, normalize = true)
-            .toDouble
         }
-        val pool = phase1
+        phase1
           .orderBy(col("score").desc, col("doc_id"))
           .limit(opts.numSecondPass)
-        val ctx = idx.contextDf
-          .filter(col("tenant") === tenant && col("field") === fid)
-          .dropDuplicates("doc_id")
-          .select(col("doc_id"), col("doc_codes"), col("doc_residuals"))
-        pool.join(ctx, Seq("doc_id"))
           .select(col("doc_id"),
             rerankUdf(col("doc_codes"), col("doc_residuals")).as("score"))
-      } else phase1
+      } else phase1.select(col("doc_id"), col("score"))
 
     val top = reranked.orderBy(col("score").desc, col("doc_id")).limit(k)
 
     if (idx.schema.storedFields.nonEmpty) {
       val docs = idx.docsDf.filter(col("tenant") === tenant)
         .dropDuplicates("doc_id").drop("tenant")
-      top.join(broadcast(docs).hint("broadcast"), Seq("doc_id"), "left")
+      top.join(broadcast(docs), Seq("doc_id"), "left")
         .orderBy(col("score").desc, col("doc_id"))
     } else top
   }
 
-  /** QueryNode -> DataFrame(doc_id, score:double). */
-  def compile(idx: IndexIVF, tenant: Long, node: QueryNode,
-      opts: SearchOptions): DataFrame = node match {
+  /** QueryNode -> DataFrame(doc_id, score[, doc_codes, doc_residuals]).
+    *
+    * @param restrict candidate-id pushdown from an enclosing And: scoring is
+    *                 restricted to these doc ids (reference: the iterator
+    *                 tree enumerates the intersected candidates first)
+    * @param carryContext when true the vector leaf keeps doc_codes and
+    *                 doc_residuals in its output for single-scan reranking
+    */
+  def compile(idx: IndexIVF, tenant: Long, node: QueryNode, opts: SearchOptions,
+      restrict: Option[DataFrame] = None,
+      carryContext: Boolean = false): DataFrame = node match {
 
+    case TermQuery(field, value) =>
+      val f = idx.schema.field(field)
+      val fid = idx.mapper.id(field)
+      restricted(idx.scalarsDf
+        .filter(col("tenant") === tenant && col("field") === fid &&
+          col("value_str") === IndexIVF.canonicalValue(f, value))
+        .select(col("doc_id")).distinct(), restrict)
+        .withColumn("score", lit(1.0))
+
+    case RangeQuery(field, lo, hi) =>
+      val fid = idx.mapper.id(field)
+      restricted(idx.scalarsDf
+        .filter(col("tenant") === tenant && col("field") === fid &&
+          col("value_num").between(lo, hi))
+        .select(col("doc_id")).distinct(), restrict)
+        .withColumn("score", lit(1.0))
+
+    case v: VectorQuery => compileVector(idx, tenant, v, opts, restrict, carryContext)
+
+    case AndQuery(children, comb) =>
+      // candidate intersection FIRST, then score each child on it
+      val cands = children.map(c => candidateIds(idx, tenant, c, opts))
+        .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
+      val scored = children.map(c =>
+        compile(idx, tenant, c, opts, Some(cands), carryContext))
+      joinChildren(scored, "inner", comb, orMode = false)
+
+    case OrQuery(children, comb) =>
+      val scored = children.map(c =>
+        compile(idx, tenant, c, opts, restrict, carryContext))
+      joinChildren(scored, "full_outer", comb, orMode = true)
+  }
+
+  /** Candidate doc ids only — no scoring, no context join. */
+  private def candidateIds(idx: IndexIVF, tenant: Long, node: QueryNode,
+      opts: SearchOptions): DataFrame = node match {
     case TermQuery(field, value) =>
       val f = idx.schema.field(field)
       val fid = idx.mapper.id(field)
@@ -90,35 +142,37 @@ object Searcher {
         .filter(col("tenant") === tenant && col("field") === fid &&
           col("value_str") === IndexIVF.canonicalValue(f, value))
         .select(col("doc_id")).distinct()
-        .withColumn("score", lit(1.0))
-
     case RangeQuery(field, lo, hi) =>
       val fid = idx.mapper.id(field)
       idx.scalarsDf
         .filter(col("tenant") === tenant && col("field") === fid &&
           col("value_num").between(lo, hi))
         .select(col("doc_id")).distinct()
-        .withColumn("score", lit(1.0))
+    case v: VectorQuery =>
+      postingCandidates(idx, tenant, v, opts)
+    case AndQuery(cs, _) =>
+      cs.map(c => candidateIds(idx, tenant, c, opts))
+        .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
+    case OrQuery(cs, _) =>
+      cs.map(c => candidateIds(idx, tenant, c, opts)).reduce(_ union _).distinct()
+  }
 
-    case v: VectorQuery => compileVector(idx, tenant, v, opts)
-
-    case AndQuery(children, comb) =>
-      children.map(c => compile(idx, tenant, c, opts))
-        .zipWithIndex
-        .map { case (df, i) => df.withColumnRenamed("score", s"s_$i") }
-        .reduce((a, b) => a.join(b, Seq("doc_id"), "inner"))
-        .select(col("doc_id"),
-          combine(comb, children.indices.map(i => col(s"s_$i")), orMode = false)
-            .as("score"))
-
-    case OrQuery(children, comb) =>
-      children.map(c => compile(idx, tenant, c, opts))
-        .zipWithIndex
-        .map { case (df, i) => df.withColumnRenamed("score", s"s_$i") }
-        .reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
-        .select(col("doc_id"),
-          combine(comb, children.indices.map(i => col(s"s_$i")), orMode = true)
-            .as("score"))
+  /** Combine per-child (doc_id, score, [context]) frames; context columns
+    * are taken from whichever child carries them (the vector leaf). */
+  private def joinChildren(scored: Seq[DataFrame], joinType: String,
+      comb: Combiner.Value, orMode: Boolean): DataFrame = {
+    val renamed = scored.zipWithIndex.map { case (df, i) =>
+      df.columns.foldLeft(df)((d, c) =>
+        if (c == "doc_id") d else d.withColumnRenamed(c, s"${c}_$i"))
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq("doc_id"), joinType))
+    val scores = scored.indices.map(i => col(s"score_$i"))
+    val ctxCols = scored.indices
+      .filter(i => renamed(i).columns.contains(s"doc_codes_$i"))
+      .headOption.toSeq.flatMap(i => Seq(
+        col(s"doc_codes_$i").as("doc_codes"),
+        col(s"doc_residuals_$i").as("doc_residuals")))
+    joined.select(col("doc_id") +: combine(comb, scores, orMode).as("score") +: ctxCols: _*)
   }
 
   /** Score combiners (scoring_methods.cpp:61-85). In OR position a child
@@ -132,41 +186,57 @@ object Searcher {
       scores.map(s => if (orMode) coalesce(s, lit(1.0)) else s).reduce(_ * _)
   }
 
-  /** The ANN leaf (QueryNode.cpp:29-101 + ANNIterator): pick probe
-    * centroids on the driver, prune `postings` to those lists, dedup doc
-    * ids, phase-1 score via the broadcast query-x-centroid matrix over the
-    * doc's stored codes. */
-  private def compileVector(idx: IndexIVF, tenant: Long, v: VectorQuery,
+  private def restricted(df: DataFrame, restrict: Option[DataFrame]): DataFrame =
+    restrict.map(r => df.join(r, Seq("doc_id"), "left_semi")).getOrElse(df)
+
+  /** Centroid-pruned candidate enumeration (the ANNIterator's posting-list
+    * union, QueryNode.cpp:59-77). */
+  private def postingCandidates(idx: IndexIVF, tenant: Long, v: VectorQuery,
       opts: SearchOptions): DataFrame = {
-    val spark = idx.spark
     val fid = idx.mapper.id(v.field)
+    val (_, probes) = queryPlan(idx, v, opts)
+    idx.postingsDf
+      .filter(col("tenant") === tenant && col("field") === fid &&
+        col("centroid").isin(probes: _*))
+      .select(col("doc_id")).distinct()
+  }
+
+  /** Driver-side query planning: full (nq x nc) score matrix + probe list
+    * (KnnNearestCentroids.cpp:6-110, including the score>0 prune). */
+  private def queryPlan(idx: IndexIVF, v: VectorQuery,
+      opts: SearchOptions): (Array[Float], Array[Long]) = {
     val cq = idx.coarse.getOrElse(v.field,
       throw new IllegalStateException(s"field ${v.field} is not trained"))
     val nq = v.queryTokens.length
     val nc = cq.numCentroids
-
-    // driver-side query planning: full (nq x nc) score matrix, top
-    // k_top_centroids per token -> per-centroid max -> top n_probe
-    // (KnnNearestCentroids.cpp:6-110)
-    val scoreMatrix = new Array[Float](nq * nc)
+    val m = new Array[Float](nq * nc)
     v.queryTokens.zipWithIndex.foreach { case (tok, i) =>
-      System.arraycopy(cq.scoreAll(tok), 0, scoreMatrix, i * nc, nc)
+      System.arraycopy(cq.scoreAll(tok), 0, m, i * nc, nc)
     }
     val kTop = math.min(opts.kTopCentroids, nc)
     val high = new Array[Float](nc)
     (0 until nq).foreach { i =>
-      val row = (0 until nc).map(c => (c, scoreMatrix(i * nc + c)))
-        .sortBy { case (c, s) => (-s, c) }
-      row.take(kTop).foreach { case (c, s) => if (s > high(c)) high(c) = s }
+      (0 until nc).map(c => (c, m(i * nc + c))).sortBy { case (c, s) => (-s, c) }
+        .take(kTop).foreach { case (c, s) => if (s > high(c)) high(c) = s }
     }
     val probes = high.zipWithIndex.filter(_._1 > 0)
-      .sortBy { case (s, c) => (-s, c) }
-      .take(opts.nProbe).map(_._2.toLong)
+      .sortBy { case (s, c) => (-s, c) }.take(opts.nProbe).map(_._2.toLong)
+    (m, probes)
+  }
 
-    val candidates = idx.postingsDf
-      .filter(col("tenant") === tenant && col("field") === fid &&
-        col("centroid").isin(probes: _*))
-      .select(col("doc_id")).distinct()
+  /** The ANN leaf: candidates + phase-1 scoring via the broadcast
+    * query-x-centroid matrix over the doc's stored codes. */
+  private def compileVector(idx: IndexIVF, tenant: Long, v: VectorQuery,
+      opts: SearchOptions, restrict: Option[DataFrame],
+      carryContext: Boolean): DataFrame = {
+    val spark = idx.spark
+    val fid = idx.mapper.id(v.field)
+    val cq = idx.coarse(v.field)
+    val nc = cq.numCentroids
+    val nq = v.queryTokens.length
+    val (scoreMatrix, _) = queryPlan(idx, v, opts)
+
+    val candidates = restricted(postingCandidates(idx, tenant, v, opts), restrict)
 
     val bScores = spark.sparkContext.broadcast(scoreMatrix)
     val scoreUdf = opts.embeddingScoring match {
@@ -182,12 +252,17 @@ object Searcher {
             opts.centroidScoreThreshold).toDouble)
     }
 
+    val ctxCols =
+      if (carryContext) Seq(col("doc_id"), col("doc_codes"), col("doc_residuals"))
+      else Seq(col("doc_id"), col("doc_codes"))
     val ctx = idx.contextDf
       .filter(col("tenant") === tenant && col("field") === fid)
       .dropDuplicates("doc_id")
-      .select(col("doc_id"), col("doc_codes"))
-    candidates.join(ctx, Seq("doc_id"))
-      .select(col("doc_id"), scoreUdf(col("doc_codes")).as("score"))
+      .select(ctxCols: _*)
+    val scored = candidates.join(ctx, Seq("doc_id"))
+    val outCols = col("doc_id") +: scoreUdf(col("doc_codes")).as("score") +:
+      (if (carryContext) Seq(col("doc_codes"), col("doc_residuals")) else Seq.empty)
+    scored.select(outCols: _*)
   }
 
   private def collectVectors(node: QueryNode): Seq[VectorQuery] = node match {

@@ -119,6 +119,21 @@ class IndexSpec extends AnyFunSuite {
     assert(idx.search(1, q, 10, exhaustive).count() == 0)
   }
 
+  test("Or(vector, term): term-only matches rerank to 0.0 (missing context)") {
+    val idx = freshIndex(QuantizerKind.NONE)
+    // restrict the vector side to few probes so some "odd" docs are
+    // term-only matches, then rerank: those must score 0.0 like the
+    // reference's ColBERTScorer on missing colbert context
+    val narrow = SearchOptions(kTopCentroids = 1, nProbe = 1)
+    val vecDocs = idx.search(1, query(7), 20, narrow.copy(secondPass = false))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = idx.search(1, OrQuery(Seq(query(7), TermQuery("cat", "odd"))), 20, narrow)
+      .select("doc_id", "score").collect()
+    val termOnly = rows.filter(r => !vecDocs.contains(r.getLong(0)))
+    assert(termOnly.nonEmpty, "fixture should produce term-only matches")
+    termOnly.foreach(r => assert(r.getDouble(1) == 0.0))
+  }
+
   test("Term-only and Or queries work without a vector node") {
     val idx = freshIndex(QuantizerKind.NONE)
     val evens = idx.search(1, TermQuery("cat", "even"), 20, exhaustive)
