@@ -235,6 +235,46 @@ object Relational {
     // plan via readStream + watermark — see graft.streaming). The window
     // start is emitted as epoch millis so the oracle compare is free of
     // ns/us timestamp-unit ambiguity.
+    // ST2 — gap-based sessionization (30-min inactivity): the batch twin of
+    // flatMapGroupsWithState session windows. Ordering/gap math happens at
+    // millisecond precision on both engines (the parquet source is
+    // nanosecond-precision, which Spark reads truncated — comparing at ms
+    // keeps the engines identical).
+    sql("q_sessionize", Seq("ST2", "W1"),
+      """WITH e AS (SELECT user_id, epoch_ms(ts::TIMESTAMP) AS tms, event_id FROM events),
+        |l AS (SELECT user_id, tms,
+        |  lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS prev
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tms"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_millis(col("ts")).as("tms"), col("event_id"))
+          .withColumn("prev", lag(col("tms"), 1).over(w))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("prev").isNull || col("tms") - col("prev") > 1800000L, 1)
+              .otherwise(0)).as("n_sessions"))
+          .orderBy("user_id")
+    },
+
+    // Semi-structured props: JSON field extraction + aggregation (the events
+    // table's props column is a JSON object).
+    sql("q_json_extract", Seq("F6"),
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_event"),
+            max(col("event_id")).as("last_event"))
+          .orderBy("k")
+    },
+
     sql("q_events_window", Seq("ST1"),
       """SELECT epoch_ms(date_trunc('hour', ts)::TIMESTAMP) AS h_ms, event_type,
         |  count(*) AS n, round(sum(value), 3) AS sum_value

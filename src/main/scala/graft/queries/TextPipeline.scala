@@ -90,6 +90,20 @@ object TextPipeline {
           .orderBy("doc_id")
     },
 
+    // TA3b — BPE-ish regex tokenization: letter runs, digit runs, and
+    // single punctuation marks as pieces (same RE semantics in Java and
+    // DuckDB's RE2 for this class of pattern).
+    sql("q_token_bpe", Seq("TA3"),
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir).select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast("long").as("n_pieces"))
+          .orderBy("doc_id")
+    },
+
     // TA2 — quality scoring: stopword ratio + average token length.
     sql("q_quality_score", Seq("TA2"),
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
