@@ -46,10 +46,22 @@ final class IndexIVF private (
   import IndexIVF._
 
   private def p(name: String) = s"$path/$name"
-  def postingsDf: DataFrame = spark.read.parquet(p("postings"))
-  def scalarsDf: DataFrame = spark.read.parquet(p("scalars"))
-  def contextDf: DataFrame = spark.read.parquet(p("context"))
-  def docsDf: DataFrame = spark.read.parquet(p("docs"))
+
+  /** Total read: a table with no data files yet (fresh index — an empty
+    * partitioned write emits only _SUCCESS) reads as an empty DataFrame of
+    * the declared schema instead of failing schema inference. */
+  private def readTable(name: String, schema: StructType): DataFrame =
+    try {
+      val df = spark.read.parquet(p(name))
+      if (df.columns.isEmpty) IndexIVF.empty(spark, schema) else df
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => IndexIVF.empty(spark, schema)
+    }
+
+  def postingsDf: DataFrame = readTable("postings", IndexIVF.postingsSchema)
+  def scalarsDf: DataFrame = readTable("scalars", IndexIVF.scalarsSchema)
+  def contextDf: DataFrame = readTable("context", IndexIVF.contextSchema)
+  def docsDf: DataFrame = readTable("docs", IndexIVF.docsSchema(schema))
 
   def isTrained(field: String): Boolean = coarse.contains(field)
 
@@ -130,10 +142,14 @@ final class IndexIVF private (
       val assignUdf = udf((vec: Seq[Float]) => bc.value.assign(vec.toArray).toLong)
       val encodeUdf = udf((vec: Seq[Float]) => bq.value.encode(vec.toArray))
 
+      // persisted: the postings write and the context write are two jobs,
+      // and assignment + encoding (the expensive quantization work) must
+      // not run twice
       val assigned = docs
         .select(col("id").as("doc_id"), posexplode(col(f.name)).as(Seq("pos", "vec")))
         .select(col("doc_id"), col("pos"),
           assignUdf(col("vec")).as("centroid"), encodeUdf(col("vec")).as("code"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // one posting row per doc x centroid (DocEncoder.cpp:71-104 groups
       // token codes per centroid; the posting payload itself is empty for
@@ -157,6 +173,7 @@ final class IndexIVF private (
             concatBytes(expr("transform(toks, t -> t.code)")).as("doc_residuals"))
         writeAppend(ctx, p("context"), Seq("tenant", "field"))
       }
+      assigned.unpersist()
     }
 
     val scalarRows = schema.scalarIndexed.filter(f => docs.columns.contains(f.name)).map { f =>
@@ -210,8 +227,12 @@ final class IndexIVF private (
     Seq("postings" -> Seq("tenant", "field"), "scalars" -> Seq("tenant", "field"),
       "context" -> Seq("tenant", "field"), "docs" -> Seq("tenant")).foreach {
       case (tbl, parts) =>
-        val other = spark.read.parquet(s"$otherPath/$tbl")
-        if (!other.isEmpty) writeAppend(other, p(tbl), parts)
+        try {
+          val other = spark.read.parquet(s"$otherPath/$tbl")
+          if (!other.isEmpty) writeAppend(other, p(tbl), parts)
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => // other side empty
+        }
     }
 
   private def rewrite(tablePath: String, f: DataFrame => DataFrame, parts: Seq[String]): Unit = {
@@ -219,8 +240,13 @@ final class IndexIVF private (
       new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
     val orig = new org.apache.hadoop.fs.Path(tablePath)
-    f(spark.read.parquet(tablePath)).write.mode("overwrite")
-      .partitionBy(parts: _*).parquet(tmp.toString)
+    if (!fs.exists(orig)) return // nothing written yet
+    try {
+      f(spark.read.parquet(tablePath)).write.mode("overwrite")
+        .partitionBy(parts: _*).parquet(tmp.toString)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => return // no data files
+    }
     fs.delete(orig, true)
     fs.rename(tmp, orig)
   }
@@ -241,17 +267,10 @@ object IndexIVF {
 
   def create(spark: SparkSession, path: String, schema: GSchema): IndexIVF = {
     writeMeta(path, schema)
-    val idx = new IndexIVF(spark, path, schema)
-    // eagerly materialize empty tables so every read path is total
-    empty(spark, postingsSchema).write.mode("overwrite")
-      .partitionBy("tenant", "field").parquet(s"$path/postings")
-    empty(spark, scalarsSchema).write.mode("overwrite")
-      .partitionBy("tenant", "field").parquet(s"$path/scalars")
-    empty(spark, contextSchema).write.mode("overwrite")
-      .partitionBy("tenant", "field").parquet(s"$path/context")
-    empty(spark, docsSchema(schema)).write.mode("overwrite")
-      .partitionBy("tenant").parquet(s"$path/docs")
-    idx
+    // no eager table writes: an empty partitioned write emits only _SUCCESS
+    // (no schema to infer later), so emptiness is handled at read time by
+    // readTable instead
+    new IndexIVF(spark, path, schema)
   }
 
   /** Open an existing index (read-only use is just "don't call mutators";

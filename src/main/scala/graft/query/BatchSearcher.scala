@@ -32,26 +32,18 @@ object BatchSearcher {
       throw new IllegalStateException(s"field $field is not trained"))
     val nc = cq.numCentroids
 
-    // driver-side per-query planning (queries are small by construction)
+    // driver-side per-query planning (queries are small by construction);
+    // planning semantics shared with the single-query path via
+    // Searcher.queryPlan
     val qRows = queries.select(col("query_id"), col("tokens")).collect().map { r =>
       val qid = r.getLong(0)
       val toks = r.getSeq[scala.collection.Seq[Float]](1).map(_.toArray).toArray
       qid -> toks
     }
+    implicit val planCache: scala.collection.mutable.Map[VectorQuery, (Array[Float], Array[Long])] =
+      scala.collection.mutable.Map.empty
     val plans = qRows.map { case (qid, toks) =>
-      val nq = toks.length
-      val m = new Array[Float](nq * nc)
-      toks.zipWithIndex.foreach { case (t, i) =>
-        System.arraycopy(cq.scoreAll(t), 0, m, i * nc, nc)
-      }
-      val kTop = math.min(opts.kTopCentroids, nc)
-      val high = new Array[Float](nc)
-      (0 until nq).foreach { i =>
-        (0 until nc).map(c => (c, m(i * nc + c))).sortBy { case (c, s) => (-s, c) }
-          .take(kTop).foreach { case (c, s) => if (s > high(c)) high(c) = s }
-      }
-      val probes = high.zipWithIndex.filter(_._1 > 0)
-        .sortBy { case (s, c) => (-s, c) }.take(opts.nProbe).map(_._2.toLong)
+      val (m, probes) = Searcher.queryPlan(idx, VectorQuery(field, toks), opts)
       (qid, toks, m, probes)
     }
 

@@ -34,17 +34,30 @@ import org.apache.spark.sql.functions._
   */
 object Searcher {
 
+  /** Per-search cache of driver-side query plans, keyed by vector-node
+    * identity: compileVector, postingCandidates and And's candidateIds all
+    * need the same (score matrix, probes) — computed once per leaf. */
+  private[query] type PlanCache =
+    scala.collection.mutable.Map[VectorQuery, (Array[Float], Array[Long])]
+
   def search(idx: IndexIVF, tenant: Long, root: QueryNode, k: Int,
       opts: SearchOptions): DataFrame = {
     val spark = idx.spark
     val vectorNodes = collectVectors(root)
     val needRerank = opts.secondPass && vectorNodes.nonEmpty
+    implicit val plans: PlanCache = scala.collection.mutable.Map.empty
+    // phase-2 reranks on ONE colbert context field (reference semantics:
+    // ColBERTScorer reads context.colbert_context, Scorer.cpp:30-36) —
+    // opts.colbertField if it is one of the query's vector fields, else the
+    // first vector leaf; docs matched only by other children score 0
+    val rerankNode = vectorNodes.find(_.field == opts.colbertField)
+      .orElse(vectorNodes.headOption)
     val phase1 = compile(idx, tenant, root, opts, restrict = None,
-      carryContext = needRerank)
+      carryFor = if (needRerank) rerankNode.map(_.field) else None)
 
     val reranked =
       if (needRerank) {
-        val v = vectorNodes.head
+        val v = rerankNode.get
         val f = idx.schema.field(v.field)
         val dim = f.parameters.dimensions
         val nq = v.queryTokens.length
@@ -80,9 +93,16 @@ object Searcher {
     val top = reranked.orderBy(col("score").desc, col("doc_id")).limit(k)
 
     if (idx.schema.storedFields.nonEmpty) {
+      // hydration: the <= k-row result side is the broadcast build, the
+      // forward index stays on the probe side (broadcasting the docs table
+      // would ship the whole tenant to every executor). BHJ only supports
+      // broadcast-build on the inner side, so unmatched results are filled
+      // back with a k-row anti join.
       val docs = idx.docsDf.filter(col("tenant") === tenant)
         .dropDuplicates("doc_id").drop("tenant")
-      top.join(broadcast(docs), Seq("doc_id"), "left")
+      val hydrated = docs.join(broadcast(top), Seq("doc_id"))
+      val missing = top.join(broadcast(hydrated.select("doc_id")), Seq("doc_id"), "left_anti")
+      hydrated.unionByName(missing, allowMissingColumns = true)
         .orderBy(col("score").desc, col("doc_id"))
     } else top
   }
@@ -92,12 +112,14 @@ object Searcher {
     * @param restrict candidate-id pushdown from an enclosing And: scoring is
     *                 restricted to these doc ids (reference: the iterator
     *                 tree enumerates the intersected candidates first)
-    * @param carryContext when true the vector leaf keeps doc_codes and
-    *                 doc_residuals in its output for single-scan reranking
+    * @param carryFor vector field whose leaf keeps doc_codes/doc_residuals
+    *                 in its output for single-scan reranking
     */
   def compile(idx: IndexIVF, tenant: Long, node: QueryNode, opts: SearchOptions,
       restrict: Option[DataFrame] = None,
-      carryContext: Boolean = false): DataFrame = node match {
+      carryFor: Option[String] = None)(
+      implicit plans: PlanCache = scala.collection.mutable.Map.empty): DataFrame =
+    node match {
 
     case TermQuery(field, value) =>
       val f = idx.schema.field(field)
@@ -116,25 +138,25 @@ object Searcher {
         .select(col("doc_id")).distinct(), restrict)
         .withColumn("score", lit(1.0))
 
-    case v: VectorQuery => compileVector(idx, tenant, v, opts, restrict, carryContext)
+    case v: VectorQuery => compileVector(idx, tenant, v, opts, restrict, carryFor)
 
     case AndQuery(children, comb) =>
       // candidate intersection FIRST, then score each child on it
       val cands = children.map(c => candidateIds(idx, tenant, c, opts))
         .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
       val scored = children.map(c =>
-        compile(idx, tenant, c, opts, Some(cands), carryContext))
+        compile(idx, tenant, c, opts, Some(cands), carryFor))
       joinChildren(scored, "inner", comb, orMode = false)
 
     case OrQuery(children, comb) =>
       val scored = children.map(c =>
-        compile(idx, tenant, c, opts, restrict, carryContext))
+        compile(idx, tenant, c, opts, restrict, carryFor))
       joinChildren(scored, "full_outer", comb, orMode = true)
   }
 
   /** Candidate doc ids only — no scoring, no context join. */
   private def candidateIds(idx: IndexIVF, tenant: Long, node: QueryNode,
-      opts: SearchOptions): DataFrame = node match {
+      opts: SearchOptions)(implicit plans: PlanCache): DataFrame = node match {
     case TermQuery(field, value) =>
       val f = idx.schema.field(field)
       val fid = idx.mapper.id(field)
@@ -192,7 +214,7 @@ object Searcher {
   /** Centroid-pruned candidate enumeration (the ANNIterator's posting-list
     * union, QueryNode.cpp:59-77). */
   private def postingCandidates(idx: IndexIVF, tenant: Long, v: VectorQuery,
-      opts: SearchOptions): DataFrame = {
+      opts: SearchOptions)(implicit plans: PlanCache): DataFrame = {
     val fid = idx.mapper.id(v.field)
     val (_, probes) = queryPlan(idx, v, opts)
     idx.postingsDf
@@ -202,8 +224,13 @@ object Searcher {
   }
 
   /** Driver-side query planning: full (nq x nc) score matrix + probe list
-    * (KnnNearestCentroids.cpp:6-110, including the score>0 prune). */
-  private def queryPlan(idx: IndexIVF, v: VectorQuery,
+    * (KnnNearestCentroids.cpp:6-110, including the score>0 prune).
+    * Memoized per vector leaf within a search. */
+  private[query] def queryPlan(idx: IndexIVF, v: VectorQuery, opts: SearchOptions)(
+      implicit plans: PlanCache): (Array[Float], Array[Long]) =
+    plans.getOrElseUpdate(v, computePlan(idx, v, opts))
+
+  private def computePlan(idx: IndexIVF, v: VectorQuery,
       opts: SearchOptions): (Array[Float], Array[Long]) = {
     val cq = idx.coarse.getOrElse(v.field,
       throw new IllegalStateException(s"field ${v.field} is not trained"))
@@ -228,13 +255,15 @@ object Searcher {
     * query-x-centroid matrix over the doc's stored codes. */
   private def compileVector(idx: IndexIVF, tenant: Long, v: VectorQuery,
       opts: SearchOptions, restrict: Option[DataFrame],
-      carryContext: Boolean): DataFrame = {
+      carryFor: Option[String])(implicit plans: PlanCache): DataFrame = {
     val spark = idx.spark
     val fid = idx.mapper.id(v.field)
-    val cq = idx.coarse(v.field)
+    val cq = idx.coarse.getOrElse(v.field,
+      throw new IllegalStateException(s"field ${v.field} is not trained"))
     val nc = cq.numCentroids
     val nq = v.queryTokens.length
     val (scoreMatrix, _) = queryPlan(idx, v, opts)
+    val carryContext = carryFor.contains(v.field)
 
     val candidates = restricted(postingCandidates(idx, tenant, v, opts), restrict)
 

@@ -158,6 +158,18 @@ class IndexSpec extends AnyFunSuite {
       == (if (top.getLong(top.fieldIndex("doc_id")) % 2 == 0) "even" else "odd"))
   }
 
+  test("fresh index (no adds yet) searches/removes/merges without crashing") {
+    val path = java.nio.file.Files.createTempDirectory("idx_fresh").toString
+    val idx = IndexIVF.create(spark, path, mkSchema(QuantizerKind.NONE))
+    idx.train(docsDf) // trained but empty: no data files exist yet
+    assert(idx.search(1, query(0), 10, exhaustive).count() == 0)
+    assert(idx.search(1, TermQuery("cat", "even"), 10, exhaustive).count() == 0)
+    idx.remove(1, Seq(1L, 2L)) // no-op, must not throw
+    val other = freshIndex(QuantizerKind.NONE)
+    other.merge(idx.path) // merging an empty index is a no-op
+    assert(other.search(1, query(7), 5, exhaustive).count() == 5)
+  }
+
   test("tenant isolation: other tenants see nothing") {
     val idx = freshIndex(QuantizerKind.NONE)
     assert(idx.search(2, query(0), 10, exhaustive).count() == 0)
