@@ -163,12 +163,16 @@ object TextPipeline {
     // 100 TB path (vs the all-pairs inverted-index join of D4).
     // No SQL oracle: DuckDB lacks Spark's xxhash64; rows-only check.
     rowsOnly("q_dedup_minhash", Seq("D2")) { (s, dir) =>
+      // 8 bands x 2 rows: for a pair at similarity s the miss probability is
+      // (1-s^2)^8 — ~1e-8 at s=0.95, ~3e-4 at s=0.8 (4x4 banding missed
+      // real 0.9 pairs in testing; wider bands trade a few more candidates,
+      // which the exact verify filters, for near-certain recall)
       val sh = shingles(docs(s, dir))
       val sigCols = (0 until 16).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
       val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      val bands = (0 until 4).map { b =>
+      val bands = (0 until 8).map { b =>
         sigs.select(col("doc_id"), lit(b).as("band"),
-          xxhash64((b * 4 until (b + 1) * 4).map(i => col(s"h$i")): _*).as("bucket"))
+          xxhash64((b * 2 until (b + 1) * 2).map(i => col(s"h$i")): _*).as("bucket"))
       }.reduce(_ unionByName _)
       val candPairs = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
@@ -216,9 +220,12 @@ object TextPipeline {
         sig
       }
       val sig = docs(s, dir).select(col("doc_id"), simhashUdf(toks).as("simhash"))
-      val bands = (0 until 4).map(b =>
+      // 8 bands x 8 bits: any pair with hamming <= 7 shares at least one
+      // exact band (pigeonhole); hamming-8 pairs are caught unless every
+      // differing bit lands in a distinct band
+      val bands = (0 until 8).map(b =>
         sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF).as("bucket")))
+          shiftright(col("simhash"), b * 8).bitwiseAND(0xFF).as("bucket")))
         .reduce(_ unionByName _)
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")

@@ -207,6 +207,36 @@ class IndexSpec extends AnyFunSuite {
     assert(got.length == got.distinct.length, "query-time dedup by doc_id")
   }
 
+  test("scalar types: DATETIME and FLOAT terms hit the canonical key encodings") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("idx_scalar").toString
+    val schema = GSchema(Seq(
+      GField.indexed("created", GDataType.DATETIME),
+      GField.indexed("weight", GDataType.FLOAT)))
+    val idx = IndexIVF.create(spark, path, schema)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:30:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-15 08:00:00")
+    val docs = Seq((0L, t0, 1.5f), (1L, t1, 2.5f), (2L, t0, 2.5f))
+      .toDF("id", "created", "weight")
+    idx.add(1, docs)
+    // DATETIME equality via epoch-millis canonical key (KeyBuilder parity)
+    val byTime = idx.search(1, TermQuery("created", t0), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byTime == Set(0L, 2L))
+    // FLOAT equality + numeric range
+    val byWeight = idx.search(1, TermQuery("weight", 2.5f), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byWeight == Set(1L, 2L))
+    val byRange = idx.search(1, RangeQuery("weight", 2.0, 3.0), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byRange == Set(1L, 2L))
+    // DATETIME range over epoch millis
+    val timeRange = idx.search(1,
+      RangeQuery("created", t0.getTime.toDouble - 1, t0.getTime.toDouble + 1), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(timeRange == Set(0L, 2L))
+  }
+
   test("merge unions another index's contents (index.cpp:512-535)") {
     val schema = mkSchema(QuantizerKind.NONE)
     val pathA = java.nio.file.Files.createTempDirectory("idxA").toString

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic assertions for the oracle-free dedup/fingerprint queries (the
+  * driver only checks rows for these; the semantics live here). The sf0.001
+  * documents table has planted near-duplicate pairs (shingle Jaccard ~0.99),
+  * which the exact inverted-index pass, MinHash LSH, and SimHash must all
+  * surface. */
+class TextPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  def run(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  lazy val exactPairs: Set[(Long, Long)] = run("q_neardup_jaccard")
+    .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact shingle-Jaccard finds the planted near-dup pairs") {
+    assert(exactPairs.nonEmpty, "generator plants near-duplicates")
+    // ids are ordered and scores within [0.8, 1]
+    val rows = run("q_neardup_jaccard").collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.8 && r.getDouble(2) <= 1.0))
+  }
+
+  /** pairs similar enough that LSH banding must catch them (see the
+    * miss-probability notes on the band layouts in TextPipeline). */
+  lazy val verySimilar: Set[(Long, Long)] = run("q_neardup_jaccard")
+    .collect().filter(_.getDouble(2) >= 0.95)
+    .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash LSH candidates recover the >=0.95 pairs") {
+    val lsh = run("q_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 bands x 2 rows: P[miss] = (1-s^2)^8 ~ 1e-8 at s=0.95
+    val missed = verySimilar -- lsh
+    assert(missed.isEmpty, s"LSH missed very-similar pairs: $missed")
+    assert(verySimilar.nonEmpty)
+  }
+
+  test("SimHash bands recover the >=0.95 pairs with small hamming") {
+    val sim = run("q_dedup_simhash").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val missed = verySimilar.filterNot(sim.contains)
+    assert(missed.isEmpty, s"SimHash missed very-similar pairs: $missed")
+    sim.values.foreach(h => assert(h <= 8))
+  }
+
+  test("fingerprints are deterministic and discriminate distinct content") {
+    val a = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "stable across runs")
+    // all sf0.001 texts are distinct -> all content fingerprints distinct
+    assert(a.values.toSet.size == a.size)
+  }
+
+  test("language id picks en for this corpus (markers present)") {
+    val langs = run("q_lang_id").collect().map(_.getString(2)).toSet
+    assert(langs == Set("en"))
+  }
+
+  test("embedding LSH near-dup pairs are a high-cosine subset of brute force") {
+    val brute = run("q_neardup_cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = run("q_neardup_lsh").collect()
+    assert(lsh.nonEmpty)
+    // LSH pairs carry the same cosine values as the brute-force formula
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-9))
+    }
+  }
+}
