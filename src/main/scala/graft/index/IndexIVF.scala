@@ -71,14 +71,21 @@ final class IndexIVF private (
     * on (a sqrt-subsample of) centroid residuals — reference
     * lintdb/index.cpp:198-315. Everything distributed: k-means is MLlib,
     * residuals and per-dim averages are DataFrame aggs; only the dim-length
-    * quantile computation happens on the driver. */
+    * quantile computation happens on the driver.
+    *
+    * A field whose coarse quantizer is already present (via
+    * [[IndexIVF.copyTrained]]) keeps it and trains only the residual codec —
+    * the clone-from-trained flow of lintdb/index.cpp:76-90. */
   def train(docs: DataFrame): Unit = {
     schema.tensorFields.foreach { f =>
       val params = f.parameters
       require(params.numCentroids > 0, s"${f.name}: numCentroids required to train")
       val tokens = docs.select(explode(col(f.name)).as("vec"))
-      val cq = CoarseQuantizer.train(tokens, params.numCentroids, params.numIterations)
-      coarse += f.name -> cq
+      val cq = coarse.getOrElse(f.name, {
+        val fresh = CoarseQuantizer.train(tokens, params.numCentroids, params.numIterations)
+        coarse += f.name -> fresh
+        fresh
+      })
       cq.save(p(s"_meta/${f.name}.centroids.json"))
 
       // sqrt-subsample above 1e5 embeddings (index.cpp:260-280); residuals

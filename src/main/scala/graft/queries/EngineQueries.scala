@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
 object EngineQueries {
   import QueryDef._
 
+  /** JVM-local cache of built indexes per (dir, quant): lets the binarized
+    * variant donate its coarse centroids from the NONE run (the
+    * clone-from-trained flow, S3) instead of re-running KMeans. */
+  private val built = scala.collection.concurrent.TrieMap[(String, String), IndexIVF]()
+
   /** docs = embeddings grouped by label (10 "documents" whose member
     * vectors are the tokens), query = vec_ids 0..3 as the 4 query tokens. */
   private def buildAndSearch(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -34,8 +39,13 @@ object EngineQueries {
         roles = Seq(FieldRole.Stored.toString))))
     val path = java.nio.file.Files.createTempDirectory(s"graft_engine_$quant").toString
     val idx = IndexIVF.create(s, path, schema)
+    // reuse centroids from a sibling engine query's index on the same data
+    built.collectFirst {
+      case ((d, _), donor) if d == dir && donor.coarse.contains("colbert") => donor
+    }.foreach(donor => idx.coarse = donor.coarse)
     idx.train(docs)
     idx.add(tenant = 1, docs)
+    built.put((dir, quant.toString), idx)
     val query = e.filter(col("vec_id") < 4)
       .orderBy("vec_id")
       .collect()
