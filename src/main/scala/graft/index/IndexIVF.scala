@@ -234,12 +234,12 @@ final class IndexIVF private (
     Seq("postings" -> Seq("tenant", "field"), "scalars" -> Seq("tenant", "field"),
       "context" -> Seq("tenant", "field"), "docs" -> Seq("tenant")).foreach {
       case (tbl, parts) =>
-        try {
-          val other = spark.read.parquet(s"$otherPath/$tbl")
-          if (!other.isEmpty) writeAppend(other, p(tbl), parts)
-        } catch {
-          case _: org.apache.spark.sql.AnalysisException => // other side empty
-        }
+        // only the read may fail benignly (no data files yet on the other
+        // side); a failure during the append must propagate
+        val other =
+          try Some(spark.read.parquet(s"$otherPath/$tbl"))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        other.filter(!_.isEmpty).foreach(df => writeAppend(df, p(tbl), parts))
     }
 
   private def rewrite(tablePath: String, f: DataFrame => DataFrame, parts: Seq[String]): Unit = {
@@ -248,14 +248,18 @@ final class IndexIVF private (
     val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
     val orig = new org.apache.hadoop.fs.Path(tablePath)
     if (!fs.exists(orig)) return // nothing written yet
-    try {
-      f(spark.read.parquet(tablePath)).write.mode("overwrite")
-        .partitionBy(parts: _*).parquet(tmp.toString)
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => return // no data files
+    // only schema inference may fail benignly (dir exists but has no data
+    // files); a failure while writing the rewrite must propagate
+    val source =
+      try Some(spark.read.parquet(tablePath))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    source match {
+      case None => // no data files
+      case Some(df) =>
+        f(df).write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
+        fs.delete(orig, true)
+        fs.rename(tmp, orig)
     }
-    fs.delete(orig, true)
-    fs.rename(tmp, orig)
   }
 
   private def writeAppend(df: DataFrame, tablePath: String, parts: Seq[String]): Unit =

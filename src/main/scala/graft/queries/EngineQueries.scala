@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
 object EngineQueries {
   import QueryDef._
 
-  /** JVM-local cache of built indexes per (dir, quant): lets the binarized
-    * variant donate its coarse centroids from the NONE run (the
-    * clone-from-trained flow, S3) instead of re-running KMeans. */
-  private val built = scala.collection.concurrent.TrieMap[(String, String), IndexIVF]()
+  /** JVM-local cache of trained coarse centroids per data dir: lets the
+    * binarized variant reuse the NONE run's centroids (the
+    * clone-from-trained flow, S3) instead of re-running KMeans. One small
+    * entry per dir — no index/temp-dir retention. */
+  private val trainedCentroids =
+    scala.collection.concurrent.TrieMap[String, Map[String, graft.quantizers.CoarseQuantizer]]()
 
   /** docs = embeddings grouped by label (10 "documents" whose member
     * vectors are the tokens), query = vec_ids 0..3 as the 4 query tokens. */
@@ -39,13 +41,11 @@ object EngineQueries {
         roles = Seq(FieldRole.Stored.toString))))
     val path = java.nio.file.Files.createTempDirectory(s"graft_engine_$quant").toString
     val idx = IndexIVF.create(s, path, schema)
-    // reuse centroids from a sibling engine query's index on the same data
-    built.collectFirst {
-      case ((d, _), donor) if d == dir && donor.coarse.contains("colbert") => donor
-    }.foreach(donor => idx.coarse = donor.coarse)
+    // reuse centroids from a sibling engine query's run on the same data
+    trainedCentroids.get(dir).foreach(c => idx.coarse = c)
     idx.train(docs)
     idx.add(tenant = 1, docs)
-    built.put((dir, quant.toString), idx)
+    trainedCentroids.putIfAbsent(dir, idx.coarse)
     val query = e.filter(col("vec_id") < 4)
       .orderBy("vec_id")
       .collect()

@@ -230,11 +230,6 @@ object Relational {
           .orderBy("c_nationkey", "rn")
     },
 
-    // §2.11 — the batch shape of the streaming windowed aggregation
-    // (tumbling 1h event-time window; Structured Streaming runs the same
-    // plan via readStream + watermark — see graft.streaming). The window
-    // start is emitted as epoch millis so the oracle compare is free of
-    // ns/us timestamp-unit ambiguity.
     // ST2 — gap-based sessionization (30-min inactivity): the batch twin of
     // flatMapGroupsWithState session windows. Ordering/gap math happens at
     // millisecond precision on both engines (the parquet source is
@@ -275,6 +270,11 @@ object Relational {
           .orderBy("k")
     },
 
+    // §2.11 — the batch shape of the streaming windowed aggregation
+    // (tumbling 1h event-time window; Structured Streaming runs the same
+    // plan via readStream + watermark — see graft.streaming). The window
+    // start is emitted as epoch millis so the oracle compare is free of
+    // ns/us timestamp-unit ambiguity.
     sql("q_events_window", Seq("ST1"),
       """SELECT epoch_ms(date_trunc('hour', ts)::TIMESTAMP) AS h_ms, event_type,
         |  count(*) AS n, round(sum(value), 3) AS sum_value

@@ -40,9 +40,10 @@ object BatchSearcher {
       val toks = r.getSeq[scala.collection.Seq[Float]](1).map(_.toArray).toArray
       qid -> toks
     }
-    implicit val planCache: scala.collection.mutable.Map[VectorQuery, (Array[Float], Array[Long])] =
-      scala.collection.mutable.Map.empty
+    // no cross-query memoization is possible (each VectorQuery instance is
+    // fresh and keys by identity); the cache arg just satisfies queryPlan
     val plans = qRows.map { case (qid, toks) =>
+      implicit val perQuery: Searcher.PlanCache = scala.collection.mutable.Map.empty
       val (m, probes) = Searcher.queryPlan(idx, VectorQuery(field, toks), opts)
       (qid, toks, m, probes)
     }

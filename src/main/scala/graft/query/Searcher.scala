@@ -97,11 +97,13 @@ object Searcher {
       // forward index stays on the probe side (broadcasting the docs table
       // would ship the whole tenant to every executor). BHJ only supports
       // broadcast-build on the inner side, so unmatched results are filled
-      // back with a k-row anti join.
+      // back with a k-row anti join. `top` feeds both branches, so the
+      // search DAG behind it is materialized once (it is only k rows).
+      val topM = top.localCheckpoint(true)
       val docs = idx.docsDf.filter(col("tenant") === tenant)
         .dropDuplicates("doc_id").drop("tenant")
-      val hydrated = docs.join(broadcast(top), Seq("doc_id"))
-      val missing = top.join(broadcast(hydrated.select("doc_id")), Seq("doc_id"), "left_anti")
+      val hydrated = docs.join(broadcast(topM), Seq("doc_id"))
+      val missing = topM.join(broadcast(hydrated.select("doc_id")), Seq("doc_id"), "left_anti")
       hydrated.unionByName(missing, allowMissingColumns = true)
         .orderBy(col("score").desc, col("doc_id"))
     } else top
