@@ -71,6 +71,20 @@ object Relational {
           .orderBy("l_orderkey")
     },
 
+    // §2.8 — EXCEPT set op (free in Spark, absent as a reference operator;
+    // completes the intersect/union family).
+    sql("q_except", Seq("SET1"),
+      """SELECT l_orderkey FROM lineitem WHERE l_discount > 0.08
+        |EXCEPT
+        |SELECT l_orderkey FROM lineitem WHERE l_tax < 0.03
+        |ORDER BY l_orderkey""".stripMargin) {
+      (s, dir) =>
+        val li = Tables.t(s, dir, "lineitem")
+        li.filter(col("l_discount") > 0.08).select("l_orderkey")
+          .except(li.filter(col("l_tax") < 0.03).select("l_orderkey"))
+          .orderBy("l_orderkey")
+    },
+
     // A1 — sum score combiner as hash aggregate with map-side partials
     // (reference: lintdb/scoring/scoring_methods.cpp:61-67). Decimal sums
     // are exact => order-independent => oracle-stable.
