@@ -168,8 +168,11 @@ object TextPipeline {
       // real 0.9 pairs in testing; wider bands trade a few more candidates,
       // which the exact verify filters, for near-certain recall)
       val sh = shingles(docs(s, dir))
+      // signatures AND shingle sets in ONE per-doc aggregation (a single
+      // shuffle of the shingle table)
       val sigCols = (0 until 16).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-      val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      val sigs = sh.groupBy(col("doc_id"))
+        .agg(sigCols.head, sigCols.tail :+ collect_list(col("s")).as("set"): _*)
       val bands = (0 until 8).map { b =>
         sigs.select(col("doc_id"), lit(b).as("band"),
           xxhash64((b * 2 until (b + 1) * 2).map(i => col(s"h$i")): _*).as("bucket"))
@@ -179,7 +182,7 @@ object TextPipeline {
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      val sets = sh.groupBy(col("doc_id")).agg(collect_list(col("s")).as("set"))
+      val sets = sigs.select(col("doc_id"), col("set"))
       candPairs
         .join(sets.select(col("doc_id").as("a_id"), col("set").as("sa")), Seq("a_id"))
         .join(sets.select(col("doc_id").as("b_id"), col("set").as("sb")), Seq("b_id"))

@@ -26,6 +26,14 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming exact deduplication: state-backed dropDuplicates on a key,
+    * bounded by a watermark so state is evictable — the streaming twin of
+    * the batch q_dedup_exact operator (for unbounded corpora the key should
+    * be a content fingerprint, not the full text). */
+  def dedupedStream(stream: DataFrame, keyCols: Seq[String],
+      tsCol: String, watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark).dropDuplicates(keyCols)
+
   /** Event-time windowed aggregation with watermark over a stream with a
     * `ts` timestamp column — the streaming twin of q_events_window; used by
     * StreamingSpec to prove the same plan runs incrementally. */

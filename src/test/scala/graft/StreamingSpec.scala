@@ -52,6 +52,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains(5L))
   }
 
+  test("streaming dedup drops cross-micro-batch duplicates") {
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    // duplicate the stream source: every event appears in two files
+    val dir = java.nio.file.Files.createTempDirectory("ev_dup").toString
+    events.write.mode("overwrite").parquet(s"$dir/a")
+    events.write.mode("overwrite").parquet(s"$dir/b")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+    val deduped = graft.streaming.StreamingIngest
+      .dedupedStream(stream, Seq("event_id"), "ts", "1 hour")
+    val qn = s"stream_dedup_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table(qn).count() == events.count(),
+      "each duplicated event survives exactly once")
+  }
+
   test("windowed aggregation with watermark matches the batch plan") {
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
     // batch ground truth
