@@ -76,6 +76,8 @@ object CoarseQuantizer {
       .setK(numCentroids)
       .setMaxIter(numIterations)
       .setSeed(seed)
+      .setInitMode("random") // faiss kmeans seeds from random samples too;
+                             // k-means|| costs several extra passes
       .setFeaturesCol("features")
       .fit(df)
     new CoarseQuantizer(model.clusterCenters.map(_.toArray.map(_.toFloat)))
