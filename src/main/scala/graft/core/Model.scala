@@ -80,6 +80,11 @@ final case class GSchema(fields: Seq[GField]) {
     fields.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"unknown field: $name"))
   def tensorFields: Seq[GField] = fields.filter(f => f.isTensor && f.needsPostings)
+  /** TENSOR fields with only the Context role: stored in the context table
+    * for scoring but never posted/inverted (reference: DocProcessor.cpp:72-101
+    * stores Context-role fields in the context column family). */
+  def contextOnlyTensorFields: Seq[GField] =
+    fields.filter(f => f.isTensor && f.needsContext && !f.needsPostings)
   def scalarIndexed: Seq[GField] = fields.filter(f => !f.isTensor && f.hasRole(FieldRole.Indexed))
   def storedFields: Seq[GField] = fields.filter(_.needsStored)
 }

@@ -140,6 +140,15 @@ final class IndexIVF private (
   def add(tenant: Long, docs: DataFrame): Unit = {
     val unknown = docs.columns.filterNot(c => c == "id" || schema.fields.exists(_.name == c))
     require(unknown.isEmpty, s"unknown fields: ${unknown.mkString(",")}")
+    // type validation against the schema (reference DocProcessor::validateField
+    // throws on type mismatch, DocProcessor.cpp:47-52) — fail early with a
+    // field-named error instead of a downstream writer cast or UDF error
+    schema.fields.filter(f => docs.columns.contains(f.name)).foreach { f =>
+      val actual = docs.schema(f.name).dataType
+      val expected = sparkType(f)
+      require(actual.simpleString == expected.simpleString, // ignores nullability
+        s"field ${f.name}: expected ${expected.simpleString}, got ${actual.simpleString}")
+    }
 
     schema.tensorFields.foreach { f =>
       require(isTrained(f.name), s"field ${f.name} is not trained")
@@ -181,6 +190,26 @@ final class IndexIVF private (
         writeAppend(ctx, p("context"), Seq("tenant", "field"))
       }
       assigned.unpersist()
+    }
+
+    // Context-only TENSOR fields: no postings, no centroid assignment — the
+    // raw token vectors go to the context table for scoring (reference
+    // DocProcessor.cpp:72-101 stores Context-role fields in the context CF).
+    // doc_codes is empty; doc_residuals holds the identity-encoded tokens.
+    schema.contextOnlyTensorFields.filter(f => docs.columns.contains(f.name)).foreach { f =>
+      val fid = mapper.id(f.name)
+      val bq = spark.sparkContext.broadcast(
+        quantizers.getOrElse(f.name, IdentityQuantizer(f.parameters.dimensions)))
+      val encodeAll = udf { (vecs: Seq[Seq[Float]]) =>
+        val out = new java.io.ByteArrayOutputStream()
+        vecs.foreach(v => out.write(bq.value.encode(v.toArray)))
+        out.toByteArray
+      }
+      val ctx = docs.filter(col(f.name).isNotNull).select(
+        lit(tenant).as("tenant"), lit(fid).as("field"), col("id").as("doc_id"),
+        array().cast(ArrayType(LongType)).as("doc_codes"),
+        encodeAll(col(f.name)).as("doc_residuals"))
+      writeAppend(ctx, p("context"), Seq("tenant", "field"))
     }
 
     val scalarRows = schema.scalarIndexed.filter(f => docs.columns.contains(f.name)).map { f =>

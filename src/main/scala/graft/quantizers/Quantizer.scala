@@ -40,8 +40,9 @@ final case class IdentityQuantizer(dim: Int) extends Quantizer {
   *  - train (Binarizer.cpp:60-85 + calculate_quantiles :186-231): from the
   *    per-dimension AVERAGE residual vector, take the 2^nbits uniform
   *    quantiles of its sorted values; cutoffs are quantiles 1..2^nbits-1,
-  *    weights are quantiles 0..2^nbits-1; scalar avg_residual is the mean of
-  *    absolute per-dim averages.
+  *    weights are quantiles 0..2^nbits-1; scalar avg_residual is the signed
+  *    mean of the per-dim averages (train() overrides calculate_quantiles'
+  *    abs-mean with total_avg, Binarizer.cpp:75-82).
   *  - bucketize (:276-309): value -> first cutoff it is below, else last
   *    bucket; bucket bits are emitted LSB-first per value.
   *  - packbits (:234-274): the bitstream packs big-endian within each byte
@@ -131,7 +132,10 @@ object Binarizer {
     val quantiles = (0 until numOptions).map(_.toDouble / numOptions)
     val cutoffs = quantiles.tail.map(quantile).toArray
     val weights = quantiles.map(quantile).toArray
-    val avg = perDimAvgResidual.map(math.abs).sum / dim
+    // the reference's train() overrides calculate_quantiles' abs-mean with
+    // the SIGNED mean (total_avg, Binarizer.cpp:75-82) — keep that for
+    // saved-model parity
+    val avg = perDimAvgResidual.sum / dim
     Binarizer(cutoffs, weights, avg, nbits, dim)
   }
 

@@ -50,8 +50,23 @@ object EngineQueries {
       .orderBy("vec_id")
       .collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
-    idx.search(1, VectorQuery("colbert", query), k = 5,
+    val result = idx.search(1, VectorQuery("colbert", query), k = 5,
       SearchOptions(kTopCentroids = 4, nProbe = 8))
+    // the result is lazy over the index's parquet files: materialize (k=5
+    // rows), detach, and delete the temp index tree so repeated bench/verify
+    // runs don't leak index directories under /tmp
+    val rows = result.collect().toSeq
+    val local = s.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, result.schema)
+    deleteRecursively(java.nio.file.Paths.get(path))
+    local
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path}
+    if (!Files.exists(root)) return
+    val it = Files.walk(root).sorted(java.util.Comparator.reverseOrder[Path]())
+    try it.forEach(p => Files.deleteIfExists(p)) finally it.close()
   }
 
   val defs: Seq[QueryDef] = Seq(

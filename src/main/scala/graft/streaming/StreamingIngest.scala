@@ -26,13 +26,19 @@ object StreamingIngest {
       }
       .start()
 
-  /** Streaming exact deduplication: state-backed dropDuplicates on a key,
-    * bounded by a watermark so state is evictable — the streaming twin of
+  /** Streaming exact deduplication: state-backed dedup on a key, bounded by
+    * a watermark so per-key state is actually evicted — the streaming twin of
     * the batch q_dedup_exact operator (for unbounded corpora the key should
-    * be a content fingerprint, not the full text). */
+    * be a content fingerprint, not the full text).
+    *
+    * Uses `dropDuplicatesWithinWatermark`, not `dropDuplicates`: plain
+    * dropDuplicates only evicts state when the event-time column is itself a
+    * dedup key, so with keys like `event_id` and the watermark on a separate
+    * ts column it would keep every key's state forever — unbounded state
+    * growth on a real unbounded stream. */
   def dedupedStream(stream: DataFrame, keyCols: Seq[String],
       tsCol: String, watermark: String): DataFrame =
-    stream.withWatermark(tsCol, watermark).dropDuplicates(keyCols)
+    stream.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
 
   /** Event-time windowed aggregation with watermark over a stream with a
     * `ts` timestamp column — the streaming twin of q_events_window; used by

@@ -15,7 +15,9 @@ class BinarizerSpec extends AnyFunSuite {
     assert(b.bucketCutoffs.toSeq == Seq(4.0f, 8.0f, 12.0f))
     // weights at quantiles 0, 1/4, 2/4, 3/4 -> indices 0, 4, 8, 12
     assert(b.bucketWeights.toSeq == Seq(0.0f, 4.0f, 8.0f, 12.0f))
-    assert(b.avgResidual == avg.map(math.abs).sum / 16)
+    // signed mean — the reference's train() overrides the abs-mean with
+    // total_avg (Binarizer.cpp:75-82)
+    assert(b.avgResidual == avg.sum / 16)
   }
 
   test("bucketize: first cutoff above value, overflow to last bucket") {

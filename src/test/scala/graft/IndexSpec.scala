@@ -237,6 +237,38 @@ class IndexSpec extends AnyFunSuite {
     assert(timeRange == Set(0L, 2L))
   }
 
+  test("Context-only TENSOR fields land in the context table (DocProcessor.cpp:72-101)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("idx_ctx").toString
+    val schema = GSchema(Seq(
+      GField(name = "emb", dataType = GDataType.TENSOR.toString,
+        roles = Seq(FieldRole.Context.toString),
+        parameters = FieldParameters(dimensions = 4))))
+    val idx = IndexIVF.create(spark, path, schema)
+    val docs = Seq((1L, Seq(Seq(1f, 2f, 3f, 4f), Seq(5f, 6f, 7f, 8f))))
+      .toDF("id", "emb")
+    idx.add(1, docs) // no training needed: context-only fields have no postings
+    val ctx = idx.contextDf.collect()
+    assert(ctx.length == 1)
+    val row = ctx.head
+    assert(row.getAs[scala.collection.Seq[Long]]("doc_codes").isEmpty)
+    val residuals = row.getAs[Array[Byte]]("doc_residuals")
+    assert(residuals.length == 2 * 4 * 4) // 2 tokens x dim 4 x float32
+    val q = graft.quantizers.IdentityQuantizer(4)
+    assert(q.decode(residuals.slice(0, 16)).toSeq == Seq(1f, 2f, 3f, 4f))
+    assert(q.decode(residuals.slice(16, 32)).toSeq == Seq(5f, 6f, 7f, 8f))
+  }
+
+  test("add() rejects type mismatches with a field-named error (DocProcessor.cpp:47-52)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("idx_badtype").toString
+    val schema = GSchema(Seq(GField.indexed("num", GDataType.INTEGER)))
+    val idx = IndexIVF.create(spark, path, schema)
+    val bad = Seq((1L, 1.5)).toDF("id", "num") // double for INTEGER
+    val e = intercept[IllegalArgumentException](idx.add(1, bad))
+    assert(e.getMessage.contains("num"))
+  }
+
   test("merge unions another index's contents (index.cpp:512-535)") {
     val schema = mkSchema(QuantizerKind.NONE)
     val pathA = java.nio.file.Files.createTempDirectory("idxA").toString
