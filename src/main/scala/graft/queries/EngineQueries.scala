@@ -41,10 +41,14 @@ object EngineQueries {
         roles = Seq(FieldRole.Stored.toString))))
     val path = java.nio.file.Files.createTempDirectory(s"graft_engine_$quant").toString
     val idx = IndexIVF.create(s, path, schema)
+    // train + add each run several jobs over `docs`; without a persist every
+    // one of them would redo the embeddings groupBy/collect aggregation
+    docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // reuse centroids from a sibling engine query's run on the same data
     trainedCentroids.get(dir).foreach(c => idx.coarse = c)
     idx.train(docs)
     idx.add(tenant = 1, docs)
+    docs.unpersist()
     trainedCentroids.putIfAbsent(dir, idx.coarse)
     val query = e.filter(col("vec_id") < 4)
       .orderBy("vec_id")

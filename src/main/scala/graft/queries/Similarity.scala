@@ -181,16 +181,56 @@ object Similarity {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY cos DESC, a_id, b_id LIMIT 20""".stripMargin) {
       (s, dir) =>
-        // norms are projected once per row before the pair join (computing
-        // them inside the pair expression would redo 2 dots x n^2 times)
+        // The n^2/2 pair scan is a MAP over a broadcast of the (small) side,
+        // not a join: each partition runs a tight primitive loop against the
+        // broadcast vectors keeping a local top-20 heap, and only those
+        // survivors hit the global TakeOrdered — the same shape as the
+        // reference's phase-2 scoring kernel (plaid.cpp:119-185: data
+        // parallel map, no shuffle). A BroadcastNestedLoopJoin computes the
+        // same thing with ~10x per-pair row overhead. Arithmetic parity with
+        // the oracle: sequential left-to-right f64 accumulation (same as the
+        // DotProduct expression) and Spark round() = BigDecimal HALF_UP.
+        import s.implicits._
+        def dotD(a: Array[Double], b: Array[Double]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { acc += a(i) * b(i); i += 1 }
+          acc
+        }
+        def round4(x: Double): Double =
+          java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP)
+            .doubleValue()
         val e = Tables.emb(s, dir)
-        val a = e.select(col("vec_id").as("a_id"), col("emb").as("ea"),
-          l2norm(col("emb")).as("na"))
-        val b = e.select(col("vec_id").as("b_id"), col("emb").as("eb"),
-          l2norm(col("emb")).as("nb"))
-        a.join(broadcast(b), col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 4).as("cos"))
+        val all = e.select(col("vec_id"), col("emb")).collect()
+          .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Double]](1).toArray))
+          .sortBy(_._1)
+        val bc = s.sparkContext.broadcast(all.map { case (id, v) =>
+          (id, v, math.sqrt(dotD(v, v)))
+        })
+        // worst-first ordering so the heap head is the eviction candidate
+        val worstFirst = Ordering.by[(Double, Long, Long), (Double, Long, Long)] {
+          case (c, a, b) => (-c, a, b)
+        }
+        e.select(col("vec_id"), col("emb")).as[(Long, Seq[Double])]
+          .mapPartitions { it =>
+            val arr = bc.value
+            val heap = scala.collection.mutable.PriorityQueue.empty(worstFirst)
+            it.foreach { case (aId, aEmb) =>
+              val va = aEmb.toArray
+              val na = math.sqrt(dotD(va, va))
+              var j = 0
+              while (j < arr.length) {
+                val (bId, vb, nb) = arr(j)
+                if (bId > aId) {
+                  heap.enqueue((round4(dotD(va, vb) / (na * nb)), aId, bId))
+                  if (heap.size > 20) heap.dequeue()
+                }
+                j += 1
+              }
+            }
+            heap.iterator
+          }
+          .toDF("cos", "a_id", "b_id")
+          .select("a_id", "b_id", "cos")
           .orderBy(col("cos").desc, col("a_id"), col("b_id"))
           .limit(20)
     }

@@ -28,13 +28,19 @@ object TextPipeline {
         "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))")).as("s"))
       .distinct()
 
+  /** shingles keyed by xxhash64: every downstream join/shuffle moves 8-byte
+    * longs instead of ~25-byte strings (collision odds are ~n_shingles^2/2^64
+    * — vanishing; a collision would only merge two distinct shingles). */
+  private def hashedShingles(d: DataFrame): DataFrame =
+    shingles(d).select(col("doc_id"), xxhash64(col("s")).as("sh"))
+
   /** candidate pairs sharing >= 1 shingle, with exact Jaccard over the
     * distinct-shingle sets — the inverted-index (no cross join) plan. */
   private def jaccardPairs(d: DataFrame): DataFrame = {
-    val sh = shingles(d)
+    val sh = hashedShingles(d)
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val common = sh.as("x").join(sh.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .agg(count(lit(1)).as("common"))
     common
@@ -167,16 +173,24 @@ object TextPipeline {
       // (1-s^2)^8 — ~1e-8 at s=0.95, ~3e-4 at s=0.8 (4x4 banding missed
       // real 0.9 pairs in testing; wider bands trade a few more candidates,
       // which the exact verify filters, for near-certain recall)
-      val sh = shingles(docs(s, dir))
-      // signatures AND shingle sets in ONE per-doc aggregation (a single
-      // shuffle of the shingle table)
-      val sigCols = (0 until 16).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+      //
+      // shingles are hashed to 64-bit longs up front: every downstream
+      // shuffle/set op moves 8-byte keys instead of ~25-byte strings
+      val sh = hashedShingles(docs(s, dir))
+      // signatures AND the hashed shingle set in ONE per-doc aggregation (a
+      // single shuffle of the shingle table)
+      val sigCols = (0 until 16).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
       val sigs = sh.groupBy(col("doc_id"))
-        .agg(sigCols.head, sigCols.tail :+ collect_list(col("s")).as("set"): _*)
-      val bands = (0 until 8).map { b =>
-        sigs.select(col("doc_id"), lit(b).as("band"),
-          xxhash64((b * 2 until (b + 1) * 2).map(i => col(s"h$i")): _*).as("bucket"))
-      }.reduce(_ unionByName _)
+        .agg(sigCols.head, sigCols.tail :+ collect_list(col("sh")).as("set"): _*)
+      // all 8 (band, bucket) rows from ONE pass over sigs (posexplode), not
+      // an 8-way union that re-runs the aggregation per band; the band
+      // self-join's two sides are plan-identical, so the bucket shuffle is
+      // computed once and reused (ReusedExchange) — and unlike a per-bucket
+      // collect_list, join-based pair expansion spreads a hot bucket's
+      // quadratic output across tasks instead of one row
+      val bands = sigs.select(col("doc_id"),
+        posexplode(array((0 until 8).map(b =>
+          xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*)).as(Seq("band", "bucket")))
       val candPairs = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
             && col("x.doc_id") < col("y.doc_id"))
@@ -225,11 +239,13 @@ object TextPipeline {
       val sig = docs(s, dir).select(col("doc_id"), simhashUdf(toks).as("simhash"))
       // 8 bands x 8 bits: any pair with hamming <= 7 shares at least one
       // exact band (pigeonhole); hamming-8 pairs are caught unless every
-      // differing bit lands in a distinct band
-      val bands = (0 until 8).map(b =>
-        sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(0xFF).as("bucket")))
-        .reduce(_ unionByName _)
+      // differing bit lands in a distinct band. All 8 band rows come from
+      // ONE posexplode pass (not an 8-way union that re-runs the signature
+      // UDF per band); the self-join's sides are plan-identical so the
+      // bucket shuffle is computed once (ReusedExchange).
+      val bands = sig.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 8).map(b =>
+          shiftright(col("simhash"), b * 8).bitwiseAND(0xFF)): _*)).as(Seq("band", "bucket")))
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
             && col("x.doc_id") < col("y.doc_id"))
@@ -243,8 +259,8 @@ object TextPipeline {
     // TA4 — document fingerprinting: full-content hash + min-shingle
     // (winnowing-style) fingerprint. Deterministic; rows-only check.
     rowsOnly("q_fingerprint", Seq("TA4")) { (s, dir) =>
-      val sh = shingles(docs(s, dir))
-      val minSh = sh.groupBy(col("doc_id")).agg(min(xxhash64(col("s"))).as("min_shingle_fp"))
+      val sh = hashedShingles(docs(s, dir))
+      val minSh = sh.groupBy(col("doc_id")).agg(min(col("sh")).as("min_shingle_fp"))
       docs(s, dir).select(col("doc_id"), xxhash64(col("text")).as("content_fp"))
         .join(minSh, Seq("doc_id"), "left")
         .orderBy("doc_id")
@@ -255,17 +271,29 @@ object TextPipeline {
     rowsOnly("q_neardup_lsh", Seq("D5")) { (s, dir) =>
       import graft.functions.VectorOps._
       val e = Tables.emb(s, dir)
-      // deterministic pseudo-random hyperplanes from xxhash64 of (plane, dim)
+      // deterministic pseudo-random hyperplanes; all 16 projections in one
+      // pass over the embedding (a 1024-term Column expression blows far
+      // past the codegen splitting threshold — a tight loop is ~10x cheaper)
       val dim = 64
-      val planes = (0 until 16).map { p =>
-        val terms = (0 until dim).map { d =>
-          val w = ((d * 16 + p) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
-          col("emb").getItem(d) * lit(w)
-        }.reduce(_ + _)
-        when(terms >= 0, lit(1L << p)).otherwise(lit(0L))
+      val weights = Array.tabulate(16, dim) { (p, d) =>
+        ((d * 16 + p) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
+      }
+      val bucketUdf = udf { (emb: Seq[Float]) =>
+        val v = emb.toArray
+        var bucket = 0L
+        var p = 0
+        while (p < 16) {
+          val w = weights(p)
+          var sum = 0.0
+          var d = 0
+          while (d < dim) { sum += v(d) * w(d); d += 1 }
+          if (sum >= 0) bucket |= 1L << p
+          p += 1
+        }
+        bucket
       }
       val sig = e.select(col("vec_id"), col("emb"), l2normalize(col("emb")).as("unit"),
-        planes.reduce(_ bitwiseOR _).as("bucket"))
+        bucketUdf(col("emb").cast("array<float>")).as("bucket"))
       sig.as("a").join(sig.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
