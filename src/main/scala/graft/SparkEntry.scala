@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EngineQueries, MultimodalQueries, QueryDef, Relational, Similarity, TextPipeline}
+import graft.queries.{Analytics, EngineQueries, MultimodalQueries, QueryDef, Relational, Similarity, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,14 @@ object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
     Relational.defs ++ Similarity.defs ++ TextPipeline.defs ++
-      EngineQueries.defs ++ MultimodalQueries.defs
+      EngineQueries.defs ++ MultimodalQueries.defs ++ Analytics.defs
+
+  /** The benchmark's headline set: the queries benched since round 1, kept
+    * fixed so BENCH_r{N}.json totals stay comparable across rounds (newer
+    * verify-only operators still run through Verify/the oracle gate). */
+  val headline: Set[String] =
+    (allDefs.map(_.name).toSet -- Set(
+      "q_asof_join", "q_rollup", "q_percentile", "q_session_window"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Two-phase IVF vector search — the reference's core query shape. */

@@ -257,13 +257,24 @@ object TextPipeline {
     },
 
     // TA4 — document fingerprinting: full-content hash + min-shingle
-    // (winnowing-style) fingerprint. Deterministic; rows-only check.
-    rowsOnly("q_fingerprint", Seq("TA4")) { (s, dir) =>
-      val sh = hashedShingles(docs(s, dir))
-      val minSh = sh.groupBy(col("doc_id")).agg(min(col("sh")).as("min_shingle_fp"))
-      docs(s, dir).select(col("doc_id"), xxhash64(col("text")).as("content_fp"))
-        .join(minSh, Seq("doc_id"), "left")
-        .orderBy("doc_id")
+    // (winnowing-style) fingerprint. md5 exists identically in both engines,
+    // so unlike an xxhash64 fingerprint this one is oracle-checkable (the
+    // min over hex strings is plain lexicographic order on both sides).
+    sql("q_fingerprint", Seq("TA4"),
+      """WITH t AS (SELECT doc_id, md5(text) AS content_fp, string_split(text, ' ') AS t
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS fp
+        |       FROM (SELECT doc_id, t FROM t WHERE len(t) >= 3),
+        |            UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |m AS (SELECT doc_id, min(fp) AS min_shingle_fp FROM sh GROUP BY 1)
+        |SELECT t.doc_id, t.content_fp, m.min_shingle_fp
+        |FROM t LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val sh = shingles(docs(s, dir))
+        val minSh = sh.groupBy(col("doc_id")).agg(min(md5(col("s"))).as("min_shingle_fp"))
+        docs(s, dir).select(col("doc_id"), md5(col("text")).as("content_fp"))
+          .join(minSh, Seq("doc_id"), "left")
+          .orderBy("doc_id")
     },
 
     // D5-scale — embedding near-dup via random-hyperplane LSH buckets

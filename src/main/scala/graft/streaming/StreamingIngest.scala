@@ -40,6 +40,25 @@ object StreamingIngest {
       tsCol: String, watermark: String): DataFrame =
     stream.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Gap-based session windows over a `ts`-timestamped event stream: one
+    * output row per (user, session), session end = last event + gap (Spark
+    * `session_window` semantics). The SAME plan serves the batch operator
+    * q_session_window (watermark is a no-op on batch data) and incremental
+    * execution under Structured Streaming (merging session state per key,
+    * emitting a session once the watermark passes its end) — StreamingSpec
+    * runs both. A superset: the reference has no temporal operators at all
+    * (SURVEY §2.11). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"))
+
   /** Event-time windowed aggregation with watermark over a stream with a
     * `ts` timestamp column — the streaming twin of q_events_window; used by
     * StreamingSpec to prove the same plan runs incrementally. */

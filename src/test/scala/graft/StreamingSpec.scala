@@ -72,6 +72,28 @@ class StreamingSpec extends AnyFunSuite {
       "each duplicated event survives exactly once")
   }
 
+  test("session windows run identically in batch and as a stream") {
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    // batch ground truth from the SAME function (watermark is a no-op there)
+    val expected = StreamingIngest.sessionWindows(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("ev_sess").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 4) // several micro-batches: sessions merge
+      .parquet(dir)
+    val agg = StreamingIngest.sessionWindows(stream)
+    val qn = s"stream_sessions_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table(qn)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
   test("windowed aggregation with watermark matches the batch plan") {
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
     // batch ground truth

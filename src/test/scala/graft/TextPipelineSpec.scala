@@ -48,8 +48,8 @@ class TextPipelineSpec extends AnyFunSuite {
   }
 
   test("fingerprints are deterministic and discriminate distinct content") {
-    val a = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val b = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(a == b, "stable across runs")
     // all sf0.001 texts are distinct -> all content fingerprints distinct
     assert(a.values.toSet.size == a.size)
