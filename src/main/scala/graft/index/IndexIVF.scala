@@ -107,12 +107,26 @@ final class IndexIVF private (
         case QuantizerKind.NONE => IdentityQuantizer(params.dimensions)
         case QuantizerKind.BINARIZER =>
           // per-dim average residual, distributed (train input of
-          // Binarizer.cpp:60-85 is reduced to a dim-length vector)
-          val perDim = sampledResiduals
-            .select(posexplode(col("r")).as(Seq("pos", "rv")))
-            .groupBy(col("pos")).agg(avg(col("rv")).as("avg_r"))
-            .collect().sortBy(_.getInt(0)).map(_.getDouble(1).toFloat)
-          val b = Binarizer.train(perDim, params.nbits)
+          // Binarizer.cpp:60-85 is reduced to a dim-length vector); a
+          // treeAggregate over the vector column sums arrays in place — one
+          // job, no 64x posexplode row blowup, no shuffle
+          val dim = params.dimensions
+          require(dim > 0, s"${f.name}: dimensions required to train a binarizer")
+          val (sums, cnt) = sampledResiduals.select(col("r")).rdd
+            .treeAggregate((new Array[Double](dim), 0L))(
+              { case ((acc, n), row) =>
+                val r = row.getAs[scala.collection.Seq[Float]](0)
+                var i = 0
+                while (i < dim) { acc(i) += r(i); i += 1 }
+                (acc, n + 1)
+              },
+              { case ((a, na), (b, nb)) =>
+                var i = 0
+                while (i < dim) { a(i) += b(i); i += 1 }
+                (a, na + nb)
+              })
+          require(cnt > 0, s"${f.name}: no residuals to train the binarizer on")
+          val b = Binarizer.train(sums.map(s => (s / cnt).toFloat), params.nbits)
           b.save(p(s"_meta/${f.name}.binarizer.json"))
           b
         case QuantizerKind.PRODUCT_ENCODER =>
@@ -158,26 +172,17 @@ final class IndexIVF private (
       val assignUdf = udf((vec: Seq[Float]) => bc.value.assign(vec.toArray).toLong)
       val encodeUdf = udf((vec: Seq[Float]) => bq.value.encode(vec.toArray))
 
-      // persisted: the postings write and the context write are two jobs,
-      // and assignment + encoding (the expensive quantization work) must
-      // not run twice
       val assigned = docs
         .select(col("id").as("doc_id"), posexplode(col(f.name)).as(Seq("pos", "vec")))
         .select(col("doc_id"), col("pos"),
           assignUdf(col("vec")).as("centroid"), encodeUdf(col("vec")).as("code"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-      // one posting row per doc x centroid (DocEncoder.cpp:71-104 groups
-      // token codes per centroid; the posting payload itself is empty for
-      // Colbert fields — codes live in context)
-      writeAppend(
-        assigned.select(lit(tenant).as("tenant"), lit(fid).as("field"),
-          col("centroid"), col("doc_id")).distinct()
-          .repartition(col("tenant"), col("field"))
-          .sortWithinPartitions("centroid"),
-        p("postings"), Seq("tenant", "field"))
 
       if (f.needsContext) {
+        // context first: the per-doc aggregation is the only shuffle of
+        // token-level rows; postings are then DERIVED from the persisted
+        // doc-level context (explode of the deduped code list), so
+        // assignment + encoding (the expensive quantization work) runs once
+        // and the old token-level distinct shuffle disappears entirely
         val concatBytes = udf((arr: Seq[Array[Byte]]) => arr.flatten.toArray)
         val ctx = assigned
           .groupBy(col("doc_id"))
@@ -187,9 +192,27 @@ final class IndexIVF private (
             lit(tenant).as("tenant"), lit(fid).as("field"), col("doc_id"),
             expr("transform(toks, t -> t.centroid)").as("doc_codes"),
             concatBytes(expr("transform(toks, t -> t.code)")).as("doc_residuals"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         writeAppend(ctx, p("context"), Seq("tenant", "field"))
+        // one posting row per doc x centroid (DocEncoder.cpp:71-104 groups
+        // token codes per centroid; the posting payload itself is empty for
+        // Colbert fields — codes live in context)
+        writeAppend(
+          ctx.select(lit(tenant).as("tenant"), lit(fid).as("field"),
+            explode(array_distinct(col("doc_codes"))).as("centroid"), col("doc_id"))
+            .repartition(col("tenant"), col("field"))
+            .sortWithinPartitions("centroid"),
+          p("postings"), Seq("tenant", "field"))
+        ctx.unpersist()
+      } else {
+        // Indexed-only tensor field: postings only, no context table
+        writeAppend(
+          assigned.select(lit(tenant).as("tenant"), lit(fid).as("field"),
+            col("centroid"), col("doc_id")).distinct()
+            .repartition(col("tenant"), col("field"))
+            .sortWithinPartitions("centroid"),
+          p("postings"), Seq("tenant", "field"))
       }
-      assigned.unpersist()
     }
 
     // Context-only TENSOR fields: no postings, no centroid assignment — the
