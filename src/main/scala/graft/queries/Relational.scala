@@ -277,8 +277,12 @@ object Relational {
         |  min(event_id) AS first_event, max(event_id) AS last_event
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) {
       (s, dir) =>
+        // from_json with an explicit schema: single Jackson parse into a
+        // typed struct (get_json_object re-walks the document per call and
+        // goes through a string detour for the numeric cast)
         Tables.events(s, dir)
-          .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(from_json(col("props"), "k BIGINT",
+            Map.empty[String, String]).getField("k").as("k"))
           .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_event"),
             max(col("event_id")).as("last_event"))
           .orderBy("k")
