@@ -76,6 +76,13 @@ object GField {
   * ingest — unknown field or type mismatch throws (DocProcessor.cpp:47-52). */
 final case class GSchema(fields: Seq[GField]) {
   require(fields.map(_.name).distinct.size == fields.size, "duplicate field names")
+  // indexing pre-quantized codes is not a working path in the reference
+  // either (DocProcessor::quantizeField does std::get<Tensor> on the
+  // QuantizedTensor variant -> bad_variant_access, DocProcessor.cpp:208-222);
+  // reject it up front instead of failing mid-ingest
+  fields.filter(f => f.dtype == GDataType.QUANTIZED_TENSOR && f.needsPostings)
+    .foreach(f => throw new IllegalArgumentException(
+      s"field ${f.name}: QUANTIZED_TENSOR supports only Stored/Context roles"))
   def field(name: String): GField =
     fields.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"unknown field: $name"))

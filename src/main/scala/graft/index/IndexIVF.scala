@@ -221,17 +221,22 @@ final class IndexIVF private (
     // doc_codes is empty; doc_residuals holds the identity-encoded tokens.
     schema.contextOnlyTensorFields.filter(f => docs.columns.contains(f.name)).foreach { f =>
       val fid = mapper.id(f.name)
-      val bq = spark.sparkContext.broadcast(
-        quantizers.getOrElse(f.name, IdentityQuantizer(f.parameters.dimensions)))
-      val encodeAll = udf { (vecs: Seq[Seq[Float]]) =>
-        val out = new java.io.ByteArrayOutputStream()
-        vecs.foreach(v => out.write(bq.value.encode(v.toArray)))
-        out.toByteArray
-      }
+      val payload: org.apache.spark.sql.Column =
+        if (f.dtype == GDataType.QUANTIZED_TENSOR) col(f.name) // already bytes
+        else {
+          val bq = spark.sparkContext.broadcast(
+            quantizers.getOrElse(f.name, IdentityQuantizer(f.parameters.dimensions)))
+          val encodeAll = udf { (vecs: Seq[Seq[Float]]) =>
+            val out = new java.io.ByteArrayOutputStream()
+            vecs.foreach(v => out.write(bq.value.encode(v.toArray)))
+            out.toByteArray
+          }
+          encodeAll(col(f.name))
+        }
       val ctx = docs.filter(col(f.name).isNotNull).select(
         lit(tenant).as("tenant"), lit(fid).as("field"), col("id").as("doc_id"),
         array().cast(ArrayType(LongType)).as("doc_codes"),
-        encodeAll(col(f.name)).as("doc_residuals"))
+        payload.as("doc_residuals"))
       writeAppend(ctx, p("context"), Seq("tenant", "field"))
     }
 

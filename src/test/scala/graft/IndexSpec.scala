@@ -259,6 +259,26 @@ class IndexSpec extends AnyFunSuite {
     assert(q.decode(residuals.slice(16, 32)).toSeq == Seq(5f, 6f, 7f, 8f))
   }
 
+  test("QUANTIZED_TENSOR: indexing roles rejected at schema time, Stored/Context pass through") {
+    import spark.implicits._
+    // Indexed role -> schema-time error (the reference's own quantizeField
+    // would bad_variant_access on this path)
+    val e = intercept[IllegalArgumentException] {
+      GSchema(Seq(GField(name = "codes", dataType = GDataType.QUANTIZED_TENSOR.toString,
+        roles = Seq(FieldRole.Indexed.toString))))
+    }
+    assert(e.getMessage.contains("codes"))
+    // Context role: raw bytes land in the context table untouched
+    val path = java.nio.file.Files.createTempDirectory("idx_qt").toString
+    val idx = IndexIVF.create(spark, path, GSchema(Seq(
+      GField(name = "codes", dataType = GDataType.QUANTIZED_TENSOR.toString,
+        roles = Seq(FieldRole.Context.toString)))))
+    val payload = Array[Byte](1, 2, 3, 4)
+    idx.add(1, Seq((5L, payload)).toDF("id", "codes"))
+    val row = idx.contextDf.collect().head
+    assert(row.getAs[Array[Byte]]("doc_residuals").toSeq == payload.toSeq)
+  }
+
   test("add() rejects type mismatches with a field-named error (DocProcessor.cpp:47-52)") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("idx_badtype").toString
