@@ -38,7 +38,10 @@ object TextPipeline {
     * distinct-shingle sets — the inverted-index (no cross join) plan. */
   private def jaccardPairs(d: DataFrame): DataFrame = {
     val sh = hashedShingles(d)
+    // doc-level shingle counts are read twice (na/nb); persisting the tiny
+    // aggregate stops the shingle scan from running once per join side
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val common = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
@@ -180,8 +183,12 @@ object TextPipeline {
       // signatures AND the hashed shingle set in ONE per-doc aggregation (a
       // single shuffle of the shingle table)
       val sigCols = (0 until 16).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      // sigs feeds four plan branches (two band-join sides, two set joins);
+      // ReusedExchange dedups the shuffle but the final agg (16 mins +
+      // collect_list merge) would still run per branch — persist it
       val sigs = sh.groupBy(col("doc_id"))
         .agg(sigCols.head, sigCols.tail :+ collect_list(col("sh")).as("set"): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // all 8 (band, bucket) rows from ONE pass over sigs (posexplode), not
       // an 8-way union that re-runs the aggregation per band; the band
       // self-join's two sides are plan-identical, so the bucket shuffle is
