@@ -41,6 +41,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_asof_join is window-only: one shuffle on the key, no join operator") {
+    val p = planOf("q_asof_join")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    // exactly one exchange hashpartitions on user_id feeds the window
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("q_session_window plans the native session-window aggregation") {
+    val p = planOf("q_session_window")
+    assert(p.toLowerCase.contains("session_window"), p)
+  }
+
+  test("q_rollup expands grouping sets inside a hash aggregate (Expand)") {
+    val p = planOf("q_rollup")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("engine postings scan prunes hive partitions on (tenant, field)") {
     import spark.implicits._
     import graft.core._
