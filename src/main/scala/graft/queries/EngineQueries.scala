@@ -22,18 +22,26 @@ object EngineQueries {
   private val trainedCentroids =
     scala.collection.concurrent.TrieMap[String, Map[String, graft.quantizers.CoarseQuantizer]]()
 
+  /** JVM-local cache of the persisted docs DataFrame per data dir — the
+    * sibling engine query reuses the materialized aggregation instead of
+    * re-grouping the embeddings table (a few hundred KB per dir). */
+  private val docsCache =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
+
   /** docs = embeddings grouped by label (10 "documents" whose member
     * vectors are the tokens), query = vec_ids 0..3 as the 4 query tokens. */
   private def buildAndSearch(s: org.apache.spark.sql.SparkSession, dir: String,
       quant: QuantizerKind.Value) = {
     val e = Tables.t(s, dir, "embeddings")
-    val docs = e
-      .groupBy(col("label"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("toks"),
-        count(lit(1)).as("n_vecs"))
-      .select(col("label").cast("long").as("id"),
-        expr("transform(toks, t -> t.embedding)").as("colbert"),
-        col("n_vecs"))
+    val docs = docsCache.getOrElseUpdate(dir, {
+      e.groupBy(col("label"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("toks"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label").cast("long").as("id"),
+          expr("transform(toks, t -> t.embedding)").as("colbert"),
+          col("n_vecs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
     val schema = GSchema(Seq(
       GField.colbert("colbert", dimensions = 64, numCentroids = 16,
         quantization = quant, numIterations = 4, nbits = 2),
@@ -41,14 +49,10 @@ object EngineQueries {
         roles = Seq(FieldRole.Stored.toString))))
     val path = java.nio.file.Files.createTempDirectory(s"graft_engine_$quant").toString
     val idx = IndexIVF.create(s, path, schema)
-    // train + add each run several jobs over `docs`; without a persist every
-    // one of them would redo the embeddings groupBy/collect aggregation
-    docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // reuse centroids from a sibling engine query's run on the same data
     trainedCentroids.get(dir).foreach(c => idx.coarse = c)
     idx.train(docs)
     idx.add(tenant = 1, docs)
-    docs.unpersist()
     trainedCentroids.putIfAbsent(dir, idx.coarse)
     val query = e.filter(col("vec_id") < 4)
       .orderBy("vec_id")
