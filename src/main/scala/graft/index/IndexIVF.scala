@@ -58,10 +58,32 @@ final class IndexIVF private (
       case _: org.apache.spark.sql.AnalysisException => IndexIVF.empty(spark, schema)
     }
 
-  def postingsDf: DataFrame = readTable("postings", IndexIVF.postingsSchema)
-  def scalarsDf: DataFrame = readTable("scalars", IndexIVF.scalarsSchema)
-  def contextDf: DataFrame = readTable("context", IndexIVF.contextSchema)
-  def docsDf: DataFrame = readTable("docs", IndexIVF.docsSchema(schema))
+  def postingsDf: DataFrame = live(readTable("postings", IndexIVF.postingsSchema))
+  def scalarsDf: DataFrame = live(readTable("scalars", IndexIVF.scalarsSchema))
+  def contextDf: DataFrame = live(readTable("context", IndexIVF.contextSchema))
+  def docsDf: DataFrame = live(readTable("docs", IndexIVF.docsSchema(schema)))
+  def tombstonesDf: DataFrame = readTable("tombstones", IndexIVF.tombstonesSchema)
+
+  /** Cached (per instance) flag: does a tombstones table exist on disk? A
+    * filesystem metadata check, not a Spark job; maintained by
+    * [[removeDeferred]]/[[compact]]. */
+  private var tombstonesPresent: Option[Boolean] = None
+  private def hasTombstones: Boolean = tombstonesPresent.getOrElse {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p("tombstones")), spark.sparkContext.hadoopConfiguration)
+    val present = fs.exists(new org.apache.hadoop.fs.Path(p("tombstones")))
+    tombstonesPresent = Some(present)
+    present
+  }
+
+  /** THE single read-path funnel: all table reads pass through here, so the
+    * delete strategy is swappable in one place (SURVEY §7.5.5). With no
+    * tombstones on disk (the default — [[remove]] rewrites physically) this
+    * is an identity and adds nothing to the plan; after [[removeDeferred]]
+    * it is a broadcast anti-join against the (tiny) tombstone table. */
+  private def live(df: DataFrame): DataFrame =
+    if (!hasTombstones) df
+    else df.join(broadcast(tombstonesDf), Seq("tenant", "doc_id"), "left_anti")
 
   def isTrained(field: String): Boolean = coarse.contains(field)
 
@@ -261,13 +283,12 @@ final class IndexIVF private (
 
   // ------------------------------------------------------- remove / update
 
-  /** Delete docs by id: partition rewrite of the affected tenant's rows
+  /** Immediate delete: partition rewrite of the affected tenant's rows
     * (reference: targeted key deletes via the mapping CF,
-    * RocksdbInvertedList.cpp:22-95). Rewrite keeps reads simple and matches
-    * remove-then-re-add semantics exactly; at 100 TB you would swap in an
-    * epoch-tagged tombstone table + periodic compaction instead — the read
-    * path already funnels through [[liveDocs]] so only that function and
-    * this one would change. */
+    * RocksdbInvertedList.cpp:22-95). Rewrite matches remove-then-re-add
+    * semantics exactly; the 100 TB alternative is [[removeDeferred]] +
+    * [[compact]] (tombstones), and both strategies meet the read path in
+    * the single [[live]] funnel. */
   def remove(tenant: Long, ids: Seq[Long]): Unit = {
     val idSet = ids.toSet
     val bcIds = spark.sparkContext.broadcast(idSet)
@@ -276,6 +297,44 @@ final class IndexIVF private (
       rewrite(p(tbl), df => df.filter(keep(col("tenant"), col("doc_id"))),
         if (tbl == "docs") Seq("tenant") else Seq("tenant", "field"))
     }
+  }
+
+  /** Deferred delete — the 100 TB path: append the ids to a tombstone table
+    * (a metadata-sized write) and let every read anti-join them out via
+    * [[live]]; [[compact]] later applies the deletes physically. This is
+    * O(ids) instead of O(tenant partition) per delete, which is what makes
+    * deletes viable when the postings table is tens of TB.
+    *
+    * Caveat (documented, matching every epoch-less tombstone design):
+    * re-adding a tombstoned doc id before [[compact]] hides the new rows
+    * too — use [[remove]]/[[update]] for read-modify-write workloads and
+    * removeDeferred for bulk deletion pipelines. */
+  def removeDeferred(tenant: Long, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    writeAppend(ids.toDF("doc_id").select(lit(tenant).as("tenant"), col("doc_id")),
+      p("tombstones"), Seq("tenant"))
+    tombstonesPresent = Some(true)
+  }
+
+  /** Apply pending tombstones physically (partition rewrite per table) and
+    * clear the tombstone table — the periodic compaction job of the
+    * tombstone design. */
+  def compact(): Unit = {
+    if (!hasTombstones) return
+    // partition-column values (tenant) read back type-inferred — cast
+    val tombs = tombstonesDf
+      .select(col("tenant").cast("long"), col("doc_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bcT = spark.sparkContext.broadcast(tombs)
+    val keep = udf((t: Long, d: Long) => !bcT.value.contains((t, d)))
+    Seq("postings", "scalars", "context", "docs").foreach { tbl =>
+      rewrite(p(tbl), df => df.filter(keep(col("tenant"), col("doc_id"))),
+        if (tbl == "docs") Seq("tenant") else Seq("tenant", "field"))
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p("tombstones")), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p("tombstones")), true)
+    tombstonesPresent = Some(false)
   }
 
   /** remove + add (reference: lintdb/index.cpp:501-510). */
@@ -287,9 +346,10 @@ final class IndexIVF private (
 
   /** Merge another index's contents (reference: lintdb/index.cpp:512-535 —
     * key-by-key RocksDB copy; here a unionByName append per table). */
-  def merge(otherPath: String): Unit =
+  def merge(otherPath: String): Unit = {
     Seq("postings" -> Seq("tenant", "field"), "scalars" -> Seq("tenant", "field"),
-      "context" -> Seq("tenant", "field"), "docs" -> Seq("tenant")).foreach {
+      "context" -> Seq("tenant", "field"), "docs" -> Seq("tenant"),
+      "tombstones" -> Seq("tenant")).foreach {
       case (tbl, parts) =>
         // only the read may fail benignly (no data files yet on the other
         // side); a failure during the append must propagate
@@ -298,6 +358,8 @@ final class IndexIVF private (
           catch { case _: org.apache.spark.sql.AnalysisException => None }
         other.filter(!_.isEmpty).foreach(df => writeAppend(df, p(tbl), parts))
     }
+    tombstonesPresent = None // re-check on next read: merge may have added some
+  }
 
   private def rewrite(tablePath: String, f: DataFrame => DataFrame, parts: Seq[String]): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -402,6 +464,8 @@ object IndexIVF {
     StructField("doc_id", LongType),
     StructField("doc_codes", ArrayType(LongType)),
     StructField("doc_residuals", BinaryType)))
+  val tombstonesSchema: StructType = StructType(Seq(
+    StructField("tenant", LongType), StructField("doc_id", LongType)))
 
   def docsSchema(schema: GSchema): StructType = StructType(
     StructField("tenant", LongType) +: StructField("doc_id", LongType) +:

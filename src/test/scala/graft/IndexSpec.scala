@@ -259,6 +259,30 @@ class IndexSpec extends AnyFunSuite {
     assert(q.decode(residuals.slice(16, 32)).toSeq == Seq(5f, 6f, 7f, 8f))
   }
 
+  test("removeDeferred tombstones hide docs from every read; compact applies them physically") {
+    import spark.implicits._
+    val idx = freshIndex(QuantizerKind.NONE)
+    idx.removeDeferred(1, Seq(3L, 4L))
+    // all reads pass the live() funnel: the docs are gone everywhere
+    assert(!idx.postingsDf.select("doc_id").collect().map(_.getLong(0)).toSet.contains(3L))
+    val got = idx.search(1, query(7), numDocs, exhaustive)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!got.contains(3L) && !got.contains(4L) && got.contains(7L))
+    assert(idx.tombstonesDf.count() == 2)
+    // compaction rewrites the tables and clears the tombstones
+    idx.compact()
+    assert(idx.tombstonesDf.count() == 0)
+    val after = idx.search(1, query(7), numDocs, exhaustive)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == got, "compaction preserves query results")
+    // a re-add after compact() is visible again (the documented caveat is
+    // only about re-adding BEFORE compaction)
+    idx.add(1, Seq(Doc(3L, corpus(3L), "odd", 0L)).toDF())
+    val readded = idx.search(1, query(3), numDocs, exhaustive)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(readded.contains(3L))
+  }
+
   test("QUANTIZED_TENSOR: indexing roles rejected at schema time, Stored/Context pass through") {
     import spark.implicits._
     // Indexed role -> schema-time error (the reference's own quantizeField
