@@ -22,7 +22,8 @@ object SparkEntry {
     * verify-only operators still run through Verify/the oracle gate). */
   val headline: Set[String] =
     (allDefs.map(_.name).toSet -- Set(
-      "q_asof_join", "q_rollup", "q_percentile", "q_session_window"))
+      "q_asof_join", "q_rollup", "q_percentile", "q_session_window",
+      "q_distinct_agg"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Two-phase IVF vector search — the reference's core query shape. */

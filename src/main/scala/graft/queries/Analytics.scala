@@ -90,6 +90,20 @@ object Analytics {
           .orderBy("l_returnflag")
     },
 
+    // AGG4 — distinct-count per group (absent in the reference; partial
+    // aggregation on (group, value) then a count — two map-side-combined
+    // shuffles, the standard scalable shape; swap in approx_count_distinct
+    // (HLL) for sketch-sized state at corpus scale).
+    sql("q_distinct_agg", Seq("AGG4"),
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, dir) =>
+        Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("n_parts"), count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+    },
+
     // ST2 — session windows (gap-based). The Spark side is the SAME
     // `session_window` aggregation that runs incrementally under Structured
     // Streaming with a watermark (StreamingIngest.sessionWindows;

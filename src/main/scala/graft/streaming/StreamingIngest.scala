@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.index.IndexIVF
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Streaming subsystem — a deliberate superset: the reference has no
   * streaming at all (SURVEY §2.11); its nearest analogue is incremental
@@ -12,6 +12,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * every micro-batch gets the full explode -> assign -> encode -> append
   * path and the index stays queryable throughout.
   */
+/** Per-user running state carried by [[StreamingIngest.userStats]]. */
+case class UserStats(userId: Long, firstMs: Long, lastMs: Long, n: Long, sumValue: Double)
+
 object StreamingIngest {
 
   /** Attach a streaming DataFrame of documents (same shape as
@@ -58,6 +61,33 @@ object StreamingIngest {
         unix_millis(col("w.start")).as("session_start_ms"),
         unix_millis(col("w.end")).as("session_end_ms"),
         col("n_events"))
+
+  /** Arbitrary-stateful per-key tracking via mapGroupsWithState — the
+    * "custom state" extension point of §2.11 for logic no built-in
+    * aggregation expresses. Keeps one small state record per user (first/
+    * last event millis, count, value sum) and emits the updated record per
+    * key per micro-batch. State size is O(active keys); with a watermark on
+    * the source, pair with a state timeout for eviction on unbounded key
+    * spaces (not needed for the bounded user space here). */
+  def userStats(events: DataFrame): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").as[Long],
+        unix_millis(col("ts")).as[Long], col("value").as[Double])
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserStats, UserStats](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(
+            UserStats(userId, Long.MaxValue, Long.MinValue, 0L, 0.0))
+          val next = rows.foldLeft(prev) { case (s, (_, tms, v)) =>
+            UserStats(userId, math.min(s.firstMs, tms), math.max(s.lastMs, tms),
+              s.n + 1, s.sumValue + v)
+          }
+          state.update(next)
+          next
+      }
+  }
 
   /** Event-time windowed aggregation with watermark over a stream with a
     * `ts` timestamp column — the streaming twin of q_events_window; used by

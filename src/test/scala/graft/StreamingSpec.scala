@@ -94,6 +94,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("mapGroupsWithState per-user stats converge to the batch aggregate") {
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = events
+      .groupBy(col("user_id"))
+      .agg(min(unix_millis(col("ts"))).as("first"), max(unix_millis(col("ts"))).as("last"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("ev_stats").toString
+    events.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 8) // several micro-batches: state carries over
+      .parquet(dir)
+    val stats = graft.streaming.StreamingIngest.userStats(stream)
+    val qn = s"stream_stats_${System.nanoTime()}"
+    val q = stats.toDF().writeStream.outputMode("update")
+      .format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // update mode appends one row per (user, batch); the final state per
+    // user is the row with the highest (monotonically growing) count
+    val got = spark.table(qn).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).maxBy(_._3) }
+    assert(got == expected)
+  }
+
   test("windowed aggregation with watermark matches the batch plan") {
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
     // batch ground truth
