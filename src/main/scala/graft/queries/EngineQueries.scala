@@ -29,9 +29,9 @@ object EngineQueries {
     scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
 
   /** docs = embeddings grouped by label (10 "documents" whose member
-    * vectors are the tokens), query = vec_ids 0..3 as the 4 query tokens. */
-  private def buildAndSearch(s: org.apache.spark.sql.SparkSession, dir: String,
-      quant: QuantizerKind.Value) = {
+    * vectors are the tokens). */
+  private def buildIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+      quant: QuantizerKind.Value): (IndexIVF, String) = {
     val e = Tables.t(s, dir, "embeddings")
     val docs = docsCache.getOrElseUpdate(dir, {
       e.groupBy(col("label"))
@@ -54,15 +54,27 @@ object EngineQueries {
     idx.train(docs)
     idx.add(tenant = 1, docs)
     trainedCentroids.putIfAbsent(dir, idx.coarse)
-    val query = e.filter(col("vec_id") < 4)
+    (idx, path)
+  }
+
+  /** query = vec_ids 0..3 as the 4 query tokens. */
+  private def buildAndSearch(s: org.apache.spark.sql.SparkSession, dir: String,
+      quant: QuantizerKind.Value) = {
+    val (idx, path) = buildIndex(s, dir, quant)
+    val query = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 4)
       .orderBy("vec_id")
       .collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
     val result = idx.search(1, VectorQuery("colbert", query), k = 5,
       SearchOptions(kTopCentroids = 4, nProbe = 8))
-    // the result is lazy over the index's parquet files: materialize (k=5
-    // rows), detach, and delete the temp index tree so repeated bench/verify
-    // runs don't leak index directories under /tmp
+    materializeAndClean(s, result, path)
+  }
+
+  /** The result is lazy over the index's parquet files: materialize (a few
+    * rows), detach, and delete the temp index tree so repeated bench/verify
+    * runs don't leak index directories under /tmp. */
+  private def materializeAndClean(s: org.apache.spark.sql.SparkSession,
+      result: org.apache.spark.sql.DataFrame, path: String) = {
     val rows = result.collect().toSeq
     val local = s.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, result.schema)
@@ -86,6 +98,23 @@ object EngineQueries {
     // Same with the PLAID binarizer codec in the loop (Q4).
     rowsOnly("q_engine_search_binarized", Seq("Q4", "S4", "S5", "J3", "A5", "A8")) {
       (s, dir) => buildAndSearch(s, dir, QuantizerKind.BINARIZER)
+    },
+    // Batch search — the amortized deployment shape (SURVEY §7.5.4): ONE
+    // pruned pass over the index serves all queries via a broadcast
+    // (query_id, centroid) probe table; per-query top-k is one window
+    // shuffle. Verify-only (not in the headline bench set).
+    rowsOnly("q_engine_batch_search", Seq("BATCH", "J3", "A5", "A8")) { (s, dir) =>
+      import s.implicits._
+      val (idx, path) = buildIndex(s, dir, QuantizerKind.NONE)
+      val queries = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 12)
+        .orderBy("vec_id").collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
+        .grouped(4).zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.toSeq) }.toSeq
+        .toDF("query_id", "tokens")
+      val res = graft.query.BatchSearcher.searchBatch(idx, 1, "colbert", queries,
+        k = 3, SearchOptions(kTopCentroids = 4, nProbe = 8))
+      materializeAndClean(s, res, path)
     }
   )
 }
