@@ -85,15 +85,23 @@ object CoarseQuantizer {
   def train(tokens: DataFrame, numCentroids: Int, numIterations: Int,
       seed: Long = 42L): CoarseQuantizer = {
     val maxSample = numCentroids.toLong * MaxPointsPerCentroid
-    val n = tokens.count()
-    val sampled =
-      if (n <= maxSample) tokens
-      else tokens.sample(withReplacement = false,
-        // slight oversample so the post-sample row count is >= maxSample whp
-        math.min(1.0, maxSample.toDouble / n * 1.1), seed)
-    val points = sampled.select(col("vec")).collect()
-      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
-      .take(maxSample.toInt)
+    // optimistic single job: if the corpus fits the sample budget, one
+    // bounded collect IS the sample (no count needed); only a larger corpus
+    // pays for the count + uniform-sample pass
+    val probe = tokens.select(col("vec")).limit(maxSample.toInt + 1).collect()
+    val points =
+      if (probe.length <= maxSample) probe.map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+      else {
+        // corpus exceeds the budget: a limit() would be partition-biased, so
+        // take a seeded uniform sample instead
+        val n = tokens.count()
+        tokens.sample(withReplacement = false,
+          // slight oversample so the post-sample row count is >= maxSample whp
+          math.min(1.0, maxSample.toDouble / n * 1.1), seed)
+          .select(col("vec")).collect()
+          .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+          .take(maxSample.toInt)
+      }
     require(points.nonEmpty, "cannot train on an empty token set")
     new CoarseQuantizer(lloyd(points, numCentroids, numIterations, seed))
   }

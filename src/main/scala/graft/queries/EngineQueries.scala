@@ -28,6 +28,17 @@ object EngineQueries {
   private val docsCache =
     scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
 
+  /** JVM-local cache of collected query token vectors per data dir. */
+  private val queryCache =
+    scala.collection.concurrent.TrieMap[String, Array[Array[Float]]]()
+
+  private def queryTokens(s: org.apache.spark.sql.SparkSession, dir: String,
+      maxVecId: Int): Array[Array[Float]] =
+    queryCache.getOrElseUpdate(s"$dir#$maxVecId",
+      Tables.t(s, dir, "embeddings").filter(col("vec_id") < maxVecId)
+        .orderBy("vec_id").collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+
   /** docs = embeddings grouped by label (10 "documents" whose member
     * vectors are the tokens). */
   private def buildIndex(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -61,10 +72,7 @@ object EngineQueries {
   private def buildAndSearch(s: org.apache.spark.sql.SparkSession, dir: String,
       quant: QuantizerKind.Value) = {
     val (idx, path) = buildIndex(s, dir, quant)
-    val query = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 4)
-      .orderBy("vec_id")
-      .collect()
-      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val query = queryTokens(s, dir, maxVecId = 4)
     val result = idx.search(1, VectorQuery("colbert", query), k = 5,
       SearchOptions(kTopCentroids = 4, nProbe = 8))
     materializeAndClean(s, result, path)
@@ -106,9 +114,8 @@ object EngineQueries {
     rowsOnly("q_engine_batch_search", Seq("BATCH", "J3", "A5", "A8")) { (s, dir) =>
       import s.implicits._
       val (idx, path) = buildIndex(s, dir, QuantizerKind.NONE)
-      val queries = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 12)
-        .orderBy("vec_id").collect()
-        .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
+      val queries = queryTokens(s, dir, maxVecId = 12)
+        .map(_.toSeq)
         .grouped(4).zipWithIndex
         .map { case (toks, i) => (i.toLong, toks.toSeq) }.toSeq
         .toDF("query_id", "tokens")
