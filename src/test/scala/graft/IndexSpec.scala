@@ -283,6 +283,20 @@ class IndexSpec extends AnyFunSuite {
     assert(readded.contains(3L))
   }
 
+  test("removeDeferred caveat: a re-add before compact() stays hidden (documented)") {
+    import spark.implicits._
+    val idx = freshIndex(QuantizerKind.NONE)
+    idx.removeDeferred(1, Seq(9L))
+    idx.add(1, Seq(Doc(9L, corpus(9L), "odd", 0L)).toDF())
+    val got = idx.search(1, query(9), numDocs, exhaustive)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!got.contains(9L), "tombstone hides re-added rows until compaction")
+    idx.compact()
+    val after = idx.search(1, query(9), numDocs, exhaustive)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!after.contains(9L), "compaction applied the tombstone to all rows")
+  }
+
   test("QUANTIZED_TENSOR: indexing roles rejected at schema time, Stored/Context pass through") {
     import spark.implicits._
     // Indexed role -> schema-time error (the reference's own quantizeField
