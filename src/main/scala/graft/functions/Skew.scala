@@ -8,14 +8,17 @@ import org.apache.spark.sql.functions._
   * cover the cases it cannot: aggregations over skewed grouping keys and
   * joins where one hot key would otherwise pin a single reducer.
   *
-  * Both are deterministic (content-hash salt, no rand()) so results are
-  * stable across retries and partition layouts.
+  * The salt is derived from a row-unique id (hashed for uniformity), so a
+  * hot key spreads evenly even when every one of its rows carries identical
+  * values — a content hash would collapse duplicates onto one bucket. The
+  * assignment depends on partition layout, but both helpers are agnostic to
+  * WHICH bucket a row lands in: results are identical for any assignment.
   */
 object Skew {
 
-  /** Deterministic salt in [0, salt) from the hash of the given columns. */
-  def saltCol(salt: Int, cols: Column*): Column =
-    pmod(xxhash64(cols: _*), lit(salt.toLong)).cast("int")
+  /** Uniform salt in [0, salt) from a row-unique id. */
+  def saltCol(salt: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)).cast("int")
 
   /** Two-phase aggregation over a skewed grouping key: partial-aggregate on
     * (key, salt) — spreading each hot key over `salt` reducers — then
@@ -28,8 +31,7 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
       valueCols: Seq[String],
       partial: Column => Column, fin: Column => Column): DataFrame = {
-    val saltCols = valueCols.map(col) // salt on the values: uniform spread
-    val salted = df.withColumn("_salt", saltCol(salt, saltCols: _*))
+    val salted = df.withColumn("_salt", saltCol(salt))
     val partialAgg = salted
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(partial(col(valueCols.head)).as(valueCols.head),
@@ -46,9 +48,7 @@ object Skew {
     * broadcast outright but small enough to replicate `salt`-fold. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salt: Int): DataFrame = {
-    val nonKey = left.columns.filterNot(_ == key).map(col).toSeq
-    val l = left.withColumn("_salt",
-      saltCol(salt, (col(key) +: nonKey): _*))
+    val l = left.withColumn("_salt", saltCol(salt))
     val r = right.withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }

@@ -64,16 +64,14 @@ final class IndexIVF private (
   def docsDf: DataFrame = live(readTable("docs", IndexIVF.docsSchema(schema)))
   def tombstonesDf: DataFrame = readTable("tombstones", IndexIVF.tombstonesSchema)
 
-  /** Cached (per instance) flag: does a tombstones table exist on disk? A
-    * filesystem metadata check, not a Spark job; maintained by
-    * [[removeDeferred]]/[[compact]]. */
-  private var tombstonesPresent: Option[Boolean] = None
-  private def hasTombstones: Boolean = tombstonesPresent.getOrElse {
+  /** Does a tombstones table exist on disk right now? A filesystem metadata
+    * probe (no Spark job) per plan build — microseconds locally, one RPC on
+    * a remote store — deliberately NOT cached so a concurrent writer
+    * instance's removeDeferred is visible to every reader immediately. */
+  private def hasTombstones: Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(p("tombstones")), spark.sparkContext.hadoopConfiguration)
-    val present = fs.exists(new org.apache.hadoop.fs.Path(p("tombstones")))
-    tombstonesPresent = Some(present)
-    present
+    fs.exists(new org.apache.hadoop.fs.Path(p("tombstones")))
   }
 
   /** THE single read-path funnel: all table reads pass through here, so the
@@ -134,10 +132,13 @@ final class IndexIVF private (
           // job, no 64x posexplode row blowup, no shuffle
           val dim = params.dimensions
           require(dim > 0, s"${f.name}: dimensions required to train a binarizer")
+          val fieldName = f.name
           val (sums, cnt) = sampledResiduals.select(col("r")).rdd
             .treeAggregate((new Array[Double](dim), 0L))(
               { case ((acc, n), row) =>
                 val r = row.getAs[scala.collection.Seq[Float]](0)
+                if (r.length != dim) throw new IllegalArgumentException(
+                  s"$fieldName: token vector has length ${r.length}, schema dimensions=$dim")
                 var i = 0
                 while (i < dim) { acc(i) += r(i); i += 1 }
                 (acc, n + 1)
@@ -246,6 +247,8 @@ final class IndexIVF private (
       val payload: org.apache.spark.sql.Column =
         if (f.dtype == GDataType.QUANTIZED_TENSOR) col(f.name) // already bytes
         else {
+          require(f.parameters.dimensions > 0,
+            s"${f.name}: dimensions required for a Context TENSOR field")
           val bq = spark.sparkContext.broadcast(
             quantizers.getOrElse(f.name, IdentityQuantizer(f.parameters.dimensions)))
           val encodeAll = udf { (vecs: Seq[Seq[Float]]) =>
@@ -297,6 +300,14 @@ final class IndexIVF private (
       rewrite(p(tbl), df => df.filter(keep(col("tenant"), col("doc_id"))),
         if (tbl == "docs") Seq("tenant") else Seq("tenant", "field"))
     }
+    // a physical remove also discharges any pending tombstone for these ids:
+    // otherwise remove-then-re-add (and update(), which is exactly that)
+    // would leave a stale tombstone that hides — and at the next compact()
+    // destroys — the re-added rows
+    if (hasTombstones) {
+      rewrite(p("tombstones"), df => df.filter(keep(col("tenant"), col("doc_id"))),
+        Seq("tenant"))
+    }
   }
 
   /** Deferred delete — the 100 TB path: append the ids to a tombstone table
@@ -313,7 +324,6 @@ final class IndexIVF private (
     import spark.implicits._
     writeAppend(ids.toDF("doc_id").select(lit(tenant).as("tenant"), col("doc_id")),
       p("tombstones"), Seq("tenant"))
-    tombstonesPresent = Some(true)
   }
 
   /** Apply pending tombstones physically (partition rewrite per table) and
@@ -334,7 +344,6 @@ final class IndexIVF private (
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(p("tombstones")), spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(p("tombstones")), true)
-    tombstonesPresent = Some(false)
   }
 
   /** remove + add (reference: lintdb/index.cpp:501-510). */
@@ -347,18 +356,28 @@ final class IndexIVF private (
   /** Merge another index's contents (reference: lintdb/index.cpp:512-535 —
     * key-by-key RocksDB copy; here a unionByName append per table). */
   def merge(otherPath: String): Unit = {
+    // the other index's pending tombstones are applied to ITS rows during
+    // the copy (append only its live rows) and are NOT imported: a tombstone
+    // for (tenant, id) in the other index must not hide/delete this index's
+    // own unrelated doc with the same id
+    val otherTombs =
+      try Some(spark.read.parquet(s"$otherPath/tombstones").select("tenant", "doc_id"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
     Seq("postings" -> Seq("tenant", "field"), "scalars" -> Seq("tenant", "field"),
-      "context" -> Seq("tenant", "field"), "docs" -> Seq("tenant"),
-      "tombstones" -> Seq("tenant")).foreach {
+      "context" -> Seq("tenant", "field"), "docs" -> Seq("tenant")).foreach {
       case (tbl, parts) =>
         // only the read may fail benignly (no data files yet on the other
         // side); a failure during the append must propagate
         val other =
           try Some(spark.read.parquet(s"$otherPath/$tbl"))
           catch { case _: org.apache.spark.sql.AnalysisException => None }
-        other.filter(!_.isEmpty).foreach(df => writeAppend(df, p(tbl), parts))
+        other.filter(!_.isEmpty).foreach { df =>
+          val liveRows = otherTombs
+            .map(t => df.join(broadcast(t), Seq("tenant", "doc_id"), "left_anti"))
+            .getOrElse(df)
+          writeAppend(liveRows.select(df.columns.map(col): _*), p(tbl), parts)
+        }
     }
-    tombstonesPresent = None // re-check on next read: merge may have added some
   }
 
   private def rewrite(tablePath: String, f: DataFrame => DataFrame, parts: Seq[String]): Unit = {

@@ -22,12 +22,6 @@ object EngineQueries {
   private val trainedCentroids =
     scala.collection.concurrent.TrieMap[String, Map[String, graft.quantizers.CoarseQuantizer]]()
 
-  /** JVM-local cache of the persisted docs DataFrame per data dir — the
-    * sibling engine query reuses the materialized aggregation instead of
-    * re-grouping the embeddings table (a few hundred KB per dir). */
-  private val docsCache =
-    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
-
   /** JVM-local cache of collected query token vectors per data dir. */
   private val queryCache =
     scala.collection.concurrent.TrieMap[String, Array[Array[Float]]]()
@@ -44,15 +38,16 @@ object EngineQueries {
   private def buildIndex(s: org.apache.spark.sql.SparkSession, dir: String,
       quant: QuantizerKind.Value): (IndexIVF, String) = {
     val e = Tables.t(s, dir, "embeddings")
-    val docs = docsCache.getOrElseUpdate(dir, {
+    // the sibling engine query reuses the materialized docs aggregation
+    // (a few hundred KB per dir); session-aware via DfCache
+    val docs = DfCache.getOrBuild(s, s"engine_docs#$dir") {
       e.groupBy(col("label"))
         .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("toks"),
           count(lit(1)).as("n_vecs"))
         .select(col("label").cast("long").as("id"),
           expr("transform(toks, t -> t.embedding)").as("colbert"),
           col("n_vecs"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
     val schema = GSchema(Seq(
       GField.colbert("colbert", dimensions = 64, numCentroids = 16,
         quantization = quant, numIterations = 4, nbits = 2),

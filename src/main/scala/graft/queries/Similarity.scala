@@ -197,7 +197,10 @@ object Similarity {
           acc
         }
         def round4(x: Double): Double =
-          java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP)
+          // Spark's round() passes NaN/Infinity through; BigDecimal.valueOf
+          // would throw on them (possible when a zero vector makes na*nb=0)
+          if (x.isNaN || x.isInfinite) x
+          else java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP)
             .doubleValue()
         val e = Tables.emb(s, dir)
         val all = e.select(col("vec_id"), col("emb")).collect()

@@ -297,6 +297,46 @@ class IndexSpec extends AnyFunSuite {
     assert(!after.contains(9L), "compaction applied the tombstone to all rows")
   }
 
+  test("update() after removeDeferred discharges the stale tombstone (read-modify-write path)") {
+    import spark.implicits._
+    val idx = freshIndex(QuantizerKind.NONE)
+    idx.removeDeferred(1, Seq(6L))
+    // the docstring-recommended path: update = physical remove + add; the
+    // pending tombstone must not survive to hide (or later destroy) the
+    // re-added rows
+    idx.update(1, Seq(Doc(6L, corpus(6L), "even", 0L)).toDF())
+    val got = idx.search(1, query(6), numDocs, exhaustive)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(6L), "updated doc visible despite earlier removeDeferred")
+    idx.compact()
+    val after = idx.search(1, query(6), numDocs, exhaustive)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after.contains(6L), "compaction must not destroy the updated doc")
+  }
+
+  test("merge applies the other index's tombstones to ITS rows without importing them") {
+    val schema = mkSchema(QuantizerKind.NONE)
+    val a = IndexIVF.create(spark,
+      java.nio.file.Files.createTempDirectory("idxMA").toString, schema)
+    a.train(docsDf)
+    import spark.implicits._
+    val half1 = corpus.toSeq.sortBy(_._1).take(10)
+      .map { case (i, t) => Doc(i, t, if (i % 2 == 0) "even" else "odd", i % 3) }
+    val half2 = corpus.toSeq.sortBy(_._1).drop(10)
+      .map { case (i, t) => Doc(i, t, if (i % 2 == 0) "even" else "odd", i % 3) }
+    a.add(1, half1.toDF()) // docs 0..9 live in A
+    val b = IndexIVF.copyTrained(a, java.nio.file.Files.createTempDirectory("idxMB").toString)
+    b.add(1, half2.toDF()) // docs 10..19 in B
+    b.removeDeferred(1, Seq(15L)) // pending delete of B's own doc
+    b.removeDeferred(1, Seq(5L)) // id colliding with A's LIVE doc (not in B)
+    a.merge(b.path)
+    val ids = a.search(1, query(7), numDocs, exhaustive)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(15L), "B's tombstoned doc must not arrive via merge")
+    assert(ids.contains(5L), "A's own live doc must survive B's unrelated tombstone")
+    assert(a.tombstonesDf.count() == 0, "tombstones are applied, not imported")
+  }
+
   test("QUANTIZED_TENSOR: indexing roles rejected at schema time, Stored/Context pass through") {
     import spark.implicits._
     // Indexed role -> schema-time error (the reference's own quantizeField
