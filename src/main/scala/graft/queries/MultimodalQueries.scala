@@ -28,6 +28,21 @@ object MultimodalQueries {
           .orderBy("doc_id")
     },
 
+    // MM3 — resize + frame sampling over "video" payloads: per-doc frame
+    // counts and total resized bytes (deterministic stub codec; rows-only).
+    rowsOnly("q_multimodal_frames", Seq("MM3")) { (s, dir) =>
+      val media = Tables.t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val frames = Multimodal.sampleFrames(
+        Multimodal.resized(media, "payload", w = 32, h = 32), "payload", everyMs = 500L)
+      frames.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame")).cast("long")).as("frame_bytes"),
+          max(length(col("resized")).cast("long")).as("resized_bytes"))
+        .orderBy("doc_id")
+    },
+
     // MM2 — stub-decode + feature extraction + cosine top-k over the
     // extracted features (the full media-similarity pipeline shape).
     rowsOnly("q_multimodal_features", Seq("MM2")) { (s, dir) =>
