@@ -221,6 +221,62 @@ object TextPipeline {
         .orderBy("a_id", "b_id")
     },
 
+    // D2-oracle — the SAME MinHash+LSH pipeline built on md5 (which DuckDB
+    // shares bit-for-bit), so the full dedup path — signatures, banding,
+    // candidate join, exact-Jaccard verify — is hash-checked against an
+    // independent SQL implementation. Verify-only: the xxhash64 variant
+    // above stays the benched scale path (md5 is ~10x costlier per shingle).
+    sql("q_dedup_minhash_md5", Seq("D2"),
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM t, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |sig AS (SELECT doc_id, """.stripMargin +
+        (0 until 16).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ") +
+        ", list(s) AS st FROM sh GROUP BY doc_id),\nbands AS (" +
+        (0 until 8).map(b =>
+          s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bucket FROM sig")
+          .mkString(" UNION ALL ") + "),\n" +
+        """cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |          FROM bands x JOIN bands y
+        |          ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |j AS (SELECT a_id, b_id,
+        |        len(list_intersect(sa.st, sb.st)) * 1.0 /
+        |        (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))) AS jr
+        |      FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id)
+        |SELECT a_id, b_id, floor(jr * 10000 + 0.5) / 10000 AS jaccard
+        |FROM j WHERE jr >= 0.5 ORDER BY a_id, b_id""".stripMargin)) {
+      (s, dir) =>
+        val sh = shingles(docs(s, dir)) // distinct (doc_id, s)
+        val sigCols = (0 until 16).map(i =>
+          min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+        val sigs = DfCache.getOrBuild(s, s"minhash_md5_sigs#$dir") {
+          sh.groupBy(col("doc_id"))
+            .agg(sigCols.head, sigCols.tail :+ collect_list(col("s")).as("set"): _*)
+        }
+        val bands = sigs.select(col("doc_id"),
+          posexplode(array((0 until 8).map(b =>
+            md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*))
+            .as(Seq("band", "bucket")))
+        val candPairs = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        val sets = sigs.select(col("doc_id"), col("set"))
+        val common = size(array_intersect(col("sa"), col("sb")))
+        candPairs
+          .join(sets.select(col("doc_id").as("a_id"), col("set").as("sa")), Seq("a_id"))
+          .join(sets.select(col("doc_id").as("b_id"), col("set").as("sb")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            (common * lit(1.0) / (size(col("sa")) + size(col("sb")) - common))
+              .as("jaccard_raw"))
+          .filter(col("jaccard_raw") >= 0.5)
+          .select(col("a_id"), col("b_id"),
+            QueryDef.floorRound(col("jaccard_raw"), 4).as("jaccard"))
+          .orderBy("a_id", "b_id")
+    },
+
     // D3 — SimHash: 64-bit signature from token hashes (per-bit majority
     // vote), near-dup pairs = same 16-bit band + hamming distance <= 8.
     // The signature is one pass over each doc's token array (a scalar
