@@ -8,17 +8,21 @@ import org.apache.spark.sql.functions._
   * cover the cases it cannot: aggregations over skewed grouping keys and
   * joins where one hot key would otherwise pin a single reducer.
   *
-  * The salt is derived from a row-unique id (hashed for uniformity), so a
-  * hot key spreads evenly even when every one of its rows carries identical
-  * values — a content hash would collapse duplicates onto one bucket. The
-  * assignment depends on partition layout, but both helpers are agnostic to
-  * WHICH bucket a row lands in: results are identical for any assignment.
+  * The salt is a deterministic hash of the FULL row, which makes it stable
+  * under stage retries and speculative execution (a nondeterministic salt —
+  * rand() or a monotonic id — can double-count or drop rows when a map task
+  * is recomputed after a fetch failure: the SPARK-23207 failure class).
+  * The tradeoff: rows that are bit-identical land in the same salt bucket.
+  * That is the right tradeoff — for algebraic aggregates, map-side partial
+  * aggregation already collapses identical rows before the shuffle (no skew
+  * problem exists), so salting is only ever needed for hot keys with
+  * heterogeneous rows, which a full-row hash spreads uniformly.
   */
 object Skew {
 
-  /** Uniform salt in [0, salt) from a row-unique id. */
-  def saltCol(salt: Int): Column =
-    pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)).cast("int")
+  /** Deterministic, retry-stable salt in [0, salt) from a full-row hash. */
+  def saltCol(salt: Int, cols: Column*): Column =
+    pmod(xxhash64(cols: _*), lit(salt.toLong)).cast("int")
 
   /** Two-phase aggregation over a skewed grouping key: partial-aggregate on
     * (key, salt) — spreading each hot key over `salt` reducers — then
@@ -31,7 +35,7 @@ object Skew {
   def saltedAgg(df: DataFrame, keys: Seq[String], salt: Int,
       valueCols: Seq[String],
       partial: Column => Column, fin: Column => Column): DataFrame = {
-    val salted = df.withColumn("_salt", saltCol(salt))
+    val salted = df.withColumn("_salt", saltCol(salt, df.columns.map(col).toSeq: _*))
     val partialAgg = salted
       .groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(partial(col(valueCols.head)).as(valueCols.head),
@@ -42,13 +46,14 @@ object Skew {
         valueCols.tail.map(c => fin(col(c)).as(c)): _*)
   }
 
-  /** Salted inner equi-join: left rows scatter across `salt` sub-keys via a
-    * content hash; the right side is replicated `salt` times. Use when one
-    * hot join key would pin a reducer and the right side is too big to
-    * broadcast outright but small enough to replicate `salt`-fold. */
+  /** Salted inner equi-join: left rows scatter across `salt` sub-keys via
+    * the retry-stable full-row hash; the right side is replicated `salt`
+    * times. Use when one hot join key would pin a reducer and the right side
+    * is too big to broadcast outright but small enough to replicate
+    * `salt`-fold. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salt: Int): DataFrame = {
-    val l = left.withColumn("_salt", saltCol(salt))
+    val l = left.withColumn("_salt", saltCol(salt, left.columns.map(col).toSeq: _*))
     val r = right.withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }

@@ -307,6 +307,14 @@ final class IndexIVF private (
     if (hasTombstones) {
       rewrite(p("tombstones"), df => df.filter(keep(col("tenant"), col("doc_id"))),
         Seq("tenant"))
+      // if that discharged the last tombstone, drop the (now empty) table so
+      // reads go back to the no-anti-join fast path and the next compact()
+      // doesn't rewrite every table against an empty delete set
+      if (tombstonesDf.isEmpty) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(p("tombstones")), spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(p("tombstones")), true)
+      }
     }
   }
 
@@ -356,6 +364,11 @@ final class IndexIVF private (
   /** Merge another index's contents (reference: lintdb/index.cpp:512-535 —
     * key-by-key RocksDB copy; here a unionByName append per table). */
   def merge(otherPath: String): Unit = {
+    // pending LOCAL tombstones are applied first: merge appends rows, and —
+    // exactly like the update()-after-removeDeferred hazard — a stale local
+    // tombstone would silently hide, then destroy, an imported doc that
+    // happens to reuse a tombstoned id
+    if (hasTombstones) compact()
     // the other index's pending tombstones are applied to ITS rows during
     // the copy (append only its live rows) and are NOT imported: a tombstone
     // for (tenant, id) in the other index must not hide/delete this index's

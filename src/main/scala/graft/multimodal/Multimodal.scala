@@ -113,13 +113,15 @@ object Multimodal {
   }
 
   /** Frame sampling for "video" payloads: one synthetic frame payload per
-    * sampled offset, exploded to rows (real impl: keyframe extraction). */
+    * sampled offset, exploded to rows (real impl: keyframe extraction).
+    * explode_outer keeps zero-duration payloads as a single null-frame row
+    * so per-doc aggregations don't silently drop them. */
   def sampleFrames(df: DataFrame, binCol: String, everyMs: Long): DataFrame = {
     val frames = udf { (b: Array[Byte]) =>
       val durationMs = b.length.toLong * 4
       (0L until durationMs by everyMs).map(off =>
         StubCodec.resize(b, (off & 0xFF).toInt + 1, 1)).toArray
     }
-    df.withColumn("frame", explode(frames(col(binCol))))
+    df.withColumn("frame", explode_outer(frames(col(binCol))))
   }
 }

