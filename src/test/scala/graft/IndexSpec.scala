@@ -367,6 +367,29 @@ class IndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("num"))
   }
 
+  test("bulk JSON-lines ingest: spark.read.json -> cast -> add -> search (S11)") {
+    import org.apache.spark.sql.functions._
+    val srcDir = java.nio.file.Files.createTempDirectory("json_docs")
+    val lines = corpus.toSeq.sortBy(_._1).map { case (i, toks) =>
+      val tensor = toks.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      s"""{"id": $i, "colbert": $tensor, "cat": "${if (i % 2 == 0) "even" else "odd"}", "num": ${i % 3}}"""
+    }
+    java.nio.file.Files.write(srcDir.resolve("docs.jsonl"),
+      scala.jdk.CollectionConverters.SeqHasAsJava(lines).asJava)
+    val raw = spark.read.json(srcDir.toString)
+    // JSON infers array<array<double>>; the schema wants float tensors —
+    // one cast at the boundary, then the ordinary add pipeline
+    val docs = raw.select(col("id"), col("colbert").cast("array<array<float>>"),
+      col("cat"), col("num"))
+    val path = java.nio.file.Files.createTempDirectory("idx_json").toString
+    val idx = IndexIVF.create(spark, path, mkSchema(QuantizerKind.NONE))
+    idx.train(docs)
+    idx.add(1, docs)
+    val got = idx.search(1, query(7), 5, exhaustive)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.head == 7L, "self-match ranks first after JSON ingest")
+  }
+
   test("merge unions another index's contents (index.cpp:512-535)") {
     val schema = mkSchema(QuantizerKind.NONE)
     val pathA = java.nio.file.Files.createTempDirectory("idxA").toString

@@ -29,4 +29,27 @@ class WireCodecSpec extends AnyFunSuite {
       WireCodec.queryFromJson("""{"type":"nope"}""")
     }
   }
+
+  test("random query trees round-trip (seeded property)") {
+    val rnd = new scala.util.Random(99L)
+    def randTree(depth: Int): QueryNode =
+      if (depth == 0) rnd.nextInt(3) match {
+        case 0 => TermQuery(s"f${rnd.nextInt(4)}", rnd.nextLong())
+        case 1 => RangeQuery(s"f${rnd.nextInt(4)}", rnd.nextDouble(), 1 + rnd.nextDouble())
+        case _ => VectorQuery(s"v${rnd.nextInt(2)}",
+          Array.fill(1 + rnd.nextInt(3))(Array.fill(4)(rnd.nextFloat())))
+      }
+      else {
+        val kids = Seq.fill(1 + rnd.nextInt(3))(randTree(depth - 1))
+        val comb = Combiner(rnd.nextInt(Combiner.maxId))
+        if (rnd.nextBoolean()) AndQuery(kids, comb) else OrQuery(kids, comb)
+      }
+    // structural equality modulo Array identity: compare via re-serialization
+    (1 to 50).foreach { _ =>
+      val q = randTree(1 + rnd.nextInt(2))
+      val json = WireCodec.queryToJson(q)
+      assert(WireCodec.queryToJson(WireCodec.queryFromJson(json)) == json,
+        s"round-trip not stable for $json")
+    }
+  }
 }
