@@ -269,19 +269,23 @@ object Searcher {
 
     val candidates = restricted(postingCandidates(idx, tenant, v, opts), restrict)
 
-    val bScores = spark.sparkContext.broadcast(scoreMatrix)
-    val scoreUdf = opts.embeddingScoring match {
-      case EmbeddingScoring.PLAID =>
-        udf((codes: Seq[Long]) =>
-          Plaid.colbertCentroidScore(codes.toArray, bScores.value, nq, nc).toDouble)
-      case EmbeddingScoring.CODES =>
-        val maxByCentroid = Plaid.maxScoreByCentroid(
-          Array.tabulate(nq * nc)(i => i % nc), scoreMatrix, nc)
-        val bMax = spark.sparkContext.broadcast(maxByCentroid)
-        udf((codes: Seq[Long]) =>
-          Plaid.scoreDocumentsByCodes(bMax.value, codes.toArray,
-            opts.centroidScoreThreshold).toDouble)
-    }
+    // phase-1 scoring: the PLAID path is a native codegen'd expression (the
+    // matrix rides as a stage-level plan constant — no UDF boxing on the
+    // hottest per-candidate loop); the CODES variant stays a UDF (broadcast
+    // thresholded per-centroid maxima)
+    val scoreCol: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      opts.embeddingScoring match {
+        case EmbeddingScoring.PLAID =>
+          codes => graft.functions.CentroidScore(codes, scoreMatrix, nq, nc)
+        case EmbeddingScoring.CODES =>
+          val maxByCentroid = Plaid.maxScoreByCentroid(
+            Array.tabulate(nq * nc)(i => i % nc), scoreMatrix, nc)
+          val bMax = spark.sparkContext.broadcast(maxByCentroid)
+          val u = udf((codes: Seq[Long]) =>
+            Plaid.scoreDocumentsByCodes(bMax.value, codes.toArray,
+              opts.centroidScoreThreshold).toDouble)
+          codes => u(codes)
+      }
 
     val ctxCols =
       if (carryContext) Seq(col("doc_id"), col("doc_codes"), col("doc_residuals"))
@@ -291,7 +295,7 @@ object Searcher {
       .dropDuplicates("doc_id")
       .select(ctxCols: _*)
     val scored = candidates.join(ctx, Seq("doc_id"))
-    val outCols = col("doc_id") +: scoreUdf(col("doc_codes")).as("score") +:
+    val outCols = col("doc_id") +: scoreCol(col("doc_codes")).as("score") +:
       (if (carryContext) Seq(col("doc_codes"), col("doc_residuals")) else Seq.empty)
     scored.select(outCols: _*)
   }
