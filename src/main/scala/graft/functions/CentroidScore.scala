@@ -51,6 +51,69 @@ case class CentroidScore(
   override def prettyName: String = "graft_centroid_score"
 }
 
+/** Batch-search twin of [[CentroidScore]]: scores (query_id, doc_codes)
+  * pairs against a per-query matrix map attached as a plan constant — one
+  * expression serves the whole query batch with no UDF boxing. */
+case class BatchCentroidScore(
+    left: Expression,
+    right: Expression,
+    matrices: java.util.HashMap[java.lang.Long, Array[AnyRef]],
+    numCentroids: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_batch_centroid_score expects (bigint, array<bigint>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(qid: Any, codes: Any): Any =
+    BatchCentroidScore.compute(qid.asInstanceOf[Long],
+      codes.asInstanceOf[ArrayData], matrices, numCentroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("batchCentroidMatrices", matrices,
+      "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, (qid, codes) =>
+      s"${ev.value} = graft.functions.BatchCentroidScore.compute(" +
+        s"$qid, $codes, $matRef, $numCentroids);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BatchCentroidScore =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_batch_centroid_score"
+}
+
+object BatchCentroidScore {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  /** @param matrices qid -> (row-major nq x nc float matrix, nq) */
+  def apply(qid: Column, codes: Column,
+      matrices: Map[Long, (Array[Float], Int)], nc: Int): Column = {
+    val jm = new java.util.HashMap[java.lang.Long, Array[AnyRef]]()
+    matrices.foreach { case (k, (m, nq)) =>
+      jm.put(k, Array[AnyRef](m, Integer.valueOf(nq)))
+    }
+    Bridge.column(BatchCentroidScore(
+      Bridge.expression(qid), Bridge.expression(codes), jm, nc))
+  }
+
+  def compute(qid: Long, codes: ArrayData,
+      mats: java.util.HashMap[java.lang.Long, Array[AnyRef]], nc: Int): Double = {
+    val e = mats.get(qid)
+    require(e != null, s"no score matrix for query_id $qid")
+    CentroidScore.compute(codes, e(0).asInstanceOf[Array[Float]],
+      e(1).asInstanceOf[Integer].intValue(), nc)
+  }
+}
+
 object CentroidScore {
   import org.apache.spark.sql.graftbridge.Bridge
 

@@ -53,8 +53,7 @@ object BatchSearcher {
       probes.map(c => (qid, c))
     }.toSeq.toDF("query_id", "centroid")
 
-    val bMatrices = spark.sparkContext.broadcast(
-      plans.map { case (qid, toks, m, _) => qid -> (m, toks.length) }.toMap)
+    val matrices = plans.map { case (qid, toks, m, _) => qid -> ((m, toks.length)) }.toMap
     val bQueries = spark.sparkContext.broadcast(
       plans.map { case (qid, toks, _, _) => qid -> toks.flatten }.toMap)
 
@@ -68,13 +67,13 @@ object BatchSearcher {
       .dropDuplicates("doc_id")
       .select(col("doc_id"), col("doc_codes"), col("doc_residuals"))
 
-    val phase1Udf = udf { (qid: Long, codes: Seq[Long]) =>
-      val (m, nq) = bMatrices.value(qid)
-      Plaid.colbertCentroidScore(codes.toArray, m, nq, nc).toDouble
-    }
+    // phase-1: native codegen'd expression; all per-query matrices ride as
+    // ONE stage-level plan constant keyed by query_id (no UDF boxing on the
+    // (query x candidate) hot loop)
     val phase1 = candidates.join(ctx.select("doc_id", "doc_codes"), Seq("doc_id"))
       .select(col("query_id"), col("doc_id"),
-        phase1Udf(col("query_id"), col("doc_codes")).as("score"))
+        graft.functions.BatchCentroidScore(col("query_id"), col("doc_codes"),
+          matrices, nc).as("score"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
