@@ -324,6 +324,60 @@ object TextPipeline {
         .orderBy("a_id", "b_id")
     },
 
+    // D3-oracle — the SimHash pipeline on a 60-bit md5-derived token hash
+    // (fits signed BIGINT in both engines), hash-checked against an
+    // independent DuckDB implementation: per-bit majority vote over token
+    // occurrences, 6 bands x 10 bits, hamming <= 8 over band collisions.
+    // Verify-only: the splitmix64 variant above stays the benched path.
+    sql("q_dedup_simhash_md5", Seq("D3"),
+      ("""WITH tok AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |                  FROM documents)),
+        |v AS (SELECT doc_id, """.stripMargin +
+        (0 until 60).map(b =>
+          s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ") +
+        " FROM tok GROUP BY doc_id),\nsig AS (SELECT doc_id, " +
+        (0 until 60).map(b =>
+          s"(CASE WHEN v$b >= 0 THEN (1::BIGINT << $b) ELSE 0 END)").mkString(" + ") +
+        " AS simhash FROM v),\nbands AS (" +
+        (0 until 6).map(b =>
+          s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 10}) & 1023 AS bucket FROM sig")
+          .mkString(" UNION ALL ") + ")\n" +
+        """SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+        |  bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+        |FROM bands x JOIN bands y
+        |  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+        |ORDER BY a_id, b_id""".stripMargin)) {
+      (s, dir) =>
+        val toks = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+        val votes = toks.groupBy(col("doc_id")).agg(
+          sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
+          (1 until 60).map(b =>
+            sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+              .as(s"v$b")): _*)
+        val sig = votes.select(col("doc_id"),
+          (0 until 60).map(b =>
+            when(col(s"v$b") >= 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+            .as("simhash"))
+        val bands = sig.select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until 6).map(b =>
+            shiftright(col("simhash"), b * 10).bitwiseAND(1023)): _*))
+            .as(Seq("band", "bucket")))
+        bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
+              .as("hamming"))
+          .filter(col("hamming") <= 8)
+          .distinct()
+          .orderBy("a_id", "b_id")
+    },
+
     // TA4 — document fingerprinting: full-content hash + min-shingle
     // (winnowing-style) fingerprint. md5 exists identically in both engines,
     // so unlike an xxhash64 fingerprint this one is oracle-checkable (the
