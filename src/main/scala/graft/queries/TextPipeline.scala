@@ -16,6 +16,29 @@ import org.apache.spark.sql.functions._
 object TextPipeline {
   import QueryDef._
 
+  /** Generated DuckDB oracle for q_neardup_lsh: the same deterministic
+    * hyperplane weights as literals, with every sum written as an explicit
+    * left-associated term chain so f64 accumulation order matches the Spark
+    * kernels (bucket UDF, DotProduct) exactly. DuckDB lists are 1-based. */
+  private[queries] lazy val lshOracleSql: String = {
+    val dim = 64
+    def w(p: Int, d: Int): Double =
+      ((d * 16 + p) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
+    def planeSum(p: Int): String =
+      (0 until dim).map(d => s"embedding[${d + 1}]::DOUBLE * ${w(p, d)}").mkString(" + ")
+    val bucketExpr = (0 until 16).map(p =>
+      s"(CASE WHEN (${planeSum(p)}) >= 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+    val normSum = (0 until dim).map(d => s"emb[${d + 1}] * emb[${d + 1}]").mkString(" + ")
+    val dotSum = (0 until dim).map(d => s"a.ue[${d + 1}] * b.ue[${d + 1}]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS emb FROM embeddings),
+       |n AS (SELECT vec_id, emb, sqrt($normSum) AS nrm, $bucketExpr AS bucket FROM e),
+       |u AS (SELECT vec_id, bucket, list_transform(emb, x -> x / nrm) AS ue FROM n),
+       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($dotSum, 4) AS cos
+       |      FROM u a JOIN u b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.2
+       |ORDER BY cos DESC, a_id, b_id""".stripMargin
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.t(s, dir, "documents")
 
   private val toks: Column = split(col("text"), " ")
@@ -400,8 +423,12 @@ object TextPipeline {
     },
 
     // D5-scale — embedding near-dup via random-hyperplane LSH buckets
-    // (the 100-TB path; brute-force oracle twin is q_neardup_cosine).
-    rowsOnly("q_neardup_lsh", Seq("D5")) { (s, dir) =>
+    // (the 100-TB path; brute-force twin is q_neardup_cosine). The plane
+    // weights are pure integer arithmetic, so the WHOLE pipeline — 16
+    // projections, sign buckets, bucket join, unit-vector cosine — is
+    // reproduced in DuckDB as generated SQL with identical left-to-right
+    // f64 accumulation, and hash-checked.
+    sql("q_neardup_lsh", Seq("D5"), TextPipeline.lshOracleSql) { (s, dir) =>
       import graft.functions.VectorOps._
       val e = Tables.emb(s, dir)
       // deterministic pseudo-random hyperplanes; all 16 projections in one
