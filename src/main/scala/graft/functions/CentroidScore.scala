@@ -57,7 +57,7 @@ case class CentroidScore(
 case class BatchCentroidScore(
     left: Expression,
     right: Expression,
-    matrices: java.util.HashMap[java.lang.Long, Array[AnyRef]],
+    matrices: java.util.HashMap[java.lang.Long, (Array[Float], Int)],
     numCentroids: Int)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
@@ -97,20 +97,17 @@ object BatchCentroidScore {
   /** @param matrices qid -> (row-major nq x nc float matrix, nq) */
   def apply(qid: Column, codes: Column,
       matrices: Map[Long, (Array[Float], Int)], nc: Int): Column = {
-    val jm = new java.util.HashMap[java.lang.Long, Array[AnyRef]]()
-    matrices.foreach { case (k, (m, nq)) =>
-      jm.put(k, Array[AnyRef](m, Integer.valueOf(nq)))
-    }
+    val jm = new java.util.HashMap[java.lang.Long, (Array[Float], Int)]()
+    matrices.foreach { case (k, v) => jm.put(k, v) }
     Bridge.column(BatchCentroidScore(
       Bridge.expression(qid), Bridge.expression(codes), jm, nc))
   }
 
   def compute(qid: Long, codes: ArrayData,
-      mats: java.util.HashMap[java.lang.Long, Array[AnyRef]], nc: Int): Double = {
+      mats: java.util.HashMap[java.lang.Long, (Array[Float], Int)], nc: Int): Double = {
     val e = mats.get(qid)
     require(e != null, s"no score matrix for query_id $qid")
-    CentroidScore.compute(codes, e(0).asInstanceOf[Array[Float]],
-      e(1).asInstanceOf[Integer].intValue(), nc)
+    CentroidScore.compute(codes, e._1, e._2, nc)
   }
 }
 
@@ -120,25 +117,25 @@ object CentroidScore {
   def apply(codes: Column, matrix: Array[Float], nq: Int, nc: Int): Column =
     Bridge.column(CentroidScore(Bridge.expression(codes), matrix, nq, nc))
 
-  /** The kernel over raw ArrayData — semantics identical to
-    * Plaid.colbertCentroidScore (unique codes, per-query-token max, sum);
-    * static + JIT-friendly so generated code stays a one-liner. */
+  /** The kernel over raw ArrayData — results identical to
+    * Plaid.colbertCentroidScore; static + JIT-friendly so generated code
+    * stays a one-liner. The reference's unique-code set (plaid.cpp:75-87)
+    * is dropped here: per-token MAX is idempotent, so deduping repeated
+    * codes cannot change the result — it only trades a few redundant float
+    * compares for a per-row HashSet allocation and one boxed Long per code,
+    * which is the wrong trade on the per-candidate hot loop. */
   def compute(codes: ArrayData, m: Array[Float], nq: Int, nc: Int): Double = {
     val perToken = new Array[Float](nq)
     java.util.Arrays.fill(perToken, -9999.0f)
     val n = codes.numElements()
-    val seen = new java.util.HashSet[Long]()
     var j = 0
     while (j < n) {
-      val code = codes.getLong(j)
-      if (seen.add(code)) {
-        val base = code.toInt
-        var k = 0
-        while (k < nq) {
-          val s = m(k * nc + base)
-          if (s > perToken(k)) perToken(k) = s
-          k += 1
-        }
+      val base = codes.getLong(j).toInt
+      var k = 0
+      while (k < nq) {
+        val s = m(k * nc + base)
+        if (s > perToken(k)) perToken(k) = s
+        k += 1
       }
       j += 1
     }
