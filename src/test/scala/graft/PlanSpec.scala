@@ -60,6 +60,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("no unbroadcast cartesian product in any driver query plan") {
+    // blanket regression net: a CartesianProduct (as opposed to a broadcast
+    // nested-loop over a tiny side) in any operator plan is a scale bug
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
   test("engine postings scan prunes hive partitions on (tenant, field)") {
     import spark.implicits._
     import graft.core._
