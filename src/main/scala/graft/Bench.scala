@@ -17,8 +17,11 @@ object Bench {
     // session + whole-stage-codegen initialization
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // optional arg: comma-separated query-name filter (local iteration only;
+    // the driver invokes with no args => full headline set)
+    val only = args.headOption.map(_.split(',').toSet)
     val results = SparkEntry.queries.toSeq
-      .filter { case (name, _) => SparkEntry.headline(name) }
+      .filter { case (name, _) => only.fold(SparkEntry.headline(name))(_.contains(name)) }
       .sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -181,15 +181,21 @@ object Similarity {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY cos DESC, a_id, b_id LIMIT 20""".stripMargin) {
       (s, dir) =>
-        // The n^2/2 pair scan is a MAP over a broadcast of the (small) side,
-        // not a join: each partition runs a tight primitive loop against the
-        // broadcast vectors keeping a local top-20 heap, and only those
-        // survivors hit the global TakeOrdered — the same shape as the
-        // reference's phase-2 scoring kernel (plaid.cpp:119-185: data
-        // parallel map, no shuffle). A BroadcastNestedLoopJoin computes the
-        // same thing with ~10x per-pair row overhead. Arithmetic parity with
-        // the oracle: sequential left-to-right f64 accumulation (same as the
-        // DotProduct expression) and Spark round() = BigDecimal HALF_UP.
+        // Distributed blocked all-pairs: rows are hashed into B blocks, each
+        // row is replicated to the B block-pairs it participates in (a
+        // broadcast join against a B(B+1)/2-row mapping — no driver collect),
+        // and each block-pair is one task running a tight primitive loop with
+        // a local top-20 heap. Only heap survivors hit the global
+        // TakeOrdered. Shuffle volume is O(n*B) rows against O(n^2) compute,
+        // the standard blocked pair-scan trade; per-task memory is two
+        // blocks (2n/B rows). At 100 TB you'd raise B as n/blockRows — and
+        // use the LSH twin (q_neardup_lsh) anyway; this brute scan is its
+        // exact-answer baseline. Arithmetic parity with the oracle:
+        // sequential left-to-right f64 accumulation (same as the DotProduct
+        // expression) and Spark round() = BigDecimal HALF_UP — but rounding
+        // runs only for pairs within one 1e-4 quantum of the heap floor
+        // (round is monotone: raw < floor - 1e-4 implies round(raw) < floor,
+        // so the skip is exact, not approximate).
         import s.implicits._
         def dotD(a: Array[Double], b: Array[Double]): Double = {
           var acc = 0.0; var i = 0
@@ -202,32 +208,68 @@ object Similarity {
           if (x.isNaN || x.isInfinite) x
           else java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP)
             .doubleValue()
-        val e = Tables.emb(s, dir)
-        val all = e.select(col("vec_id"), col("emb")).collect()
-          .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Double]](1).toArray))
-          .sortBy(_._1)
-        val bc = s.sparkContext.broadcast(all.map { case (id, v) =>
-          (id, v, math.sqrt(dotD(v, v)))
-        })
+        val B = 8
+        val numPairs = B * (B + 1) / 2
+        // pid enumerates pairs (i,j), i<=j; a row in block b joins every pair
+        // that contains b (exactly B of them), so each unordered row pair
+        // meets in exactly one task.
+        val mapping = (for { i <- 0 until B; j <- i until B; b <- Set(i, j) }
+          yield (b, i * B - i * (i - 1) / 2 + (j - i))).toDF("blk", "pid")
         // worst-first ordering so the heap head is the eviction candidate
         val worstFirst = Ordering.by[(Double, Long, Long), (Double, Long, Long)] {
           case (c, a, b) => (-c, a, b)
         }
-        e.select(col("vec_id"), col("emb")).as[(Long, Seq[Double])]
+        Tables.emb(s, dir)
+          .select(col("vec_id"), col("emb"),
+            pmod(col("vec_id"), lit(B)).cast("int").as("blk"))
+          .join(broadcast(mapping), "blk")
+          .repartition(numPairs, col("pid"))
+          .select(col("pid"), col("blk"), col("vec_id"), col("emb"))
+          .as[(Int, Int, Long, Seq[Double])]
           .mapPartitions { it =>
-            val arr = bc.value
+            // bucket this partition's rows by pid (hash partitioning can map
+            // several pids to one task), norms precomputed once per row
+            val byPid = scala.collection.mutable.LinkedHashMap
+              .empty[Int, scala.collection.mutable.ArrayBuffer[(Int, Long, Array[Double], Double)]]
+            it.foreach { case (pid, blk, id, emb) =>
+              val v = emb.toArray
+              byPid.getOrElseUpdate(pid, scala.collection.mutable.ArrayBuffer.empty)
+                .append((blk, id, v, math.sqrt(dotD(v, v))))
+            }
             val heap = scala.collection.mutable.PriorityQueue.empty(worstFirst)
-            it.foreach { case (aId, aEmb) =>
-              val va = aEmb.toArray
-              val na = math.sqrt(dotD(va, va))
-              var j = 0
-              while (j < arr.length) {
-                val (bId, vb, nb) = arr(j)
-                if (bId > aId) {
-                  heap.enqueue((round4(dotD(va, vb) / (na * nb)), aId, bId))
-                  if (heap.size > 20) heap.dequeue()
+            var floor = Double.NegativeInfinity // head's rounded cos once full
+            def offer(raw: Double, aId: Long, bId: Long): Unit =
+              // NaN-safe: a NaN raw fails the < test and falls through to the
+              // exact path, preserving the pre-guard behavior
+              if (heap.size < 20 || !(raw < floor - 1e-4)) {
+                val cand = (round4(raw), aId, bId)
+                if (heap.size < 20) heap.enqueue(cand)
+                else if (worstFirst.lt(cand, heap.head)) {
+                  heap.dequeue(); heap.enqueue(cand)
                 }
-                j += 1
+                if (heap.size == 20) floor = heap.head._1
+              }
+            byPid.foreach { case (pid, rows) =>
+              val arr = rows.toArray
+              var x = 0
+              while (x < arr.length) {
+                val (bx, ix, vx, nx) = arr(x)
+                // same-block rows co-occur in every pid containing their
+                // block; score them only in the diagonal pid (b,b) so each
+                // unordered pair is scored exactly once. Cross-block pairs
+                // exist in exactly one pid (the intersection of the two
+                // rows' pid sets), so they always score.
+                val diag = bx * B - bx * (bx - 1) / 2
+                var y = x + 1
+                while (y < arr.length) {
+                  val (by, iy, vy, ny) = arr(y)
+                  if (bx != by || pid == diag) {
+                    val raw = dotD(vx, vy) / (nx * ny)
+                    if (ix < iy) offer(raw, ix, iy) else offer(raw, iy, ix)
+                  }
+                  y += 1
+                }
+                x += 1
               }
             }
             heap.iterator
