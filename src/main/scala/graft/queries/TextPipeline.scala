@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
 object TextPipeline {
   import QueryDef._
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.TextPipeline")
+
+  /** Shingles shared by more documents than this carry no near-dup signal
+    * (they're stop-phrases), and any one of them makes the inverted-index
+    * self-join quadratic on a single key — 10^6 docs sharing one shingle is
+    * 10^12 joined pairs in one task. Dropping them is standard MinHash-LSH
+    * practice. 128 is ~5x the max df observed in the test corpora (25 at
+    * sf0.1), so small-sf results are unchanged; drops are logged. */
+  private[graft] val ShingleDfCap = 128
+
+  /** Same hazard for LSH band buckets: a bucket with m members expands to
+    * m^2/2 candidate pairs on one join key. A hot bucket is almost always a
+    * cluster of exact dups (better handled by q_dedup_exact first); with 8
+    * independent bands a true near-dup pair that loses one capped bucket
+    * still collides in the others. */
+  private[graft] val BucketCap = 128
+
   /** Generated DuckDB oracle for q_neardup_lsh: the same deterministic
     * hyperplane weights as literals, with every sum written as an explicit
     * left-associated term chain so f64 accumulation order matches the Spark
@@ -58,16 +75,28 @@ object TextPipeline {
     shingles(d).select(col("doc_id"), xxhash64(col("s")).as("sh"))
 
   /** candidate pairs sharing >= 1 shingle, with exact Jaccard over the
-    * distinct-shingle sets — the inverted-index (no cross join) plan. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val sh = hashedShingles(d)
+    * distinct-shingle sets — the inverted-index (no cross join) plan,
+    * df-capped so no single stop-shingle can turn the self-join quadratic.
+    * Jaccard is computed consistently over the capped shingle universe. */
+  private[graft] def jaccardPairs(s: SparkSession, d: DataFrame,
+      dfCap: Int = ShingleDfCap, cacheKey: String = ""): DataFrame = {
+    def cached(key: String)(b: => DataFrame): DataFrame =
+      if (cacheKey.isEmpty) b else DfCache.getOrBuild(s, s"$key#$cacheKey")(b)
+    val shAll = hashedShingles(d)
+    // document frequency per shingle; cached because it feeds both the
+    // hot-shingle count (logged) and the anti-join
+    val dfT = cached("jaccard_df")(shAll.groupBy(col("sh")).agg(count(lit(1)).as("df")))
+    val hot = dfT.filter(col("df") > dfCap).select("sh")
+    val nHot = hot.count()
+    if (nHot > 0)
+      log.warn(s"jaccardPairs: dropping $nHot shingles with df > $dfCap " +
+        "(stop-phrases; no near-dup signal, quadratic join hazard)")
+    // the hot set is small by construction (stop-phrases) => broadcast anti
+    val sh = cached("jaccard_sh")(shAll.join(broadcast(hot), Seq("sh"), "left_anti"))
     // doc-level shingle counts are read twice (na/nb); the session-aware
     // cached persist stops the shingle scan from running once per join side
     // (and re-invocations reuse the same entry instead of stacking caches)
-    val n = DfCache.getOrBuild(s, s"jaccard_counts#$dir") {
-      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-    }
+    val n = cached("jaccard_counts")(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c")))
     val common = sh.as("x").join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
@@ -109,7 +138,7 @@ object TextPipeline {
         |WHERE common * 1.0 / (na.c + nb.c - common) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin) {
       (s, dir) =>
-        jaccardPairs(s, dir)
+        jaccardPairs(s, docs(s, dir), cacheKey = dir)
           .filter(col("jaccard_raw") >= 0.8)
           .select("a_id", "b_id", "jaccard")
           .orderBy("a_id", "b_id")
@@ -204,18 +233,21 @@ object TextPipeline {
       // which the exact verify filters, for near-certain recall)
       //
       // shingles are hashed to 64-bit longs up front: every downstream
-      // shuffle/set op moves 8-byte keys instead of ~25-byte strings
-      val sh = hashedShingles(docs(s, dir))
-      // signatures AND the hashed shingle set in ONE per-doc aggregation (a
-      // single shuffle of the shingle table)
+      // shuffle/set op moves 8-byte keys instead of ~25-byte strings.
+      // Cached: read once for signatures and once per verify-join side.
+      val sh = DfCache.getOrBuild(s, s"minhash_sh#$dir")(hashedShingles(docs(s, dir)))
+      // signatures AND the set size in ONE per-doc aggregation (a single
+      // shuffle of the shingle table). The shingle sets themselves stay in
+      // the shingle table — carrying them through the aggregation
+      // (collect_list) would make a long doc's row megabytes wide at scale.
       val sigCols = (0 until 16).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-      // sigs feeds four plan branches (two band-join sides, two set joins);
-      // ReusedExchange dedups the shuffle but the final agg (16 mins +
-      // collect_list merge) would still run per branch — persist it
-      // (session-aware cache: re-invocations reuse one entry)
+      // sigs feeds three plan branches (two band-join sides, the count join);
+      // ReusedExchange dedups the shuffle but the final agg (16 mins) would
+      // still run per branch — persist it (session-aware cache:
+      // re-invocations reuse one entry)
       val sigs = DfCache.getOrBuild(s, s"minhash_sigs#$dir") {
         sh.groupBy(col("doc_id"))
-          .agg(sigCols.head, sigCols.tail :+ collect_list(col("sh")).as("set"): _*)
+          .agg(sigCols.head, sigCols.tail :+ count(lit(1)).as("cnt"): _*)
       }
       // all 8 (band, bucket) rows from ONE pass over sigs (posexplode), not
       // an 8-way union that re-runs the aggregation per band; the band
@@ -223,21 +255,39 @@ object TextPipeline {
       // computed once and reused (ReusedExchange) — and unlike a per-bucket
       // collect_list, join-based pair expansion spreads a hot bucket's
       // quadratic output across tasks instead of one row
-      val bands = sigs.select(col("doc_id"),
-        posexplode(array((0 until 8).map(b =>
-          xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*)).as(Seq("band", "bucket")))
-      val candPairs = bands.as("x").join(bands.as("y"),
+      val bands = DfCache.getOrBuild(s, s"minhash_bands#$dir") {
+        sigs.select(col("doc_id"),
+          posexplode(array((0 until 8).map(b =>
+            xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*)).as(Seq("band", "bucket")))
+      }
+      // hot-bucket cap: see BucketCap scaladoc (m members -> m^2/2 pairs on
+      // one key); drops are logged, recall survives via the other 7 bands
+      val hotB = bands.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bc")).filter(col("bc") > BucketCap)
+        .select(col("band"), col("bucket"))
+      val nHotB = hotB.count()
+      if (nHotB > 0)
+        log.warn(s"q_dedup_minhash: dropping $nHotB LSH buckets with > $BucketCap members")
+      val prunedBands = bands.join(broadcast(hotB), Seq("band", "bucket"), "left_anti")
+      val candPairs = prunedBands.as("x").join(prunedBands.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      val sets = sigs.select(col("doc_id"), col("set"))
-      candPairs
-        .join(sets.select(col("doc_id").as("a_id"), col("set").as("sa")), Seq("a_id"))
-        .join(sets.select(col("doc_id").as("b_id"), col("set").as("sb")), Seq("b_id"))
+      // exact-Jaccard verify by re-joining the shingle table on the
+      // candidate ids — O(candidates x set size) narrow rows, never a
+      // megabyte-wide collected set riding a shuffle
+      val common = candPairs
+        .join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
+        .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+      val cnts = sigs.select(col("doc_id"), col("cnt"))
+      common
+        .join(cnts.select(col("doc_id").as("a_id"), col("cnt").as("ca")), Seq("a_id"))
+        .join(cnts.select(col("doc_id").as("b_id"), col("cnt").as("cb")), Seq("b_id"))
         .select(col("a_id"), col("b_id"),
-          (size(array_intersect(col("sa"), col("sb"))) * lit(1.0) /
-            size(array_union(col("sa"), col("sb")))).as("jaccard_raw"))
+          (col("common") * lit(1.0) / (col("ca") + col("cb") - col("common")))
+            .as("jaccard_raw"))
         .filter(col("jaccard_raw") >= 0.5)
         .select(col("a_id"), col("b_id"),
           QueryDef.floorRound(col("jaccard_raw"), 4).as("jaccard"))
@@ -270,12 +320,16 @@ object TextPipeline {
         |SELECT a_id, b_id, floor(jr * 10000 + 0.5) / 10000 AS jaccard
         |FROM j WHERE jr >= 0.5 ORDER BY a_id, b_id""".stripMargin)) {
       (s, dir) =>
-        val sh = shingles(docs(s, dir)) // distinct (doc_id, s)
+        // same re-join verify as the xxhash scale path: |sa n sb| counted by
+        // joining the shingle table on the candidate ids, never a collected
+        // set riding the signature shuffle. Values are identical to the
+        // oracle's list_intersect form (common/(ca+cb-common)).
+        val sh = DfCache.getOrBuild(s, s"minhash_md5_sh#$dir")(shingles(docs(s, dir)))
         val sigCols = (0 until 16).map(i =>
           min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
         val sigs = DfCache.getOrBuild(s, s"minhash_md5_sigs#$dir") {
           sh.groupBy(col("doc_id"))
-            .agg(sigCols.head, sigCols.tail :+ collect_list(col("s")).as("set"): _*)
+            .agg(sigCols.head, sigCols.tail :+ count(lit(1)).as("cnt"): _*)
         }
         val bands = sigs.select(col("doc_id"),
           posexplode(array((0 until 8).map(b =>
@@ -286,13 +340,16 @@ object TextPipeline {
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .distinct()
-        val sets = sigs.select(col("doc_id"), col("set"))
-        val common = size(array_intersect(col("sa"), col("sb")))
-        candPairs
-          .join(sets.select(col("doc_id").as("a_id"), col("set").as("sa")), Seq("a_id"))
-          .join(sets.select(col("doc_id").as("b_id"), col("set").as("sb")), Seq("b_id"))
+        val common = candPairs
+          .join(sh.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
+          .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
+          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+        val cnts = sigs.select(col("doc_id"), col("cnt"))
+        common
+          .join(cnts.select(col("doc_id").as("a_id"), col("cnt").as("ca")), Seq("a_id"))
+          .join(cnts.select(col("doc_id").as("b_id"), col("cnt").as("cb")), Seq("b_id"))
           .select(col("a_id"), col("b_id"),
-            (common * lit(1.0) / (size(col("sa")) + size(col("sb")) - common))
+            (col("common") * lit(1.0) / (col("ca") + col("cb") - col("common")))
               .as("jaccard_raw"))
           .filter(col("jaccard_raw") >= 0.5)
           .select(col("a_id"), col("b_id"),

@@ -60,6 +60,55 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(langs == Set("en"))
   }
 
+  test("shingle df-cap kills quadratic pair expansion from a hot stop-phrase") {
+    import spark.implicits._
+    // 300 docs all sharing one stop-phrase shingle, unique tails otherwise:
+    // the adversarial input where the inverted-index self-join goes
+    // quadratic on a single key
+    val hotDocs = (0 until 300)
+      .map(i => (i.toLong, s"common stop phrase w$i x$i y$i"))
+      .toDF("doc_id", "text")
+    // uncapped: every pair shares the stop shingle -> n(n-1)/2 pairs
+    val uncapped = graft.queries.TextPipeline
+      .jaccardPairs(spark, hotDocs, dfCap = Int.MaxValue).count()
+    assert(uncapped == 300L * 299 / 2)
+    // capped: the stop shingle is dropped; nothing else is shared
+    val capped = graft.queries.TextPipeline
+      .jaccardPairs(spark, hotDocs, dfCap = 10).count()
+    assert(capped == 0)
+  }
+
+  test("MinHash bucket cap drops a mega-cluster but keeps normal near-dups") {
+    import spark.implicits._
+    // 300 exact dups: identical signatures put them all in ONE bucket per
+    // band (> BucketCap) -> every band capped -> no pair expansion. The
+    // small near-dup pair lives in a 2-member bucket and must survive.
+    val base = (0 until 20).map(i => s"tok$i")
+    val cluster = (0 until 300).map(i => (i.toLong, base.mkString(" ")))
+      .map { case (id, _) => (id, "the same exact duplicated text repeated here verbatim") }
+    val nearDup = Seq(
+      (1000L, base.mkString(" ")),
+      (1001L, (base.init :+ "changed").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketcap").toFile
+    try {
+      (cluster ++ nearDup).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val pairs = run2("q_dedup_minhash", dir.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!pairs.exists { case (a, b) => a < 300 && b < 300 },
+        "capped mega-cluster must not produce quadratic pairs")
+      assert(pairs.contains((1000L, 1001L)),
+        "a small-bucket near-dup pair must survive the cap")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  def run2(name: String, dir: String) = graft.SparkEntry.queries(name)(spark, dir)
+
   test("embedding LSH near-dup pairs are a high-cosine subset of brute force") {
     val brute = run("q_neardup_cosine").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
