@@ -6,9 +6,17 @@ package graft.core
   * ingest; tensor columns map to Spark `array<array<float>>`.
   */
 object GDataType extends Enumeration {
-  /** reference: lintdb/schema/DataTypes.h:29-40. FLOAT16/TENSOR_FLOAT16 are
-    * folded into their f32 twins (Spark has no half type — lossy, noted). */
+  /** reference: lintdb/schema/DataTypes.h:29-40. FLOAT16/TENSOR_FLOAT16
+    * (DataTypes.h:34-35) are accepted in schema JSON and folded into their
+    * f32 twins at resolution time (Spark has no half type — lossy, noted);
+    * the schema keeps the declared name, so it round-trips unchanged. */
   val INTEGER, FLOAT, TEXT, DATETIME, TENSOR, QUANTIZED_TENSOR, COLBERT = Value
+
+  private val fold16 = Map("FLOAT16" -> FLOAT, "TENSOR_FLOAT16" -> TENSOR)
+
+  /** withName plus the f16 -> f32 folding; all type dispatch goes through
+    * [[GField.dtype]], which calls this. */
+  def resolve(name: String): Value = fold16.getOrElse(name, withName(name))
 }
 
 object FieldRole extends Enumeration {
@@ -40,7 +48,7 @@ final case class GField(
     dataType: String,
     roles: Seq[String],
     parameters: FieldParameters = FieldParameters()) {
-  def dtype: GDataType.Value = GDataType.withName(dataType)
+  def dtype: GDataType.Value = GDataType.resolve(dataType)
   def roleSet: Set[FieldRole.Value] = roles.map(FieldRole.withName).toSet
   def isTensor: Boolean =
     dtype == GDataType.TENSOR || dtype == GDataType.QUANTIZED_TENSOR

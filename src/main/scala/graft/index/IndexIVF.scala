@@ -339,14 +339,18 @@ final class IndexIVF private (
     * tombstone design. */
   def compact(): Unit = {
     if (!hasTombstones) return
-    // partition-column values (tenant) read back type-inferred — cast
-    val tombs = tombstonesDf
-      .select(col("tenant").cast("long"), col("doc_id").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val bcT = spark.sparkContext.broadcast(tombs)
-    val keep = udf((t: Long, d: Long) => !bcT.value.contains((t, d)))
+    // anti-join form, NOT a collected id set: a bulk-delete pipeline (the
+    // stated use of removeDeferred) can park 1e8 tombstones here, far past
+    // driver memory. Left unhinted, the planner broadcasts the tombstone
+    // side only when it actually is small and shuffle-joins otherwise.
+    // Partition-column values (tenant) read back type-inferred — cast.
+    val tombs = tombstonesDf.select(
+      col("tenant").cast("long").as("t_tenant"),
+      col("doc_id").cast("long").as("t_doc"))
     Seq("postings", "scalars", "context", "docs").foreach { tbl =>
-      rewrite(p(tbl), df => df.filter(keep(col("tenant"), col("doc_id"))),
+      rewrite(p(tbl), df => df.join(tombs,
+          df("tenant").cast("long") === tombs("t_tenant") &&
+            df("doc_id").cast("long") === tombs("t_doc"), "left_anti"),
         if (tbl == "docs") Seq("tenant") else Seq("tenant", "field"))
     }
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -354,8 +358,16 @@ final class IndexIVF private (
     fs.delete(new org.apache.hadoop.fs.Path(p("tombstones")), true)
   }
 
-  /** remove + add (reference: lintdb/index.cpp:501-510). */
+  /** remove + add (reference: lintdb/index.cpp:501-510). The id collect is
+    * bounded by a guard: update() is the read-modify-write path for document
+    * BATCHES; a bulk rewrite beyond the guard should go through
+    * [[removeDeferred]]/[[compact]] + [[add]], which never hold the id set
+    * on the driver. */
   def update(tenant: Long, docs: DataFrame): Unit = {
+    val n = docs.count()
+    require(n <= UpdateBatchLimit,
+      s"update() called with $n docs (limit $UpdateBatchLimit): " +
+        "use removeDeferred + compact + add for bulk rewrites")
     val ids = docs.select(col("id")).collect().map(_.getLong(0)).toSeq
     remove(tenant, ids)
     add(tenant, docs)
@@ -426,6 +438,11 @@ final class IndexIVF private (
 }
 
 object IndexIVF {
+
+  /** Max docs per [[IndexIVF.update]] batch — the point where collecting ids
+    * to the driver stops being "a batch" (8 MB of longs) and the tombstone
+    * path should take over. */
+  val UpdateBatchLimit: Long = 1000000L
 
   def create(spark: SparkSession, path: String, schema: GSchema): IndexIVF = {
     writeMeta(path, schema)

@@ -7,6 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 case class Doc(id: Long, colbert: Seq[Seq[Float]], cat: String, num: Long)
 
+case class DocF16(id: Long, colbert: Seq[Seq[Float]], score16: Float)
+
 /** Parameterized E2E index tests: train -> add -> search -> filter -> load
   * -> remove -> merge, over QuantizerKind NONE and BINARIZER — the port of
   * the reference's tests/index_test.cpp:103-409 (SURVEY §5). */
@@ -355,6 +357,34 @@ class IndexSpec extends AnyFunSuite {
     idx.add(1, Seq((5L, payload)).toDF("id", "codes"))
     val row = idx.contextDf.collect().head
     assert(row.getAs[Array[Byte]]("doc_residuals").toSeq == payload.toSeq)
+  }
+
+  test("FLOAT16/TENSOR_FLOAT16 schemas fold to f32 and run E2E (DataTypes.h:34-35)") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("idx_f16").toString
+    val schema = GSchema(Seq(
+      GField(name = "colbert", dataType = "TENSOR_FLOAT16",
+        roles = Seq(FieldRole.Colbert.toString),
+        FieldParameters(dimensions = dim, numCentroids = 8, numIterations = 4)),
+      GField(name = "score16", dataType = "FLOAT16",
+        roles = Seq(FieldRole.Indexed.toString, FieldRole.Stored.toString))))
+    val idx = IndexIVF.create(spark, path, schema)
+    // the declared f16 names survive the schema.json round-trip; type
+    // resolution folds them to the f32 twins
+    val reopened = IndexIVF.open(spark, path)
+    assert(reopened.schema.field("colbert").dataType == "TENSOR_FLOAT16")
+    assert(reopened.schema.field("colbert").dtype == GDataType.TENSOR)
+    assert(reopened.schema.field("score16").dataType == "FLOAT16")
+    assert(reopened.schema.field("score16").dtype == GDataType.FLOAT)
+    // add + search E2E through the folded types
+    val docs = corpus.toSeq.sortBy(_._1)
+      .map { case (i, toks) => DocF16(i, toks, i.toFloat / 10f) }.toDF()
+    idx.train(docs)
+    idx.add(tenant = 1, docs)
+    val hits = idx.search(1, query(3L), k = 5, exhaustive).collect()
+    assert(hits.nonEmpty && hits.head.getAs[Long]("doc_id") == 3L)
+    // the FLOAT16 stored field hydrates as f32
+    assert(hits.map(_.getAs[Float]("score16")).contains(0.3f))
   }
 
   test("add() rejects type mismatches with a field-named error (DocProcessor.cpp:47-52)") {
