@@ -100,7 +100,15 @@ object Searcher {
       // back with a k-row anti join. `top` feeds both branches, so the
       // search DAG behind it is materialized once (it is only k rows).
       val topM = top.localCheckpoint(true)
-      val docs = idx.docsDf.filter(col("tenant") === tenant)
+      // topM is materialized and <= k rows, so collecting the ids is a
+      // bounded driver read; pushing them into the docs scan as an IN
+      // filter turns the full forward-index scan into a row-group-pruned
+      // multiget — the Spark analogue of the reference's forward-index
+      // multiget (RocksdbForwardIndex.cpp:44-92). At cluster scale the
+      // docs/ table would additionally be bucketed by doc_id.
+      val topIds = topM.select("doc_id").collect().map(_.getLong(0))
+      val docs = idx.docsDf
+        .filter(col("tenant") === tenant && col("doc_id").isin(topIds: _*))
         .dropDuplicates("doc_id").drop("tenant")
       val hydrated = docs.join(broadcast(topM), Seq("doc_id"))
       val missing = topM.join(broadcast(hydrated.select("doc_id")), Seq("doc_id"), "left_anti")

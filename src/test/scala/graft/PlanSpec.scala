@@ -69,6 +69,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("hydration pushes the top-k doc ids into the docs scan (multiget)") {
+    import spark.implicits._
+    import graft.core._
+    import graft.index.IndexIVF
+    import graft.query.{SearchOptions, VectorQuery}
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 8L).map(i =>
+      i -> Seq.fill(2)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1))).toMap
+    val docs = corpus.toSeq.sortBy(_._1)
+      .map { case (i, t) => Doc(i, t, s"c$i", i) }.toDF().drop("num")
+    val idx = IndexIVF.create(spark,
+      java.nio.file.Files.createTempDirectory("idx_hydr").toString,
+      GSchema(Seq(GField.colbert("colbert", dim, 4, numIterations = 2),
+        GField.stored("cat", GDataType.TEXT))))
+    idx.train(docs)
+    idx.add(1, docs)
+    val res = idx.search(1, VectorQuery("colbert", corpus(3L).map(_.toArray).toArray),
+      k = 3, SearchOptions(kTopCentroids = 4, nProbe = 4))
+    val p = res.queryExecution.executedPlan.toString
+    // the <= k result ids reach the forward-index parquet reader as an IN
+    // filter (row-group-pruned multiget, RocksdbForwardIndex.cpp:44-92),
+    // instead of a full tenant scan joined to k rows
+    assert(p.contains("In(doc_id"), p)
+    assert(res.collect().map(_.getAs[Long]("doc_id")).contains(3L))
+  }
+
   test("engine postings scan prunes hive partitions on (tenant, field)") {
     import spark.implicits._
     import graft.core._
