@@ -15,11 +15,12 @@ import org.apache.spark.sql.types._
   * lintdb/cf.h / KeyBuilder.h):
   *
   *  - `postings/`  (tenant, field, centroid, doc_id) — the inverted index
-  *    for tensor fields, hive-partitioned by (tenant, field) and sorted by
-  *    centroid within files so an `centroid IN (...)` probe prunes to
-  *    row-groups (the Spark analogue of the reference's prefix seek,
-  *    InvertedIterator.h:20-68). At cluster scale you would additionally
-  *    bucket by centroid; noted, not needed at test SF.
+  *    for tensor fields, hive-partitioned by (tenant, field,
+  *    centroid_bucket = centroid % CentroidBuckets) and sorted by centroid
+  *    within files: an nProbe search prunes whole bucket DIRECTORIES via
+  *    partition pruning, then `centroid IN (...)` prunes row-groups inside
+  *    the surviving buckets (the Spark analogue of the reference's prefix
+  *    seek, InvertedIterator.h:20-68).
   *  - `scalars/`   (tenant, field, value_str, value_num, doc_id) — postings
   *    for scalar Indexed fields; equality matches value_str, ranges use
   *    value_num (KeyBuilder.h:236-276 embeds the typed value in the key).
@@ -223,18 +224,20 @@ final class IndexIVF private (
         writeAppend(
           ctx.select(lit(tenant).as("tenant"), lit(fid).as("field"),
             explode(array_distinct(col("doc_codes"))).as("centroid"), col("doc_id"))
-            .repartition(col("tenant"), col("field"))
+            .withColumn("centroid_bucket", centroidBucket(col("centroid")))
+            .repartition(col("tenant"), col("field"), col("centroid_bucket"))
             .sortWithinPartitions("centroid"),
-          p("postings"), Seq("tenant", "field"))
+          p("postings"), postingsParts)
         ctx.unpersist()
       } else {
         // Indexed-only tensor field: postings only, no context table
         writeAppend(
           assigned.select(lit(tenant).as("tenant"), lit(fid).as("field"),
             col("centroid"), col("doc_id")).distinct()
-            .repartition(col("tenant"), col("field"))
+            .withColumn("centroid_bucket", centroidBucket(col("centroid")))
+            .repartition(col("tenant"), col("field"), col("centroid_bucket"))
             .sortWithinPartitions("centroid"),
-          p("postings"), Seq("tenant", "field"))
+          p("postings"), postingsParts)
       }
     }
 
@@ -298,7 +301,7 @@ final class IndexIVF private (
     val keep = udf((t: Long, d: Long) => !(t == tenant && bcIds.value.contains(d)))
     Seq("postings", "scalars", "context", "docs").foreach { tbl =>
       rewrite(p(tbl), df => df.filter(keep(col("tenant"), col("doc_id"))),
-        if (tbl == "docs") Seq("tenant") else Seq("tenant", "field"))
+        tableParts(tbl))
     }
     // a physical remove also discharges any pending tombstone for these ids:
     // otherwise remove-then-re-add (and update(), which is exactly that)
@@ -351,7 +354,7 @@ final class IndexIVF private (
       rewrite(p(tbl), df => df.join(tombs,
           df("tenant").cast("long") === tombs("t_tenant") &&
             df("doc_id").cast("long") === tombs("t_doc"), "left_anti"),
-        if (tbl == "docs") Seq("tenant") else Seq("tenant", "field"))
+        tableParts(tbl))
     }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(p("tombstones")), spark.sparkContext.hadoopConfiguration)
@@ -388,8 +391,7 @@ final class IndexIVF private (
     val otherTombs =
       try Some(spark.read.parquet(s"$otherPath/tombstones").select("tenant", "doc_id"))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
-    Seq("postings" -> Seq("tenant", "field"), "scalars" -> Seq("tenant", "field"),
-      "context" -> Seq("tenant", "field"), "docs" -> Seq("tenant")).foreach {
+    Seq("postings", "scalars", "context", "docs").map(t => t -> tableParts(t)).foreach {
       case (tbl, parts) =>
         // only the read may fail benignly (no data files yet on the other
         // side); a failure during the append must propagate
@@ -443,6 +445,25 @@ object IndexIVF {
     * to the driver stops being "a batch" (8 MB of longs) and the tombstone
     * path should take over. */
   val UpdateBatchLimit: Long = 1000000L
+
+  /** Number of hash buckets postings/ is hive-partitioned by (on top of
+    * tenant, field): an nProbe search prunes to the probe centroids' bucket
+    * DIRECTORIES before any file is opened, then the in-file centroid sort
+    * row-group-prunes the rest. 16 keeps the directory count bounded
+    * (#tenants x #fields x 16) while cutting a probe's scan by ~16x. */
+  val CentroidBuckets = 16
+
+  def centroidBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(c, lit(CentroidBuckets.toLong)).cast("int")
+
+  /** Hive partition columns per table (rewrites must preserve layout). */
+  def tableParts(tbl: String): Seq[String] = tbl match {
+    case "docs" | "tombstones" => Seq("tenant")
+    case "postings" => Seq("tenant", "field", "centroid_bucket")
+    case _ => Seq("tenant", "field")
+  }
+
+  val postingsParts: Seq[String] = tableParts("postings")
 
   def create(spark: SparkSession, path: String, schema: GSchema): IndexIVF = {
     writeMeta(path, schema)
@@ -503,7 +524,8 @@ object IndexIVF {
 
   val postingsSchema: StructType = StructType(Seq(
     StructField("tenant", LongType), StructField("field", IntegerType),
-    StructField("centroid", LongType), StructField("doc_id", LongType)))
+    StructField("centroid", LongType), StructField("doc_id", LongType),
+    StructField("centroid_bucket", IntegerType)))
   val scalarsSchema: StructType = StructType(Seq(
     StructField("tenant", LongType), StructField("field", IntegerType),
     StructField("value_str", StringType), StructField("value_num", DoubleType),

@@ -57,8 +57,15 @@ object BatchSearcher {
     val bQueries = spark.sparkContext.broadcast(
       plans.map { case (qid, toks, _, _) => qid -> toks.flatten }.toMap)
 
+    // the UNION of all queries' probes is known at plan time: push it into
+    // the scan as static bucket/centroid predicates (partition + row-group
+    // pruning) — the broadcast join then just maps centroid -> query_id
+    val allProbes = plans.flatMap(_._4).distinct
+    val allBuckets = allProbes.map(c => (c % IndexIVF.CentroidBuckets).toInt).distinct
     val candidates = idx.postingsDf
-      .filter(col("tenant") === tenant && col("field") === fid)
+      .filter(col("tenant") === tenant && col("field") === fid &&
+        col("centroid_bucket").isin(allBuckets: _*) &&
+        col("centroid").isin(allProbes: _*))
       .join(broadcast(probeDf), Seq("centroid"))
       .select(col("query_id"), col("doc_id")).distinct()
 

@@ -227,9 +227,12 @@ object Searcher {
       opts: SearchOptions)(implicit plans: PlanCache): DataFrame = {
     val fid = idx.mapper.id(v.field)
     val (_, probes) = queryPlan(idx, v, opts)
+    // the bucket predicate prunes whole hive partition directories before
+    // any file opens; the centroid IN then row-group-prunes within them
+    val buckets = probes.map(c => (c % IndexIVF.CentroidBuckets).toInt).distinct
     idx.postingsDf
       .filter(col("tenant") === tenant && col("field") === fid &&
-        col("centroid").isin(probes: _*))
+        col("centroid_bucket").isin(buckets: _*) && col("centroid").isin(probes: _*))
       .select(col("doc_id")).distinct()
   }
 

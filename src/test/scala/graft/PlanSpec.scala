@@ -110,11 +110,28 @@ class PlanSpec extends AnyFunSuite {
       GSchema(Seq(GField.colbert("colbert", dim, 4, numIterations = 2))))
     idx.train(docs)
     idx.add(1, docs)
+    val buckets = Seq(0L, 1L).map(c => (c % IndexIVF.CentroidBuckets).toInt)
     val scan = idx.postingsDf
-      .filter(col("tenant") === 1 && col("field") === 0 && col("centroid").isin(0L, 1L))
+      .filter(col("tenant") === 1 && col("field") === 0 &&
+        col("centroid_bucket").isin(buckets: _*) && col("centroid").isin(0L, 1L))
     val p = scan.queryExecution.executedPlan.toString
     assert(p.contains("PartitionFilters: [isnotnull(tenant"), p)
+    // bucket predicate prunes whole partition directories
+    assert(p.contains("centroid_bucket"), p)
     // centroid predicate reaches the parquet reader for row-group pruning
     assert(p.contains("PushedFilters: [In(centroid"), p)
+    // file-count proof: the 2-bucket probe reads fewer files than the table
+    // holds (postings were written across more than 2 buckets)
+    scan.collect()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f.metrics("numFiles").value
+      }.sum
+    }
+    val probed = numFiles(scan)
+    val full = numFiles(idx.postingsDf.filter(col("tenant") === 1 && col("field") === 0))
+    assert(probed < full, s"probe read $probed of $full files - no directory pruning")
   }
 }
