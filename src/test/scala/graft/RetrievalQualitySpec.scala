@@ -47,4 +47,117 @@ class RetrievalQualitySpec extends AnyFunSuite {
       val successAt3 = hits.sum.toDouble / hits.size
       assert(successAt3 == 1.0, s"$quant success@3 = $successAt3")
     }
+
+  // ------------------------------------------------------------------------
+  // The harder bar, toward the reference's golden ColBERT ranking test
+  // (tests/colbert_test.cpp:27-104 — its prebuilt RocksDB index + ranking
+  // TSV can't be reproduced without LintDB itself, so the fixture is
+  // synthetic but the CHECK is the same shape): a 10k-doc corpus where every
+  // doc has 3 near-duplicate distractors (token noise sigma=0.05), queried
+  // with 64 cluster leaders, graded Success@5 against driver-side
+  // brute-force MaxSim ranking, per codec.
+  //
+  // Thresholds (documented): NONE must agree with brute force on every
+  // query under exhaustive probing (1.0 — it is the same arithmetic);
+  // BINARIZER (2-bit) >= 0.95 and PQ (8 subquantizers) >= 0.90 under
+  // realistic nProbe=8/32 pruning, where codec loss must still keep the
+  // true doc in the top 5 among its own near-duplicates.
+  // ------------------------------------------------------------------------
+
+  val ddim = 32
+  val toksPerDoc = 4
+  val nClusters = 2500
+  val dupsPerCluster = 4 // leader + 3 near-dups => 10k docs
+  val nQueries = 64
+
+  /** corpus: cluster c's leader doc id = c * dupsPerCluster; near-dups are
+    * the leader's tokens plus N(0, 0.05)-ish uniform noise. */
+  lazy val bigCorpus: Map[Long, Array[Array[Float]]] = {
+    val rnd = new scala.util.Random(1234)
+    (0 until nClusters).flatMap { c =>
+      val leader = Array.fill(toksPerDoc)(Array.fill(ddim)(rnd.nextFloat() * 2f - 1f))
+      (0 until dupsPerCluster).map { d =>
+        val toks =
+          if (d == 0) leader
+          else leader.map(_.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+        (c * dupsPerCluster + d).toLong -> toks
+      }
+    }.toMap
+  }
+
+  /** driver-side exact MaxSim (Plaid.scoreByResiduals normalize=true
+    * semantics: doc tokens L2-normalized, per-query-token max clamped at 0),
+    * -> top-1 doc per query. */
+  lazy val bruteTop1: Map[Long, Long] = {
+    val docs = bigCorpus.toArray.map { case (id, toks) =>
+      val normed = toks.map { t =>
+        val n = math.sqrt(t.map(x => x * x).sum).toFloat
+        t.map(_ / n)
+      }
+      (id, normed)
+    }
+    (0 until nQueries).map { c =>
+      val qid = (c * dupsPerCluster).toLong
+      val q = bigCorpus(qid)
+      var bestId = -1L
+      var bestScore = Float.MinValue
+      docs.foreach { case (id, toks) =>
+        var total = 0f
+        q.foreach { qt =>
+          var best = 0f // 0-init like the reference's maxScores
+          toks.foreach { t =>
+            var s = 0f; var d = 0
+            while (d < ddim) { s += qt(d) * t(d); d += 1 }
+            if (s > best) best = s
+          }
+          total += best
+        }
+        if (total > bestScore || (total == bestScore && id < bestId)) {
+          bestScore = total; bestId = id
+        }
+      }
+      qid -> bestId
+    }.toMap
+  }
+
+  def successAt5(quant: QuantizerKind.Value, opts: SearchOptions): Double = {
+    import spark.implicits._
+    val docs = bigCorpus.toSeq.sortBy(_._1)
+      .map { case (id, toks) => (id, toks.map(_.toSeq).toSeq) }
+      .toDF("id", "colbert")
+    val idx = IndexIVF.create(spark,
+      java.nio.file.Files.createTempDirectory(s"idx_hard_$quant").toString,
+      GSchema(Seq(GField.colbert("colbert", ddim, numCentroids = 32,
+        quantization = quant, numIterations = 4, nbits = 2, numSubquantizers = 8))))
+    idx.train(docs)
+    idx.add(1, docs)
+    // ONE index pass for all 64 queries (the amortized deployment shape)
+    val queries = (0 until nQueries)
+      .map(c => ((c * dupsPerCluster).toLong,
+        bigCorpus((c * dupsPerCluster).toLong).map(_.toSeq).toSeq))
+      .toDF("query_id", "tokens")
+    val top5 = graft.query.BatchSearcher.searchBatch(idx, 1, "colbert", queries, 5, opts)
+      .select("query_id", "doc_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val hits = bruteTop1.count { case (qid, want) => top5.get(qid).exists(_.contains(want)) }
+    hits.toDouble / nQueries
+  }
+
+  test("NONE: success@5 == 1.0 vs brute-force MaxSim under near-dup distractors") {
+    val s = successAt5(QuantizerKind.NONE,
+      SearchOptions(kTopCentroids = 32, nProbe = 32))
+    assert(s == 1.0, s"identity codec success@5 = $s (must match brute force)")
+  }
+
+  test("BINARIZER: success@5 >= 0.95 under near-dup distractors (nProbe=8)") {
+    val s = successAt5(QuantizerKind.BINARIZER,
+      SearchOptions(kTopCentroids = 8, nProbe = 8))
+    assert(s >= 0.95, s"binarizer success@5 = $s < 0.95")
+  }
+
+  test("PRODUCT_ENCODER: success@5 >= 0.90 under near-dup distractors (nProbe=8)") {
+    val s = successAt5(QuantizerKind.PRODUCT_ENCODER,
+      SearchOptions(kTopCentroids = 8, nProbe = 8))
+    assert(s >= 0.90, s"pq success@5 = $s < 0.90")
+  }
 }
