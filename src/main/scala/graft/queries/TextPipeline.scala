@@ -58,11 +58,23 @@ object TextPipeline {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.t(s, dir, "documents")
 
+  /** Spread a narrow scan across the cluster before CPU-heavy per-token
+    * work: a small documents table reads as ONE parquet split, which would
+    * run every downstream string kernel (shingling, hashing, simhash votes)
+    * in a single task. Only repartitions when the scan has fewer partitions
+    * than cores — at real scale the table has thousands of splits and this
+    * is an identity. Results are partitioning-independent (counts, mins,
+    * integer votes), so oracle parity is unaffected. */
+  private def spread(d: DataFrame): DataFrame = {
+    val target = d.sparkSession.sparkContext.defaultParallelism
+    if (d.rdd.getNumPartitions < target) d.repartition(target) else d
+  }
+
   private val toks: Column = split(col("text"), " ")
 
   /** distinct 3-word shingles per doc (docs shorter than 3 tokens dropped). */
   private def shingles(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), split(col("text"), " ").as("t"))
+    spread(d).select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))")).as("s"))
@@ -82,7 +94,10 @@ object TextPipeline {
       dfCap: Int = ShingleDfCap, cacheKey: String = ""): DataFrame = {
     def cached(key: String)(b: => DataFrame): DataFrame =
       if (cacheKey.isEmpty) b else DfCache.getOrBuild(s, s"$key#$cacheKey")(b)
-    val shAll = hashedShingles(d)
+    // "shingles" is the cache key SHARED with q_dedup_minhash: both
+    // pipelines hash the same (doc_id, shingle) table, so within a session
+    // the explode+distinct runs once for the pair of them
+    val shAll = cached("shingles")(hashedShingles(d))
     // document frequency per shingle; cached because it feeds both the
     // hot-shingle count (logged) and the anti-join
     val dfT = cached("jaccard_df")(shAll.groupBy(col("sh")).agg(count(lit(1)).as("df")))
@@ -234,8 +249,9 @@ object TextPipeline {
       //
       // shingles are hashed to 64-bit longs up front: every downstream
       // shuffle/set op moves 8-byte keys instead of ~25-byte strings.
-      // Cached: read once for signatures and once per verify-join side.
-      val sh = DfCache.getOrBuild(s, s"minhash_sh#$dir")(hashedShingles(docs(s, dir)))
+      // Cached under the key shared with jaccardPairs: read once for
+      // signatures, the verify-join sides, and the sibling jaccard query.
+      val sh = DfCache.getOrBuild(s, s"shingles#$dir")(hashedShingles(docs(s, dir)))
       // signatures AND the set size in ONE per-doc aggregation (a single
       // shuffle of the shingle table). The shingle sets themselves stay in
       // the shingle table — carrying them through the aggregation
@@ -384,7 +400,7 @@ object TextPipeline {
         while (b < 64) { if (counts(b) >= 0) sig |= 1L << b; b += 1 }
         sig
       }
-      val sig = docs(s, dir).select(col("doc_id"), simhashUdf(toks).as("simhash"))
+      val sig = spread(docs(s, dir)).select(col("doc_id"), simhashUdf(toks).as("simhash"))
       // 8 bands x 8 bits: any pair with hamming <= 7 shares at least one
       // exact band (pigeonhole); hamming-8 pairs are caught unless every
       // differing bit lands in a distinct band. All 8 band rows come from
@@ -430,7 +446,7 @@ object TextPipeline {
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
         |ORDER BY a_id, b_id""".stripMargin)) {
       (s, dir) =>
-        val toks = docs(s, dir)
+        val toks = spread(docs(s, dir))
           .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
           .select(col("doc_id"),
             conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))

@@ -30,6 +30,7 @@ object ProfMain {
 
     what match {
       case "engine" => profEngine(spark, dir)
+      case "minhash" => profMinhash(spark, dir)
       case name =>
         // repeat a SparkEntry query 3x
         (1 to 3).foreach { i =>
@@ -37,6 +38,43 @@ object ProfMain {
         }
     }
     spark.stop()
+  }
+
+  def profMinhash(spark: SparkSession, dir: String): Unit = {
+    val d = graft.queries.Tables.t(spark, dir, "documents")
+    val sh0 = d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))")).as("s"))
+    time("explode only")(sh0.count())
+    val sh = sh0.distinct().select(col("doc_id"), xxhash64(col("s")).as("sh"))
+      .persist()
+    time("distinct+hash+persist")(sh.count())
+    val sigCols = (0 until 16).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail :+ count(lit(1)).as("cnt"): _*).persist()
+    time("sigs agg")(sigs.count())
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until 8).map(b =>
+        xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*)).as(Seq("band", "bucket")))
+      .persist()
+    time("bands")(bands.count())
+    val hotB = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bc")).filter(col("bc") > 128)
+      .select(col("band"), col("bucket"))
+    time("hot bucket count")(hotB.count())
+    val pruned = bands.join(broadcast(hotB), Seq("band", "bucket"), "left_anti")
+    val candPairs = pruned.as("x").join(pruned.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct().persist()
+    time("band self-join distinct")(candPairs.count())
+    val common = candPairs
+      .join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+    time("verify re-join")(common.count())
   }
 
   def profEngine(spark: SparkSession, dir: String): Unit = {
