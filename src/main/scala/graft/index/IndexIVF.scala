@@ -351,14 +351,62 @@ final class IndexIVF private (
       col("tenant").cast("long").as("t_tenant"),
       col("doc_id").cast("long").as("t_doc"))
     Seq("postings", "scalars", "context", "docs").foreach { tbl =>
-      rewrite(p(tbl), df => df.join(tombs,
-          df("tenant").cast("long") === tombs("t_tenant") &&
-            df("doc_id").cast("long") === tombs("t_doc"), "left_anti"),
-        tableParts(tbl))
+      compactTable(p(tbl), tableParts(tbl), tombs)
     }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(p("tombstones")), spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(p("tombstones")), true)
+  }
+
+  /** Targeted compaction of one table: only hive partitions that actually
+    * contain tombstoned rows are rewritten; every other partition's files
+    * are left untouched. This is the Spark analogue of the reference's
+    * materialized doc->centroid mapping for targeted deletes
+    * (DocEncoder.cpp:238-263, read at RocksdbInvertedList.cpp:97-117): the
+    * mapping is the table's own partition layout, and the affected-partition
+    * discovery is a column-pruned scan (partition cols + doc_id only), so
+    * compaction IO is O(affected partitions), not O(table). */
+  private def compactTable(tablePath: String, parts: Seq[String],
+      tombs: DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tablePath), conf)
+    val orig = new org.apache.hadoop.fs.Path(tablePath)
+    if (!fs.exists(orig)) return
+    val source =
+      try Some(spark.read.parquet(tablePath))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    source.foreach { df =>
+      def cond(d: DataFrame) =
+        d("tenant").cast("long") === tombs("t_tenant") &&
+          d("doc_id").cast("long") === tombs("t_doc")
+      // partitions holding at least one tombstoned row (small driver set:
+      // bounded by the partition count, not the tombstone count)
+      val affected = df.join(tombs, cond(df), "left_semi")
+        .select(parts.map(col): _*).distinct().collect()
+        .map(r => parts.indices.map(i => s"${parts(i)}=${r.get(i)}"))
+      if (affected.nonEmpty) {
+        val inAffected = concat_ws("/", parts.map(c => concat(lit(s"$c="), col(c))): _*)
+          .isin(affected.map(_.mkString("/")): _*)
+        // survivors of ONLY the affected partitions, written to a tmp tree,
+        // then swapped in per partition directory
+        val survivors = df.filter(inAffected).join(tombs, cond(df), "left_anti")
+        val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
+        survivors.write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
+        affected.foreach { tuple =>
+          val rel = tuple.mkString("/")
+          val dst = new org.apache.hadoop.fs.Path(s"$tablePath/$rel")
+          val src = new org.apache.hadoop.fs.Path(s"$tablePath.tmp/$rel")
+          fs.delete(dst, true)
+          // a partition whose every row was tombstoned has no tmp dir — the
+          // delete above already removed it for good
+          if (fs.exists(src)) {
+            fs.mkdirs(dst.getParent)
+            fs.rename(src, dst)
+          }
+        }
+        fs.delete(tmp, true)
+      }
+    }
   }
 
   /** remove + add (reference: lintdb/index.cpp:501-510). The id collect is

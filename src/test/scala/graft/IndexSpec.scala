@@ -285,6 +285,33 @@ class IndexSpec extends AnyFunSuite {
     assert(readded.contains(3L))
   }
 
+  test("compact() rewrites only partitions containing tombstoned rows (targeted)") {
+    val idx = freshIndex(QuantizerKind.NONE)
+    idx.add(tenant = 2, docsDf)
+    def filesUnder(rel: String): Set[String] = {
+      val root = java.nio.file.Paths.get(s"${idx.path}/$rel")
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .map[String](p => s"$p@${java.nio.file.Files.getLastModifiedTime(p)}")
+        .toArray.map(_.toString).toSet
+      finally s.close()
+    }
+    val beforeDocs = filesUnder("docs/tenant=2")
+    val beforePost = filesUnder("postings/tenant=2")
+    idx.removeDeferred(1, Seq(0L, 2L))
+    idx.compact()
+    // tenant 2's partitions were never touched: same files, same mtimes
+    assert(filesUnder("docs/tenant=2") == beforeDocs)
+    assert(filesUnder("postings/tenant=2") == beforePost)
+    // the deletes applied physically to tenant 1, tenant 2 intact
+    val t1 = idx.search(1, query(0L), numDocs, exhaustive)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(!t1.contains(0L) && !t1.contains(2L) && t1.contains(1L))
+    val t2 = idx.search(2, query(0L), numDocs, exhaustive)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(t2.contains(0L))
+  }
+
   test("removeDeferred caveat: a re-add before compact() stays hidden (documented)") {
     import spark.implicits._
     val idx = freshIndex(QuantizerKind.NONE)
