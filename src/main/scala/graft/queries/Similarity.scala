@@ -170,6 +170,42 @@ object Similarity {
           .limit(4)
     },
 
+    // D5-scale (IVF variant) — near-dup pairs generated ONLY within coarse
+    // clusters: assign every embedding to its nearest centroid, pair-scan
+    // inside each cluster (key-partitioned self-join — candidate volume is
+    // sum of cluster sizes squared, never n^2), exact cosine on survivors.
+    // The standard at-scale embedding-dedup shape alongside the LSH twin
+    // (q_neardup_lsh); centroids are data-derived (vec_id < 8) so the WHOLE
+    // pipeline is oracle-checkable in DuckDB.
+    sql("q_neardup_ivf", Seq("D5", "Q2"),
+      """WITH cents AS (SELECT vec_id AS centroid, embedding::DOUBLE[] AS cemb
+        |               FROM embeddings WHERE vec_id < 8),
+        |assign AS (SELECT vec_id, centroid FROM (
+        |  SELECT e.vec_id, c.centroid,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_inner_product(e.embedding::DOUBLE[], c.cemb) DESC, c.centroid) AS rn
+        |  FROM embeddings e, cents c) WHERE rn = 1),
+        |p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+        |        round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |          (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |           sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos
+        |      FROM assign x JOIN assign y ON x.centroid = y.centroid AND x.vec_id < y.vec_id
+        |      JOIN embeddings a ON a.vec_id = x.vec_id
+        |      JOIN embeddings b ON b.vec_id = y.vec_id)
+        |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.2
+        |ORDER BY cos DESC, a_id, b_id""".stripMargin) {
+      (s, dir) =>
+        val e = Tables.emb(s, dir)
+        val assign = ivfAssign(s, dir)
+        val withVec = assign.join(e.select(col("vec_id"), col("emb")), Seq("vec_id"))
+        withVec.as("a").join(withVec.as("b"),
+            col("a.centroid") === col("b.centroid") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            round(cosine(col("a.emb"), col("b.emb")), 4).as("cos"))
+          .filter(col("cos") >= 0.2)
+          .orderBy(col("cos").desc, col("a_id"), col("b_id"))
+    },
+
     // Embedding-cosine near-duplicate pairs — brute-force upper-triangle
     // baseline (oracle-checkable); the LSH-bucketed scale path is
     // q_neardup_lsh in TextPipeline (rows-only).
