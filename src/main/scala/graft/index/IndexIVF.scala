@@ -289,25 +289,28 @@ final class IndexIVF private (
 
   // ------------------------------------------------------- remove / update
 
-  /** Immediate delete: partition rewrite of the affected tenant's rows
-    * (reference: targeted key deletes via the mapping CF,
-    * RocksdbInvertedList.cpp:22-95). Rewrite matches remove-then-re-add
-    * semantics exactly; the 100 TB alternative is [[removeDeferred]] +
-    * [[compact]] (tombstones), and both strategies meet the read path in
-    * the single [[live]] funnel. */
+  /** Immediate delete: targeted partition rewrite of only the hive
+    * partitions holding the victim rows (reference: targeted key deletes
+    * via the mapping CF, RocksdbInvertedList.cpp:22-95 — see
+    * [[compactTable]] for how the partition layout plays the mapping's
+    * role). Matches remove-then-re-add semantics exactly; the 100 TB bulk
+    * alternative is [[removeDeferred]] + [[compact]] (tombstones), and both
+    * strategies meet the read path in the single [[live]] funnel. */
   def remove(tenant: Long, ids: Seq[Long]): Unit = {
-    val idSet = ids.toSet
-    val bcIds = spark.sparkContext.broadcast(idSet)
-    val keep = udf((t: Long, d: Long) => !(t == tenant && bcIds.value.contains(d)))
+    import spark.implicits._
+    val tombs = ids.toDF("t_doc")
+      .select(lit(tenant).cast("long").as("t_tenant"), col("t_doc").cast("long"))
     Seq("postings", "scalars", "context", "docs").foreach { tbl =>
-      rewrite(p(tbl), df => df.filter(keep(col("tenant"), col("doc_id"))),
-        tableParts(tbl))
+      compactTable(p(tbl), tableParts(tbl), tombs)
     }
     // a physical remove also discharges any pending tombstone for these ids:
     // otherwise remove-then-re-add (and update(), which is exactly that)
     // would leave a stale tombstone that hides — and at the next compact()
     // destroys — the re-added rows
     if (hasTombstones) {
+      val idSet = ids.toSet
+      val bcIds = spark.sparkContext.broadcast(idSet)
+      val keep = udf((t: Long, d: Long) => !(t == tenant && bcIds.value.contains(d)))
       rewrite(p("tombstones"), df => df.filter(keep(col("tenant"), col("doc_id"))),
         Seq("tenant"))
       // if that discharged the last tombstone, drop the (now empty) table so

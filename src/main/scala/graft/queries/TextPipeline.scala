@@ -292,7 +292,12 @@ object TextPipeline {
         .distinct()
       // exact-Jaccard verify by re-joining the shingle table on the
       // candidate ids — O(candidates x set size) narrow rows, never a
-      // megabyte-wide collected set riding a shuffle
+      // megabyte-wide collected set riding a shuffle. Skew note: a doc in
+      // many candidate pairs with a large shingle set concentrates output
+      // on one a_id join key; the bucket cap bounds pairs-per-doc (~8x127)
+      // and AQE's skew-join splitting handles the residual partition skew,
+      // so a Skew.saltedJoin here (which would replicate the 260k-row
+      // shingle side salt-fold on EVERY run) is deliberately not wired
       val common = candPairs
         .join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
         .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
