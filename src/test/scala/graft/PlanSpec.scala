@@ -60,6 +60,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("document queries prune to the columns they use") {
+    // token counting must not drag lang/source/n_chars through the scan
+    val tok = planOf("q_token_count")
+    assert(tok.contains("ReadSchema: struct<doc_id:bigint,text:string>"), tok)
+    // the metadata-only multimodal query reads id + payload source, nothing
+    // else — at 100 TB the difference between this and SELECT * is the job
+    val mm = planOf("q_multimodal_meta")
+    assert(mm.contains("ReadSchema: struct<doc_id:bigint,text:string>"), mm)
+  }
+
   test("no unbroadcast cartesian product in any driver query plan") {
     // blanket regression net: a CartesianProduct (as opposed to a broadcast
     // nested-loop over a tiny side) in any operator plan is a scale bug
