@@ -79,10 +79,13 @@ final class IndexIVF private (
     * delete strategy is swappable in one place (SURVEY §7.5.5). With no
     * tombstones on disk (the default — [[remove]] rewrites physically) this
     * is an identity and adds nothing to the plan; after [[removeDeferred]]
-    * it is a broadcast anti-join against the (tiny) tombstone table. */
+    * it is an anti-join against the tombstone table — left UNHINTED so the
+    * planner broadcasts the usual metadata-sized table but falls back to a
+    * shuffle join when a bulk-delete pipeline has parked more tombstones
+    * than a broadcast can carry (same reasoning as [[compact]]). */
   private def live(df: DataFrame): DataFrame =
     if (!hasTombstones) df
-    else df.join(broadcast(tombstonesDf), Seq("tenant", "doc_id"), "left_anti")
+    else df.join(tombstonesDf, Seq("tenant", "doc_id"), "left_anti")
 
   def isTrained(field: String): Boolean = coarse.contains(field)
 
@@ -391,8 +394,15 @@ final class IndexIVF private (
         val inAffected = concat_ws("/", parts.map(c => concat(lit(s"$c="), col(c))): _*)
           .isin(affected.map(_.mkString("/")): _*)
         // survivors of ONLY the affected partitions, written to a tmp tree,
-        // then swapped in per partition directory
-        val survivors = df.filter(inAffected).join(tombs, cond(df), "left_anti")
+        // then swapped in per partition directory. Postings rewrites MUST
+        // restore the within-file centroid sort (the anti-join may plan as
+        // a shuffle join, which would otherwise emit shuffle-ordered files
+        // and silently kill row-group pruning for every later probe).
+        val filtered = df.filter(inAffected).join(tombs, cond(df), "left_anti")
+        val survivors =
+          if (parts.contains("centroid_bucket"))
+            filtered.repartition(parts.map(col): _*).sortWithinPartitions("centroid")
+          else filtered
         val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
         survivors.write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
         affected.foreach { tuple =>
@@ -418,11 +428,13 @@ final class IndexIVF private (
     * [[removeDeferred]]/[[compact]] + [[add]], which never hold the id set
     * on the driver. */
   def update(tenant: Long, docs: DataFrame): Unit = {
-    val n = docs.count()
-    require(n <= UpdateBatchLimit,
-      s"update() called with $n docs (limit $UpdateBatchLimit): " +
+    // guard and id collect in ONE bounded job: the limit caps what ever
+    // reaches the driver, and one extra row is enough to detect overflow
+    val ids = docs.select(col("id")).limit(UpdateBatchLimit.toInt + 1)
+      .collect().map(_.getLong(0)).toSeq
+    require(ids.length <= UpdateBatchLimit,
+      s"update() called with > $UpdateBatchLimit docs: " +
         "use removeDeferred + compact + add for bulk rewrites")
-    val ids = docs.select(col("id")).collect().map(_.getLong(0)).toSeq
     remove(tenant, ids)
     add(tenant, docs)
   }
@@ -451,7 +463,7 @@ final class IndexIVF private (
           catch { case _: org.apache.spark.sql.AnalysisException => None }
         other.filter(!_.isEmpty).foreach { df =>
           val liveRows = otherTombs
-            .map(t => df.join(broadcast(t), Seq("tenant", "doc_id"), "left_anti"))
+            .map(t => df.join(t, Seq("tenant", "doc_id"), "left_anti"))
             .getOrElse(df)
           writeAppend(liveRows.select(df.columns.map(col): _*), p(tbl), parts)
         }
@@ -506,6 +518,11 @@ object IndexIVF {
 
   def centroidBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(c, lit(CentroidBuckets.toLong)).cast("int")
+
+  /** Driver-side twin of [[centroidBucket]] — readers MUST use this (not a
+    * hand-rolled `%`) so the probe always selects the directory the posting
+    * was written to (`pmod` == `floorMod`, not Java's signed `%`). */
+  def bucketOf(c: Long): Int = java.lang.Math.floorMod(c, CentroidBuckets.toLong).toInt
 
   /** Hive partition columns per table (rewrites must preserve layout). */
   def tableParts(tbl: String): Seq[String] = tbl match {

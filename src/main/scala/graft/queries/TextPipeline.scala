@@ -92,22 +92,32 @@ object TextPipeline {
     * Jaccard is computed consistently over the capped shingle universe. */
   private[graft] def jaccardPairs(s: SparkSession, d: DataFrame,
       dfCap: Int = ShingleDfCap, cacheKey: String = ""): DataFrame = {
+    // cap-dependent tables carry the cap in their cache key, so two calls
+    // with different caps can never share a capped table
     def cached(key: String)(b: => DataFrame): DataFrame =
-      if (cacheKey.isEmpty) b else DfCache.getOrBuild(s, s"$key#$cacheKey")(b)
-    // "shingles" is the cache key SHARED with q_dedup_minhash: both
+      if (cacheKey.isEmpty) b else DfCache.getOrBuild(s, s"$key:$dfCap#$cacheKey")(b)
+    // "shingles" is cap-independent and SHARED with q_dedup_minhash: both
     // pipelines hash the same (doc_id, shingle) table, so within a session
     // the explode+distinct runs once for the pair of them
-    val shAll = cached("shingles")(hashedShingles(d))
-    // document frequency per shingle; cached because it feeds both the
-    // hot-shingle count (logged) and the anti-join
+    val shAll =
+      if (cacheKey.isEmpty) hashedShingles(d)
+      else DfCache.getOrBuild(s, s"shingles#$cacheKey")(hashedShingles(d))
     val dfT = cached("jaccard_df")(shAll.groupBy(col("sh")).agg(count(lit(1)).as("df")))
     val hot = dfT.filter(col("df") > dfCap).select("sh")
-    val nHot = hot.count()
-    if (nHot > 0)
-      log.warn(s"jaccardPairs: dropping $nHot shingles with df > $dfCap " +
-        "(stop-phrases; no near-dup signal, quadratic join hazard)")
-    // the hot set is small by construction (stop-phrases) => broadcast anti
-    val sh = cached("jaccard_sh")(shAll.join(broadcast(hot), Seq("sh"), "left_anti"))
+    // the hot set is small by construction (stop-phrases) => broadcast anti.
+    // The drop count is logged from INSIDE the cache builder: one bounded
+    // job the first time a session builds this table, zero jobs on every
+    // later invocation — so plan-only inspection of re-invoked queries
+    // stays job-free. (An observe() metric would be fully lazy but its
+    // CollectMetrics node would be duplicated through the cached subtree's
+    // three join references, which Spark's analyzer rejects.)
+    val sh = cached("jaccard_sh") {
+      val nHot = hot.count()
+      if (nHot > 0)
+        log.warn(s"jaccardPairs: dropping $nHot shingles with df > $dfCap " +
+          "(stop-phrases; no near-dup signal, quadratic join hazard)")
+      shAll.join(broadcast(hot), Seq("sh"), "left_anti")
+    }
     // doc-level shingle counts are read twice (na/nb); the session-aware
     // cached persist stops the shingle scan from running once per join side
     // (and re-invocations reuse the same entry instead of stacking caches)
@@ -138,15 +148,20 @@ object TextPipeline {
           .orderBy("keep_id")
     },
 
-    // D4 — n-gram Jaccard near-dup pairs via inverted shingle index.
+    // D4 — n-gram Jaccard near-dup pairs via inverted shingle index. The
+    // oracle mirrors the df-cap exactly (shc = shingles with df <= cap), so
+    // the hash-compare stays green even on a corpus where the cap fires.
     sql("q_neardup_jaccard", Seq("D4"),
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |           WHERE len(string_split(text, ' ')) >= 3),
         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
         |       FROM t, UNNEST(range(1, len(t) - 1)) AS u(i)),
-        |n AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+        |dfc AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc ON sh.s = dfc.s
+        |        WHERE dfc.df <= $ShingleDfCap),
+        |n AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY 1),
         |p AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS common
-        |      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |      FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
         |SELECT a_id, b_id,
         |  floor(common * 1.0 / (na.c + nb.c - common) * 10000 + 0.5) / 10000 AS jaccard
         |FROM p JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
@@ -277,14 +292,18 @@ object TextPipeline {
             xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*)).as(Seq("band", "bucket")))
       }
       // hot-bucket cap: see BucketCap scaladoc (m members -> m^2/2 pairs on
-      // one key); drops are logged, recall survives via the other 7 bands
+      // one key); drops are logged once per session from inside the cache
+      // builder (no jobs on later invocations), recall survives via the
+      // other 7 bands
       val hotB = bands.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("bc")).filter(col("bc") > BucketCap)
         .select(col("band"), col("bucket"))
-      val nHotB = hotB.count()
-      if (nHotB > 0)
-        log.warn(s"q_dedup_minhash: dropping $nHotB LSH buckets with > $BucketCap members")
-      val prunedBands = bands.join(broadcast(hotB), Seq("band", "bucket"), "left_anti")
+      val prunedBands = DfCache.getOrBuild(s, s"minhash_pruned#$dir") {
+        val nHotB = hotB.count()
+        if (nHotB > 0)
+          log.warn(s"q_dedup_minhash: dropping $nHotB LSH buckets with > $BucketCap members")
+        bands.join(broadcast(hotB), Seq("band", "bucket"), "left_anti")
+      }
       val candPairs = prunedBands.as("x").join(prunedBands.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
             && col("x.doc_id") < col("y.doc_id"))

@@ -61,7 +61,7 @@ object BatchSearcher {
     // the scan as static bucket/centroid predicates (partition + row-group
     // pruning) — the broadcast join then just maps centroid -> query_id
     val allProbes = plans.flatMap(_._4).distinct
-    val allBuckets = allProbes.map(c => (c % IndexIVF.CentroidBuckets).toInt).distinct
+    val allBuckets = allProbes.map(IndexIVF.bucketOf).distinct
     val candidates = idx.postingsDf
       .filter(col("tenant") === tenant && col("field") === fid &&
         col("centroid_bucket").isin(allBuckets: _*) &&

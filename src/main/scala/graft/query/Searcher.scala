@@ -229,7 +229,7 @@ object Searcher {
     val (_, probes) = queryPlan(idx, v, opts)
     // the bucket predicate prunes whole hive partition directories before
     // any file opens; the centroid IN then row-group-prunes within them
-    val buckets = probes.map(c => (c % IndexIVF.CentroidBuckets).toInt).distinct
+    val buckets = probes.map(IndexIVF.bucketOf).distinct
     idx.postingsDf
       .filter(col("tenant") === tenant && col("field") === fid &&
         col("centroid_bucket").isin(buckets: _*) && col("centroid").isin(probes: _*))
