@@ -402,29 +402,9 @@ object TextPipeline {
     // The signature is one pass over each doc's token array (a scalar
     // function, no explode + 64 shuffled aggregations).
     rowsOnly("q_dedup_simhash", Seq("D3")) { (s, dir) =>
-      val simhashUdf = udf { (tokens: Seq[String]) =>
-        val counts = new Array[Int](64)
-        tokens.foreach { t =>
-          // splitmix64 over the token's utf8 bytes — stable across runs
-          var h = 0L
-          t.getBytes("UTF-8").foreach { byte =>
-            var z = (h ^ byte) + 0x9e3779b97f4a7c15L
-            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-            h = z ^ (z >>> 31)
-          }
-          var b = 0
-          while (b < 64) {
-            if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-            b += 1
-          }
-        }
-        var sig = 0L
-        var b = 0
-        while (b < 64) { if (counts(b) >= 0) sig |= 1L << b; b += 1 }
-        sig
-      }
-      val sig = spread(docs(s, dir)).select(col("doc_id"), simhashUdf(toks).as("simhash"))
+      // signature kernel shared with the streaming near-dup dedup twin
+      val sig = spread(docs(s, dir))
+        .select(col("doc_id"), graft.functions.TextHash.simhash64(toks).as("simhash"))
       // 8 bands x 8 bits: any pair with hamming <= 7 shares at least one
       // exact band (pigeonhole); hamming-8 pairs are caught unless every
       // differing bit lands in a distinct band. All 8 band rows come from

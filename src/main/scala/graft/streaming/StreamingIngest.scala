@@ -43,6 +43,21 @@ object StreamingIngest {
       tsCol: String, watermark: String): DataFrame =
     stream.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-duplicate dedup: one 64-bit SimHash signature per doc
+    * (the same kernel as batch q_dedup_simhash), deduped on the signature
+    * with watermark-evicted state. Identical signatures collapse — exact
+    * dups always, near-dups whenever their differences fall below the
+    * per-bit majority vote — making this the streaming ingest filter of a
+    * training-data pipeline: state is one long per signature within the
+    * watermark, never a shingle set. */
+  def nearDupDedupedStream(stream: DataFrame, textCol: String,
+      tsCol: String, watermark: String): DataFrame =
+    stream
+      .withColumn("simhash",
+        graft.functions.TextHash.simhash64(split(col(textCol), " ")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("simhash"))
+
   /** Gap-based session windows over a `ts`-timestamped event stream: one
     * output row per (user, session), session end = last event + gap (Spark
     * `session_window` semantics). The SAME plan serves the batch operator

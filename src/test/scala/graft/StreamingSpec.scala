@@ -72,6 +72,34 @@ class StreamingSpec extends AnyFunSuite {
       "each duplicated event survives exactly once")
   }
 
+  test("streaming near-dup dedup collapses equal-signature docs") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    // every doc arrives twice across micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("neardup_stream").toString
+    docs.write.mode("overwrite").parquet(s"$dir/a")
+    docs.write.mode("overwrite").parquet(s"$dir/b")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+    val deduped = graft.streaming.StreamingIngest
+      .nearDupDedupedStream(stream, "text", "ts", "1 hour")
+    val qn = s"stream_neardup_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // batch ground truth: one survivor per distinct signature
+    val expected = docs
+      .select(graft.functions.TextHash.simhash64(split(col("text"), " ")).as("sig"))
+      .distinct().count()
+    assert(spark.table(qn).count() == expected,
+      "exactly one survivor per simhash signature")
+    assert(expected < docs.count() * 2, "duplicated input actually collapsed")
+  }
+
   test("session windows run identically in batch and as a stream") {
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
     // batch ground truth from the SAME function (watermark is a no-op there)
