@@ -390,20 +390,23 @@ final class IndexIVF private (
       val affected = df.join(tombs, cond(df), "left_semi")
         .select(parts.map(col): _*).distinct().collect()
         .map(r => parts.indices.map(i => s"${parts(i)}=${r.get(i)}"))
-      if (affected.nonEmpty) {
+      // Postings rewrites MUST restore the within-file centroid sort (the
+      // anti-join may plan as a shuffle join, which would otherwise emit
+      // shuffle-ordered files and silently kill row-group pruning for
+      // every later probe).
+      def sorted(d: DataFrame): DataFrame =
+        if (parts.contains("centroid_bucket"))
+          d.repartition(parts.map(col): _*).sortWithinPartitions("centroid")
+        else d
+      val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
+      if (affected.isEmpty) {
+        // nothing to delete in this table
+      } else if (affected.length <= MaxTargetedPartitions) {
+        // survivors of ONLY the affected partitions, written to a tmp tree,
+        // then swapped in per partition directory
         val inAffected = concat_ws("/", parts.map(c => concat(lit(s"$c="), col(c))): _*)
           .isin(affected.map(_.mkString("/")): _*)
-        // survivors of ONLY the affected partitions, written to a tmp tree,
-        // then swapped in per partition directory. Postings rewrites MUST
-        // restore the within-file centroid sort (the anti-join may plan as
-        // a shuffle join, which would otherwise emit shuffle-ordered files
-        // and silently kill row-group pruning for every later probe).
-        val filtered = df.filter(inAffected).join(tombs, cond(df), "left_anti")
-        val survivors =
-          if (parts.contains("centroid_bucket"))
-            filtered.repartition(parts.map(col): _*).sortWithinPartitions("centroid")
-          else filtered
-        val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
+        val survivors = sorted(df.filter(inAffected).join(tombs, cond(df), "left_anti"))
         survivors.write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
         affected.foreach { tuple =>
           val rel = tuple.mkString("/")
@@ -418,6 +421,14 @@ final class IndexIVF private (
           }
         }
         fs.delete(tmp, true)
+      } else {
+        // a bulk delete touching most of the table: the full rewrite IS the
+        // right plan (and it avoids a pathological thousands-entry In-list
+        // in the partition filter) — whole-table tmp + dir swap
+        sorted(df.join(tombs, cond(df), "left_anti"))
+          .write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
+        fs.delete(orig, true)
+        fs.rename(tmp, orig)
       }
     }
   }
@@ -523,6 +534,12 @@ object IndexIVF {
     * hand-rolled `%`) so the probe always selects the directory the posting
     * was written to (`pmod` == `floorMod`, not Java's signed `%`). */
   def bucketOf(c: Long): Int = java.lang.Math.floorMod(c, CentroidBuckets.toLong).toInt
+
+  /** Above this many affected partitions, targeted compaction falls back to
+    * a whole-table rewrite: the delete evidently touches most of the table,
+    * and a per-partition In-list this long would bloat the plan instead of
+    * pruning it. */
+  val MaxTargetedPartitions = 1000
 
   /** Hive partition columns per table (rewrites must preserve layout). */
   def tableParts(tbl: String): Seq[String] = tbl match {
