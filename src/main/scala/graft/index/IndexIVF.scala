@@ -538,8 +538,8 @@ object IndexIVF {
   /** Above this many affected partitions, targeted compaction falls back to
     * a whole-table rewrite: the delete evidently touches most of the table,
     * and a per-partition In-list this long would bloat the plan instead of
-    * pruning it. */
-  val MaxTargetedPartitions = 1000
+    * pruning it. A var only so tests can exercise the fallback path. */
+  private[graft] var MaxTargetedPartitions = 1000
 
   /** Hive partition columns per table (rewrites must preserve layout). */
   def tableParts(tbl: String): Seq[String] = tbl match {

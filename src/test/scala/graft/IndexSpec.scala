@@ -312,6 +312,19 @@ class IndexSpec extends AnyFunSuite {
     assert(t2.contains(0L))
   }
 
+  test("bulk compact falls back to whole-table rewrite above the partition threshold") {
+    val idx = freshIndex(QuantizerKind.NONE)
+    val saved = IndexIVF.MaxTargetedPartitions
+    IndexIVF.MaxTargetedPartitions = 0 // force every table down the bulk path
+    try {
+      idx.removeDeferred(1, Seq(0L, 2L))
+      idx.compact()
+      val got = idx.search(1, query(0L), numDocs, exhaustive)
+        .collect().map(_.getAs[Long]("doc_id"))
+      assert(!got.contains(0L) && !got.contains(2L) && got.contains(1L))
+    } finally IndexIVF.MaxTargetedPartitions = saved
+  }
+
   test("removeDeferred caveat: a re-add before compact() stays hidden (documented)") {
     import spark.implicits._
     val idx = freshIndex(QuantizerKind.NONE)
