@@ -41,7 +41,10 @@ object ProfMain {
   }
 
   def profMinhash(spark: SparkSession, dir: String): Unit = {
-    val d = graft.queries.Tables.t(spark, dir, "documents")
+    // mirrors TextPipeline's spread(): parallelize the single-split scan
+    val d0 = graft.queries.Tables.t(spark, dir, "documents")
+    val d = if (d0.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+      d0.repartition(spark.sparkContext.defaultParallelism) else d0
     val sh0 = d.select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
