@@ -181,6 +181,13 @@ final class IndexIVF private (
   def add(tenant: Long, docs: DataFrame): Unit = {
     val unknown = docs.columns.filterNot(c => c == "id" || schema.fields.exists(_.name == c))
     require(unknown.isEmpty, s"unknown fields: ${unknown.mkString(",")}")
+    // Independent table writes run as concurrent Spark actions: postings,
+    // context, scalars and docs land in different directories with no
+    // ordering constraint between them, and overlapping the jobs hides the
+    // per-write planning/commit latency (driver-side dead time that would
+    // otherwise serialize; on a cluster the writes also overlap their IO).
+    val writes = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    val toUnpersist = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // type validation against the schema (reference DocProcessor::validateField
     // throws on type mismatch, DocProcessor.cpp:47-52) — fail early with a
     // field-named error instead of a downstream writer cast or UDF error
@@ -196,51 +203,57 @@ final class IndexIVF private (
       val fid = mapper.id(f.name)
       val bc = spark.sparkContext.broadcast(coarse(f.name))
       val bq = spark.sparkContext.broadcast(quantizers(f.name))
-      val assignUdf = udf((vec: Seq[Float]) => bc.value.assign(vec.toArray).toLong)
-      val encodeUdf = udf((vec: Seq[Float]) => bq.value.encode(vec.toArray))
-
-      val assigned = docs
-        .select(col("id").as("doc_id"), posexplode(col(f.name)).as(Seq("pos", "vec")))
-        .select(col("doc_id"), col("pos"),
-          assignUdf(col("vec")).as("centroid"), encodeUdf(col("vec")).as("code"))
 
       if (f.needsContext) {
-        // context first: the per-doc aggregation is the only shuffle of
-        // token-level rows; postings are then DERIVED from the persisted
-        // doc-level context (explode of the deduped code list), so
-        // assignment + encoding (the expensive quantization work) runs once
-        // and the old token-level distinct shuffle disappears entirely
-        val concatBytes = udf((arr: Seq[Array[Byte]]) => arr.flatten.toArray)
-        val ctx = assigned
-          .groupBy(col("doc_id"))
-          .agg(sort_array(collect_list(struct(col("pos"), col("centroid"), col("code"))))
-            .as("toks"))
-          .select(
-            lit(tenant).as("tenant"), lit(fid).as("field"), col("doc_id"),
-            expr("transform(toks, t -> t.centroid)").as("doc_codes"),
-            concatBytes(expr("transform(toks, t -> t.code)")).as("doc_residuals"))
+        // ONE narrow map per doc: the input row already holds the doc's
+        // token list, so assignment + encoding iterate it in place — no
+        // token-level posexplode, no regroup shuffle, no sort (array order
+        // IS pos order). This is the same per-document shape as the
+        // reference's DocProcessor loop (DocProcessor.cpp:36-181), and at
+        // 100 TB it replaces a full token-level shuffle with zero shuffles.
+        val encodeDoc = udf { (toks: Seq[Seq[Float]]) =>
+          val cq = bc.value; val q = bq.value
+          val n = toks.length
+          val codes = new Array[Long](n)
+          val residuals = new java.io.ByteArrayOutputStream(n * q.codeSize)
+          var i = 0
+          while (i < n) {
+            val v = toks(i).toArray
+            codes(i) = cq.assign(v).toLong
+            residuals.write(q.encode(v))
+            i += 1
+          }
+          (codes.toSeq, residuals.toByteArray)
+        }
+        val ctx = docs
+          .select(lit(tenant).as("tenant"), lit(fid).as("field"),
+            col("id").as("doc_id"), encodeDoc(col(f.name)).as("enc"))
+          .select(col("tenant"), col("field"), col("doc_id"),
+            col("enc._1").as("doc_codes"), col("enc._2").as("doc_residuals"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        writeAppend(ctx, p("context"), Seq("tenant", "field"))
+        writes += (() => writeAppend(ctx, p("context"), Seq("tenant", "field")))
         // one posting row per doc x centroid (DocEncoder.cpp:71-104 groups
         // token codes per centroid; the posting payload itself is empty for
-        // Colbert fields — codes live in context)
-        writeAppend(
-          ctx.select(lit(tenant).as("tenant"), lit(fid).as("field"),
-            explode(array_distinct(col("doc_codes"))).as("centroid"), col("doc_id"))
-            .withColumn("centroid_bucket", centroidBucket(col("centroid")))
-            .repartition(col("tenant"), col("field"), col("centroid_bucket"))
-            .sortWithinPartitions("centroid"),
-          p("postings"), postingsParts)
-        ctx.unpersist()
+        // Colbert fields — codes live in context). Both writes read the
+        // persisted ctx; concurrent materialization of a persisted frame is
+        // safe (and the encode UDF is cheap relative to the write latency it
+        // hides).
+        writes += (() => writePostings(
+          ctx.select(col("tenant"), col("field"),
+            explode(array_distinct(col("doc_codes"))).as("centroid"), col("doc_id"))))
+        toUnpersist += ctx
       } else {
-        // Indexed-only tensor field: postings only, no context table
-        writeAppend(
-          assigned.select(lit(tenant).as("tenant"), lit(fid).as("field"),
-            col("centroid"), col("doc_id")).distinct()
-            .withColumn("centroid_bucket", centroidBucket(col("centroid")))
-            .repartition(col("tenant"), col("field"), col("centroid_bucket"))
-            .sortWithinPartitions("centroid"),
-          p("postings"), postingsParts)
+        // Indexed-only tensor field: postings only, no context table. The
+        // per-doc array_distinct replaces the old token-level distinct()
+        // shuffle (cross-doc rows can't collide — doc_id differs).
+        val assignAll = udf { (toks: Seq[Seq[Float]]) =>
+          val cq = bc.value
+          toks.map(t => cq.assign(t.toArray).toLong)
+        }
+        writes += (() => writePostings(
+          docs.select(lit(tenant).as("tenant"), lit(fid).as("field"),
+            explode(array_distinct(assignAll(col(f.name)))).as("centroid"),
+            col("id").as("doc_id"))))
       }
     }
 
@@ -268,7 +281,7 @@ final class IndexIVF private (
         lit(tenant).as("tenant"), lit(fid).as("field"), col("id").as("doc_id"),
         array().cast(ArrayType(LongType)).as("doc_codes"),
         payload.as("doc_residuals"))
-      writeAppend(ctx, p("context"), Seq("tenant", "field"))
+      writes += (() => writeAppend(ctx, p("context"), Seq("tenant", "field")))
     }
 
     val scalarRows = schema.scalarIndexed.filter(f => docs.columns.contains(f.name)).map { f =>
@@ -280,15 +293,35 @@ final class IndexIVF private (
         vs.as("value_str"), vn.as("value_num"), col("id").as("doc_id"))
     }
     if (scalarRows.nonEmpty)
-      writeAppend(scalarRows.reduce(_ unionByName _), p("scalars"), Seq("tenant", "field"))
+      writes += (() =>
+        writeAppend(scalarRows.reduce(_ unionByName _), p("scalars"), Seq("tenant", "field")))
 
     val stored = schema.storedFields.filter(f => docs.columns.contains(f.name))
     if (stored.nonEmpty) {
       val d = docs.select(lit(tenant).as("tenant") +: col("id").as("doc_id") +:
         stored.map(f => col(f.name)): _*)
-      writeAppend(d, p("docs"), Seq("tenant"))
+      writes += (() => writeAppend(d, p("docs"), Seq("tenant")))
     }
+
+    runConcurrently(writes.toSeq)
+    toUnpersist.foreach(_.unpersist())
   }
+
+  /** Run independent write actions concurrently on the session's scheduler;
+    * the first failure propagates after all complete or fail. */
+  private def runConcurrently(actions: Seq[() => Unit]): Unit =
+    if (actions.length <= 1) actions.foreach(_.apply())
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val futs = actions.map(a => Future(a()))
+      // await each so every job finishes (or fails) before add() returns
+      val results = futs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      results.collectFirst { case scala.util.Failure(e) => throw e }
+      ()
+    }
 
   // ------------------------------------------------------- remove / update
 
@@ -504,6 +537,26 @@ final class IndexIVF private (
   private def writeAppend(df: DataFrame, tablePath: String, parts: Seq[String]): Unit =
     df.write.mode("append").partitionBy(parts: _*).parquet(tablePath)
 
+  /** Append (tenant, field, centroid, doc_id) rows to postings/ preserving
+    * the layout invariants (hive centroid buckets + within-file centroid
+    * sort). A large add clusters one shuffle on the partition columns so
+    * each bucket directory gets one file; a small add (few input partitions
+    * — a per-invocation temp index, a trickle append) skips the shuffle and
+    * writes from a single sorted task, which both cuts a Spark job and stops
+    * tiny adds from fanning out one micro-file per (bucket x shuffle
+    * partition). */
+  private def writePostings(rows: DataFrame): Unit = {
+    val withBucket = rows.withColumn("centroid_bucket", centroidBucket(col("centroid")))
+    val placed =
+      if (withBucket.rdd.getNumPartitions <= SmallAddPartitions)
+        withBucket.coalesce(1)
+          .sortWithinPartitions("tenant", "field", "centroid_bucket", "centroid")
+      else
+        withBucket.repartition(col("tenant"), col("field"), col("centroid_bucket"))
+          .sortWithinPartitions("centroid")
+    writeAppend(placed, p("postings"), postingsParts)
+  }
+
   // ---------------------------------------------------------------- search
 
   def search(tenant: Long, root: QueryNode, k: Int,
@@ -534,6 +587,13 @@ object IndexIVF {
     * hand-rolled `%`) so the probe always selects the directory the posting
     * was written to (`pmod` == `floorMod`, not Java's signed `%`). */
   def bucketOf(c: Long): Int = java.lang.Math.floorMod(c, CentroidBuckets.toLong).toInt
+
+  /** A postings append whose input has at most this many partitions takes
+    * the single-sorted-task write path in [[IndexIVF.writePostings]] instead
+    * of the clustering shuffle. Partition count is a size proxy that costs
+    * no job: a bulk ingest always arrives in many partitions, while a small
+    * add's worth of rows is a trivial single-task sort. */
+  val SmallAddPartitions = 4
 
   /** Above this many affected partitions, targeted compaction falls back to
     * a whole-table rewrite: the delete evidently touches most of the table,

@@ -65,12 +65,24 @@ object EngineQueries {
 
   /** query = vec_ids 0..3 as the 4 query tokens. */
   private def buildAndSearch(s: org.apache.spark.sql.SparkSession, dir: String,
-      quant: QuantizerKind.Value) = {
+      quant: QuantizerKind.Value) = withoutAqe(s) {
     val (idx, path) = buildIndex(s, dir, quant)
     val query = queryTokens(s, dir, maxVecId = 4)
     val result = idx.search(1, VectorQuery("colbert", query), k = 5,
       SearchOptions(kTopCentroids = 4, nProbe = 8))
     materializeAndClean(s, result, path)
+  }
+
+  /** The engine queries are the latency-shaped workload: a small
+    * per-invocation index and an interactive search. AQE's per-stage runtime
+    * replanning only adds driver latency on plans this size (it exists to
+    * re-plan big shuffles on runtime stats), so it is toggled off around the
+    * engine lifecycle and restored after — the data-scale pipelines keep it. */
+  private def withoutAqe[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(key, "true")
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
   }
 
   /** The result is lazy over the index's parquet files: materialize (a few
@@ -108,6 +120,7 @@ object EngineQueries {
     // shuffle. Verify-only (not in the headline bench set).
     rowsOnly("q_engine_batch_search", Seq("BATCH", "J3", "A5", "A8")) { (s, dir) =>
       import s.implicits._
+      withoutAqe(s) {
       val (idx, path) = buildIndex(s, dir, QuantizerKind.NONE)
       val queries = queryTokens(s, dir, maxVecId = 12)
         .map(_.toSeq)
@@ -117,6 +130,7 @@ object EngineQueries {
       val res = graft.query.BatchSearcher.searchBatch(idx, 1, "colbert", queries,
         k = 3, SearchOptions(kTopCentroids = 4, nProbe = 8))
       materializeAndClean(s, res, path)
+      }
     }
   )
 }

@@ -93,27 +93,35 @@ object Searcher {
     val top = reranked.orderBy(col("score").desc, col("doc_id")).limit(k)
 
     if (idx.schema.storedFields.nonEmpty) {
-      // hydration: the <= k-row result side is the broadcast build, the
-      // forward index stays on the probe side (broadcasting the docs table
-      // would ship the whole tenant to every executor). BHJ only supports
-      // broadcast-build on the inner side, so unmatched results are filled
-      // back with a k-row anti join. `top` feeds both branches, so the
-      // search DAG behind it is materialized once (it is only k rows).
-      val topM = top.localCheckpoint(true)
-      // topM is materialized and <= k rows, so collecting the ids is a
-      // bounded driver read; pushing them into the docs scan as an IN
-      // filter turns the full forward-index scan into a row-group-pruned
-      // multiget — the Spark analogue of the reference's forward-index
-      // multiget (RocksdbForwardIndex.cpp:44-92). At cluster scale the
-      // docs/ table would additionally be bucketed by doc_id.
-      val topIds = topM.select("doc_id").collect().map(_.getLong(0))
-      val docs = idx.docsDf
+      // Hydration. The ranked result is <= k rows, so it is collected ONCE
+      // (the distributed phase-1/rerank DAG runs here) and its ids pushed
+      // into the docs scan as an IN filter: the full forward-index scan
+      // becomes a row-group-pruned multiget — the Spark analogue of the
+      // reference's forward-index multiget (RocksdbForwardIndex.cpp:44-92).
+      // At cluster scale the docs/ table would additionally be bucketed by
+      // doc_id. The multiget result is ALSO <= k rows, so the final join is
+      // a driver-local hash lookup over two k-row arrays — doing it with
+      // broadcast joins would spend several Spark jobs shuffling rows that
+      // both already fit in the collected result.
+      val topRows = top.collect()
+      val topIds = topRows.map(_.getLong(0))
+      val docsDf = idx.docsDf
         .filter(col("tenant") === tenant && col("doc_id").isin(topIds: _*))
         .dropDuplicates("doc_id").drop("tenant")
-      val hydrated = docs.join(broadcast(topM), Seq("doc_id"))
-      val missing = topM.join(broadcast(hydrated.select("doc_id")), Seq("doc_id"), "left_anti")
-      hydrated.unionByName(missing, allowMissingColumns = true)
-        .orderBy(col("score").desc, col("doc_id"))
+      val byId = docsDf.collect().map(r => r.getLong(0) -> r).toMap
+      val storedCols = docsDf.columns.drop(1) // doc_id first
+      val outSchema = org.apache.spark.sql.types.StructType(
+        docsDf.schema.fields ++ top.schema.fields.filter(_.name != "doc_id"))
+      // topRows are already (score desc, doc_id) ordered — the output order
+      val rows: Seq[org.apache.spark.sql.Row] = topRows.toSeq.map { t =>
+        val id = t.getLong(0)
+        val stored = byId.get(id)
+        org.apache.spark.sql.Row.fromSeq(
+          id +: storedCols.indices.map(i => stored.map(_.get(i + 1)).orNull) :+
+            t.get(t.fieldIndex("score")))
+      }
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, outSchema)
     } else top
   }
 

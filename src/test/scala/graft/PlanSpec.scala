@@ -96,14 +96,36 @@ class PlanSpec extends AnyFunSuite {
         GField.stored("cat", GDataType.TEXT))))
     idx.train(docs)
     idx.add(1, docs)
-    val res = idx.search(1, VectorQuery("colbert", corpus(3L).map(_.toArray).toArray),
-      k = 3, SearchOptions(kTopCentroids = 4, nProbe = 4))
-    val p = res.queryExecution.executedPlan.toString
-    // the <= k result ids reach the forward-index parquet reader as an IN
-    // filter (row-group-pruned multiget, RocksdbForwardIndex.cpp:44-92),
-    // instead of a full tenant scan joined to k rows
-    assert(p.contains("In(doc_id"), p)
-    assert(res.collect().map(_.getAs[Long]("doc_id")).contains(3L))
+    // hydration is a driver-local k-row join since round 4, so the multiget
+    // scan no longer appears in the RESULT's plan — capture the plans search()
+    // actually executes and assert the forward-index read carries the IN
+    // filter (row-group-pruned multiget, RocksdbForwardIndex.cpp:44-92)
+    // instead of a full tenant scan
+    val plans = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        plans.add(qe.executedPlan.toString); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val res = idx.search(1, VectorQuery("colbert", corpus(3L).map(_.toArray).toArray),
+        k = 3, SearchOptions(kTopCentroids = 4, nProbe = 4))
+      assert(res.collect().map(_.getAs[Long]("doc_id")).contains(3L))
+      // the listener bus is async — poll until the multiget plan arrives
+      val deadline = System.nanoTime() + 10e9.toLong
+      var seen = false
+      while (!seen && System.nanoTime() < deadline) {
+        seen = scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
+          .exists(p => p.contains("In(doc_id") && p.contains("docs"))
+        if (!seen) Thread.sleep(50)
+      }
+      assert(seen, s"no executed plan pushed the top-k ids into the docs scan:\n" +
+        scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala.mkString("\n---\n"))
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("engine postings scan prunes hive partitions on (tenant, field)") {

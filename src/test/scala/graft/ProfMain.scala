@@ -30,6 +30,10 @@ object ProfMain {
 
     what match {
       case "engine" => profEngine(spark, dir)
+      case "engine_noaqe" =>
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        profEngine(spark, dir)
+      case "add" => profAdd(spark, dir)
       case "minhash" => profMinhash(spark, dir)
       case name =>
         // repeat a SparkEntry query 3x
@@ -80,10 +84,96 @@ object ProfMain {
     time("verify re-join")(common.count())
   }
 
+  /** Replicates IndexIVF.add's internal phases with separate timing. */
+  def profAdd(spark: SparkSession, dir: String): Unit = {
+    import graft.core._
+    import graft.index.IndexIVF
+    val e = graft.queries.Tables.t(spark, dir, "embeddings")
+    val docs = e.groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("toks"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label").cast("long").as("id"),
+        expr("transform(toks, t -> t.embedding)").as("colbert"),
+        col("n_vecs"))
+    docs.count()
+    val schema = GSchema(Seq(
+      GField.colbert("colbert", dimensions = 64, numCentroids = 16,
+        quantization = QuantizerKind.NONE, numIterations = 4, nbits = 2),
+      GField(name = "n_vecs", dataType = GDataType.INTEGER.toString,
+        roles = Seq(FieldRole.Stored.toString))))
+    val path = java.nio.file.Files.createTempDirectory("prof_add").toString
+    val idx = IndexIVF.create(spark, path, schema)
+    time("train")(idx.train(docs))
+
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    })
+    def jobs[A](label: String)(f: => A): A = {
+      val before = jobCounter.get()
+      val r = time(label)(f)
+      println(s"[prof] $label jobs=${jobCounter.get() - before}")
+      r
+    }
+
+    val f = schema.tensorFields.head
+    val fid = idx.mapper.id(f.name)
+    val bc = spark.sparkContext.broadcast(idx.coarse(f.name))
+    val bq = spark.sparkContext.broadcast(idx.quantizers(f.name))
+    val assignUdf = udf((vec: Seq[Float]) => bc.value.assign(vec.toArray).toLong)
+    val encodeUdf = udf((vec: Seq[Float]) => bq.value.encode(vec.toArray))
+    val assigned = docs
+      .select(col("id").as("doc_id"), posexplode(col(f.name)).as(Seq("pos", "vec")))
+      .select(col("doc_id"), col("pos"),
+        assignUdf(col("vec")).as("centroid"), encodeUdf(col("vec")).as("code"))
+    val concatBytes = udf((arr: Seq[Array[Byte]]) => arr.flatten.toArray)
+    val ctx = assigned
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("centroid"), col("code"))))
+        .as("toks"))
+      .select(
+        lit(1L).as("tenant"), lit(fid).as("field"), col("doc_id"),
+        expr("transform(toks, t -> t.centroid)").as("doc_codes"),
+        concatBytes(expr("transform(toks, t -> t.code)")).as("doc_residuals"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jobs("ctx write") {
+      ctx.write.mode("append").partitionBy("tenant", "field").parquet(s"$path/context")
+    }
+    jobs("postings write") {
+      ctx.select(lit(1L).as("tenant"), lit(fid).as("field"),
+        explode(array_distinct(col("doc_codes"))).as("centroid"), col("doc_id"))
+        .withColumn("centroid_bucket", IndexIVF.centroidBucket(col("centroid")))
+        .repartition(col("tenant"), col("field"), col("centroid_bucket"))
+        .sortWithinPartitions("centroid")
+        .write.mode("append").partitionBy("tenant", "field", "centroid_bucket")
+        .parquet(s"$path/postings")
+    }
+    ctx.unpersist()
+    jobs("docs write") {
+      docs.select(lit(1L).as("tenant"), col("id").as("doc_id"), col("n_vecs"))
+        .write.mode("append").partitionBy("tenant").parquet(s"$path/docs")
+    }
+  }
+
   def profEngine(spark: SparkSession, dir: String): Unit = {
     import graft.core._
     import graft.index.IndexIVF
     import graft.query._
+    val starts = scala.collection.concurrent.TrieMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val sites = scala.collection.concurrent.TrieMap[Int, String]()
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        starts(js.jobId) = js.time
+        sites(js.jobId) = js.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString(" | ")
+        ()
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val dur = (je.time - starts.getOrElse(je.jobId, je.time)) / 1e3
+        println(f"[prof]   job ${je.jobId}%3d ${dur}%7.3f s  ${sites.getOrElse(je.jobId, "?")}")
+      }
+    })
     val e = graft.queries.Tables.t(spark, dir, "embeddings")
     val docs = time("build docs df") {
       val d = e.groupBy(col("label"))
@@ -92,6 +182,7 @@ object ProfMain {
         .select(col("label").cast("long").as("id"),
           expr("transform(toks, t -> t.embedding)").as("colbert"),
           col("n_vecs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       d.count()
       d
     }
