@@ -49,8 +49,12 @@ object DfCache {
     // drop entries pinned to stopped sessions so a long-lived JVM cycling
     // sessions doesn't accumulate dead object graphs
     cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
+    // serialized storage: these caches live for the whole bench/verify
+    // session, and compact byte buffers put far less pressure on the old
+    // generation than deserialized row objects (round-3 saw a collective
+    // slowdown of the cheap queries that run AFTER the dedup caches fill)
     cache.getOrElseUpdate((s, key),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
   }
 }
 

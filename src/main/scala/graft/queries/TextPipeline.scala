@@ -58,6 +58,41 @@ object TextPipeline {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.t(s, dir, "documents")
 
+  /** "No silent caps" without a dedicated count job: the hot-key set is tiny
+    * (it rides a broadcast), so a pass-through UDF on it ticks a long
+    * accumulator while the broadcast relation is built, and a session-level
+    * listener logs the total after the job that materialized it finishes.
+    * This replaces the round-3 eager `hot.count()` jobs, which serialized a
+    * full aggregation pass before the main pipeline could start. */
+  private object DropLog {
+    private val regs = new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.util.LongAccumulator,
+      (String, java.util.concurrent.atomic.AtomicLong)]()
+    private val installed =
+      scala.collection.concurrent.TrieMap[org.apache.spark.SparkContext, Boolean]()
+
+    /** A counting pass-through for the hot-key frame's key column. */
+    def tick(s: SparkSession, label: String): Column => Column = {
+      val a = s.sparkContext.longAccumulator(s"graft.drops.$label")
+      regs.put(a, (label, new java.util.concurrent.atomic.AtomicLong(0)))
+      if (installed.putIfAbsent(s.sparkContext, true).isEmpty) {
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            regs.forEach { (acc, entry) =>
+              val (lbl, seen) = entry
+              val v = acc.value
+              if (v > seen.getAndSet(v)) log.warn(
+                s"$lbl: dropped $v hot keys (cap exceeded; no near-dup signal, " +
+                  "quadratic join hazard)")
+            }
+          }
+        })
+      }
+      val u = udf { (k: Long) => a.add(1L); k }
+      c => u(c)
+    }
+  }
+
   /** Spread a narrow scan across the cluster before CPU-heavy per-token
     * work: a small documents table reads as ONE parquet split, which would
     * run every downstream string kernel (shingling, hashing, simhash votes)
@@ -80,11 +115,24 @@ object TextPipeline {
         "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))")).as("s"))
       .distinct()
 
-  /** shingles keyed by xxhash64: every downstream join/shuffle moves 8-byte
-    * longs instead of ~25-byte strings (collision odds are ~n_shingles^2/2^64
-    * — vanishing; a collision would only merge two distinct shingles). */
-  private def hashedShingles(d: DataFrame): DataFrame =
-    shingles(d).select(col("doc_id"), xxhash64(col("s")).as("sh"))
+  /** Per-doc DISTINCT xxhash64'd 3-shingles as an ARRAY column. The dedup is
+    * within-doc by definition (doc_id was part of the old distinct key), so
+    * it is row-local array_distinct work — shingle construction involves NO
+    * shuffle at any corpus size (the round-3 version shuffled the full
+    * exploded shingle table once for the distinct and once more for the
+    * signature aggregation). Hashing to 8-byte longs keeps every downstream
+    * join/shuffle narrow (collision odds ~n^2/2^64 — vanishing; a collision
+    * would only merge two distinct shingles). */
+  private def shingleArrays(d: DataFrame): DataFrame =
+    spread(d).select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(t) - 3), i -> xxhash64(concat_ws(' ', slice(t, i + 1, 3))))"))
+        .as("shs"))
+
+  /** the exploded (doc_id, sh) row form of [[shingleArrays]]. */
+  private def explodedShingles(arrs: DataFrame): DataFrame =
+    arrs.select(col("doc_id"), explode(col("shs")).as("sh"))
 
   /** candidate pairs sharing >= 1 shingle, with exact Jaccard over the
     * distinct-shingle sets — the inverted-index (no cross join) plan,
@@ -96,27 +144,25 @@ object TextPipeline {
     // with different caps can never share a capped table
     def cached(key: String)(b: => DataFrame): DataFrame =
       if (cacheKey.isEmpty) b else DfCache.getOrBuild(s, s"$key:$dfCap#$cacheKey")(b)
-    // "shingles" is cap-independent and SHARED with q_dedup_minhash: both
-    // pipelines hash the same (doc_id, shingle) table, so within a session
-    // the explode+distinct runs once for the pair of them
-    val shAll =
-      if (cacheKey.isEmpty) hashedShingles(d)
-      else DfCache.getOrBuild(s, s"shingles#$cacheKey")(hashedShingles(d))
-    val dfT = cached("jaccard_df")(shAll.groupBy(col("sh")).agg(count(lit(1)).as("df")))
-    val hot = dfT.filter(col("df") > dfCap).select("sh")
+    // the shingle-array table is cap-independent and SHARED with
+    // q_dedup_minhash: both pipelines read the same per-doc arrays, so
+    // within a session the shingling runs once for the pair of them
+    val shAll = explodedShingles(
+      if (cacheKey.isEmpty) shingleArrays(d)
+      else DfCache.getOrBuild(s, s"shingle_arrs#$cacheKey")(shingleArrays(d)))
     // the hot set is small by construction (stop-phrases) => broadcast anti.
-    // The drop count is logged from INSIDE the cache builder: one bounded
-    // job the first time a session builds this table, zero jobs on every
-    // later invocation — so plan-only inspection of re-invoked queries
-    // stays job-free. (An observe() metric would be fully lazy but its
-    // CollectMetrics node would be duplicated through the cached subtree's
-    // three join references, which Spark's analyzer rejects.)
+    // The whole cap — df aggregation, hot filter, anti-join — lives INSIDE
+    // this one cached table's plan, so it materializes pipelined with the
+    // first query that reads it (round 3 ran an eager hot.count() plus a
+    // separately-cached df table here, which serialized two cold aggregation
+    // passes before the self-join could start). Drops are logged by the
+    // accumulator pass-through on the broadcast side — no dedicated job.
     val sh = cached("jaccard_sh") {
-      val nHot = hot.count()
-      if (nHot > 0)
-        log.warn(s"jaccardPairs: dropping $nHot shingles with df > $dfCap " +
-          "(stop-phrases; no near-dup signal, quadratic join hazard)")
-      shAll.join(broadcast(hot), Seq("sh"), "left_anti")
+      val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap).select("sh")
+      val ticked = hot.select(
+        DropLog.tick(s, s"jaccardPairs: shingles with df > $dfCap")(col("sh")).as("sh"))
+      shAll.join(broadcast(ticked), Seq("sh"), "left_anti")
     }
     // doc-level shingle counts are read twice (na/nb); the session-aware
     // cached persist stops the shingle scan from running once per join side
@@ -262,46 +308,45 @@ object TextPipeline {
       // real 0.9 pairs in testing; wider bands trade a few more candidates,
       // which the exact verify filters, for near-certain recall)
       //
-      // shingles are hashed to 64-bit longs up front: every downstream
-      // shuffle/set op moves 8-byte keys instead of ~25-byte strings.
-      // Cached under the key shared with jaccardPairs: read once for
-      // signatures, the verify-join sides, and the sibling jaccard query.
-      val sh = DfCache.getOrBuild(s, s"shingles#$dir")(hashedShingles(docs(s, dir)))
-      // signatures AND the set size in ONE per-doc aggregation (a single
-      // shuffle of the shingle table). The shingle sets themselves stay in
-      // the shingle table — carrying them through the aggregation
-      // (collect_list) would make a long doc's row megabytes wide at scale.
-      val sigCols = (0 until 16).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-      // sigs feeds three plan branches (two band-join sides, the count join);
-      // ReusedExchange dedups the shuffle but the final agg (16 mins) would
-      // still run per branch — persist it (session-aware cache:
-      // re-invocations reuse one entry)
+      // shingles are hashed to 64-bit longs and deduped per doc in a ROW-
+      // LOCAL array (shared cache with jaccardPairs); the exploded row form
+      // only exists for the verify joins. Signatures are 16 array_min/
+      // transform projections over the same arrays — so NOTHING in this
+      // pipeline shuffles until the band self-join, at any corpus size
+      // (round 3 shuffled the exploded shingle table twice before banding:
+      // once for the distinct, once for the signature groupBy).
+      val arrs = DfCache.getOrBuild(s, s"shingle_arrs#$dir")(shingleArrays(docs(s, dir)))
+      val sh = explodedShingles(arrs)
+      val sigCols = (0 until 16).map(i =>
+        array_min(transform(col("shs"), x => xxhash64(lit(i), x))).as(s"h$i"))
+      // sigs feeds three plan branches (two band-join sides, the count join)
+      // — persist the narrow projection (session-aware cache: re-invocations
+      // reuse one entry)
       val sigs = DfCache.getOrBuild(s, s"minhash_sigs#$dir") {
-        sh.groupBy(col("doc_id"))
-          .agg(sigCols.head, sigCols.tail :+ count(lit(1)).as("cnt"): _*)
+        arrs.select(col("doc_id") +: sigCols :+
+          size(col("shs")).cast("long").as("cnt"): _*)
       }
       // all 8 (band, bucket) rows from ONE pass over sigs (posexplode), not
       // an 8-way union that re-runs the aggregation per band; the band
       // self-join's two sides are plan-identical, so the bucket shuffle is
       // computed once and reused (ReusedExchange) — and unlike a per-bucket
       // collect_list, join-based pair expansion spreads a hot bucket's
-      // quadratic output across tasks instead of one row
-      val bands = DfCache.getOrBuild(s, s"minhash_bands#$dir") {
-        sigs.select(col("doc_id"),
+      // quadratic output across tasks instead of one row.
+      // Hot-bucket cap: see BucketCap scaladoc (m members -> m^2/2 pairs on
+      // one key); recall survives via the other 7 bands. As in jaccardPairs,
+      // the bucket counting + anti-join live inside the ONE cached table's
+      // plan (the bands frame is a cheap posexplode over the cached sigs, so
+      // it is not separately persisted), and drops are logged by the
+      // accumulator pass-through on the broadcast side — no dedicated job.
+      val prunedBands = DfCache.getOrBuild(s, s"minhash_pruned#$dir") {
+        val bands = sigs.select(col("doc_id"),
           posexplode(array((0 until 8).map(b =>
             xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*)).as(Seq("band", "bucket")))
-      }
-      // hot-bucket cap: see BucketCap scaladoc (m members -> m^2/2 pairs on
-      // one key); drops are logged once per session from inside the cache
-      // builder (no jobs on later invocations), recall survives via the
-      // other 7 bands
-      val hotB = bands.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("bc")).filter(col("bc") > BucketCap)
-        .select(col("band"), col("bucket"))
-      val prunedBands = DfCache.getOrBuild(s, s"minhash_pruned#$dir") {
-        val nHotB = hotB.count()
-        if (nHotB > 0)
-          log.warn(s"q_dedup_minhash: dropping $nHotB LSH buckets with > $BucketCap members")
+        val hotB = bands.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("bc")).filter(col("bc") > BucketCap)
+          .select(col("band"),
+            DropLog.tick(s, s"q_dedup_minhash: LSH buckets with > $BucketCap members")(
+              col("bucket")).as("bucket"))
         bands.join(broadcast(hotB), Seq("band", "bucket"), "left_anti")
       }
       val candPairs = prunedBands.as("x").join(prunedBands.as("y"),

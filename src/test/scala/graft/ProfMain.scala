@@ -35,6 +35,7 @@ object ProfMain {
         profEngine(spark, dir)
       case "add" => profAdd(spark, dir)
       case "minhash" => profMinhash(spark, dir)
+      case "minhash2" => profMinhash2(spark, dir)
       case name =>
         // repeat a SparkEntry query 3x
         (1 to 3).foreach { i =>
@@ -42,6 +43,45 @@ object ProfMain {
         }
     }
     spark.stop()
+  }
+
+  /** Mirrors the round-4 minhash pipeline stage by stage. */
+  def profMinhash2(spark: SparkSession, dir: String): Unit = {
+    val d0 = graft.queries.Tables.t(spark, dir, "documents")
+    val d = if (d0.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+      d0.repartition(spark.sparkContext.defaultParallelism) else d0
+    val arrs = d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(t) - 3), i -> xxhash64(concat_ws(' ', slice(t, i + 1, 3))))"))
+        .as("shs"))
+      .persist()
+    time("arrs build+persist")(arrs.count())
+    val sh = arrs.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val sigCols = (0 until 16).map(i =>
+      array_min(transform(col("shs"), x => xxhash64(lit(i), x))).as(s"h$i"))
+    val sigs = arrs.select(col("doc_id") +: sigCols :+
+      size(col("shs")).cast("long").as("cnt"): _*).persist()
+    time("sigs project+persist")(sigs.count())
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until 8).map(b =>
+        xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*)).as(Seq("band", "bucket")))
+    val hotB = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bc")).filter(col("bc") > 128)
+      .select(col("band"), col("bucket"))
+    val pruned = bands.join(broadcast(hotB), Seq("band", "bucket"), "left_anti").persist()
+    time("pruned build+persist")(pruned.count())
+    val candPairs = pruned.as("x").join(pruned.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    time("band self-join distinct")(candPairs.count())
+    val common = candPairs
+      .join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+    time("verify re-join")(common.count())
   }
 
   def profMinhash(spark: SparkSession, dir: String): Unit = {
