@@ -422,7 +422,22 @@ final class IndexIVF private (
       // bounded by the partition count, not the tombstone count)
       val affected = df.join(tombs, cond(df), "left_semi")
         .select(parts.map(col): _*).distinct().collect()
-        .map(r => parts.indices.map(i => s"${parts(i)}=${r.get(i)}"))
+        .map { r =>
+          parts.indices.map { i =>
+            val v = r.get(i)
+            // the 'col=value' strings below are matched against hive
+            // directory names WITHOUT escaping — sound only because every
+            // partition column (tenant/field/centroid_bucket, see
+            // tableParts) is a non-null integer. Guard the invariant so a
+            // future string/null partition column fails loudly here instead
+            // of silently skipping or mis-swapping a directory.
+            require(v != null && v.toString.matches("-?\\d+"),
+              s"compactTable: partition column ${parts(i)} has non-integer " +
+                s"value '$v'; the unescaped path matching below only " +
+                "supports numeric partition columns")
+            s"${parts(i)}=$v"
+          }
+        }
       // Postings rewrites MUST restore the within-file centroid sort (the
       // anti-join may plan as a shuffle join, which would otherwise emit
       // shuffle-ordered files and silently kill row-group pruning for
@@ -434,7 +449,7 @@ final class IndexIVF private (
       val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
       if (affected.isEmpty) {
         // nothing to delete in this table
-      } else if (affected.length <= MaxTargetedPartitions) {
+      } else if (affected.length <= maxTargetedPartitions(spark)) {
         // survivors of ONLY the affected partitions, written to a tmp tree,
         // then swapped in per partition directory
         val inAffected = concat_ws("/", parts.map(c => concat(lit(s"$c="), col(c))): _*)
@@ -486,6 +501,8 @@ final class IndexIVF private (
   /** Merge another index's contents (reference: lintdb/index.cpp:512-535 —
     * key-by-key RocksDB copy; here a unionByName append per table). */
   def merge(otherPath: String): Unit = {
+    // the other index's tables are read raw — refuse a layout we can't read
+    IndexIVF.checkVersion(otherPath)
     // pending LOCAL tombstones are applied first: merge appends rows, and —
     // exactly like the update()-after-removeDeferred hazard — a stale local
     // tombstone would silently hide, then destroy, an imported doc that
@@ -598,8 +615,12 @@ object IndexIVF {
   /** Above this many affected partitions, targeted compaction falls back to
     * a whole-table rewrite: the delete evidently touches most of the table,
     * and a per-partition In-list this long would bloat the plan instead of
-    * pruning it. A var only so tests can exercise the fallback path. */
-  private[graft] var MaxTargetedPartitions = 1000
+    * pruning it. Read per call from the session conf (tests set the conf to
+    * exercise the fallback; a shared mutable JVM global would race across
+    * concurrent suites/instances). */
+  private[graft] val MaxTargetedPartitionsKey = "graft.index.maxTargetedPartitions"
+  private[graft] def maxTargetedPartitions(spark: SparkSession): Int =
+    spark.conf.get(MaxTargetedPartitionsKey, "1000").toInt
 
   /** Hive partition columns per table (rewrites must preserve layout). */
   def tableParts(tbl: String): Seq[String] = tbl match {
@@ -621,6 +642,7 @@ object IndexIVF {
   /** Open an existing index (read-only use is just "don't call mutators";
     * reference: lintdb/index.cpp:40-58). */
   def open(spark: SparkSession, path: String): IndexIVF = {
+    checkVersion(path)
     val schema = Json.read(s"$path/_meta/schema.json", classOf[GSchema])
     val idx = new IndexIVF(spark, path, schema)
     schema.tensorFields.foreach { f =>
@@ -657,11 +679,32 @@ object IndexIVF {
     idx
   }
 
+  /** On-disk format version. Version 2 = postings hive-partitioned by
+    * (tenant, field, centroid_bucket); version 1 (no bucket level) cannot be
+    * read or safely appended to by this code — [[open]] rejects it with a
+    * migration hint instead of failing at query time (or worse, letting an
+    * add() interleave two directory layouts under one table). */
+  val FormatVersion = 2
+
   private def writeMeta(path: String, schema: GSchema): Unit = {
     Json.write(s"$path/_meta/schema.json", schema)
     Json.write(s"$path/_meta/mapper.json", FieldMapper.fromSchema(schema).nameToId)
     Json.write(s"$path/_meta/metadata.json",
-      Map("format" -> "graft-ivf-parquet", "version" -> 1))
+      Map("format" -> "graft-ivf-parquet", "version" -> FormatVersion,
+        "layout" -> "postings/tenant/field/centroid_bucket"))
+  }
+
+  private def checkVersion(path: String): Unit = {
+    val metaPath = s"$path/_meta/metadata.json"
+    val version: Int =
+      if (!Json.exists(metaPath)) 0
+      else Json.read(metaPath, classOf[Map[String, Any]])
+        .get("version").collect { case n: Number => n.intValue() }.getOrElse(0)
+    if (version != FormatVersion) throw new IllegalStateException(
+      s"index at $path has format version $version, this build reads/writes " +
+        s"version $FormatVersion (postings are hive-partitioned by " +
+        "centroid_bucket since v2). Rebuild the index with create()+add(), " +
+        "or migrate by re-writing postings/ with the centroid_bucket column.")
   }
 
   private def empty(spark: SparkSession, s: StructType): DataFrame =

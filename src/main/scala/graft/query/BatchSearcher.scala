@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object BatchSearcher {
 
+  /** Max literals in the pushed-down `centroid IN (...)` row-group-pruning
+    * predicate; beyond this the probe join alone filters centroids (the
+    * partition-level centroid_bucket filter is always pushed). */
+  val MaxCentroidInList = 256
+
   /** @param queries one row per query: (query_id: long,
     *                tokens: array<array<float>>) */
   def searchBatch(idx: IndexIVF, tenant: Long, field: String, queries: DataFrame,
@@ -59,13 +64,23 @@ object BatchSearcher {
 
     // the UNION of all queries' probes is known at plan time: push it into
     // the scan as static bucket/centroid predicates (partition + row-group
-    // pruning) — the broadcast join then just maps centroid -> query_id
+    // pruning) — the broadcast join then just maps centroid -> query_id.
+    // The cheap centroid_bucket partition filter is ALWAYS pushed (its
+    // literal count is bounded by CentroidBuckets); the centroid IN-list is
+    // only added while it stays small — for a large batch it approaches
+    // numQueries x nProbe literals, which bloats the analyzed plan and
+    // codegen (the same pathological In-list compactTable guards against)
+    // while pruning little beyond what the bucket filter already did.
     val allProbes = plans.flatMap(_._4).distinct
     val allBuckets = allProbes.map(IndexIVF.bucketOf).distinct
-    val candidates = idx.postingsDf
+    val bucketPruned = idx.postingsDf
       .filter(col("tenant") === tenant && col("field") === fid &&
-        col("centroid_bucket").isin(allBuckets: _*) &&
-        col("centroid").isin(allProbes: _*))
+        col("centroid_bucket").isin(allBuckets: _*))
+    val scanned =
+      if (allProbes.length <= MaxCentroidInList)
+        bucketPruned.filter(col("centroid").isin(allProbes: _*))
+      else bucketPruned
+    val candidates = scanned
       .join(broadcast(probeDf), Seq("centroid"))
       .select(col("query_id"), col("doc_id")).distinct()
 

@@ -314,15 +314,24 @@ class IndexSpec extends AnyFunSuite {
 
   test("bulk compact falls back to whole-table rewrite above the partition threshold") {
     val idx = freshIndex(QuantizerKind.NONE)
-    val saved = IndexIVF.MaxTargetedPartitions
-    IndexIVF.MaxTargetedPartitions = 0 // force every table down the bulk path
+    spark.conf.set(IndexIVF.MaxTargetedPartitionsKey, "0") // force the bulk path
     try {
       idx.removeDeferred(1, Seq(0L, 2L))
       idx.compact()
       val got = idx.search(1, query(0L), numDocs, exhaustive)
         .collect().map(_.getAs[Long]("doc_id"))
       assert(!got.contains(0L) && !got.contains(2L) && got.contains(1L))
-    } finally IndexIVF.MaxTargetedPartitions = saved
+    } finally spark.conf.unset(IndexIVF.MaxTargetedPartitionsKey)
+  }
+
+  test("open() rejects an index with an older on-disk format version") {
+    val idx = freshIndex(QuantizerKind.NONE)
+    // overwrite metadata.json as a v1 (pre-centroid_bucket) index would have
+    graft.core.Json.write(s"${idx.path}/_meta/metadata.json",
+      Map("format" -> "graft-ivf-parquet", "version" -> 1))
+    val e = intercept[IllegalStateException](IndexIVF.open(spark, idx.path))
+    assert(e.getMessage.contains("format version 1"))
+    assert(e.getMessage.contains("centroid_bucket"))
   }
 
   test("removeDeferred caveat: a re-add before compact() stays hidden (documented)") {
