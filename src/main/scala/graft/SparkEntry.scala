@@ -23,7 +23,8 @@ object SparkEntry {
   val headline: Set[String] =
     (allDefs.map(_.name).toSet -- Set(
       "q_asof_join", "q_rollup", "q_percentile", "q_session_window",
-      "q_distinct_agg", "q_engine_batch_search", "q_engine_batch_search_212",
+      "q_distinct_agg", "q_distinct_hll",
+      "q_engine_batch_search", "q_engine_batch_search_212",
       "q_multimodal_frames",
       "q_dedup_minhash_md5", "q_dedup_simhash_md5", "q_neardup_ivf"))
 

@@ -104,6 +104,20 @@ object Analytics {
           .orderBy("l_returnflag")
     },
 
+    // AGG4-scale — the HLL sketch twin of q_distinct_agg: constant
+    // sketch-sized aggregation state per group instead of the exact path's
+    // per-distinct-value state, which is what distinct-count must become at
+    // corpus scale. No SQL oracle (DuckDB's approx_count_distinct uses a
+    // different HLL implementation, so estimates differ by design); the
+    // relative-error bound vs the exact count is asserted in AnalyticsSpec.
+    rowsOnly("q_distinct_hll", Seq("AGG4")) { (s, dir) =>
+      Tables.t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // ST2 — session windows (gap-based). The Spark side is the SAME
     // `session_window` aggregation that runs incrementally under Structured
     // Streaming with a watermark (StreamingIngest.sessionWindows;
