@@ -20,9 +20,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query isn't charged for
-    // session + whole-stage-codegen initialization
+    // session + whole-stage-codegen initialization, and first-touch of the
+    // main tables (file listing, footer reads, OS page cache) so those
+    // one-time costs don't land on whichever query happens to sort first
     spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    Seq("region", "lineitem", "documents", "embeddings", "events").foreach(t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").count())
     // optional arg: comma-separated query-name filter (local iteration only;
     // the driver invokes with no args => full headline set)
     val only = args.headOption.map(_.split(',').toSet)

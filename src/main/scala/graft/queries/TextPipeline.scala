@@ -123,7 +123,7 @@ object TextPipeline {
     * signature aggregation). Hashing to 8-byte longs keeps every downstream
     * join/shuffle narrow (collision odds ~n^2/2^64 — vanishing; a collision
     * would only merge two distinct shingles). */
-  private def shingleArrays(d: DataFrame): DataFrame =
+  private[graft] def shingleArrays(d: DataFrame): DataFrame =
     spread(d).select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
@@ -133,6 +133,15 @@ object TextPipeline {
   /** the exploded (doc_id, sh) row form of [[shingleArrays]]. */
   private def explodedShingles(arrs: DataFrame): DataFrame =
     arrs.select(col("doc_id"), explode(col("shs")).as("sh"))
+
+  /** 16 MinHash signature mins + the set size, as narrow per-row projections
+    * over the shingle arrays — no aggregation, no shuffle (TextPipelineSpec
+    * pins the plan shape). */
+  private[graft] def minhashSigs(arrs: DataFrame): DataFrame =
+    arrs.select(col("doc_id") +:
+      (0 until 16).map(i =>
+        array_min(transform(col("shs"), x => xxhash64(lit(i), x))).as(s"h$i")) :+
+      size(col("shs")).cast("long").as("cnt"): _*)
 
   /** candidate pairs sharing >= 1 shingle, with exact Jaccard over the
     * distinct-shingle sets — the inverted-index (no cross join) plan,
@@ -317,15 +326,10 @@ object TextPipeline {
       // once for the distinct, once for the signature groupBy).
       val arrs = DfCache.getOrBuild(s, s"shingle_arrs#$dir")(shingleArrays(docs(s, dir)))
       val sh = explodedShingles(arrs)
-      val sigCols = (0 until 16).map(i =>
-        array_min(transform(col("shs"), x => xxhash64(lit(i), x))).as(s"h$i"))
       // sigs feeds three plan branches (two band-join sides, the count join)
       // — persist the narrow projection (session-aware cache: re-invocations
       // reuse one entry)
-      val sigs = DfCache.getOrBuild(s, s"minhash_sigs#$dir") {
-        arrs.select(col("doc_id") +: sigCols :+
-          size(col("shs")).cast("long").as("cnt"): _*)
-      }
+      val sigs = DfCache.getOrBuild(s, s"minhash_sigs#$dir")(minhashSigs(arrs))
       // all 8 (band, bucket) rows from ONE pass over sigs (posexplode), not
       // an 8-way union that re-runs the aggregation per band; the band
       // self-join's two sides are plan-identical, so the bucket shuffle is

@@ -47,6 +47,20 @@ class TextPipelineSpec extends AnyFunSuite {
     sim.values.foreach(h => assert(h <= 8))
   }
 
+  test("shingling + MinHash signatures shuffle nothing (scale invariant)") {
+    import graft.queries.{Tables, TextPipeline}
+    // per-doc array_distinct dedup and array_min signature projections are
+    // row-local: the ONLY exchange allowed before banding is spread()'s
+    // round-robin repartition of the small scan (an identity at real scale).
+    // A hash/range exchange appearing here would mean the token-level
+    // shuffle crept back into the 100 TB path.
+    val sigs = TextPipeline.minhashSigs(
+      TextPipeline.shingleArrays(Tables.t(spark, sf, "documents")))
+    val p = sigs.queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
   test("fingerprints are deterministic and discriminate distinct content") {
     val a = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val b = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
