@@ -33,4 +33,57 @@ object TextHash {
     while (b < 64) { if (counts(b) >= 0) sig |= 1L << b; b += 1 }
     sig
   }
+
+  /** Per-doc DISTINCT xxhash64'd 3-word shingles in one pass over the text;
+    * null for docs shorter than 3 tokens (callers filter). Values are
+    * bit-identical to Spark's `xxhash64(concat_ws(' ', ...))` — the kernel
+    * calls the same catalyst XXH64 over the same utf8 bytes with the same
+    * seed (42) — so swapping this in changes no downstream result.
+    *
+    * A UDF deliberately: the equivalent higher-order-function chain
+    * (transform + sequence + concat_ws + array_distinct) is NOT whole-stage
+    * codegen'd (HOF lambdas evaluate interpreted per element), and measured
+    * ~2x slower than this tight loop with LinkedHashSet dedup. The usual
+    * "builtin functions beat UDFs" rule assumes the builtin is codegen'd;
+    * for HOFs it is not. */
+  val hashedShingles3: UserDefinedFunction = udf { (text: String) =>
+    val t = text.split(' ')
+    if (t.length < 3) null
+    else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i + 2 < t.length) {
+        val s = org.apache.spark.unsafe.types.UTF8String.fromString(
+          t(i) + " " + t(i + 1) + " " + t(i + 2))
+        seen.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator(); var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      out
+    }
+  }
+
+  /** The 16 MinHash permutation mins over a shingle-hash array in one pass.
+    * Bit-identical to `array_min(transform(shs, x -> xxhash64(lit(i), x)))`
+    * for i in 0..15: Spark's XxHash64 chains child hashes through the seed
+    * (h = hashInt(i, 42); h = hashLong(x, h)), which this loop replicates
+    * with precomputed per-permutation seeds. One pass instead of 16
+    * interpreted HOF traversals (same reasoning as [[hashedShingles3]]). */
+  val minhashSigs16: UserDefinedFunction = udf { (shs: Seq[Long]) =>
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val seeds = Array.tabulate(16)(i => XXH64.hashInt(i, 42L))
+    val mins = Array.fill(16)(Long.MaxValue)
+    shs.foreach { sh =>
+      var i = 0
+      while (i < 16) {
+        val h = XXH64.hashLong(sh, seeds(i))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+    }
+    mins
+  }
 }

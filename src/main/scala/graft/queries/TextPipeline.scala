@@ -124,11 +124,10 @@ object TextPipeline {
     * join/shuffle narrow (collision odds ~n^2/2^64 — vanishing; a collision
     * would only merge two distinct shingles). */
   private[graft] def shingleArrays(d: DataFrame): DataFrame =
-    spread(d).select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(t) - 3), i -> xxhash64(concat_ws(' ', slice(t, i + 1, 3))))"))
-        .as("shs"))
+    spread(d)
+      .select(col("doc_id"),
+        graft.functions.TextHash.hashedShingles3(col("text")).as("shs"))
+      .filter(col("shs").isNotNull)
 
   /** the exploded (doc_id, sh) row form of [[shingleArrays]]. */
   private def explodedShingles(arrs: DataFrame): DataFrame =
@@ -136,12 +135,14 @@ object TextPipeline {
 
   /** 16 MinHash signature mins + the set size, as narrow per-row projections
     * over the shingle arrays — no aggregation, no shuffle (TextPipelineSpec
-    * pins the plan shape). */
-  private[graft] def minhashSigs(arrs: DataFrame): DataFrame =
-    arrs.select(col("doc_id") +:
-      (0 until 16).map(i =>
-        array_min(transform(col("shs"), x => xxhash64(lit(i), x))).as(s"h$i")) :+
-      size(col("shs")).cast("long").as("cnt"): _*)
+    * pins the plan shape AND the bit-parity with the HOF formulation). */
+  private[graft] def minhashSigs(arrs: DataFrame): DataFrame = {
+    val withSig = arrs.select(col("doc_id"),
+      graft.functions.TextHash.minhashSigs16(col("shs")).as("hs"),
+      size(col("shs")).cast("long").as("cnt"))
+    withSig.select(col("doc_id") +:
+      (0 until 16).map(i => col("hs")(i).as(s"h$i")) :+ col("cnt"): _*)
+  }
 
   /** candidate pairs sharing >= 1 shingle, with exact Jaccard over the
     * distinct-shingle sets — the inverted-index (no cross join) plan,

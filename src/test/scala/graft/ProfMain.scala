@@ -36,6 +36,7 @@ object ProfMain {
       case "add" => profAdd(spark, dir)
       case "minhash" => profMinhash(spark, dir)
       case "minhash2" => profMinhash2(spark, dir)
+      case "shingleudf" => profShingleUdf(spark, dir)
       case name =>
         // repeat a SparkEntry query 3x
         (1 to 3).foreach { i =>
@@ -82,6 +83,48 @@ object ProfMain {
       .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
     time("verify re-join")(common.count())
+  }
+
+  /** HOF chain vs one-pass UDF for the shingle-array build. */
+  def profShingleUdf(spark: SparkSession, dir: String): Unit = {
+    val d0 = graft.queries.Tables.t(spark, dir, "documents")
+    val d = d0.repartition(spark.sparkContext.defaultParallelism)
+      .persist()
+    d.count()
+    val hof = d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(t) - 3), i -> xxhash64(concat_ws(' ', slice(t, i + 1, 3))))"))
+        .as("shs"))
+    (1 to 3).foreach(i => time(s"HOF chain #$i")(hof.select(sum(size(col("shs")))).collect()))
+    val shingleU = udf { (text: String) =>
+      val t = text.split(' ')
+      if (t.length < 3) null
+      else {
+        val seen = new java.util.LinkedHashSet[java.lang.Long]()
+        var i = 0
+        while (i + 2 < t.length) {
+          val s = org.apache.spark.unsafe.types.UTF8String.fromString(
+            t(i) + " " + t(i + 1) + " " + t(i + 2))
+          seen.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L))
+          i += 1
+        }
+        val out = new Array[Long](seen.size)
+        val it = seen.iterator(); var j = 0
+        while (it.hasNext) { out(j) = it.next(); j += 1 }
+        out
+      }
+    }
+    val viaUdf = d.select(col("doc_id"), shingleU(col("text")).as("shs"))
+      .filter(col("shs").isNotNull)
+    (1 to 3).foreach(i => time(s"one-pass UDF #$i")(viaUdf.select(sum(size(col("shs")))).collect()))
+    // parity: same totals and same per-doc sets
+    val a = hof.select(col("doc_id"), col("shs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val b = viaUdf.select(col("doc_id"), col("shs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    println(s"[prof] parity: ${a == b} (docs ${a.size})")
   }
 
   def profMinhash(spark: SparkSession, dir: String): Unit = {

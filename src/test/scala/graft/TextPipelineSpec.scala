@@ -61,6 +61,29 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("shingle/signature UDF kernels are bit-identical to the HOF formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.{Tables, TextPipeline}
+    val d = Tables.t(spark, sf, "documents").limit(100)
+    // reference: the builtin-function chain the kernels replaced
+    val hofArrs = d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(t) - 3), i -> xxhash64(concat_ws(' ', slice(t, i + 1, 3))))"))
+        .as("shs"))
+    val hofSigs = hofArrs.select(col("doc_id") +:
+      (0 until 16).map(i =>
+        array_min(transform(col("shs"), x => xxhash64(lit(i), x))).as(s"h$i")): _*)
+    val kernelArrs = TextPipeline.shingleArrays(d)
+    def arrMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(arrMap(kernelArrs) == arrMap(hofArrs))
+    def sigMap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id") +: (0 until 16).map(i => col(s"h$i")): _*)
+        .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    assert(sigMap(TextPipeline.minhashSigs(kernelArrs)) == sigMap(hofSigs))
+  }
+
   test("fingerprints are deterministic and discriminate distinct content") {
     val a = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val b = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
