@@ -47,7 +47,10 @@ object TextHash {
     * "builtin functions beat UDFs" rule assumes the builtin is codegen'd;
     * for HOFs it is not. */
   val hashedShingles3: UserDefinedFunction = udf { (text: String) =>
-    val t = text.split(' ')
+    // limit = -1: KEEP trailing empty tokens — Spark's split() and DuckDB's
+    // string_split both do, and the jaccard oracle's token counts depend on
+    // it (Java's default split would silently drop "foo bar " docs)
+    val t = if (text == null) Array.empty[String] else text.split(" ", -1)
     if (t.length < 3) null
     else {
       val seen = new java.util.LinkedHashSet[java.lang.Long]()

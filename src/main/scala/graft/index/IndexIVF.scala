@@ -181,12 +181,17 @@ final class IndexIVF private (
   def add(tenant: Long, docs: DataFrame): Unit = {
     val unknown = docs.columns.filterNot(c => c == "id" || schema.fields.exists(_.name == c))
     require(unknown.isEmpty, s"unknown fields: ${unknown.mkString(",")}")
-    // Independent table writes run as concurrent Spark actions: postings,
-    // context, scalars and docs land in different directories with no
-    // ordering constraint between them, and overlapping the jobs hides the
-    // per-write planning/commit latency (driver-side dead time that would
-    // otherwise serialize; on a cluster the writes also overlap their IO).
-    val writes = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    // Independent table writes run as concurrent Spark actions, KEYED BY
+    // TARGET TABLE: writes to different directories have no ordering
+    // constraint, and overlapping their jobs hides per-write planning/commit
+    // latency (driver-side dead time that would otherwise serialize; on a
+    // cluster the writes also overlap their IO). Two appends to the SAME
+    // table (a second tensor field's postings, a context-only field's
+    // context rows) must NOT overlap — concurrent Hadoop committers share
+    // the table's _temporary staging dir and the first commit would destroy
+    // the second's pending files — so runConcurrently chains same-table
+    // writes sequentially within one lane.
+    val writes = scala.collection.mutable.ArrayBuffer.empty[(String, () => Unit)]
     val toUnpersist = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // type validation against the schema (reference DocProcessor::validateField
     // throws on type mismatch, DocProcessor.cpp:47-52) — fail early with a
@@ -225,22 +230,25 @@ final class IndexIVF private (
           }
           (codes.toSeq, residuals.toByteArray)
         }
-        val ctx = docs
+        // null tensor value => no tokens => no context/posting rows for that
+        // doc (the old posexplode emitted zero rows for null; the UDF would
+        // NPE instead, so filter first — stored/scalar rows are unaffected)
+        val ctx = docs.filter(col(f.name).isNotNull)
           .select(lit(tenant).as("tenant"), lit(fid).as("field"),
             col("id").as("doc_id"), encodeDoc(col(f.name)).as("enc"))
           .select(col("tenant"), col("field"), col("doc_id"),
             col("enc._1").as("doc_codes"), col("enc._2").as("doc_residuals"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        writes += (() => writeAppend(ctx, p("context"), Seq("tenant", "field")))
+        writes += ("context" -> (() => writeAppend(ctx, p("context"), Seq("tenant", "field"))))
         // one posting row per doc x centroid (DocEncoder.cpp:71-104 groups
         // token codes per centroid; the posting payload itself is empty for
         // Colbert fields — codes live in context). Both writes read the
         // persisted ctx; concurrent materialization of a persisted frame is
         // safe (and the encode UDF is cheap relative to the write latency it
         // hides).
-        writes += (() => writePostings(
+        writes += ("postings" -> (() => writePostings(
           ctx.select(col("tenant"), col("field"),
-            explode(array_distinct(col("doc_codes"))).as("centroid"), col("doc_id"))))
+            explode(array_distinct(col("doc_codes"))).as("centroid"), col("doc_id")))))
         toUnpersist += ctx
       } else {
         // Indexed-only tensor field: postings only, no context table. The
@@ -250,10 +258,11 @@ final class IndexIVF private (
           val cq = bc.value
           toks.map(t => cq.assign(t.toArray).toLong)
         }
-        writes += (() => writePostings(
-          docs.select(lit(tenant).as("tenant"), lit(fid).as("field"),
-            explode(array_distinct(assignAll(col(f.name)))).as("centroid"),
-            col("id").as("doc_id"))))
+        writes += ("postings" -> (() => writePostings(
+          docs.filter(col(f.name).isNotNull)
+            .select(lit(tenant).as("tenant"), lit(fid).as("field"),
+              explode(array_distinct(assignAll(col(f.name)))).as("centroid"),
+              col("id").as("doc_id")))))
       }
     }
 
@@ -281,7 +290,7 @@ final class IndexIVF private (
         lit(tenant).as("tenant"), lit(fid).as("field"), col("id").as("doc_id"),
         array().cast(ArrayType(LongType)).as("doc_codes"),
         payload.as("doc_residuals"))
-      writes += (() => writeAppend(ctx, p("context"), Seq("tenant", "field")))
+      writes += ("context" -> (() => writeAppend(ctx, p("context"), Seq("tenant", "field"))))
     }
 
     val scalarRows = schema.scalarIndexed.filter(f => docs.columns.contains(f.name)).map { f =>
@@ -293,30 +302,33 @@ final class IndexIVF private (
         vs.as("value_str"), vn.as("value_num"), col("id").as("doc_id"))
     }
     if (scalarRows.nonEmpty)
-      writes += (() =>
-        writeAppend(scalarRows.reduce(_ unionByName _), p("scalars"), Seq("tenant", "field")))
+      writes += ("scalars" -> (() =>
+        writeAppend(scalarRows.reduce(_ unionByName _), p("scalars"), Seq("tenant", "field"))))
 
     val stored = schema.storedFields.filter(f => docs.columns.contains(f.name))
     if (stored.nonEmpty) {
       val d = docs.select(lit(tenant).as("tenant") +: col("id").as("doc_id") +:
         stored.map(f => col(f.name)): _*)
-      writes += (() => writeAppend(d, p("docs"), Seq("tenant")))
+      writes += ("docs" -> (() => writeAppend(d, p("docs"), Seq("tenant"))))
     }
 
-    runConcurrently(writes.toSeq)
-    toUnpersist.foreach(_.unpersist())
+    try runConcurrently(writes.toSeq)
+    finally toUnpersist.foreach(_.unpersist())
   }
 
-  /** Run independent write actions concurrently on the session's scheduler;
-    * the first failure propagates after all complete or fail. */
-  private def runConcurrently(actions: Seq[() => Unit]): Unit =
-    if (actions.length <= 1) actions.foreach(_.apply())
+  /** Run write actions concurrently ACROSS tables, sequentially WITHIN a
+    * table (two appends to one directory would race on the shared Hadoop
+    * committer staging dir). The first failure propagates after every lane
+    * completes or fails. */
+  private def runConcurrently(actions: Seq[(String, () => Unit)]): Unit =
+    if (actions.length <= 1) actions.foreach(_._2.apply())
     else {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.global
-      val futs = actions.map(a => Future(a()))
+      val lanes = actions.groupBy(_._1).values.toSeq.map(_.map(_._2))
+      val futs = lanes.map(lane => Future(lane.foreach(_.apply())))
       // await each so every job finishes (or fails) before add() returns
       val results = futs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
       results.collectFirst { case scala.util.Failure(e) => throw e }

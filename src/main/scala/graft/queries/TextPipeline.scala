@@ -66,29 +66,38 @@ object TextPipeline {
     * full aggregation pass before the main pipeline could start. */
   private object DropLog {
     private val regs = new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.util.LongAccumulator,
-      (String, java.util.concurrent.atomic.AtomicLong)]()
+      org.apache.spark.util.CollectionAccumulator[Long],
+      (String, org.apache.spark.SparkContext, java.util.concurrent.atomic.AtomicLong)]()
     private val installed =
       scala.collection.concurrent.TrieMap[org.apache.spark.SparkContext, Boolean]()
 
-    /** A counting pass-through for the hot-key frame's key column. */
+    /** A counting pass-through for the hot-key frame's key column. The
+      * accumulator collects the KEYS (bounded: the hot set rides a
+      * broadcast by design) and the log reports the DISTINCT count, so
+      * re-materialization of an uncached plan branch or a retried task
+      * can't inflate the number. Entries of stopped sessions are purged on
+      * the next job end. */
     def tick(s: SparkSession, label: String): Column => Column = {
-      val a = s.sparkContext.longAccumulator(s"graft.drops.$label")
-      regs.put(a, (label, new java.util.concurrent.atomic.AtomicLong(0)))
+      val a = s.sparkContext.collectionAccumulator[Long](s"graft.drops.$label")
+      regs.put(a, (label, s.sparkContext, new java.util.concurrent.atomic.AtomicLong(0)))
       if (installed.putIfAbsent(s.sparkContext, true).isEmpty) {
         s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
             regs.forEach { (acc, entry) =>
-              val (lbl, seen) = entry
-              val v = acc.value
-              if (v > seen.getAndSet(v)) log.warn(
-                s"$lbl: dropped $v hot keys (cap exceeded; no near-dup signal, " +
-                  "quadratic join hazard)")
+              val (lbl, sc, seen) = entry
+              if (sc.isStopped) { regs.remove(acc); () }
+              else {
+                val v = scala.jdk.CollectionConverters.ListHasAsScala(acc.value)
+                  .asScala.toSet.size.toLong
+                if (v > seen.getAndSet(v)) log.warn(
+                  s"$lbl: dropped $v hot keys (cap exceeded; no near-dup signal, " +
+                    "quadratic join hazard)")
+              }
             }
           }
         })
       }
-      val u = udf { (k: Long) => a.add(1L); k }
+      val u = udf { (k: Long) => a.add(k); k }
       c => u(c)
     }
   }

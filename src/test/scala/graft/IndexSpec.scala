@@ -324,6 +324,49 @@ class IndexSpec extends AnyFunSuite {
     } finally spark.conf.unset(IndexIVF.MaxTargetedPartitionsKey)
   }
 
+  test("add() with TWO tensor fields lands both fields' postings and context") {
+    // regression: concurrent appends to the same table directory raced on
+    // the shared Hadoop committer staging dir — same-table writes must
+    // serialize (different tables still overlap)
+    import spark.implicits._
+    val schema2 = GSchema(Seq(
+      GField.colbert("colbert", dim, numCentroids = 8, numIterations = 2),
+      GField.colbert("colbert2", dim, numCentroids = 8, numIterations = 2)))
+    val path = java.nio.file.Files.createTempDirectory("idx_twofields").toString
+    val idx = IndexIVF.create(spark, path, schema2)
+    val df = corpus.toSeq.sortBy(_._1)
+      .map { case (i, toks) => (i, toks, toks.map(_.reverse)) }
+      .toDF("id", "colbert", "colbert2")
+    idx.train(df)
+    idx.add(1, df)
+    val fid1 = idx.mapper.id("colbert")
+    val fid2 = idx.mapper.id("colbert2")
+    import org.apache.spark.sql.functions.col
+    Seq(idx.postingsDf, idx.contextDf).foreach { t =>
+      val perField = t.groupBy(col("field")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(perField.keySet == Set(fid1, fid2), s"missing a field's rows: $perField")
+      assert(perField.values.forall(_ >= numDocs), s"short row counts: $perField")
+    }
+  }
+
+  test("add() skips docs whose tensor value is null (matches old explode semantics)") {
+    import spark.implicits._
+    val idx = freshIndex(QuantizerKind.NONE)
+    val withNull = Seq(
+      (100L, corpus(0L), "even", 0L),
+      (101L, null.asInstanceOf[Seq[Seq[Float]]], "odd", 1L))
+      .toDF("id", "colbert", "cat", "num")
+    idx.add(1, withNull)
+    import org.apache.spark.sql.functions.col
+    val ctxIds = idx.contextDf.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ctxIds.contains(100L) && !ctxIds.contains(101L))
+    // the null-tensor doc still gets its stored/scalar rows
+    val docIds = idx.docsDf.filter(col("doc_id") >= 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(docIds == Set(100L, 101L))
+  }
+
   test("open() rejects an index with an older on-disk format version") {
     val idx = freshIndex(QuantizerKind.NONE)
     // overwrite metadata.json as a v1 (pre-centroid_bucket) index would have
