@@ -48,14 +48,16 @@ final class IndexIVF private (
 
   private def p(name: String) = s"$path/$name"
 
-  /** Total read: a table with no data files yet (fresh index — an empty
-    * partitioned write emits only _SUCCESS) reads as an empty DataFrame of
-    * the declared schema instead of failing schema inference. */
+  /** Total read: the declared schema is supplied explicitly (the index
+    * format is versioned — see [[IndexIVF.FormatVersion]]), which skips
+    * per-read footer inference AND makes a table with no data files yet
+    * (fresh index — an empty partitioned write emits only _SUCCESS) read
+    * as an empty frame of the right shape; only a missing directory needs
+    * the fallback. Partition columns (tenant/field/centroid_bucket) are in
+    * the declared schema — Spark fills them from the directory names. */
   private def readTable(name: String, schema: StructType): DataFrame =
-    try {
-      val df = spark.read.parquet(p(name))
-      if (df.columns.isEmpty) IndexIVF.empty(spark, schema) else df
-    } catch {
+    try spark.read.schema(schema).parquet(p(name))
+    catch {
       case _: org.apache.spark.sql.AnalysisException => IndexIVF.empty(spark, schema)
     }
 
