@@ -352,7 +352,7 @@ object TextPipeline {
       // plan (the bands frame is a cheap posexplode over the cached sigs, so
       // it is not separately persisted), and drops are logged by the
       // accumulator pass-through on the broadcast side — no dedicated job.
-      val prunedBands = DfCache.getOrBuild(s, s"minhash_pruned#$dir") {
+      val prunedBands = {
         val bands = sigs.select(col("doc_id"),
           posexplode(array((0 until 8).map(b =>
             xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*)).as(Seq("band", "bucket")))
