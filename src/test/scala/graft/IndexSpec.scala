@@ -367,6 +367,34 @@ class IndexSpec extends AnyFunSuite {
     assert(docIds == Set(100L, 101L))
   }
 
+  test("one add = one parquet file per touched postings bucket directory (both write paths)") {
+    import spark.implicits._
+    def bucketFileCounts(idx: IndexIVF): Map[String, Int] = {
+      val root = java.nio.file.Paths.get(idx.path, "postings")
+      val stream = java.nio.file.Files.walk(root)
+      try {
+        val files = scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator()).asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+        files.groupBy(_.getParent.toString).map { case (d, fs) => d -> fs.size }
+      } finally stream.close()
+    }
+    // small-add path: few input partitions -> single sorted task
+    val small = freshIndex(QuantizerKind.NONE)
+    val smallCounts = bucketFileCounts(small)
+    assert(smallCounts.nonEmpty && smallCounts.values.forall(_ == 1),
+      s"small add fanned out micro-files: $smallCounts")
+    // bulk path: many input partitions -> clustering shuffle on the bucket
+    // columns must still land one file per bucket dir
+    val path = java.nio.file.Files.createTempDirectory("idx_bulk").toString
+    val bulk = IndexIVF.create(spark, path, mkSchema(QuantizerKind.NONE))
+    val spreadDocs = docsDf.repartition(IndexIVF.SmallAddPartitions + 4)
+    bulk.train(spreadDocs)
+    bulk.add(1, spreadDocs)
+    val bulkCounts = bucketFileCounts(bulk)
+    assert(bulkCounts.nonEmpty && bulkCounts.values.forall(_ == 1),
+      s"bulk add fanned out micro-files: $bulkCounts")
+  }
+
   test("open() rejects an index with an older on-disk format version") {
     val idx = freshIndex(QuantizerKind.NONE)
     // overwrite metadata.json as a v1 (pre-centroid_bucket) index would have
