@@ -107,8 +107,14 @@ object Searcher {
       val topIds = topRows.map(_.getLong(0))
       val docsDf = idx.docsDf
         .filter(col("tenant") === tenant && col("doc_id").isin(topIds: _*))
-        .dropDuplicates("doc_id").drop("tenant")
-      val byId = docsDf.collect().map(r => r.getLong(0) -> r).toMap
+        .drop("tenant")
+      // duplicate-add dedup (one stored row per id, arbitrary winner — the
+      // reference dedups in iterators too) happens in the driver-side map:
+      // a dropDuplicates here would add a whole shuffle stage to a <= k-row
+      // multiget
+      val byId = docsDf.collect().foldLeft(Map.empty[Long, org.apache.spark.sql.Row]) {
+        (m, r) => if (m.contains(r.getLong(0))) m else m + (r.getLong(0) -> r)
+      }
       val storedCols = docsDf.columns.drop(1) // doc_id first
       val outSchema = org.apache.spark.sql.types.StructType(
         docsDf.schema.fields ++ top.schema.fields.filter(_.name != "doc_id"))
