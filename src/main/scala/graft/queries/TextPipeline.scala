@@ -478,8 +478,11 @@ object TextPipeline {
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-        .distinct()
+        // filter BEFORE the distinct: far fewer rows ride the dedup shuffle
+        // (a multi-band collision pair is identical in every copy, so the
+        // result is unchanged; the md5 oracle twin already filters first)
         .filter(col("hamming") <= 8)
+        .distinct()
         .orderBy("a_id", "b_id")
     },
 
