@@ -84,6 +84,36 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(sigMap(TextPipeline.minhashSigs(kernelArrs)) == sigMap(hofSigs))
   }
 
+  test("shingle kernel parity holds on adversarial whitespace and unicode") {
+    import org.apache.spark.sql.functions._
+    // the clean test corpora contain none of these; the kernel must still
+    // match the builtin split/concat_ws/xxhash64 formulation exactly
+    // (trailing separators once diverged: Java's default split drops
+    // trailing empty tokens, Spark's keeps them)
+    val rnd = new scala.util.Random(7)
+    val words = Seq("a", "bb", "ccc", "é", "ü", "ß", "日本", "x1", "", "Z")
+    val fuzz = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(8)).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" " * (1 + rnd.nextInt(2)))
+    }
+    val cases = Seq("", " ", "  ", "a b", "a b c", "a b c ", " a b c",
+      "a  b c", "a b  c d", "é ü ß", "a b c d e  ") ++ fuzz
+    import spark.implicits._
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val both = df.select(col("doc_id"),
+      graft.functions.TextHash.hashedShingles3(col("text")).as("kernel"),
+      expr("""CASE WHEN size(split(text, ' ')) >= 3 THEN
+                array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+                  i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, 3)))))
+              ELSE NULL END""").as("hof"))
+    both.collect().foreach { r =>
+      val kernel = Option(r.getSeq[Long](1)).map(_.toSeq)
+      val hof = Option(r.getSeq[Long](2)).map(_.toSeq)
+      assert(kernel == hof,
+        s"kernel/builtin divergence for text '${cases(r.getLong(0).toInt)}': $kernel vs $hof")
+    }
+  }
+
   test("fingerprints are deterministic and discriminate distinct content") {
     val a = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val b = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
