@@ -34,33 +34,56 @@ object EngineQueries {
         .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray))
 
   /** docs = embeddings grouped by label (10 "documents" whose member
-    * vectors are the tokens). */
-  private def buildIndex(s: org.apache.spark.sql.SparkSession, dir: String,
-      quant: QuantizerKind.Value): (IndexIVF, String) = {
-    val e = Tables.t(s, dir, "embeddings")
-    // the sibling engine query reuses the materialized docs aggregation
-    // (a few hundred KB per dir); session-aware via DfCache
-    val docs = DfCache.getOrBuild(s, s"engine_docs#$dir") {
-      e.groupBy(col("label"))
+    * vectors are the tokens). The sibling engine queries reuse the
+    * materialized aggregation (a few hundred KB per dir) via DfCache. */
+  private def engineDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    DfCache.getOrBuild(s, s"engine_docs#$dir") {
+      Tables.t(s, dir, "embeddings").groupBy(col("label"))
         .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("toks"),
           count(lit(1)).as("n_vecs"))
         .select(col("label").cast("long").as("id"),
           expr("transform(toks, t -> t.embedding)").as("colbert"),
           col("n_vecs"))
     }
-    val schema = GSchema(Seq(
-      GField.colbert("colbert", dimensions = 64, numCentroids = 16,
-        quantization = quant, numIterations = 4, nbits = 2),
-      GField(name = "n_vecs", dataType = GDataType.INTEGER.toString,
-        roles = Seq(FieldRole.Stored.toString))))
+
+  private def engineSchema(quant: QuantizerKind.Value) = GSchema(Seq(
+    GField.colbert("colbert", dimensions = 64, numCentroids = 16,
+      quantization = quant, numIterations = 4, nbits = 2),
+    GField(name = "n_vecs", dataType = GDataType.INTEGER.toString,
+      roles = Seq(FieldRole.Stored.toString))))
+
+  private def buildIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+      quant: QuantizerKind.Value): (IndexIVF, String) = {
+    val docs = engineDocs(s, dir)
     val path = java.nio.file.Files.createTempDirectory(s"graft_engine_$quant").toString
-    val idx = IndexIVF.create(s, path, schema)
+    val idx = IndexIVF.create(s, path, engineSchema(quant))
     // reuse centroids from a sibling engine query's run on the same data
     trainedCentroids.get(dir).foreach(c => idx.coarse = c)
     idx.train(docs)
     idx.add(tenant = 1, docs)
     trainedCentroids.putIfAbsent(dir, idx.coarse)
     (idx, path)
+  }
+
+  /** Same lifecycle with FIXED, data-derived centroids (the first 16
+    * embedding vectors) instead of trained k-means — the clone-from-trained
+    * flow (S3/lintdb/index.cpp:76-90) with a deterministic model, so the
+    * composed create -> add -> open -> search product path is DuckDB-
+    * reproducible (see [[engineOracleSql]]). */
+  private def buildIndexFixed(s: org.apache.spark.sql.SparkSession,
+      dir: String): (IndexIVF, String) = {
+    val docs = engineDocs(s, dir)
+    val cents = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 16)
+      .orderBy("vec_id").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val path = java.nio.file.Files.createTempDirectory("graft_engine_oracle").toString
+    val idx = IndexIVF.create(s, path, engineSchema(QuantizerKind.NONE))
+    idx.coarse = Map("colbert" -> new graft.quantizers.CoarseQuantizer(cents))
+    idx.train(docs) // coarse preset -> keeps it, saves models (S4 skip-path)
+    idx.add(tenant = 1, docs)
+    // re-open from disk: the oracle run also covers S2/S9 (schema + centroid
+    // JSON round-trip; shortest-decimal float repr reparses exactly)
+    (IndexIVF.open(s, path), path)
   }
 
   /** query = vec_ids 0..3 as the 4 query tokens. */
@@ -104,6 +127,74 @@ object EngineQueries {
     try it.forEach(p => Files.deleteIfExists(p)) finally it.close()
   }
 
+  /** Generated DuckDB twin of the FIXED-centroid engine search
+    * (q_engine_search_oracle): every stage of the two-phase PLAID pipeline
+    * re-derived in SQL from the same parquet table, with all arithmetic in
+    * DuckDB FLOAT — FLOAT*FLOAT and FLOAT+FLOAT stay float32 in DuckDB, and
+    * every sum is an explicit left-associated term chain, so each kernel is
+    * bit-identical to the engine's f32 loops (CoarseQuantizer.ip/assign,
+    * CentroidScore.compute, Plaid.scoreByResiduals with normalize=true).
+    * f32 values can never land exactly on a 1e-4 rounding half-boundary
+    * (0.00005 is not dyadic), so the final round(…,4) agrees too. */
+  private[queries] lazy val engineOracleSql: String = {
+    val dim = 64
+    def ip(a: String, b: String): String =
+      (1 to dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+    val normChain = ip("e.embedding", "e.embedding")
+    // Plaid.scoreByResiduals: doc token normalized in place (f32 divide,
+    // zero-norm rows pass through), then f32 dot with the raw query token
+    val dotChain = (1 to dim).map(i =>
+      s"(CASE WHEN n.nm > 0 THEN n.embedding[$i] / n.nm ELSE n.embedding[$i] END) * q.qe[$i]")
+      .mkString(" + ")
+    s"""WITH c AS (SELECT vec_id AS centroid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+       |s AS (SELECT q.qid, c.centroid, ${ip("q.qe", "c.cemb")} AS s FROM q, c),
+       |topk AS (SELECT centroid, s FROM (
+       |  SELECT qid, centroid, s,
+       |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, centroid) AS rn FROM s)
+       |  WHERE rn <= 4),
+       |probe AS (SELECT centroid FROM (
+       |    SELECT centroid, max(s) AS hs FROM topk GROUP BY centroid)
+       |  WHERE hs > 0 ORDER BY hs DESC, centroid LIMIT 8),
+       |assign AS (SELECT vec_id, label, centroid FROM (
+       |  SELECT e.vec_id, e.label, c.centroid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${ip("e.embedding", "c.cemb")} DESC, c.centroid) AS rn
+       |  FROM embeddings e, c) WHERE rn = 1),
+       |doccodes AS (SELECT DISTINCT label, centroid FROM assign),
+       |cand AS (SELECT DISTINCT label FROM doccodes JOIN probe USING (centroid)),
+       |p1tok AS (SELECT d.label, s.qid, max(s.s) AS m
+       |  FROM doccodes d JOIN cand USING (label) JOIN s ON d.centroid = s.centroid
+       |  GROUP BY d.label, s.qid),
+       |p1 AS (SELECT label, ((m0 + m1) + m2) + m3 AS p1s FROM (
+       |  SELECT label,
+       |    max(CASE WHEN qid = 0 THEN m END) AS m0, max(CASE WHEN qid = 1 THEN m END) AS m1,
+       |    max(CASE WHEN qid = 2 THEN m END) AS m2, max(CASE WHEN qid = 3 THEN m END) AS m3
+       |  FROM p1tok GROUP BY label)),
+       |pool AS (SELECT label FROM (
+       |  SELECT label, row_number() OVER (ORDER BY p1s DESC, label) AS rn FROM p1)
+       |  WHERE rn <= 6),
+       |nrm AS (SELECT e.vec_id, e.label, e.embedding, sqrt(($normChain)::DOUBLE)::FLOAT AS nm
+       |  FROM embeddings e JOIN pool USING (label)),
+       |dots AS (SELECT n.label, q.qid, $dotChain AS dp FROM nrm n, q),
+       |p2 AS (SELECT label, ((f0 + f1) + f2) + f3 AS score FROM (
+       |  SELECT label,
+       |    CASE WHEN m0 > 0 THEN m0 ELSE 0::FLOAT END AS f0,
+       |    CASE WHEN m1 > 0 THEN m1 ELSE 0::FLOAT END AS f1,
+       |    CASE WHEN m2 > 0 THEN m2 ELSE 0::FLOAT END AS f2,
+       |    CASE WHEN m3 > 0 THEN m3 ELSE 0::FLOAT END AS f3
+       |  FROM (SELECT label,
+       |      max(CASE WHEN qid = 0 THEN dp END) AS m0, max(CASE WHEN qid = 1 THEN dp END) AS m1,
+       |      max(CASE WHEN qid = 2 THEN dp END) AS m2, max(CASE WHEN qid = 3 THEN dp END) AS m3
+       |    FROM dots GROUP BY label))),
+       |ranked AS (SELECT label, score,
+       |  row_number() OVER (ORDER BY score DESC, label) AS rn FROM p2)
+       |SELECT r.label::BIGINT AS doc_id, v.n_vecs, round(r.score::DOUBLE, 4) AS score
+       |FROM ranked r JOIN (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label) v
+       |  USING (label)
+       |WHERE r.rn <= 5 ORDER BY score DESC, doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // S1-S5 + J3/A5/A8/T1-T3 — the full reference query lifecycle
     // (SURVEY §3.1) through the engine, identity codec.
@@ -113,6 +204,26 @@ object EngineQueries {
     // Same with the PLAID binarizer codec in the loop (Q4).
     rowsOnly("q_engine_search_binarized", Seq("Q4", "S4", "S5", "J3", "A5", "A8")) {
       (s, dir) => buildAndSearch(s, dir, QuantizerKind.BINARIZER)
+    },
+    // The composed engine product path, HASH-CHECKED: same create -> train
+    // (preset model) -> add -> open -> search lifecycle as q_engine_search,
+    // but the coarse model is 16 fixed data-derived centroids instead of
+    // k-means output, so the whole two-phase pipeline — probe selection
+    // (A9/A10), posting pruning (J3/SC1), phase-1 centroid scoring + pool
+    // cut (A5, numSecondPass=6 < |candidates| so the cut is decisive),
+    // phase-2 exact MaxSim on decoded residuals (A8), top-k (T1-T3), stored
+    // hydration (SC3/J5) — is reproduced bit-exactly by [[engineOracleSql]].
+    sql("q_engine_search_oracle",
+      Seq("S1", "S2", "S4", "S5", "S9", "SC3", "J3", "A5", "A8"), engineOracleSql) {
+      (s, dir) => withoutAqe(s) {
+        val (idx, path) = buildIndexFixed(s, dir)
+        val query = queryTokens(s, dir, maxVecId = 4)
+        val res = idx.search(1, VectorQuery("colbert", query), k = 5,
+          SearchOptions(kTopCentroids = 4, nProbe = 8, numSecondPass = 6))
+        materializeAndClean(s, res, path)
+          .select(col("doc_id"), col("n_vecs"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+      }
     },
     // Batch search — the amortized deployment shape (SURVEY §7.5.4): ONE
     // pruned pass over the index serves all queries via a broadcast
