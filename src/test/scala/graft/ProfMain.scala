@@ -35,6 +35,7 @@ object ProfMain {
         profEngine(spark, dir)
       case "minhash" => profMinhash(spark, dir)
       case "jaccard" => profJaccard(spark, dir)
+      case "jaccard2" => profJaccard2(spark, dir)
       case name =>
         // repeat a SparkEntry query 3x
         (1 to 3).foreach { i =>
@@ -106,6 +107,41 @@ object ProfMain {
       SparkEntry.queries("q_neardup_jaccard")(spark, dir).count())
     time("q_neardup_jaccard #2")(
       SparkEntry.queries("q_neardup_jaccard")(spark, dir).count())
+  }
+
+  /** Mirrors jaccardPairs stage by stage (arrs warm, like the bench). */
+  def profJaccard2(spark: SparkSession, dir: String): Unit = {
+    val d0 = graft.queries.Tables.t(spark, dir, "documents")
+    val d = if (d0.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+      d0.repartition(spark.sparkContext.defaultParallelism) else d0
+    val arrs = d.select(col("doc_id"),
+      graft.functions.TextHash.hashedShingles3(col("text")).as("shs"))
+      .filter(col("shs").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    time("arrs build+persist")(arrs.count())
+    val shAll = arrs.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 128).select("sh")
+    val sh = shAll.join(broadcast(hot), Seq("sh"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    time("sh cache (hot agg + anti)")(sh.count())
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    time("counts cache")(n.count())
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    time("self-join + pair agg")(common.count())
+    val full = common
+      .join(n.as("na"), col("a_id") === col("na.doc_id"))
+      .join(n.as("nb"), col("b_id") === col("nb.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("common") * lit(1.0) / (col("na.c") + col("nb.c") - col("common")))
+          .as("j"))
+      .filter(col("j") >= 0.8).orderBy("a_id", "b_id")
+    time("full (joins+filter+sort)")(full.count())
+    time("full again")(full.count())
   }
 
   def profEngine(spark: SparkSession, dir: String): Unit = {
