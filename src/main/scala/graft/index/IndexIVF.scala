@@ -708,17 +708,70 @@ object IndexIVF {
         "layout" -> "postings/tenant/field/centroid_bucket"))
   }
 
-  private def checkVersion(path: String): Unit = {
+  private def readVersion(path: String): Int = {
     val metaPath = s"$path/_meta/metadata.json"
-    val version: Int =
-      if (!Json.exists(metaPath)) 0
-      else Json.read(metaPath, classOf[Map[String, Any]])
-        .get("version").collect { case n: Number => n.intValue() }.getOrElse(0)
+    if (!Json.exists(metaPath)) 0
+    else Json.read(metaPath, classOf[Map[String, Any]])
+      .get("version").collect { case n: Number => n.intValue() }.getOrElse(0)
+  }
+
+  private def checkVersion(path: String): Unit = {
+    val version = readVersion(path)
     if (version != FormatVersion) throw new IllegalStateException(
       s"index at $path has format version $version, this build reads/writes " +
         s"version $FormatVersion (postings are hive-partitioned by " +
-        "centroid_bucket since v2). Rebuild the index with create()+add(), " +
-        "or migrate by re-writing postings/ with the centroid_bucket column.")
+        "centroid_bucket since v2). Run IndexIVF.migrate(spark, path) to " +
+        "upgrade it in place, or rebuild with create()+add().")
+  }
+
+  /** In-place upgrade of a version-1 index (postings hive-partitioned by
+    * (tenant, field) only) to the current layout: derive `centroid_bucket`
+    * for every posting, rewrite `postings/` as the three-level hive tree
+    * with the within-file centroid sort [[open]] and the searchers rely on,
+    * and stamp metadata.json with [[FormatVersion]]. Every other table is
+    * layout-identical across v1/v2 and left untouched. Idempotent: a
+    * current-version index returns immediately.
+    *
+    * One clustering shuffle of the postings table — O(postings), the minimum
+    * any layout migration can do — with the same one-file-per-bucket
+    * placement as a bulk [[IndexIVF.add]]. The tmp-write + directory-swap
+    * means a crash mid-migrate leaves the original v1 tree intact (and
+    * metadata.json still says v1, so nothing reads the half-written tmp). */
+  def migrate(spark: SparkSession, path: String): Unit = {
+    val version = readVersion(path)
+    if (version == FormatVersion) return
+    require(version == 1,
+      s"cannot migrate an index with format version $version (expected 1); " +
+        "version 0 means no metadata.json — this is not a graft index")
+    val tablePath = s"$path/postings"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
+    val orig = new org.apache.hadoop.fs.Path(tablePath)
+    if (fs.exists(orig)) {
+      // schema inference (not the declared v2 schema): a v1 tree has no
+      // centroid_bucket directory level, and an empty tree (only _SUCCESS)
+      // reads as None -> nothing to rewrite
+      val source =
+        try Some(spark.read.parquet(tablePath))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      source.foreach { df =>
+        require(!df.columns.contains("centroid_bucket"),
+          s"$tablePath already has a centroid_bucket level but metadata.json " +
+            "says version 1 — refusing to guess which is authoritative")
+        val placed = df
+          .select(col("tenant"), col("field"), col("centroid"), col("doc_id"))
+          .withColumn("centroid_bucket", centroidBucket(col("centroid")))
+          .repartition(col("tenant"), col("field"), col("centroid_bucket"))
+          .sortWithinPartitions("centroid")
+        val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
+        placed.write.mode("overwrite").partitionBy(postingsParts: _*).parquet(tmp.toString)
+        fs.delete(orig, true)
+        fs.rename(tmp, orig)
+      }
+    }
+    Json.write(s"$path/_meta/metadata.json",
+      Map("format" -> "graft-ivf-parquet", "version" -> FormatVersion,
+        "layout" -> "postings/tenant/field/centroid_bucket"))
   }
 
   private def empty(spark: SparkSession, s: StructType): DataFrame =

@@ -26,14 +26,37 @@ object Similarity {
       .select(col("vec_id"), (-col("m.negc")).cast("long").as("centroid"))
 
   /** assignment of every embedding to its nearest (max inner product)
-    * centroid, centroids = embeddings with vec_id < 8. */
-  private def ivfAssign(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.emb(s, dir)
-    val c = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("centroid"), col("emb").as("cemb"))
+    * centroid among the given (centroid, cemb) frame — broadcast argmax,
+    * the only shuffle is the partial-aggregable max-of-struct. */
+  private[graft] def argmaxAssign(e: DataFrame, c: DataFrame): DataFrame =
     argmaxCentroid(
       e.crossJoin(broadcast(c))
         .select(col("vec_id"), col("centroid"), dot(col("emb"), col("cemb")).as("score")))
+
+  /** assignment of every embedding to its nearest (max inner product)
+    * centroid, centroids = embeddings with vec_id < 8. */
+  private def ivfAssign(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.emb(s, dir)
+    argmaxAssign(e, e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid"), col("emb").as("cemb")))
+  }
+
+  /** IVF-clustered embedding near-dup pairs, parameterized by the centroid
+    * set: assign -> pair-scan WITHIN clusters -> exact cosine filter. The
+    * candidate volume is sum(cluster_size^2)/2, never n^2 — and the scale
+    * knob is the CENTROID COUNT: holding per-cluster size ~constant (K
+    * proportional to n) keeps total candidate work linear in n, which is
+    * what ScaleSpec/ProfMain measure. q_neardup_ivf below pins K=8
+    * data-derived centroids so DuckDB can verify the whole pipeline. */
+  private[graft] def neardupIvfPairs(e: DataFrame, cents: DataFrame,
+      minCos: Double): DataFrame = {
+    val assign = argmaxAssign(e, cents)
+    val withVec = assign.join(e.select(col("vec_id"), col("emb")), Seq("vec_id"))
+    withVec.as("a").join(withVec.as("b"),
+        col("a.centroid") === col("b.centroid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        round(cosine(col("a.emb"), col("b.emb")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
   }
 
   private def queryVec(s: SparkSession, dir: String): DataFrame =
@@ -196,13 +219,10 @@ object Similarity {
         |ORDER BY cos DESC, a_id, b_id""".stripMargin) {
       (s, dir) =>
         val e = Tables.emb(s, dir)
-        val assign = ivfAssign(s, dir)
-        val withVec = assign.join(e.select(col("vec_id"), col("emb")), Seq("vec_id"))
-        withVec.as("a").join(withVec.as("b"),
-            col("a.centroid") === col("b.centroid") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-            round(cosine(col("a.emb"), col("b.emb")), 4).as("cos"))
-          .filter(col("cos") >= 0.2)
+        neardupIvfPairs(e,
+          e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("centroid"), col("emb").as("cemb")),
+          minCos = 0.2)
           .orderBy(col("cos").desc, col("a_id"), col("b_id"))
     },
 

@@ -100,7 +100,28 @@ object TextPipeline {
       val u = udf { (k: Long) => a.add(k); k }
       c => u(c)
     }
+
+    /** Max distinct dropped-key count across live accumulators whose label
+      * starts with the prefix — lets ScaleSpec assert the caps actually
+      * fired on a corpus built to trip them. */
+    def dropped(labelPrefix: String): Long = {
+      var best = 0L
+      regs.forEach { (acc, entry) =>
+        val (lbl, sc, _) = entry
+        if (!sc.isStopped && lbl.startsWith(labelPrefix)) {
+          val v = scala.jdk.CollectionConverters.ListHasAsScala(acc.value)
+            .asScala.toSet.size.toLong
+          if (v > best) best = v
+        }
+      }
+      best
+    }
   }
+
+  /** Test hook: distinct keys dropped by the cap whose DropLog label starts
+    * with the prefix (e.g. "jaccardPairs", "q_dedup_minhash"). */
+  private[graft] def droppedHotKeys(labelPrefix: String): Long =
+    DropLog.dropped(labelPrefix)
 
   /** Spread a narrow scan across the cluster before CPU-heavy per-token
     * work: a small documents table reads as ONE parquet split, which would
@@ -199,6 +220,49 @@ object TextPipeline {
           .as("jaccard_raw"))
       .select(col("a_id"), col("b_id"), col("jaccard_raw"),
         QueryDef.floorRound(col("jaccard_raw"), 4).as("jaccard"))
+  }
+
+  /** The simhash band frame: one (doc_id, simhash, band, bucket) row per
+    * doc x band, all bands from ONE posexplode pass over the signature (no
+    * per-band union re-running the signature UDF). The signature itself is
+    * one pass over each doc's token array (a scalar function, no explode +
+    * 64 shuffled aggregations) — shared with the streaming near-dup twin. */
+  private[graft] def simhashBands(d: DataFrame, bandBits: Int): DataFrame = {
+    val numBands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    val sig = spread(d)
+      .select(col("doc_id"), graft.functions.TextHash.simhash64(toks).as("simhash"))
+    sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until numBands).map(b =>
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)): _*))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** SimHash near-dup pairs: same band bucket + hamming <= maxHamming.
+    *
+    * Banding math (Manku et al., WWW'07 §3): with B = 64/bandBits bands,
+    * any pair with hamming <= B-1 shares at least one exact band
+    * (pigeonhole); wider bands weaken that guarantee but divide the
+    * candidate volume, which is ~n^2 / 2^bandBits per band for a corpus
+    * with saturated buckets. bandBits is therefore the CORPUS-SIZE knob:
+    * the default 8 (8 bands, full hamming<=7 guarantee) suits corpora up to
+    * ~1e6 docs; at larger n raise bandBits toward log2(n) so per-bucket
+    * membership — and with it candidate pairs — stays bounded (ScaleSpec
+    * measures exactly this trade on a synthetic 10x corpus). The self-
+    * join's two sides are plan-identical so the bucket shuffle is computed
+    * once (ReusedExchange); hamming is filtered BEFORE the distinct so far
+    * fewer rows ride the dedup shuffle (a multi-band collision pair is
+    * identical in every copy, so the result is unchanged). */
+  private[graft] def simhashPairs(d: DataFrame, bandBits: Int = 8,
+      maxHamming: Int = 8): DataFrame = {
+    val bands = simhashBands(d, bandBits)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -457,33 +521,11 @@ object TextPipeline {
     },
 
     // D3 — SimHash: 64-bit signature from token hashes (per-bit majority
-    // vote), near-dup pairs = same 16-bit band + hamming distance <= 8.
-    // The signature is one pass over each doc's token array (a scalar
-    // function, no explode + 64 shuffled aggregations).
+    // vote), near-dup pairs = band-bucket collisions + hamming <= 8. See
+    // [[simhashPairs]] for the banding scale analysis (candidate volume is
+    // ~n^2/2^bandBits — bandBits is the corpus-size knob).
     rowsOnly("q_dedup_simhash", Seq("D3")) { (s, dir) =>
-      // signature kernel shared with the streaming near-dup dedup twin
-      val sig = spread(docs(s, dir))
-        .select(col("doc_id"), graft.functions.TextHash.simhash64(toks).as("simhash"))
-      // 8 bands x 8 bits: any pair with hamming <= 7 shares at least one
-      // exact band (pigeonhole); hamming-8 pairs are caught unless every
-      // differing bit lands in a distinct band. All 8 band rows come from
-      // ONE posexplode pass (not an 8-way union that re-runs the signature
-      // UDF per band); the self-join's sides are plan-identical so the
-      // bucket shuffle is computed once (ReusedExchange).
-      val bands = sig.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 8).map(b =>
-          shiftright(col("simhash"), b * 8).bitwiseAND(0xFF)): _*)).as(Seq("band", "bucket")))
-      bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-        // filter BEFORE the distinct: far fewer rows ride the dedup shuffle
-        // (a multi-band collision pair is identical in every copy, so the
-        // result is unchanged; the md5 oracle twin already filters first)
-        .filter(col("hamming") <= 8)
-        .distinct()
-        .orderBy("a_id", "b_id")
+      simhashPairs(docs(s, dir)).orderBy("a_id", "b_id")
     },
 
     // D3-oracle — the SimHash pipeline on a 60-bit md5-derived token hash

@@ -405,6 +405,57 @@ class IndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("centroid_bucket"))
   }
 
+  test("migrate() upgrades a v1 index in place: open() accepts it and search is identical") {
+    import org.apache.spark.sql.functions.col
+    val idx = freshIndex(QuantizerKind.NONE)
+    val expected = idx.search(1, query(7), 10, exhaustive)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // Downgrade the on-disk tree to a genuine v1 index: rewrite postings/
+    // WITHOUT the centroid_bucket hive level and stamp metadata version 1 —
+    // byte-for-byte what the pre-bucket layout wrote.
+    val postings = s"${idx.path}/postings"
+    val v1Rows = spark.read.parquet(postings).drop("centroid_bucket")
+      .select("tenant", "field", "centroid", "doc_id")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(postings), spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(postings + ".v1tmp")
+    v1Rows.write.partitionBy("tenant", "field").parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(postings), true)
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(postings))
+    graft.core.Json.write(s"${idx.path}/_meta/metadata.json",
+      Map("format" -> "graft-ivf-parquet", "version" -> 1))
+    intercept[IllegalStateException](IndexIVF.open(spark, idx.path))
+    IndexIVF.migrate(spark, idx.path)
+    // idempotent second call is a no-op
+    IndexIVF.migrate(spark, idx.path)
+    val reopened = IndexIVF.open(spark, idx.path)
+    val got = reopened.search(1, query(7), 10, exhaustive)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected, "post-migration search parity")
+    // layout invariants restored: three-level hive tree, every posting in
+    // the bucket directory bucketOf(centroid) says it belongs to
+    val byBucket = spark.read.parquet(postings)
+      .select(col("centroid"), col("centroid_bucket")).collect()
+    assert(byBucket.nonEmpty)
+    byBucket.foreach { r =>
+      assert(r.getInt(1) == IndexIVF.bucketOf(r.getLong(0)))
+    }
+    val bucketDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(postings))
+    try assert(scala.jdk.CollectionConverters.IteratorHasAsScala(bucketDirs.iterator())
+      .asScala.exists(_.getFileName.toString.startsWith("centroid_bucket=")))
+    finally bucketDirs.close()
+  }
+
+  test("migrate() refuses a version it cannot upgrade") {
+    val idx = freshIndex(QuantizerKind.NONE)
+    graft.core.Json.write(s"${idx.path}/_meta/metadata.json",
+      Map("format" -> "graft-ivf-parquet", "version" -> 99))
+    val e = intercept[IllegalArgumentException](IndexIVF.migrate(spark, idx.path))
+    assert(e.getMessage.contains("99"))
+  }
+
   test("removeDeferred caveat: a re-add before compact() stays hidden (documented)") {
     import spark.implicits._
     val idx = freshIndex(QuantizerKind.NONE)

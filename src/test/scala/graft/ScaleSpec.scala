@@ -1,0 +1,116 @@
+package graft
+
+import graft.queries.{Similarity, TextPipeline}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-sensitivity evidence for the dedup/ANN operators: runs the REAL
+  * query pipelines on deterministic synthetic corpora (ScaleData) at 1x and
+  * 10x and asserts
+  *
+  *  1. result CARDINALITY grows linearly (the corpus is built with one
+  *     near-dup pair per group, so a quadratic candidate explosion or a
+  *     recall collapse both show up as a broken ratio — this is the
+  *     deterministic check);
+  *  2. wall time grows sub-quadratically (generous 20x bound for 10x rows:
+  *     at these corpus sizes fixed per-query overhead dilutes the data
+  *     term, so a genuinely quadratic plan lands FAR above the bound —
+  *     ~100x data work — while honest noise stays well below it);
+  *  3. the hot-key caps + DropLog fire on a corpus built to trip them
+  *     (exact-dup clusters above BucketCap, stop-phrases above
+  *     ShingleDfCap).
+  *
+  * Real measured numbers at local[32]/larger corpora live in COVERAGE.md
+  * (ProfMain "scale" mode); this spec is the CI-stable guard.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val n1 = 1200 // 1x corpus: docs and embeddings
+  val factor = 10
+
+  // corpora are built once; chunk = n1 so the 10x corpus has 10 dup clusters
+  lazy val (dir1, dirN) = {
+    val d1 = java.nio.file.Files.createTempDirectory("scale1").toString
+    val dN = java.nio.file.Files.createTempDirectory("scaleN").toString
+    ScaleData.writeCorpus(spark, d1, n1, n1, chunk = n1)
+    ScaleData.writeCorpus(spark, dN, n1 * factor, n1 * factor, chunk = n1)
+    // warmup corpus: run each measured pipeline once so JIT/codegen/session
+    // startup cost is not attributed to the 1x measurement
+    val w = java.nio.file.Files.createTempDirectory("scaleW").toString
+    ScaleData.writeCorpus(spark, w, 300, 300, chunk = 300)
+    Seq("q_dedup_minhash", "q_neardup_jaccard", "q_dedup_simhash").foreach { q =>
+      SparkEntry.queries(q)(spark, w).count()
+    }
+    val (e, c) = ScaleData.embWithCentroids(spark, w, 2)
+    Similarity.neardupIvfPairs(e, c, minCos = -1.0).count()
+    (d1, dN)
+  }
+
+  def timed(f: => Long): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val rows = f
+    (rows, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def checkRatios(name: String, rows1: Long, t1: Double, rowsN: Long, tN: Double,
+      rowLo: Double, rowHi: Double): Unit = {
+    info(f"$name: 1x $rows1 rows in $t1%.2f s; ${factor}x $rowsN rows in $tN%.2f s " +
+      f"(time ratio ${tN / t1}%.1f)")
+    val rowRatio = rowsN.toDouble / rows1
+    assert(rowRatio >= rowLo && rowRatio <= rowHi,
+      s"$name: result rows grew ${rowRatio}x for ${factor}x input " +
+        s"(expected [$rowLo, $rowHi] — linear)")
+    assert(tN <= t1 * 20,
+      f"$name: time grew ${tN / t1}%.1fx for ${factor}x input (bound 20x)")
+  }
+
+  test("minhash LSH dedup: linear growth, bucket cap fires") {
+    val (rows1, t1) = timed(SparkEntry.queries("q_dedup_minhash")(spark, dir1).count())
+    val (rowsN, tN) = timed(SparkEntry.queries("q_dedup_minhash")(spark, dirN).count())
+    checkRatios("minhash", rows1, t1, rowsN, tN, 6, 14)
+    assert(TextPipeline.droppedHotKeys("q_dedup_minhash") > 0,
+      "exact-dup clusters above BucketCap must be dropped and logged")
+  }
+
+  test("n-gram Jaccard dedup: linear growth, shingle df-cap fires") {
+    val (rows1, t1) = timed(SparkEntry.queries("q_neardup_jaccard")(spark, dir1).count())
+    val (rowsN, tN) = timed(SparkEntry.queries("q_neardup_jaccard")(spark, dirN).count())
+    checkRatios("jaccard", rows1, t1, rowsN, tN, 7, 13)
+    assert(TextPipeline.droppedHotKeys("jaccardPairs") > 0,
+      "stop-phrase/dup-cluster shingles above ShingleDfCap must be dropped and logged")
+  }
+
+  test("simhash dedup: linear result growth; wider bands cut candidate volume") {
+    val (rows1, t1) = timed(SparkEntry.queries("q_dedup_simhash")(spark, dir1).count())
+    val (rowsN, tN) = timed(SparkEntry.queries("q_dedup_simhash")(spark, dirN).count())
+    checkRatios("simhash", rows1, t1, rowsN, tN, 6, 14)
+    // The candidate (pre-hamming) volume law: ~n^2/2^bandBits once buckets
+    // saturate. bandBits is the corpus-size knob — widening bands at 10x
+    // must cut raw band collisions by well over half per extra bit.
+    def candidates(dir: String, bandBits: Int): Long = {
+      val bands = TextPipeline.simhashBands(
+        graft.queries.Tables.t(spark, dir, "documents"), bandBits)
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+            && col("x.doc_id") < col("y.doc_id"))
+        .count()
+    }
+    val cand8 = candidates(dirN, 8)
+    val cand16 = candidates(dirN, 16)
+    info(s"simhash 10x candidates: bandBits=8 -> $cand8, bandBits=16 -> $cand16")
+    assert(cand16 < cand8 / 4,
+      "wider bands must collapse the saturated-bucket candidate volume")
+  }
+
+  test("IVF-clustered embedding near-dup: linear when centroids scale with n") {
+    // the scale knob: K centroids proportional to n keeps per-cluster
+    // population ~constant, so candidate volume sum(cluster^2) stays linear
+    val (e1, c1) = ScaleData.embWithCentroids(spark, dir1, n1 / 150)
+    val (eN, cN) = ScaleData.embWithCentroids(spark, dirN, n1 * factor / 150)
+    // minCos = -1: count ALL candidates (the work), not the filtered tail
+    val (rows1, t1) = timed(Similarity.neardupIvfPairs(e1, c1, minCos = -1.0).count())
+    val (rowsN, tN) = timed(Similarity.neardupIvfPairs(eN, cN, minCos = -1.0).count())
+    checkRatios("ivf-neardup", rows1, t1, rowsN, tN, 5, 15)
+  }
+}
