@@ -56,11 +56,28 @@ object Multimodal {
         case 2 => "audio/wav"
         case _ => "video/mp4"
       }
-    /** STUB feature extractor: `dim` floats in [-1,1) from the content hash
-      * (real impl: a vision/audio model forward pass over decoded media). */
+    /** STUB feature extractor: `dim` floats in [-1,1) derived from md5 of
+      * the payload (real impl: a vision/audio model forward pass over
+      * decoded media). md5-based — unlike the wrapping mix() chain — so the
+      * whole featurize -> similarity pipeline has a bit-exact DuckDB twin
+      * (q_multimodal_features' generated oracle): both engines compute
+      * ('0x' || substr(md5(payload || ':' || i), 1, 15))::BIGINT, scale by
+      * the exact power of two 2^60, and land on float32 with the same
+      * IEEE round-to-nearest conversions. */
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val h = contentHash(bytes)
-      Array.tabulate(dim)(i => ((mix(h + i) >>> 11).toDouble / (1L << 53) * 2 - 1).toFloat)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dim) { i =>
+        md.reset()
+        md.update(bytes)
+        md.update(s":$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val digest = md.digest()
+        // first 15 hex chars = top 60 bits (7.5 bytes) of the digest
+        var v = 0L
+        var b = 0
+        while (b < 7) { v = (v << 8) | (digest(b) & 0xFFL); b += 1 }
+        v = (v << 4) | ((digest(7) & 0xF0L) >> 4)
+        ((v.toDouble / (1L << 60).toDouble) * 2 - 1).toFloat
+      }
     }
     /** STUB resize: re-hash with the target size mixed in. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {

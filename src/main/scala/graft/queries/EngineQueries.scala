@@ -195,6 +195,73 @@ object EngineQueries {
        |WHERE r.rn <= 5 ORDER BY score DESC, doc_id""".stripMargin
   }
 
+  /** Generated DuckDB twin of the FIXED-centroid BATCH search
+    * (q_engine_batch_search_oracle): [[engineOracleSql]]'s two-phase PLAID
+    * pipeline with every stage partitioned by query group gq = vec_id // 4
+    * — per-(query, token) probe selection, per-query candidate sets, pool
+    * cut and top-k windows. Same f32 arithmetic-parity construction. */
+  private[queries] def batchEngineOracleSql(numQueries: Int): String = {
+    val dim = 64
+    def ip(a: String, b: String): String =
+      (1 to dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+    val normChain = ip("e.embedding", "e.embedding")
+    val dotChain = (1 to dim).map(i =>
+      s"(CASE WHEN n.nm > 0 THEN n.embedding[$i] / n.nm ELSE n.embedding[$i] END) * q.qe[$i]")
+      .mkString(" + ")
+    s"""WITH c AS (SELECT vec_id AS centroid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT vec_id // 4 AS gq, vec_id % 4 AS qtok, embedding AS qe
+       |      FROM embeddings WHERE vec_id < ${numQueries * 4}),
+       |s AS (SELECT q.gq, q.qtok, c.centroid, ${ip("q.qe", "c.cemb")} AS s FROM q, c),
+       |topk AS (SELECT gq, centroid, s FROM (
+       |  SELECT gq, qtok, centroid, s,
+       |    row_number() OVER (PARTITION BY gq, qtok ORDER BY s DESC, centroid) AS rn FROM s)
+       |  WHERE rn <= 4),
+       |probe AS (SELECT gq, centroid FROM (
+       |  SELECT gq, centroid,
+       |    row_number() OVER (PARTITION BY gq ORDER BY hs DESC, centroid) AS rn
+       |  FROM (SELECT gq, centroid, max(s) AS hs FROM topk GROUP BY gq, centroid)
+       |  WHERE hs > 0) WHERE rn <= 8),
+       |assign AS (SELECT vec_id, label, centroid FROM (
+       |  SELECT e.vec_id, e.label, c.centroid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${ip("e.embedding", "c.cemb")} DESC, c.centroid) AS rn
+       |  FROM embeddings e, c) WHERE rn = 1),
+       |doccodes AS (SELECT DISTINCT label, centroid FROM assign),
+       |cand AS (SELECT DISTINCT p.gq, d.label FROM doccodes d JOIN probe p USING (centroid)),
+       |p1tok AS (SELECT ca.gq, d.label, s.qtok, max(s.s) AS m
+       |  FROM cand ca JOIN doccodes d ON d.label = ca.label
+       |  JOIN s ON s.centroid = d.centroid AND s.gq = ca.gq
+       |  GROUP BY ca.gq, d.label, s.qtok),
+       |p1 AS (SELECT gq, label, ((m0 + m1) + m2) + m3 AS p1s FROM (
+       |  SELECT gq, label,
+       |    max(CASE WHEN qtok = 0 THEN m END) AS m0, max(CASE WHEN qtok = 1 THEN m END) AS m1,
+       |    max(CASE WHEN qtok = 2 THEN m END) AS m2, max(CASE WHEN qtok = 3 THEN m END) AS m3
+       |  FROM p1tok GROUP BY gq, label)),
+       |pool AS (SELECT gq, label FROM (
+       |  SELECT gq, label, row_number() OVER (PARTITION BY gq ORDER BY p1s DESC, label) AS rn
+       |  FROM p1) WHERE rn <= 6),
+       |nrm AS (SELECT p.gq, e.vec_id, e.label, e.embedding,
+       |    sqrt(($normChain)::DOUBLE)::FLOAT AS nm
+       |  FROM embeddings e JOIN pool p USING (label)),
+       |dots AS (SELECT n.gq, n.label, q.qtok, $dotChain AS dp
+       |  FROM nrm n JOIN q ON q.gq = n.gq),
+       |p2 AS (SELECT gq, label, ((f0 + f1) + f2) + f3 AS score FROM (
+       |  SELECT gq, label,
+       |    CASE WHEN m0 > 0 THEN m0 ELSE 0::FLOAT END AS f0,
+       |    CASE WHEN m1 > 0 THEN m1 ELSE 0::FLOAT END AS f1,
+       |    CASE WHEN m2 > 0 THEN m2 ELSE 0::FLOAT END AS f2,
+       |    CASE WHEN m3 > 0 THEN m3 ELSE 0::FLOAT END AS f3
+       |  FROM (SELECT gq, label,
+       |      max(CASE WHEN qtok = 0 THEN dp END) AS m0, max(CASE WHEN qtok = 1 THEN dp END) AS m1,
+       |      max(CASE WHEN qtok = 2 THEN dp END) AS m2, max(CASE WHEN qtok = 3 THEN dp END) AS m3
+       |    FROM dots GROUP BY gq, label))),
+       |ranked AS (SELECT gq, label, score,
+       |  row_number() OVER (PARTITION BY gq ORDER BY score DESC, label) AS rn FROM p2)
+       |SELECT gq::BIGINT AS query_id, label::BIGINT AS doc_id,
+       |  round(score::DOUBLE, 4) AS score
+       |FROM ranked WHERE rn <= 3 ORDER BY query_id, score DESC, doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // S1-S5 + J3/A5/A8/T1-T3 — the full reference query lifecycle
     // (SURVEY §3.1) through the engine, identity codec.
@@ -243,6 +310,30 @@ object EngineQueries {
       materializeAndClean(s, res, path)
       }
     },
+    // The batch product path, HASH-CHECKED: BatchSearcher end-to-end —
+    // driver-side per-query planning, the shared pruned postings pass, the
+    // batched phase-1 plan-constant scoring (BatchCentroidScore), per-query
+    // pool cut, phase-2 rerank, per-query top-k windows — on the
+    // fixed-centroid index, against the generated per-query-partitioned
+    // DuckDB twin. Complements q_engine_search_oracle (single-query path).
+    sql("q_engine_batch_search_oracle",
+      Seq("BATCH", "S1", "S5", "J3", "A5", "A8"), batchEngineOracleSql(3)) { (s, dir) =>
+      import s.implicits._
+      withoutAqe(s) {
+        val (idx, path) = buildIndexFixed(s, dir)
+        val queries = queryTokens(s, dir, maxVecId = 12)
+          .map(_.toSeq)
+          .grouped(4).zipWithIndex
+          .map { case (toks, i) => (i.toLong, toks.toSeq) }.toSeq
+          .toDF("query_id", "tokens")
+        val res = graft.query.BatchSearcher.searchBatch(idx, 1, "colbert", queries,
+          k = 3, SearchOptions(kTopCentroids = 4, nProbe = 8, numSecondPass = 6))
+        materializeAndClean(s, res, path)
+          .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("score"))
+          .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+      }
+    },
+
     // Amortized-latency harness: 212 queries through ONE BatchSearcher pass
     // — the shape of the reference's LoTTE benchmark harness, which answers
     // 212 queries in-process (benchmarks/run_lintdb.py:36-95). A single

@@ -13,6 +13,28 @@ import org.apache.spark.sql.functions._
 object MultimodalQueries {
   import QueryDef._
 
+  /** Generated DuckDB twin of q_multimodal_features: recompute each of the
+    * 16 md5-derived stub features from the raw text (the Spark side's
+    * binary payload IS the text's UTF-8 bytes), then the same dot-product
+    * top-k. Arithmetic parity: ('0x'||substr(md5(..),1,15))::BIGINT is the
+    * digest's top 60 bits on both sides; int64->f64 conversion, division by
+    * the exact power 2^60, *2, -1 are all identically-rounded IEEE ops; the
+    * ::FLOAT landing matches Scala's .toFloat; the dot is an explicit
+    * left-associated f64 term chain like the Spark kernel. */
+  private[queries] lazy val featuresOracleSql: String = {
+    val dim = 16
+    def feat(i: Int): String =
+      s"((('0x' || substr(md5(text || ':$i'), 1, 15))::BIGINT::DOUBLE " +
+        "/ 1152921504606846976.0 * 2 - 1)::FLOAT)"
+    val featCols = (0 until dim).map(i => s"${feat(i)} AS f$i").mkString(", ")
+    val dotChain = (0 until dim).map(i => s"e.f$i::DOUBLE * q.f$i::DOUBLE").mkString(" + ")
+    s"""WITH f AS (SELECT doc_id, $featCols FROM documents),
+       |q AS (SELECT * FROM f WHERE doc_id = 0)
+       |SELECT e.doc_id, round($dotChain, 4) AS score
+       |FROM f e, q WHERE e.doc_id <> 0
+       |ORDER BY score DESC, e.doc_id LIMIT 10""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // MM1 — typed metadata over opaque binary payloads.
     sql("q_multimodal_meta", Seq("MM1"),
@@ -29,8 +51,22 @@ object MultimodalQueries {
     },
 
     // MM3 — resize + frame sampling over "video" payloads: per-doc frame
-    // counts and total resized bytes (deterministic stub codec; rows-only).
-    rowsOnly("q_multimodal_frames", Seq("MM3")) { (s, dir) =>
+    // counts and total resized bytes, HASH-CHECKED: the stub codec's OUTPUT
+    // SIZES are pure functions of the payload length (frame count =
+    // ceil(duration/500ms) with duration = 4*len; every resized payload is
+    // clamp(len, 8, 32) bytes), so the oracle recomputes the aggregates
+    // from octet_length alone — pinning the explode_outer fan-out, the
+    // zero-duration null-frame row, and the per-frame sizing.
+    sql("q_multimodal_frames", Seq("MM3"),
+      """SELECT doc_id,
+        |  CASE WHEN octet_length(text::BLOB) = 0 THEN 0
+        |       ELSE (octet_length(text::BLOB) * 4 - 1) // 500 + 1 END AS n_frames,
+        |  (CASE WHEN octet_length(text::BLOB) = 0 THEN 0
+        |        ELSE (octet_length(text::BLOB) * 4 - 1) // 500 + 1 END)
+        |    * greatest(least(octet_length(text::BLOB), 32), 8) AS frame_bytes,
+        |  greatest(least(octet_length(text::BLOB), 32), 8) AS resized_bytes
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
       val media = Tables.t(s, dir, "documents")
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -43,9 +79,13 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
-    // MM2 — stub-decode + feature extraction + cosine top-k over the
-    // extracted features (the full media-similarity pipeline shape).
-    rowsOnly("q_multimodal_features", Seq("MM2")) { (s, dir) =>
+    // MM2 — stub-decode + feature extraction + similarity top-k over the
+    // extracted features (the full media-similarity pipeline shape),
+    // HASH-CHECKED: the stub featurizer is md5-derived, so the generated
+    // oracle recomputes every feature AND the dot product bit-exactly in
+    // DuckDB (see [[featuresOracleSql]]) — the mapPartitions batch path,
+    // the f32 feature landing, and the f64 accumulation all verified.
+    sql("q_multimodal_features", Seq("MM2"), featuresOracleSql) { (s, dir) =>
       val media = Tables.t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       val feats = Multimodal.withFeatures(media, "payload", dim = 16)

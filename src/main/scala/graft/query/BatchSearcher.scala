@@ -25,6 +25,18 @@ object BatchSearcher {
     * partition-level centroid_bucket filter is always pushed). */
   val MaxCentroidInList = 256
 
+  /** Upper bound (bytes, session conf) on the batch's per-query score
+    * matrices, which ride the phase-1 stage as ONE task-serialized plan
+    * constant sized batch x numQueryTokens x numCentroids x 4B. Locally
+    * (16-64 centroids) that is KBs even at batch 1024; on a production
+    * index (65536 centroids, 32-token queries) it is ~8 MB per query, and
+    * an unsplit mega-batch would serialize gigabytes into every task
+    * binary. The guard converts that silent executor OOM into an explicit
+    * "split the batch" error at plan time. */
+  val MaxMatrixBytesKey = "graft.batch.maxMatrixBytes"
+  private def maxMatrixBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get(MaxMatrixBytesKey, (512L << 20).toString).toLong
+
   /** @param queries one row per query: (query_id: long,
     *                tokens: array<array<float>>) */
   def searchBatch(idx: IndexIVF, tenant: Long, field: String, queries: DataFrame,
@@ -58,6 +70,12 @@ object BatchSearcher {
       probes.map(c => (qid, c))
     }.toSeq.toDF("query_id", "centroid")
 
+    val matrixBytes = plans.map { case (_, _, m, _) => m.length * 4L }.sum
+    require(matrixBytes <= maxMatrixBytes(spark),
+      s"batch score matrices would be $matrixBytes bytes as a plan constant " +
+        s"(limit ${maxMatrixBytes(spark)}; ${plans.length} queries x " +
+        s"$nc centroids): split the batch into smaller searchBatch calls " +
+        s"or raise $MaxMatrixBytesKey")
     val matrices = plans.map { case (qid, toks, m, _) => qid -> ((m, toks.length)) }.toMap
     val bQueries = spark.sparkContext.broadcast(
       plans.map { case (qid, toks, _, _) => qid -> toks.flatten }.toMap)

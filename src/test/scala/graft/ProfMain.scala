@@ -36,6 +36,8 @@ object ProfMain {
       case "minhash" => profMinhash(spark, dir)
       case "jaccard" => profJaccard(spark, dir)
       case "jaccard2" => profJaccard2(spark, dir)
+      case "scale" => profScale(spark)
+      case "batch" => profBatch(spark, dir)
       case name =>
         // repeat a SparkEntry query 3x
         (1 to 3).foreach { i =>
@@ -43,6 +45,96 @@ object ProfMain {
         }
     }
     spark.stop()
+  }
+
+  /** Scale-sensitivity measurement for COVERAGE.md: the dedup/ANN pipelines
+    * on ScaleData synthetic corpora at 1x/2x/5x/10x (1x = 5000 docs ~ the
+    * sf0.1 documents table). Prints a markdown table of seconds + result
+    * rows per scale. */
+  def profScale(spark: SparkSession): Unit = {
+    val n1 = 5000
+    val factors = Seq(1, 2, 5, 10)
+    val dirs = factors.map { f =>
+      val d = java.nio.file.Files.createTempDirectory(s"profscale_$f").toString
+      ScaleData.writeCorpus(spark, d, n1 * f, n1 * f, chunk = n1)
+      f -> d
+    }
+    // JIT/codegen warmup on a tiny corpus
+    val w = java.nio.file.Files.createTempDirectory("profscale_w").toString
+    ScaleData.writeCorpus(spark, w, 300, 300, chunk = 300)
+    Seq("q_dedup_minhash", "q_neardup_jaccard", "q_dedup_simhash")
+      .foreach(q => SparkEntry.queries(q)(spark, w).count())
+    val (we, wc) = ScaleData.embWithCentroids(spark, w, 2)
+    graft.queries.Similarity.neardupIvfPairs(we, wc, minCos = -1.0).count()
+
+    def timed(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    println("| pipeline | " + factors.map(f => s"${f}x s (rows)").mkString(" | ") + " |")
+    println("|---|" + factors.map(_ => "---|").mkString)
+    Seq("q_dedup_minhash", "q_neardup_jaccard", "q_dedup_simhash").foreach { q =>
+      val cells = dirs.map { case (_, d) =>
+        val (rows, t) = timed(SparkEntry.queries(q)(spark, d).count())
+        f"$t%.2f ($rows)"
+      }
+      println(s"| $q | " + cells.mkString(" | ") + " |")
+    }
+    val cells = dirs.map { case (f, d) =>
+      val (e, c) = ScaleData.embWithCentroids(spark, d, n1 * f / 150)
+      val (rows, t) = timed(
+        graft.queries.Similarity.neardupIvfPairs(e, c, minCos = -1.0).count())
+      f"$t%.2f ($rows)"
+    }
+    println("| ivf_neardup (K=n/150) | " + cells.mkString(" | ") + " |")
+  }
+
+  /** Batch-search bend measurement for COVERAGE.md: ONE index build, then
+    * batches of 212/512/1024 queries through BatchSearcher, reporting
+    * amortized ms/query and the plan-constant matrix payload. */
+  def profBatch(spark: SparkSession, dir: String): Unit = {
+    import graft.core._
+    import graft.index.IndexIVF
+    import graft.query._
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val e = graft.queries.Tables.t(spark, dir, "embeddings")
+    val docs = e.groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("toks"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label").cast("long").as("id"),
+        expr("transform(toks, t -> t.embedding)").as("colbert"), col("n_vecs"))
+      .persist()
+    docs.count()
+    val schema = GSchema(Seq(
+      GField.colbert("colbert", dimensions = 64, numCentroids = 16,
+        quantization = QuantizerKind.NONE, numIterations = 4, nbits = 2),
+      GField(name = "n_vecs", dataType = GDataType.INTEGER.toString,
+        roles = Seq(FieldRole.Stored.toString))))
+    val path = java.nio.file.Files.createTempDirectory("prof_batch").toString
+    val idx = IndexIVF.create(spark, path, schema)
+    idx.train(docs)
+    idx.add(1, docs)
+    val pool = e.filter(col("vec_id") < 4096).orderBy("vec_id").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val n = pool.length
+    def batch(size: Int) = (0 until size).map { i =>
+      (i.toLong, (0 until 4).map(j => pool((i * 4 + j) % n).toSeq))
+    }.toDF("query_id", "tokens")
+    // warmup pass so the first measured batch isn't paying codegen
+    BatchSearcher.searchBatch(idx, 1, "colbert", batch(32), k = 3,
+      SearchOptions(kTopCentroids = 4, nProbe = 8)).count()
+    Seq(212, 512, 1024).foreach { size =>
+      val q = batch(size)
+      val t0 = System.nanoTime()
+      val rows = BatchSearcher.searchBatch(idx, 1, "colbert", q, k = 3,
+        SearchOptions(kTopCentroids = 4, nProbe = 8)).count()
+      val ms = (System.nanoTime() - t0) / 1e6
+      val matBytes = size * 4L * 16 * 4 // batch x nq x nc x 4B
+      println(f"[prof] batch=$size%5d  ${ms / size}%6.2f ms/query  " +
+        f"${ms / 1000}%6.2f s total  $rows%6d rows  matrices=${matBytes / 1024} KiB")
+    }
   }
 
   /** Mirrors the round-4 minhash pipeline stage by stage. */
