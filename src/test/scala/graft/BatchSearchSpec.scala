@@ -43,5 +43,14 @@ class BatchSearchSpec extends AnyFunSuite {
         assert(math.abs(a - b) < 1e-6)
       }
     }
+
+    // matrix plan-constant guard: an over-limit batch fails at plan time
+    // with a split-the-batch error, never serializing the payload into tasks
+    spark.conf.set(BatchSearcher.MaxMatrixBytesKey, "16")
+    try {
+      val e = intercept[IllegalArgumentException](
+        BatchSearcher.searchBatch(idx, 1, "colbert", queriesDf, k = 5, opts))
+      assert(e.getMessage.contains("split the batch"))
+    } finally spark.conf.unset(BatchSearcher.MaxMatrixBytesKey)
   }
 }
