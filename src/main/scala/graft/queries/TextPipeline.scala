@@ -33,26 +33,56 @@ object TextPipeline {
     * still collides in the others. */
   private[graft] val BucketCap = 128
 
+  /** Banded random-hyperplane LSH geometry for embedding near-dup: LshBands
+    * independent bands of LshBits sign-planes each. Minhash-style banding
+    * (vs the old single 16-plane bucket) buys two scale properties at once:
+    * RECALL — a cos-0.95 pair agrees with one 10-plane band w.p. ~0.35, so
+    * 8 bands catch it w.p. ~0.97 where a single 16-plane bucket managed
+    * ~0.18; and CAP SAFETY — a hot bucket (dense embedding region) can be
+    * dropped from ONE band without losing pairs that collide in the other
+    * seven, so the quadratic hot-key hazard gets the same bounded-per-key
+    * treatment as the minhash/jaccard caps. */
+  private[graft] val LshBands = 8
+  private[graft] val LshBits = 10
+  private[graft] val LshPlanes = LshBands * LshBits
+
+  /** deterministic pseudo-random plane weight, shared by the Spark kernel
+    * and the generated oracle. */
+  private[graft] def lshWeight(p: Int, d: Int): Double =
+    ((d * LshPlanes + p) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
+
   /** Generated DuckDB oracle for q_neardup_lsh: the same deterministic
-    * hyperplane weights as literals, with every sum written as an explicit
-    * left-associated term chain so f64 accumulation order matches the Spark
-    * kernels (bucket UDF, DotProduct) exactly. DuckDB lists are 1-based. */
+    * hyperplane weights as literals, the same banding, the same hot-bucket
+    * cap, with every sum written as an explicit left-associated term chain
+    * so f64 accumulation order matches the Spark kernels (band-bucket UDF,
+    * DotProduct) exactly. DuckDB lists are 1-based. */
   private[queries] lazy val lshOracleSql: String = {
     val dim = 64
-    def w(p: Int, d: Int): Double =
-      ((d * 16 + p) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
     def planeSum(p: Int): String =
-      (0 until dim).map(d => s"embedding[${d + 1}]::DOUBLE * ${w(p, d)}").mkString(" + ")
-    val bucketExpr = (0 until 16).map(p =>
-      s"(CASE WHEN (${planeSum(p)}) >= 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+      (0 until dim).map(d => s"embedding[${d + 1}]::DOUBLE * ${lshWeight(p, d)}").mkString(" + ")
+    def bucketExpr(band: Int): String =
+      (0 until LshBits).map(i =>
+        s"(CASE WHEN (${planeSum(band * LshBits + i)}) >= 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+    val bandSelects = (0 until LshBands).map(b =>
+      s"SELECT vec_id, $b AS band, ${bucketExpr(b)} AS bucket FROM e").mkString("\nUNION ALL\n")
     val normSum = (0 until dim).map(d => s"emb[${d + 1}] * emb[${d + 1}]").mkString(" + ")
-    val dotSum = (0 until dim).map(d => s"a.ue[${d + 1}] * b.ue[${d + 1}]").mkString(" + ")
+    val dotSum = (0 until dim).map(d => s"ua.ue[${d + 1}] * ub.ue[${d + 1}]").mkString(" + ")
     s"""WITH e AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS emb FROM embeddings),
-       |n AS (SELECT vec_id, emb, sqrt($normSum) AS nrm, $bucketExpr AS bucket FROM e),
-       |u AS (SELECT vec_id, bucket, list_transform(emb, x -> x / nrm) AS ue FROM n),
-       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, round($dotSum, 4) AS cos
-       |      FROM u a JOIN u b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-       |SELECT a_id, b_id, cos FROM p WHERE cos >= 0.2
+       |n AS (SELECT vec_id, emb, sqrt($normSum) AS nrm FROM e),
+       |u AS (SELECT vec_id, list_transform(emb, x -> x / nrm) AS ue FROM n),
+       |bands AS (
+       |$bandSelects),
+       |hot AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+       |        HAVING count(*) > $BucketCap),
+       |pruned AS (SELECT b.* FROM bands b WHERE NOT EXISTS
+       |  (SELECT 1 FROM hot h WHERE h.band = b.band AND h.bucket = b.bucket)),
+       |p AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |      FROM pruned a JOIN pruned b
+       |      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |c AS (SELECT a_id, b_id, round($dotSum, 4) AS cos
+       |      FROM p JOIN u ua ON ua.vec_id = a_id JOIN u ub ON ub.vec_id = b_id)
+       |SELECT a_id, b_id, cos FROM c WHERE cos >= 0.2
        |ORDER BY cos DESC, a_id, b_id""".stripMargin
   }
 
@@ -603,42 +633,61 @@ object TextPipeline {
           .orderBy("doc_id")
     },
 
-    // D5-scale — embedding near-dup via random-hyperplane LSH buckets
-    // (the 100-TB path; brute-force twin is q_neardup_cosine). The plane
-    // weights are pure integer arithmetic, so the WHOLE pipeline — 16
-    // projections, sign buckets, bucket join, unit-vector cosine — is
-    // reproduced in DuckDB as generated SQL with identical left-to-right
-    // f64 accumulation, and hash-checked.
+    // D5-scale — embedding near-dup via BANDED random-hyperplane LSH (the
+    // 100-TB path; brute-force twin is q_neardup_cosine): 8 bands x 10
+    // sign-planes, candidate pairs = same band bucket (union over bands,
+    // deduped), hot buckets above BucketCap dropped per band + DropLog'd —
+    // redundancy across bands keeps recall when a dense region's bucket is
+    // capped, exactly like the minhash bands. The plane weights are pure
+    // integer arithmetic, so the WHOLE pipeline — 80 projections, band
+    // buckets, the cap, candidate dedup, unit-vector cosine — is reproduced
+    // in DuckDB as generated SQL with identical left-to-right f64
+    // accumulation, and hash-checked.
     sql("q_neardup_lsh", Seq("D5"), TextPipeline.lshOracleSql) { (s, dir) =>
       import graft.functions.VectorOps._
       val e = Tables.emb(s, dir)
-      // deterministic pseudo-random hyperplanes; all 16 projections in one
-      // pass over the embedding (a 1024-term Column expression blows far
+      // deterministic pseudo-random hyperplanes; all 80 projections in one
+      // pass over the embedding (a Column expression this wide blows far
       // past the codegen splitting threshold — a tight loop is ~10x cheaper)
       val dim = 64
-      val weights = Array.tabulate(16, dim) { (p, d) =>
-        ((d * 16 + p) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
-      }
-      val bucketUdf = udf { (emb: Seq[Float]) =>
+      val weights = Array.tabulate(LshPlanes, dim)((p, d) => lshWeight(p, d))
+      val bucketsUdf = udf { (emb: Seq[Float]) =>
         val v = emb.toArray
-        var bucket = 0L
-        var p = 0
-        while (p < 16) {
-          val w = weights(p)
-          var sum = 0.0
-          var d = 0
-          while (d < dim) { sum += v(d) * w(d); d += 1 }
-          if (sum >= 0) bucket |= 1L << p
-          p += 1
-        }
-        bucket
+        Array.tabulate(LshBands) { band =>
+          var bucket = 0L
+          var i = 0
+          while (i < LshBits) {
+            val w = weights(band * LshBits + i)
+            var sum = 0.0
+            var d = 0
+            while (d < dim) { sum += v(d) * w(d); d += 1 }
+            if (sum >= 0) bucket |= 1L << i
+            i += 1
+          }
+          bucket
+        }.toSeq
       }
-      val sig = e.select(col("vec_id"), col("emb"), l2normalize(col("emb")).as("unit"),
-        bucketUdf(col("emb").cast("array<float>")).as("bucket"))
-      sig.as("a").join(sig.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-          round(dot(col("a.unit"), col("b.unit")), 4).as("cos"))
+      val bands = e.select(col("vec_id"),
+        posexplode(bucketsUdf(col("emb").cast("array<float>"))).as(Seq("band", "bucket")))
+      val hot = bands.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bc")).filter(col("bc") > BucketCap)
+        .select(col("band"),
+          DropLog.tick(s, s"q_neardup_lsh: band buckets with > $BucketCap members")(
+            col("bucket")).as("bucket"))
+      val pruned = bands.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      // candidate pairs deduped across bands BEFORE the unit vectors are
+      // joined back — only (a_id, b_id) longs ride the distinct shuffle,
+      // never the 64-wide vectors
+      val pairs = pruned.as("a").join(pruned.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+      val u = e.select(col("vec_id"), l2normalize(col("emb")).as("unit"))
+      pairs
+        .join(u.select(col("vec_id").as("a_id"), col("unit").as("ua")), Seq("a_id"))
+        .join(u.select(col("vec_id").as("b_id"), col("unit").as("ub")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"), round(dot(col("ua"), col("ub")), 4).as("cos"))
         .filter(col("cos") >= 0.2)
         .orderBy(col("cos").desc, col("a_id"), col("b_id"))
     }
