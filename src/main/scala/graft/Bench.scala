@@ -24,6 +24,21 @@ object Bench {
     // main tables (file listing, footer reads, OS page cache) so those
     // one-time costs don't land on whichever query happens to sort first
     spark.range(1000).selectExpr("sum(id)").collect()
+    // Self-validation: a fixed CPU-bound probe timed AFTER warmup, plus the
+    // OS load average, ride the record so a contention-corrupted run is
+    // detectable from the artifact alone (round 6 recorded 186 s for a
+    // binary that measures 29 s on a quiet machine — nothing in the JSON
+    // could tell). On this container the probe runs ~150-400 ms quiet;
+    // multiples of that, or a loadavg far above the core count, mean the
+    // wall-clock numbers below are machine noise, not code.
+    val calT0 = System.nanoTime()
+    // sum of int32 hashes over 2e8 rows peaks at ~4e17, safely inside long
+    spark.range(200L * 1000 * 1000).selectExpr("sum(cast(hash(id) as bigint))").collect()
+    val calibrationMs = (System.nanoTime() - calT0) / 1e6
+    val loadavg = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ").take(3).mkString(",")
+    } catch { case _: Throwable => "" }
     Seq("region", "lineitem", "documents", "embeddings", "events").foreach(t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count())
     // optional arg: comma-separated query-name filter (local iteration only;
@@ -39,7 +54,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""calibration_ms":$calibrationMs,"loadavg":"$loadavg"}""")
     spark.stop()
   }
 }

@@ -69,19 +69,21 @@ object TextHash {
     }
   }
 
-  /** The 16 MinHash permutation mins over a shingle-hash array in one pass.
+  /** The `n` MinHash permutation mins over a shingle-hash array in one pass.
     * Bit-identical to `array_min(transform(shs, x -> xxhash64(lit(i), x)))`
-    * for i in 0..15: Spark's XxHash64 chains child hashes through the seed
+    * for i in 0..n-1: Spark's XxHash64 chains child hashes through the seed
     * (h = hashInt(i, 42); h = hashLong(x, h)), which this loop replicates
-    * with precomputed per-permutation seeds. One pass instead of 16
-    * interpreted HOF traversals (same reasoning as [[hashedShingles3]]). */
-  val minhashSigs16: UserDefinedFunction = udf { (shs: Seq[Long]) =>
+    * with precomputed per-permutation seeds. One pass instead of n
+    * interpreted HOF traversals (same reasoning as [[hashedShingles3]]).
+    * Widening n only appends permutations: h0..h15 of a 32-wide signature
+    * are bit-identical to the 16-wide one. */
+  def minhashSigs(n: Int): UserDefinedFunction = udf { (shs: Seq[Long]) =>
     import org.apache.spark.sql.catalyst.expressions.XXH64
-    val seeds = Array.tabulate(16)(i => XXH64.hashInt(i, 42L))
-    val mins = Array.fill(16)(Long.MaxValue)
+    val seeds = Array.tabulate(n)(i => XXH64.hashInt(i, 42L))
+    val mins = Array.fill(n)(Long.MaxValue)
     shs.foreach { sh =>
       var i = 0
-      while (i < 16) {
+      while (i < n) {
         val h = XXH64.hashLong(sh, seeds(i))
         if (h < mins(i)) mins(i) = h
         i += 1

@@ -33,6 +33,19 @@ object TextPipeline {
     * still collides in the others. */
   private[graft] val BucketCap = 128
 
+  /** MinHash banding geometry: MinhashBands bands x MinhashRows rows over a
+    * (bands*rows)-wide signature. The LSH collision threshold is
+    * (1/bands)^(1/rows); 8x4 gives ~0.59, ALIGNED with the pipeline's
+    * jaccard >= 0.5 output filter — so bands rarely admit pairs the filter
+    * would discard (8x2's threshold of ~0.35 flooded the candidate join +
+    * exact verify with sub-threshold pairs; 4x4's ~0.71 missed real 0.9
+    * pairs: P[miss] = (1-0.9^4)^4 ~ 1.4%, vs ~2e-4 for 8x4). The md5
+    * oracle twin generates BOTH its SQL and its Spark side from these same
+    * constants, so geometry can never drift between engines. */
+  private[graft] val MinhashBands = 8
+  private[graft] val MinhashRows = 4
+  private[graft] val MinhashSigN = MinhashBands * MinhashRows
+
   /** Banded random-hyperplane LSH geometry for embedding near-dup: LshBands
     * independent bands of LshBits sign-planes each. Minhash-style banding
     * (vs the old single 16-plane bucket) buys two scale properties at once:
@@ -46,10 +59,28 @@ object TextPipeline {
   private[graft] val LshBits = 10
   private[graft] val LshPlanes = LshBands * LshBits
 
+  /** Session-conf knobs for every cap / banding constant above, so a
+    * 100 TB operator can re-tune per-corpus without a rebuild (same
+    * pattern as `graft.index.maxTargetedPartitions`). Defaults are the
+    * constants, which are ALSO what the generated DuckDB oracle twins pin —
+    * the hash-checked twins stay green under default conf, and ScaleSpec
+    * exercises non-default values through the internal APIs. */
+  private[graft] object Knobs {
+    private def int(s: SparkSession, key: String, default: Int): Int =
+      s.conf.getOption(key).map(_.trim.toInt).getOrElse(default)
+    def shingleDfCap(s: SparkSession): Int = int(s, "graft.text.shingleDfCap", ShingleDfCap)
+    def bucketCap(s: SparkSession): Int = int(s, "graft.text.bucketCap", BucketCap)
+    def minhashBands(s: SparkSession): Int = int(s, "graft.text.minhashBands", MinhashBands)
+    def minhashRows(s: SparkSession): Int = int(s, "graft.text.minhashRows", MinhashRows)
+    def simhashBandBits(s: SparkSession): Int = int(s, "graft.text.simhashBandBits", 8)
+    def lshBands(s: SparkSession): Int = int(s, "graft.lsh.bands", LshBands)
+    def lshBits(s: SparkSession): Int = int(s, "graft.lsh.bits", LshBits)
+  }
+
   /** deterministic pseudo-random plane weight, shared by the Spark kernel
     * and the generated oracle. */
-  private[graft] def lshWeight(p: Int, d: Int): Double =
-    ((d * LshPlanes + p) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
+  private[graft] def lshWeight(p: Int, d: Int, planes: Int = LshPlanes): Double =
+    ((d * planes + p) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
 
   /** Generated DuckDB oracle for q_neardup_lsh: the same deterministic
     * hyperplane weights as literals, the same banding, the same hot-bucket
@@ -156,13 +187,19 @@ object TextPipeline {
   /** Spread a narrow scan across the cluster before CPU-heavy per-token
     * work: a small documents table reads as ONE parquet split, which would
     * run every downstream string kernel (shingling, hashing, simhash votes)
-    * in a single task. Only repartitions when the scan has fewer partitions
-    * than cores — at real scale the table has thousands of splits and this
-    * is an identity. Results are partitioning-independent (counts, mins,
-    * integer votes), so oracle parity is unaffected. */
+    * in a single task. Only repartitions when the scan is estimated to have
+    * fewer splits than cores — at real scale the table has thousands of
+    * splits and this is an identity. The estimate uses optimizer statistics
+    * (driver-side metadata: file sizes / maxPartitionBytes), NOT
+    * `df.rdd.getNumPartitions`, which would instantiate the physical RDD
+    * lineage on every query build. Results are partitioning-independent
+    * (counts, mins, integer votes), so oracle parity is unaffected. */
   private def spread(d: DataFrame): DataFrame = {
-    val target = d.sparkSession.sparkContext.defaultParallelism
-    if (d.rdd.getNumPartitions < target) d.repartition(target) else d
+    val s = d.sparkSession
+    val target = s.sparkContext.defaultParallelism
+    val splitBytes = math.max(1L, s.sessionState.conf.filesMaxPartitionBytes)
+    val scanBytes = d.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (scanBytes < BigInt(splitBytes) * target) d.repartition(target) else d
   }
 
   private val toks: Column = split(col("text"), " ")
@@ -193,15 +230,42 @@ object TextPipeline {
   private def explodedShingles(arrs: DataFrame): DataFrame =
     arrs.select(col("doc_id"), explode(col("shs")).as("sh"))
 
-  /** 16 MinHash signature mins + the set size, as narrow per-row projections
+  /** `n` MinHash signature mins + the set size, as narrow per-row projections
     * over the shingle arrays — no aggregation, no shuffle (TextPipelineSpec
     * pins the plan shape AND the bit-parity with the HOF formulation). */
-  private[graft] def minhashSigs(arrs: DataFrame): DataFrame = {
+  private[graft] def minhashSigs(arrs: DataFrame, n: Int = MinhashSigN): DataFrame = {
     val withSig = arrs.select(col("doc_id"),
-      graft.functions.TextHash.minhashSigs16(col("shs")).as("hs"),
+      graft.functions.TextHash.minhashSigs(n)(col("shs")).as("hs"),
       size(col("shs")).cast("long").as("cnt"))
     withSig.select(col("doc_id") +:
-      (0 until 16).map(i => col("hs")(i).as(s"h$i")) :+ col("cnt"): _*)
+      (0 until n).map(i => col("hs")(i).as(s"h$i")) :+ col("cnt"): _*)
+  }
+
+  /** Banded candidate pairs over a MinHash signature frame: one (band,
+    * bucket) key per doc x band (bucket = xxhash64 of that band's `rows`
+    * signature mins), hot buckets above `bucketCap` dropped per band (+
+    * DropLog), pairs = within-bucket collisions deduped across bands. The
+    * geometry knob lives here so the spec can measure candidate volume per
+    * (bands x rows) layout on one corpus. */
+  private[graft] def minhashCandidates(s: SparkSession, sigs: DataFrame,
+      bands: Int, rows: Int, bucketCap: Int = BucketCap): DataFrame = {
+    val banded = {
+      val b = sigs.select(col("doc_id"),
+        posexplode(array((0 until bands).map(i =>
+          xxhash64((0 until rows).map(r => col(s"h${rows * i + r}")): _*)): _*))
+          .as(Seq("band", "bucket")))
+      val hotB = b.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bc")).filter(col("bc") > bucketCap)
+        .select(col("band"),
+          DropLog.tick(s, s"q_dedup_minhash: LSH buckets with > $bucketCap members")(
+            col("bucket")).as("bucket"))
+      b.join(broadcast(hotB), Seq("band", "bucket"), "left_anti")
+    }
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
   }
 
   /** candidate pairs sharing >= 1 shingle, with exact Jaccard over the
@@ -327,7 +391,7 @@ object TextPipeline {
         |WHERE common * 1.0 / (na.c + nb.c - common) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin) {
       (s, dir) =>
-        jaccardPairs(s, docs(s, dir), cacheKey = dir)
+        jaccardPairs(s, docs(s, dir), dfCap = Knobs.shingleDfCap(s), cacheKey = dir)
           .filter(col("jaccard_raw") >= 0.8)
           .select("a_id", "b_id", "jaccard")
           .orderBy("a_id", "b_id")
@@ -409,59 +473,44 @@ object TextPipeline {
     },
 
     // D2 — MinHash + banded LSH near-dup candidates, verified with exact
-    // Jaccard. 16 xxhash64 permutations, 4 bands x 4 rows; candidates =
-    // band-bucket collisions (key-partitioned join, no cross join); exact
-    // Jaccard is then computed ONLY for the candidate pairs via their
-    // broadcast shingle sets — the O(candidates) verify that makes this the
-    // 100 TB path (vs the all-pairs inverted-index join of D4).
-    // No SQL oracle: DuckDB lacks Spark's xxhash64; rows-only check.
+    // Jaccard. bands*rows xxhash64 permutations (default 32), 8 bands x 4
+    // rows; candidates = band-bucket collisions (key-partitioned join, no
+    // cross join); exact Jaccard is then computed ONLY for the candidate
+    // pairs via their broadcast shingle sets — the O(candidates) verify that
+    // makes this the 100 TB path (vs the all-pairs inverted-index join of
+    // D4). No SQL oracle: DuckDB lacks Spark's xxhash64; rows-only check
+    // (the md5 twin below hash-checks the identical pipeline shape).
     rowsOnly("q_dedup_minhash", Seq("D2")) { (s, dir) =>
-      // 8 bands x 2 rows: for a pair at similarity s the miss probability is
-      // (1-s^2)^8 — ~1e-8 at s=0.95, ~3e-4 at s=0.8 (4x4 banding missed
-      // real 0.9 pairs in testing; wider bands trade a few more candidates,
-      // which the exact verify filters, for near-certain recall)
+      // 8 bands x 4 rows (see MinhashBands scaladoc): collision threshold
+      // (1/8)^(1/4) ~ 0.59, aligned with the >= 0.5 output filter; recall
+      // P[catch] = 1-(1-s^4)^8 ~ 0.9996 at s=0.9, ~1-1e-11 at s=0.99.
+      // Geometry/caps are session-conf knobs (Knobs scaladoc).
       //
       // shingles are hashed to 64-bit longs and deduped per doc in a ROW-
       // LOCAL array (shared cache with jaccardPairs); the exploded row form
-      // only exists for the verify joins. Signatures are 16 array_min/
-      // transform projections over the same arrays — so NOTHING in this
+      // only exists for the verify joins. Signatures are bands*rows
+      // array_min projections over the same arrays — so NOTHING in this
       // pipeline shuffles until the band self-join, at any corpus size
       // (round 3 shuffled the exploded shingle table twice before banding:
       // once for the distinct, once for the signature groupBy).
+      val (bands, rows, cap) = (Knobs.minhashBands(s), Knobs.minhashRows(s), Knobs.bucketCap(s))
       val arrs = DfCache.getOrBuild(s, s"shingle_arrs#$dir")(shingleArrays(docs(s, dir)))
       val sh = explodedShingles(arrs)
       // sigs feeds three plan branches (two band-join sides, the count join)
-      // — persist the narrow projection (session-aware cache: re-invocations
-      // reuse one entry)
-      val sigs = DfCache.getOrBuild(s, s"minhash_sigs#$dir")(minhashSigs(arrs))
-      // all 8 (band, bucket) rows from ONE pass over sigs (posexplode), not
-      // an 8-way union that re-runs the aggregation per band; the band
-      // self-join's two sides are plan-identical, so the bucket shuffle is
-      // computed once and reused (ReusedExchange) — and unlike a per-bucket
-      // collect_list, join-based pair expansion spreads a hot bucket's
-      // quadratic output across tasks instead of one row.
-      // Hot-bucket cap: see BucketCap scaladoc (m members -> m^2/2 pairs on
-      // one key); recall survives via the other 7 bands. As in jaccardPairs,
-      // the bucket counting + anti-join live inside the ONE cached table's
-      // plan (the bands frame is a cheap posexplode over the cached sigs, so
-      // it is not separately persisted), and drops are logged by the
-      // accumulator pass-through on the broadcast side — no dedicated job.
-      val prunedBands = {
-        val bands = sigs.select(col("doc_id"),
-          posexplode(array((0 until 8).map(b =>
-            xxhash64(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))): _*)).as(Seq("band", "bucket")))
-        val hotB = bands.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("bc")).filter(col("bc") > BucketCap)
-          .select(col("band"),
-            DropLog.tick(s, s"q_dedup_minhash: LSH buckets with > $BucketCap members")(
-              col("bucket")).as("bucket"))
-        bands.join(broadcast(hotB), Seq("band", "bucket"), "left_anti")
-      }
-      val candPairs = prunedBands.as("x").join(prunedBands.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
+      // — persist the narrow projection (session-aware cache keyed by the
+      // geometry, so a conf change can never serve a stale width)
+      val sigs = DfCache.getOrBuild(s, s"minhash_sigs:${bands}x$rows#$dir")(
+        minhashSigs(arrs, bands * rows))
+      // all band rows come from ONE pass over sigs (posexplode), not a
+      // per-band union re-running the projection; the band self-join's two
+      // sides are plan-identical, so the bucket shuffle is computed once and
+      // reused (ReusedExchange) — and unlike a per-bucket collect_list,
+      // join-based pair expansion spreads a hot bucket's quadratic output
+      // across tasks instead of one row. Hot-bucket cap: see BucketCap
+      // scaladoc; recall survives via the other bands. Drops are logged by
+      // the accumulator pass-through on the broadcast side — no dedicated
+      // job (see minhashCandidates).
+      val candPairs = minhashCandidates(s, sigs, bands, rows, cap)
       // exact-Jaccard verify by re-joining the shingle table on the
       // candidate ids — O(candidates x set size) narrow rows, never a
       // megabyte-wide collected set riding a shuffle. Skew note: a doc in
@@ -492,16 +541,21 @@ object TextPipeline {
     // candidate join, exact-Jaccard verify — is hash-checked against an
     // independent SQL implementation. Verify-only: the xxhash64 variant
     // above stays the benched scale path (md5 is ~10x costlier per shingle).
+    // Both the SQL text and the Spark plan below are GENERATED from
+    // MinhashBands/MinhashRows, so the twin's geometry tracks the scale
+    // path's defaults by construction.
     sql("q_dedup_minhash_md5", Seq("D2"),
       ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |           WHERE len(string_split(text, ' ')) >= 3),
         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
         |       FROM t, UNNEST(range(1, len(t) - 1)) AS u(i)),
         |sig AS (SELECT doc_id, """.stripMargin +
-        (0 until 16).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ") +
+        (0 until MinhashSigN).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ") +
         ", list(s) AS st FROM sh GROUP BY doc_id),\nbands AS (" +
-        (0 until 8).map(b =>
-          s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS bucket FROM sig")
+        (0 until MinhashBands).map(b =>
+          s"SELECT doc_id, $b AS band, md5(${
+            (0 until MinhashRows).map(r => s"h${MinhashRows * b + r}").mkString(" || ")
+          }) AS bucket FROM sig")
           .mkString(" UNION ALL ") + "),\n" +
         """cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
         |          FROM bands x JOIN bands y
@@ -518,15 +572,15 @@ object TextPipeline {
         // set riding the signature shuffle. Values are identical to the
         // oracle's list_intersect form (common/(ca+cb-common)).
         val sh = DfCache.getOrBuild(s, s"minhash_md5_sh#$dir")(shingles(docs(s, dir)))
-        val sigCols = (0 until 16).map(i =>
+        val sigCols = (0 until MinhashSigN).map(i =>
           min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
-        val sigs = DfCache.getOrBuild(s, s"minhash_md5_sigs#$dir") {
+        val sigs = DfCache.getOrBuild(s, s"minhash_md5_sigs:${MinhashBands}x$MinhashRows#$dir") {
           sh.groupBy(col("doc_id"))
             .agg(sigCols.head, sigCols.tail :+ count(lit(1)).as("cnt"): _*)
         }
         val bands = sigs.select(col("doc_id"),
-          posexplode(array((0 until 8).map(b =>
-            md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")))): _*))
+          posexplode(array((0 until MinhashBands).map(b =>
+            md5(concat((0 until MinhashRows).map(r => col(s"h${MinhashRows * b + r}")): _*))): _*))
             .as(Seq("band", "bucket")))
         val candPairs = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
@@ -555,7 +609,8 @@ object TextPipeline {
     // [[simhashPairs]] for the banding scale analysis (candidate volume is
     // ~n^2/2^bandBits — bandBits is the corpus-size knob).
     rowsOnly("q_dedup_simhash", Seq("D3")) { (s, dir) =>
-      simhashPairs(docs(s, dir)).orderBy("a_id", "b_id")
+      simhashPairs(docs(s, dir), bandBits = Knobs.simhashBandBits(s))
+        .orderBy("a_id", "b_id")
     },
 
     // D3-oracle — the SimHash pipeline on a 60-bit md5-derived token hash
@@ -648,16 +703,19 @@ object TextPipeline {
       val e = Tables.emb(s, dir)
       // deterministic pseudo-random hyperplanes; all 80 projections in one
       // pass over the embedding (a Column expression this wide blows far
-      // past the codegen splitting threshold — a tight loop is ~10x cheaper)
+      // past the codegen splitting threshold — a tight loop is ~10x cheaper).
+      // Geometry reads the session knobs (defaults = the constants the
+      // generated oracle pins, so the hash check is green under default conf)
+      val (nBands, nBits, cap) = (Knobs.lshBands(s), Knobs.lshBits(s), Knobs.bucketCap(s))
       val dim = 64
-      val weights = Array.tabulate(LshPlanes, dim)((p, d) => lshWeight(p, d))
+      val weights = Array.tabulate(nBands * nBits, dim)((p, d) => lshWeight(p, d, nBands * nBits))
       val bucketsUdf = udf { (emb: Seq[Float]) =>
         val v = emb.toArray
-        Array.tabulate(LshBands) { band =>
+        Array.tabulate(nBands) { band =>
           var bucket = 0L
           var i = 0
-          while (i < LshBits) {
-            val w = weights(band * LshBits + i)
+          while (i < nBits) {
+            val w = weights(band * nBits + i)
             var sum = 0.0
             var d = 0
             while (d < dim) { sum += v(d) * w(d); d += 1 }
@@ -670,9 +728,9 @@ object TextPipeline {
       val bands = e.select(col("vec_id"),
         posexplode(bucketsUdf(col("emb").cast("array<float>"))).as(Seq("band", "bucket")))
       val hot = bands.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("bc")).filter(col("bc") > BucketCap)
+        .agg(count(lit(1)).as("bc")).filter(col("bc") > cap)
         .select(col("band"),
-          DropLog.tick(s, s"q_neardup_lsh: band buckets with > $BucketCap members")(
+          DropLog.tick(s, s"q_neardup_lsh: band buckets with > $cap members")(
             col("bucket")).as("bucket"))
       val pruned = bands.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
       // candidate pairs deduped across bands BEFORE the unit vectors are

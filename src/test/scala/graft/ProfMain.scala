@@ -34,6 +34,50 @@ object ProfMain {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         profEngine(spark, dir)
       case "minhash" => profMinhash(spark, dir)
+      case "minhash_cands" =>
+        // candidate-volume per geometry at this sf (structural metric)
+        import graft.queries.TextPipeline
+        val d = graft.queries.Tables.t(spark, dir, "documents")
+        val arrs = TextPipeline.shingleArrays(d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        arrs.count()
+        val s32 = TextPipeline.minhashSigs(arrs, 32)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        s32.count()
+        Seq((8, 2), (4, 4), (8, 4)).foreach { case (b, r) =>
+          val n = time(s"cands ${b}x$r")(TextPipeline.minhashCandidates(spark, s32, b, r).count())
+          println(s"[prof] ${b}x$r candidate pairs: $n")
+        }
+      case "minhash_phases" =>
+        // cold-path phase breakdown through the REAL pipeline functions
+        import graft.queries.TextPipeline
+        val d = graft.queries.Tables.t(spark, dir, "documents")
+        val arrs = time("arrs build+persist") {
+          val a = TextPipeline.shingleArrays(d)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          a.count(); a
+        }
+        val sigs = time("sigs32 project+persist") {
+          val s2 = TextPipeline.minhashSigs(arrs, 32)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          s2.count(); s2
+        }
+        val cands = time("candidates 8x4")(
+          TextPipeline.minhashCandidates(spark, sigs, 8, 4).count())
+        println(s"[prof] candidate pairs: $cands")
+        time("full query (caches warm)")(
+          SparkEntry.queries("q_dedup_minhash")(spark, dir).count())
+      case "minhash_ab" =>
+        // geometry A/B on the same machine via the session knobs: old 8x2
+        // vs default 8x4, interleaved twice to average out drift
+        (1 to 2).foreach { i =>
+          Seq(2 -> "8x2", 4 -> "8x4").foreach { case (rows, label) =>
+            spark.conf.set("graft.text.minhashRows", rows.toString)
+            time(s"q_dedup_minhash $label #$i")(
+              SparkEntry.queries("q_dedup_minhash")(spark, dir).count())
+          }
+        }
+        spark.conf.unset("graft.text.minhashRows")
       case "jaccard" => profJaccard(spark, dir)
       case "jaccard2" => profJaccard2(spark, dir)
       case "scale" => profScale(spark)

@@ -33,10 +33,46 @@ class TextPipelineSpec extends AnyFunSuite {
   test("MinHash LSH candidates recover the >=0.95 pairs") {
     val lsh = run("q_dedup_minhash").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // 8 bands x 2 rows: P[miss] = (1-s^2)^8 ~ 1e-8 at s=0.95
+    // 8 bands x 4 rows: P[miss] = (1-s^4)^8 ~ 1.4e-6 at s=0.95
     val missed = verySimilar -- lsh
     assert(missed.isEmpty, s"LSH missed very-similar pairs: $missed")
     assert(verySimilar.nonEmpty)
+  }
+
+  test("8x4 banding cuts sub-threshold candidates vs 8x2 without losing recall") {
+    import spark.implicits._
+    import graft.queries.TextPipeline
+    // 80 planted pairs at shingle-jaccard ~0.39 (below the >=0.5 output
+    // filter: 12 of 20 tokens shared) plus 20 pairs at ~0.93 (29 of 30
+    // tokens shared). 8x2's collision threshold (~0.35) admits most of the
+    // sub-threshold pairs as candidates — work the exact verify then throws
+    // away; 8x4 (~0.59) filters them at the banding stage, which is the
+    // whole point of the geometry change.
+    val low = (0 until 80).flatMap { i =>
+      val base = (0 until 20).map(j => s"p${i}w$j")
+      Seq((2L * i, base.mkString(" ")),
+        (2L * i + 1, (base.take(12) ++ (12 until 20).map(j => s"p${i}x$j")).mkString(" ")))
+    }
+    val hi = (0 until 20).flatMap { i =>
+      val base = (0 until 30).map(j => s"h${i}w$j")
+      Seq((1000L + 2 * i, base.mkString(" ")),
+        (1001L + 2 * i, (base.init :+ s"h${i}z").mkString(" ")))
+    }
+    val df = (low ++ hi).toDF("doc_id", "text")
+    val sigs = TextPipeline.minhashSigs(TextPipeline.shingleArrays(df), 32)
+      .persist()
+    try {
+      def cands(rows: Int): Set[(Long, Long)] =
+        TextPipeline.minhashCandidates(spark, sigs, 8, rows)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val c82 = cands(2)
+      val c84 = cands(4)
+      assert(c84.size < c82.size,
+        s"8x4 must admit fewer sub-threshold candidates (8x2=${c82.size}, 8x4=${c84.size})")
+      val hiPairs = (0 until 20).map(i => (1000L + 2 * i, 1001L + 2 * i)).toSet
+      assert((hiPairs -- c84).isEmpty,
+        s"8x4 lost high-similarity pairs: ${hiPairs -- c84}")
+    } finally { sigs.unpersist(); () }
   }
 
   test("SimHash bands recover the >=0.95 pairs with small hamming") {
