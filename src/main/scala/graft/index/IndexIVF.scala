@@ -578,8 +578,15 @@ final class IndexIVF private (
     * partition). */
   private def writePostings(rows: DataFrame): Unit = {
     val withBucket = rows.withColumn("centroid_bucket", centroidBucket(col("centroid")))
+    // size the add from optimizer statistics (driver-side metadata), NOT
+    // df.rdd.getNumPartitions — under AQE the .rdd access materializes the
+    // plan's shuffle stages as a real job (~0.3 s of dead time per add on
+    // the per-invocation engine queries)
+    val splitBytes = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val estSplits = withBucket.queryExecution.optimizedPlan.stats.sizeInBytes /
+      BigInt(splitBytes)
     val placed =
-      if (withBucket.rdd.getNumPartitions <= SmallAddPartitions)
+      if (estSplits <= SmallAddPartitions)
         withBucket.coalesce(1)
           .sortWithinPartitions("tenant", "field", "centroid_bucket", "centroid")
       else

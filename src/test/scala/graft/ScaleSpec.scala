@@ -73,6 +73,30 @@ class ScaleSpec extends AnyFunSuite {
       "exact-dup clusters above BucketCap must be dropped and logged")
   }
 
+  test("dedup knobs are session conf: non-default minhash geometry takes effect") {
+    // a 100 TB operator tunes banding per-corpus without a rebuild; verify
+    // the conf path end to end — 16 bands x 2 rows is a deliberately
+    // looser geometry (threshold (1/16)^(1/2) = 0.25), so on the synthetic
+    // corpus it must admit at least as many candidate pairs as the default
+    // 8x4, and the query must still find the planted near-dups
+    def pairs(): Set[(Long, Long)] =
+      SparkEntry.queries("q_dedup_minhash")(spark, dir1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val def84 = pairs()
+    spark.conf.set("graft.text.minhashBands", "16")
+    spark.conf.set("graft.text.minhashRows", "2")
+    try {
+      val loose = pairs()
+      // the >=0.5 verify filter makes the OUTPUT geometry-insensitive for
+      // clearly-similar pairs: the planted dups must appear under both
+      assert(def84.nonEmpty && (def84 -- loose).isEmpty,
+        s"planted near-dups lost under non-default geometry: ${def84 -- loose}")
+    } finally {
+      spark.conf.unset("graft.text.minhashBands")
+      spark.conf.unset("graft.text.minhashRows")
+    }
+  }
+
   test("n-gram Jaccard dedup: linear growth, shingle df-cap fires") {
     val (rows1, t1) = timed(SparkEntry.queries("q_neardup_jaccard")(spark, dir1).count())
     val (rowsN, tN) = timed(SparkEntry.queries("q_neardup_jaccard")(spark, dirN).count())
