@@ -495,6 +495,76 @@ final class IndexIVF private (
     }
   }
 
+  /** File-count maintenance for trickle ingest: repeated small [[add]]s
+    * take the single-sorted-task write path (no shuffle, no micro-file
+    * fanout ACROSS buckets) but still append one file per touched partition
+    * directory per add — at streaming-ingest rates the tables accumulate
+    * micro-files that erode row-group pruning and scan planning. This
+    * rewrites every partition directory holding more than `maxFiles` data
+    * files down to one file, preserving the within-file centroid sort the
+    * postings readers rely on.
+    *
+    * Scale shape: discovery is a pure FileSystem listing (driver metadata,
+    * no data scan), the rewrite reads ONLY the affected directories via a
+    * partition-pruned filter, and the swap reuses [[compactTable]]'s
+    * tmp-tree + per-directory rename, so a crash mid-compact leaves every
+    * original directory intact. IO is O(affected partitions), not O(table).
+    * The reference runs RocksDB compactions for the same hygiene
+    * (RocksdbInvertedList flush/merge); Parquet-on-object-store needs it
+    * as an explicit maintenance op. */
+  def compactFiles(maxFiles: Int = 1): Unit = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    Seq("postings", "scalars", "context", "docs").foreach { tbl =>
+      compactTableFiles(p(tbl), tableParts(tbl), maxFiles)
+    }
+  }
+
+  private def compactTableFiles(tablePath: String, parts: Seq[String],
+      maxFiles: Int): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tablePath), conf)
+    val orig = new org.apache.hadoop.fs.Path(tablePath)
+    if (!fs.exists(orig)) return
+    // leaf partition directories, depth = number of hive levels; only
+    // 'col=value' dirs count (skips _temporary and friends)
+    def leafDirs(dir: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (depth == 0) Seq(dir)
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => leafDirs(st.getPath, depth - 1))
+    // listStatus returns fully-qualified paths (file:/... locally) — strip
+    // against the qualified root or no relative path ever matches
+    val rootQ = fs.makeQualified(orig).toString
+    val affected = leafDirs(orig, parts.length).filter { d =>
+      fs.listStatus(d).count(st => st.isFile && st.getPath.getName.endsWith(".parquet")) > maxFiles
+    }.map(d => fs.makeQualified(d).toString.stripPrefix(rootQ).stripPrefix("/"))
+    if (affected.isEmpty) return
+    val source =
+      try Some(spark.read.parquet(tablePath))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    source.foreach { df =>
+      // same unescaped-path matching invariant as compactTable: sound only
+      // because every partition column is a non-null integer
+      val inAffected = concat_ws("/", parts.map(c => concat(lit(s"$c="), col(c))): _*)
+        .isin(affected: _*)
+      val one = df.filter(inAffected).repartition(parts.map(col): _*)
+      val placed =
+        if (parts.contains("centroid_bucket")) one.sortWithinPartitions("centroid") else one
+      val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
+      placed.write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
+      affected.foreach { rel =>
+        val dst = new org.apache.hadoop.fs.Path(s"$tablePath/$rel")
+        val src = new org.apache.hadoop.fs.Path(s"$tablePath.tmp/$rel")
+        if (fs.exists(src)) {
+          fs.delete(dst, true)
+          fs.mkdirs(dst.getParent)
+          fs.rename(src, dst)
+        }
+      }
+      fs.delete(tmp, true)
+    }
+  }
+
   /** remove + add (reference: lintdb/index.cpp:501-510). The id collect is
     * bounded by a guard: update() is the read-modify-write path for document
     * BATCHES; a bulk rewrite beyond the guard should go through
@@ -583,10 +653,10 @@ final class IndexIVF private (
     // plan's shuffle stages as a real job (~0.3 s of dead time per add on
     // the per-invocation engine queries)
     val splitBytes = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
-    val estSplits = withBucket.queryExecution.optimizedPlan.stats.sizeInBytes /
-      BigInt(splitBytes)
+    val maxBytes = spark.conf.getOption(SmallAddMaxBytesKey).map(BigInt(_))
+      .getOrElse(BigInt(splitBytes) * SmallAddPartitions)
     val placed =
-      if (estSplits <= SmallAddPartitions)
+      if (withBucket.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
         withBucket.coalesce(1)
           .sortWithinPartitions("tenant", "field", "centroid_bucket", "centroid")
       else
@@ -626,11 +696,12 @@ object IndexIVF {
     * was written to (`pmod` == `floorMod`, not Java's signed `%`). */
   def bucketOf(c: Long): Int = java.lang.Math.floorMod(c, CentroidBuckets.toLong).toInt
 
-  /** A postings append whose input has at most this many partitions takes
-    * the single-sorted-task write path in [[IndexIVF.writePostings]] instead
-    * of the clustering shuffle. Partition count is a size proxy that costs
-    * no job: a bulk ingest always arrives in many partitions, while a small
-    * add's worth of rows is a trivial single-task sort. */
+  /** A postings append estimated (from optimizer statistics) at no more
+    * than this many input splits takes the single-sorted-task write path in
+    * [[IndexIVF.writePostings]] instead of the clustering shuffle: a bulk
+    * ingest is always estimated at many splits, while a small add's worth
+    * of rows is a trivial single-task sort. The estimate is driver-side
+    * metadata only — it costs no job. */
   val SmallAddPartitions = 4
 
   /** Above this many affected partitions, targeted compaction falls back to
@@ -639,6 +710,11 @@ object IndexIVF {
     * pruning it. Read per call from the session conf (tests set the conf to
     * exercise the fallback; a shared mutable JVM global would race across
     * concurrent suites/instances). */
+  /** Conf override for the small-add byte threshold (default
+    * SmallAddPartitions x files.maxPartitionBytes) — lets an operator (or a
+    * test) force the clustering-shuffle bulk path for smaller inputs. */
+  private[graft] val SmallAddMaxBytesKey = "graft.index.smallAddMaxBytes"
+
   private[graft] val MaxTargetedPartitionsKey = "graft.index.maxTargetedPartitions"
   private[graft] def maxTargetedPartitions(spark: SparkSession): Int =
     spark.conf.get(MaxTargetedPartitionsKey, "1000").toInt

@@ -383,16 +383,90 @@ class IndexSpec extends AnyFunSuite {
     val smallCounts = bucketFileCounts(small)
     assert(smallCounts.nonEmpty && smallCounts.values.forall(_ == 1),
       s"small add fanned out micro-files: $smallCounts")
-    // bulk path: many input partitions -> clustering shuffle on the bucket
-    // columns must still land one file per bucket dir
+    // bulk path: force the clustering shuffle via the byte-threshold conf
+    // (the path trigger is an optimizer-stats size estimate) — must still
+    // land one file per bucket dir
     val path = java.nio.file.Files.createTempDirectory("idx_bulk").toString
     val bulk = IndexIVF.create(spark, path, mkSchema(QuantizerKind.NONE))
     val spreadDocs = docsDf.repartition(IndexIVF.SmallAddPartitions + 4)
     bulk.train(spreadDocs)
-    bulk.add(1, spreadDocs)
+    spark.conf.set(IndexIVF.SmallAddMaxBytesKey, "0")
+    try bulk.add(1, spreadDocs)
+    finally spark.conf.unset(IndexIVF.SmallAddMaxBytesKey)
     val bulkCounts = bucketFileCounts(bulk)
     assert(bulkCounts.nonEmpty && bulkCounts.values.forall(_ == 1),
       s"bulk add fanned out micro-files: $bulkCounts")
+  }
+
+  /** parquet files per partition directory under idx.path/tbl. */
+  def partFileCounts(idx: IndexIVF, tbl: String): Map[String, Int] = {
+    val root = java.nio.file.Paths.get(idx.path, tbl)
+    val stream = java.nio.file.Files.walk(root)
+    try {
+      val files = scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator()).asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+      files.groupBy(_.getParent.toString).map { case (d, fs) => d -> fs.size }
+    } finally stream.close()
+  }
+
+  test("compactFiles() merges trickle-add micro-files; search and pruning unaffected") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("idx_trickle").toString
+    val idx = IndexIVF.create(spark, path, mkSchema(QuantizerKind.NONE))
+    idx.train(docsDf)
+    // trickle ingest: one add per doc — each append lands one more file in
+    // every touched partition directory
+    (0L until numDocs.toLong).foreach { i =>
+      idx.add(1, Seq(Doc(i, corpus(i), if (i % 2 == 0) "even" else "odd", i % 3)).toDF())
+    }
+    val before = partFileCounts(idx, "postings")
+    assert(before.values.exists(_ > 1),
+      s"trickle adds should have accumulated micro-files: $before")
+    val resBefore = idx.search(1, query(3), 10, exhaustive)
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    idx.compactFiles()
+    Seq("postings", "scalars", "context", "docs").foreach { tbl =>
+      val after = partFileCounts(idx, tbl)
+      assert(after.nonEmpty && after.values.forall(_ == 1),
+        s"$tbl still has micro-files after compactFiles: $after")
+    }
+    val resAfter = idx.search(1, query(3), 10, exhaustive)
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(resBefore == resAfter, "compactFiles changed search results")
+    // idempotent: nothing above the threshold -> second call is a no-op
+    idx.compactFiles()
+    assert(partFileCounts(idx, "postings").values.forall(_ == 1))
+  }
+
+  test("tenant isolation E2E: colliding doc ids; remove/compact in one tenant " +
+    "never touches the other") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("idx_tenants").toString
+    val idx = IndexIVF.create(spark, path, mkSchema(QuantizerKind.NONE))
+    idx.train(docsDf)
+    // SAME doc ids added under two tenants (reference keys every row by
+    // tenant first, lintdb/index.h:108-139)
+    idx.add(1, docsDf)
+    idx.add(2, docsDf)
+    def ids(tenant: Long): Set[Long] =
+      idx.search(tenant, query(5), numDocs, exhaustive)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(1) == ids(2), "identical corpora must rank identically per tenant")
+    // physical remove in tenant 1 only
+    idx.remove(1, Seq(5L, 6L))
+    assert(!ids(1).contains(5L) && !ids(1).contains(6L))
+    assert(ids(2).contains(5L) && ids(2).contains(6L),
+      "tenant 2 lost docs to tenant 1's remove")
+    // deferred remove + compact in tenant 2 only
+    idx.removeDeferred(2, Seq(7L))
+    assert(!ids(2).contains(7L), "tombstone must hide the doc from reads")
+    assert(ids(1).contains(7L), "tenant 1 must not see tenant 2's tombstone")
+    idx.compact()
+    assert(!ids(2).contains(7L) && ids(1).contains(7L),
+      "physical compaction crossed the tenant boundary")
+    // stored-field hydration stays per-tenant too
+    val cat2 = idx.search(2, query(4), 3, exhaustive).select("cat").collect()
+    assert(cat2.nonEmpty && cat2.forall(_.getString(0) != null))
   }
 
   test("open() rejects an index with an older on-disk format version") {

@@ -165,5 +165,17 @@ class PlanSpec extends AnyFunSuite {
     val probed = numFiles(scan)
     val full = numFiles(idx.postingsDf.filter(col("tenant") === 1 && col("field") === 0))
     assert(probed < full, s"probe read $probed of $full files - no directory pruning")
+
+    // trickle ingest erodes the file count; compactFiles restores ~1 file
+    // per partition directory and the SAME probe reads fewer files
+    (0L until 6L).foreach(i => idx.add(1,
+      Seq(Doc(100 + i, Seq.fill(2)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1)), "x", 0L)).toDF()
+        .select(col("id"), col("colbert"))))
+    val trickled = numFiles(idx.postingsDf.filter(col("tenant") === 1 && col("field") === 0))
+    assert(trickled > full, s"trickle adds should add files ($trickled vs $full)")
+    idx.compactFiles()
+    val compacted = numFiles(idx.postingsDf.filter(col("tenant") === 1 && col("field") === 0))
+    assert(compacted < trickled,
+      s"compactFiles did not shrink the scan: $trickled -> $compacted files")
   }
 }
