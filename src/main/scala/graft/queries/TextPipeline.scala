@@ -359,6 +359,56 @@ object TextPipeline {
       .distinct()
   }
 
+  /** Connected components over an undirected (a_id, b_id) edge list by
+    * iterative min-label propagation: label(v) <- min(label(v), labels of
+    * v's neighbors) until fixpoint. Returns (doc_id, cluster_id) for EVERY
+    * node (singletons label themselves) with cluster_id = min doc_id in the
+    * component — the deterministic keeper rule of a dedup pipeline.
+    *
+    * Scale shape: each round is one key-partitioned join + one aggregation
+    * over the (narrow) edge list, and rounds = component diameter. Near-dup
+    * graphs have tiny diameters by construction — candidate pairs come from
+    * shared LSH buckets / shared shingles, so components are near-cliques
+    * (every measured corpus converges in <= 3 rounds). A graph with
+    * adversarial long chains would want the alternating large-star/
+    * small-star formulation (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) at O(log^2 n) rounds; the propagation
+    * loop is deliberately the simple one until that graph exists. The
+    * convergence probe is one count per round on the changed-label set —
+    * driver-side control flow, never driver-side data. */
+  private[graft] def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
+    val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = sym.join(labels, sym("v") === labels("doc_id"))
+        .select(col("u").as("doc_id"), col("cluster_id").as("nl"))
+        .groupBy("doc_id").agg(min(col("nl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      changed = next.as("n")
+        .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds — " +
+        "the graph has a longer chain than any near-dup corpus should; " +
+        "switch this call to a star-contraction formulation")
+    sym.unpersist()
+    labels
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // D1 — exact dedup: hash-aggregate on full content; keeper = min id.
     sql("q_dedup_exact", Seq("D1"),
@@ -395,6 +445,46 @@ object TextPipeline {
           .filter(col("jaccard_raw") >= 0.8)
           .select("a_id", "b_id", "jaccard")
           .orderBy("a_id", "b_id")
+    },
+
+    // D6 — duplicate-cluster assignment: connected components over the
+    // near-dup pair graph (jaccard >= 0.8 edges), cluster_id = min doc_id
+    // in the component, keep = the deterministic keeper rule. This is the
+    // step a training-data dedup pipeline runs AFTER pair generation —
+    // transitivity matters (A~B, B~C puts A,C in one cluster even when
+    // A~C itself is below threshold). Oracle: the same pair CTE chain as
+    // q_neardup_jaccard plus a recursive reachability fixpoint (UNION
+    // semantics dedup the frontier, so it terminates), min per node.
+    sql("q_dedup_clusters", Seq("D6"),
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM t, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |dfc AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc ON sh.s = dfc.s
+        |        WHERE dfc.df <= $ShingleDfCap),
+        |n AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY 1),
+        |p AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS common
+        |      FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT a_id, b_id FROM p
+        |       JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |       WHERE common * 1.0 / (na.c + nb.c - common) >= 0.8),
+        |e AS (SELECT a_id AS eu, b_id AS ev FROM pr
+        |      UNION SELECT b_id, a_id FROM pr),
+        |reach(nd, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.ev, reach.r FROM reach JOIN e ON e.eu = reach.nd)
+        |SELECT nd AS doc_id, min(r) AS cluster_id, min(r) = nd AS keep
+        |FROM reach GROUP BY nd ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val d = docs(s, dir)
+        val edges = jaccardPairs(s, d, dfCap = Knobs.shingleDfCap(s), cacheKey = dir)
+          .filter(col("jaccard_raw") >= 0.8).select("a_id", "b_id")
+        connectedComponents(d.select("doc_id"), edges)
+          .select(col("doc_id"), col("cluster_id"),
+            (col("cluster_id") === col("doc_id")).as("keep"))
+          .orderBy("doc_id")
     },
 
     // TA3 — token counting (whitespace tokenization).

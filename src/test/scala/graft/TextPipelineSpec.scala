@@ -212,6 +212,46 @@ class TextPipelineSpec extends AnyFunSuite {
 
   def run2(name: String, dir: String) = graft.SparkEntry.queries(name)(spark, dir)
 
+  test("duplicate clusters are transitive: a chain A~B~C folds into one cluster") {
+    import spark.implicits._
+    import graft.queries.TextPipeline
+    // A and C share nothing directly — only B links them. 30 tokens, each
+    // neighbor differs in a disjoint 3-token patch, so adjacent jaccard
+    // ~0.8+ while A vs C falls below the 0.8 edge threshold.
+    val base = (0 until 30).map(j => s"w$j")
+    def patched(at: Int, tag: String) =
+      base.zipWithIndex.map { case (w, j) =>
+        if (j >= at && j < at + 2) s"$tag$j" else w }.mkString(" ")
+    val chain = Seq(
+      (0L, patched(0, "a")),   // A: differs from B in tokens 0-1
+      (1L, base.mkString(" ")),// B: the middle link
+      (2L, patched(27, "c")))  // C: differs from B in tokens 27-28
+    val lone = Seq((10L, (0 until 30).map(j => s"x$j").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc").toFile
+    try {
+      (chain ++ lone).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // precondition: the A-C edge itself must be absent (below 0.8)
+      val pairs = run2("q_neardup_jaccard", dir.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)),
+        s"chain edges missing: $pairs")
+      assert(!pairs.contains((0L, 2L)), s"A~C edge should be sub-threshold: $pairs")
+      val clusters = run2("q_dedup_clusters", dir.toString).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(Set(0L, 1L, 2L).forall(clusters(_)._1 == 0L),
+        s"transitive closure failed: $clusters")
+      assert(clusters(0L)._2 && !clusters(1L)._2 && !clusters(2L)._2,
+        "keeper must be exactly the min id of the cluster")
+      assert(clusters(10L) == (10L, true), "singleton labels itself")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("embedding LSH near-dup pairs are a high-cosine subset of brute force") {
     val brute = run("q_neardup_cosine").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
