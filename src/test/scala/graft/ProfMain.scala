@@ -34,6 +34,30 @@ object ProfMain {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         profEngine(spark, dir)
       case "minhash" => profMinhash(spark, dir)
+      case "minhash_10x" =>
+        // phase + candidate-volume breakdown on the ScaleSpec 10x corpus
+        import graft.queries.TextPipeline
+        val d10 = java.nio.file.Files.createTempDirectory("prof10x").toString
+        ScaleData.writeCorpus(spark, d10, 50000, 300, chunk = 5000)
+        val d = graft.queries.Tables.t(spark, d10, "documents")
+        val arrs = time("arrs build+persist") {
+          val a = TextPipeline.shingleArrays(d)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          a.count(); a
+        }
+        val s32 = time("sigs32 project+persist") {
+          val s2 = TextPipeline.minhashSigs(arrs, 32)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          s2.count(); s2
+        }
+        Seq((8, 2), (8, 4)).foreach { case (b, r) =>
+          val n = time(s"cands ${b}x$r")(TextPipeline.minhashCandidates(spark, s32, b, r).count())
+          println(s"[prof] ${b}x$r candidate pairs: $n")
+        }
+        time("full q_dedup_minhash")(
+          SparkEntry.queries("q_dedup_minhash")(spark, d10).count())
+        time("full again (warm)")(
+          SparkEntry.queries("q_dedup_minhash")(spark, d10).count())
       case "minhash_cands" =>
         // candidate-volume per geometry at this sf (structural metric)
         import graft.queries.TextPipeline
