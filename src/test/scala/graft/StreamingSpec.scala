@@ -50,6 +50,26 @@ class StreamingSpec extends AnyFunSuite {
     val got = idx.search(1, query, 12, SearchOptions(kTopCentroids = 4, nProbe = 4))
       .select("doc_id").collect().map(_.getLong(0))
     assert(got.contains(5L))
+
+    // trickle hygiene: per-micro-batch appends fan out one file per touched
+    // partition directory per batch; compactFiles (the maintenance op this
+    // ingest mode exists for) merges them without changing results
+    def fileCounts(tbl: String): Map[String, Int] = {
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(path, tbl))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator()).asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        .groupBy(_.getParent.toString).map { case (d, fs) => d -> fs.size }
+      finally stream.close()
+    }
+    assert(fileCounts("postings").values.exists(_ > 1),
+      "12 single-file micro-batches should have accumulated micro-files")
+    val resBefore = idx.search(1, query, 12, SearchOptions(kTopCentroids = 4, nProbe = 4))
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    idx.compactFiles()
+    assert(fileCounts("postings").values.forall(_ == 1), s"${fileCounts("postings")}")
+    val resAfter = idx.search(1, query, 12, SearchOptions(kTopCentroids = 4, nProbe = 4))
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(resBefore == resAfter, "compactFiles changed streamed-index results")
   }
 
   test("streaming dedup drops cross-micro-batch duplicates") {
