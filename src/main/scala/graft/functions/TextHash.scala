@@ -53,13 +53,36 @@ object TextHash {
     val t = if (text == null) Array.empty[String] else text.split(" ", -1)
     if (t.length < 3) null
     else {
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      // hash the utf8 bytes of "tokᵢ tokᵢ₊₁ tokᵢ₊₂" WITHOUT building the
+      // concatenated String/UTF8String per shingle: token bytes are encoded
+      // once, then each shingle is assembled in a reused buffer. Bytes are
+      // identical to UTF8String.fromString(concat).getBytes, so the hashes
+      // are bit-identical to the previous formulation (and to Spark's
+      // xxhash64(concat_ws(' ', ...)) — the parity specs pin both).
+      val bytes = new Array[Array[Byte]](t.length)
+      var maxLen = 0
       var i = 0
+      while (i < t.length) {
+        val b = t(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        bytes(i) = b
+        if (b.length > maxLen) maxLen = b.length
+        i += 1
+      }
+      val buf = new Array[Byte](3 * maxLen + 2)
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      i = 0
       while (i + 2 < t.length) {
-        val s = org.apache.spark.unsafe.types.UTF8String.fromString(
-          t(i) + " " + t(i + 1) + " " + t(i + 2))
+        var off = 0
+        var k = 0
+        while (k < 3) {
+          val b = bytes(i + k)
+          System.arraycopy(b, 0, buf, off, b.length)
+          off += b.length
+          if (k < 2) { buf(off) = ' '.toByte; off += 1 }
+          k += 1
+        }
         seen.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L))
+          buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, off, 42L))
         i += 1
       }
       val out = new Array[Long](seen.size)
