@@ -487,6 +487,31 @@ object TextPipeline {
           .orderBy("doc_id")
     },
 
+    // TA5 — deterministic train/val/test split: assignment is a pure
+    // function of doc_id (md5-derived 60-bit hash mod 100 → 90/5/5), so
+    // re-running over a grown corpus never reshuffles existing assignments
+    // (a rand()-based split leaks val/test docs into train on every
+    // re-materialization). The 60-bit-md5-as-BIGINT construction is the
+    // cross-engine-proven one from q_dedup_simhash_md5. Scalar column work,
+    // embarrassingly parallel at any corpus size.
+    sql("q_train_split", Seq("TA5"),
+      """SELECT doc_id,
+        |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS h
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"),
+            (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+              .cast("long") % 100).as("h"))
+          .select(col("doc_id"),
+            when(col("h") < 90, "train").when(col("h") < 95, "val")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+    },
+
     // TA3 — token counting (whitespace tokenization).
     sql("q_token_count", Seq("TA3"),
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens

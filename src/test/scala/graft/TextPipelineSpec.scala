@@ -150,6 +150,34 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("train/val/test split is stable under corpus growth and roughly 90/5/5") {
+    import spark.implicits._
+    def splits(df: org.apache.spark.sql.DataFrame): Map[Long, String] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_split").toFile
+      try {
+        df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        run2("q_train_split", dir.toString).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir)
+      }
+    }
+    val small = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val grown = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = splits(small)
+    val b = splits(grown)
+    // growth must never reshuffle existing assignments (the whole point
+    // vs a rand() split — no val/test leakage into train on re-runs)
+    assert(a.forall { case (id, s) => b(id) == s })
+    val frac = b.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.03, s"$frac")
+    assert(math.abs(frac("val") - 0.05) < 0.02, s"$frac")
+    assert(math.abs(frac("test") - 0.05) < 0.02, s"$frac")
+  }
+
   test("fingerprints are deterministic and discriminate distinct content") {
     val a = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val b = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
