@@ -409,6 +409,32 @@ object TextPipeline {
     labels
   }
 
+  /** Shared DuckDB CTE chain for the duplicate-cluster oracles: the
+    * q_neardup_jaccard pair pipeline (df-cap mirrored) at >= 0.8, then a
+    * recursive reachability fixpoint (UNION semantics dedup the frontier,
+    * so it terminates); `reach(nd, r)` = node nd is reachable from r.
+    * Used by q_dedup_clusters and q_corpus_select — one source of truth. */
+  private lazy val clusterCtes: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |       FROM t, UNNEST(range(1, len(t) - 1)) AS u(i)),
+      |dfc AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+      |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc ON sh.s = dfc.s
+      |        WHERE dfc.df <= $ShingleDfCap),
+      |n AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY 1),
+      |p AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS common
+      |      FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+      |pr AS (SELECT a_id, b_id FROM p
+      |       JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+      |       WHERE common * 1.0 / (na.c + nb.c - common) >= 0.8),
+      |e AS (SELECT a_id AS eu, b_id AS ev FROM pr
+      |      UNION SELECT b_id, a_id FROM pr),
+      |reach(nd, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.ev, reach.r FROM reach JOIN e ON e.eu = reach.nd)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // D1 — exact dedup: hash-aggregate on full content; keeper = min id.
     sql("q_dedup_exact", Seq("D1"),
@@ -456,25 +482,7 @@ object TextPipeline {
     // q_neardup_jaccard plus a recursive reachability fixpoint (UNION
     // semantics dedup the frontier, so it terminates), min per node.
     sql("q_dedup_clusters", Seq("D6"),
-      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |       FROM t, UNNEST(range(1, len(t) - 1)) AS u(i)),
-        |dfc AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
-        |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc ON sh.s = dfc.s
-        |        WHERE dfc.df <= $ShingleDfCap),
-        |n AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY 1),
-        |p AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS common
-        |      FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
-        |pr AS (SELECT a_id, b_id FROM p
-        |       JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
-        |       WHERE common * 1.0 / (na.c + nb.c - common) >= 0.8),
-        |e AS (SELECT a_id AS eu, b_id AS ev FROM pr
-        |      UNION SELECT b_id, a_id FROM pr),
-        |reach(nd, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.ev, reach.r FROM reach JOIN e ON e.eu = reach.nd)
+      s"""WITH RECURSIVE $clusterCtes
         |SELECT nd AS doc_id, min(r) AS cluster_id, min(r) = nd AS keep
         |FROM reach GROUP BY nd ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
@@ -484,6 +492,61 @@ object TextPipeline {
         connectedComponents(d.select("doc_id"), edges)
           .select(col("doc_id"), col("cluster_id"),
             (col("cluster_id") === col("doc_id")).as("keep"))
+          .orderBy("doc_id")
+    },
+
+    // TA6 — the composed corpus-selection pipeline a training run actually
+    // executes: language gate x quality gate x duplicate-cluster keeper x
+    // deterministic split, one verdict row per document. Reuses the cached
+    // jaccard pair plan and the cluster propagation; the gates are integer
+    // arithmetic only (no float-rounding hazard across engines). The whole
+    // composition is hash-checked against one DuckDB query built from the
+    // same shared CTE chain as q_dedup_clusters.
+    sql("q_corpus_select", Seq("TA1", "TA2", "TA5", "D6"),
+      s"""WITH RECURSIVE $clusterCtes,
+        |cc AS (SELECT nd AS doc_id, min(r) AS cluster_id FROM reach GROUP BY nd),
+        |feat AS (SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of')) AS en_s,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'der' OR x = 'die' OR x = 'und')) AS de_s,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'el' OR x = 'los' OR x = 'que')) AS es_s,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'le' OR x = 'les' OR x = 'est')) AS fr_s,
+        |  len(string_split(text, ' ')) AS n_toks, n_chars,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS h
+        |  FROM documents)
+        |SELECT f.doc_id,
+        |  (en_s >= de_s AND en_s >= es_s AND en_s >= fr_s) AS lang_ok,
+        |  (n_toks >= 5 AND n_chars - (n_toks - 1) <= 12 * n_toks) AS quality_ok,
+        |  (cc.cluster_id = f.doc_id) AS keep,
+        |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+        |  ((en_s >= de_s AND en_s >= es_s AND en_s >= fr_s)
+        |    AND (n_toks >= 5 AND n_chars - (n_toks - 1) <= 12 * n_toks)
+        |    AND cc.cluster_id = f.doc_id AND h < 90) AS selected
+        |FROM feat f JOIN cc ON cc.doc_id = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin) {
+      (s, dir) =>
+        val d = docs(s, dir)
+        val edges = jaccardPairs(s, d, dfCap = Knobs.shingleDfCap(s), cacheKey = dir)
+          .filter(col("jaccard_raw") >= 0.8).select("a_id", "b_id")
+        val cc = connectedComponents(d.select("doc_id"), edges)
+        def score(words: String*): Column =
+          size(filter(toks, x => words.map(x === _).reduce(_ || _))).cast("long")
+        val feat = d.select(col("doc_id"),
+          score("the", "a", "of").as("en_s"), score("der", "die", "und").as("de_s"),
+          score("el", "los", "que").as("es_s"), score("le", "les", "est").as("fr_s"),
+          size(toks).cast("long").as("n_toks"), col("n_chars"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 100).as("h"))
+        val langOk = col("en_s") >= col("de_s") && col("en_s") >= col("es_s") &&
+          col("en_s") >= col("fr_s")
+        val qualOk = col("n_toks") >= 5 &&
+          (col("n_chars") - (col("n_toks") - 1)) <= lit(12) * col("n_toks")
+        val keeper = col("cluster_id") === col("doc_id")
+        feat.join(cc, Seq("doc_id"))
+          .select(col("doc_id"), langOk.as("lang_ok"), qualOk.as("quality_ok"),
+            keeper.as("keep"),
+            when(col("h") < 90, "train").when(col("h") < 95, "val")
+              .otherwise("test").as("split"),
+            (langOk && qualOk && keeper && col("h") < 90).as("selected"))
           .orderBy("doc_id")
     },
 

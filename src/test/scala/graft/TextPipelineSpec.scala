@@ -178,6 +178,23 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(math.abs(frac("test") - 0.05) < 0.02, s"$frac")
   }
 
+  test("corpus selection composes its component operators consistently") {
+    val sel = run("q_corpus_select").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(3), r.getString(4), r.getBoolean(5))).toMap
+    val clusters = run("q_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val splits = run("q_train_split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sel.keySet == clusters.keySet)
+    sel.foreach { case (id, (keep, split, selected)) =>
+      assert(keep == clusters(id), s"doc $id: keep disagrees with q_dedup_clusters")
+      assert(split == splits(id), s"doc $id: split disagrees with q_train_split")
+      if (selected) assert(keep && split == "train")
+    }
+    // the dedup gate must actually fire on this corpus (planted dups)
+    assert(sel.values.exists(!_._1), "expected some non-keeper docs")
+  }
+
   test("fingerprints are deterministic and discriminate distinct content") {
     val a = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val b = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
