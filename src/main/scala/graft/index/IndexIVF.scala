@@ -610,7 +610,17 @@ final class IndexIVF private (
           val liveRows = otherTombs
             .map(t => df.join(t, Seq("tenant", "doc_id"), "left_anti"))
             .getOrElse(df)
-          writeAppend(liveRows.select(df.columns.map(col): _*), p(tbl), parts)
+          // postings MUST go through writePostings, not a raw append: a read
+          // task can pack several of the other index's (individually sorted)
+          // files into one split, and concatenated sorted runs are not
+          // sorted — which would silently break the within-file centroid
+          // sort that row-group pruning relies on (IndexSpec pins per-file
+          // sortedness after merge)
+          if (tbl == "postings")
+            writePostings(liveRows.select(
+              col("tenant"), col("field"), col("centroid"), col("doc_id")))
+          else
+            writeAppend(liveRows.select(df.columns.map(col): _*), p(tbl), parts)
         }
     }
   }

@@ -469,6 +469,56 @@ class IndexSpec extends AnyFunSuite {
     assert(cat2.nonEmpty && cat2.forall(_.getString(0) != null))
   }
 
+  test("merge writes centroid-sorted postings files (row-group pruning invariant)") {
+    import spark.implicits._
+    // numCentroids (32) > CentroidBuckets (16) so each bucket directory
+    // holds MULTIPLE centroid values — with fewer centroids than buckets
+    // every file trivially contains one centroid and the sort can't break.
+    // Source index gets TWO adds: its bucket dirs hold two sorted files
+    // each, which one merge read split will concatenate — an unsorted
+    // append lands exactly here.
+    def bigSchema = GSchema(Seq(
+      GField.colbert("colbert", dim, numCentroids = 32, numIterations = 2),
+      GField(name = "cat", dataType = GDataType.TEXT.toString,
+        roles = Seq(FieldRole.Stored.toString))))
+    val wideCorpus = {
+      val r = new scala.util.Random(11)
+      (0L until 40L).map(i =>
+        i -> Seq.fill(8)(Seq.fill(dim)(r.nextFloat() * 2f - 1f))).toMap
+    }
+    def wideDf(ids: Seq[Long]) =
+      ids.map(i => Doc(i, wideCorpus(i % 40), "x", 0L)).toDF()
+        .select("id", "colbert", "cat")
+    val dst = IndexIVF.create(spark,
+      java.nio.file.Files.createTempDirectory("idx_mergedst").toString, bigSchema)
+    dst.train(wideDf(0L until 40L))
+    dst.add(1, wideDf(0L until 40L))
+    val srcPath = java.nio.file.Files.createTempDirectory("idx_mergesrc").toString
+    val src = IndexIVF.create(spark, srcPath, bigSchema)
+    src.coarse = dst.coarse // same centroid space
+    src.train(wideDf(0L until 40L))
+    src.add(1, wideDf(100L until 120L))
+    src.add(1, wideDf(120L until 140L))
+    dst.merge(srcPath)
+    val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(dst.path, "postings"))
+    val files = try scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator())
+      .asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally stream.close()
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val cents = spark.read.parquet(f.toString).select("centroid")
+        .collect().map(_.getLong(0))
+      assert(cents.sameElements(cents.sorted),
+        s"postings file $f is not centroid-sorted after merge: ${cents.mkString(",")}")
+    }
+    // and the merged docs are searchable
+    val got = dst.search(1,
+      VectorQuery("colbert", wideCorpus(3L).map(_.toArray).toArray), 80,
+      SearchOptions(kTopCentroids = 32, nProbe = 32)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.exists(_ >= 100L), "merged docs missing from search")
+  }
+
   test("open() rejects an index with an older on-disk format version") {
     val idx = freshIndex(QuantizerKind.NONE)
     // overwrite metadata.json as a v1 (pre-centroid_bucket) index would have
