@@ -452,14 +452,19 @@ final class IndexIVF private (
             s"${parts(i)}=$v"
           }
         }
-      // Postings rewrites MUST restore the within-file centroid sort (the
+      // Rewrites MUST restore each table's within-file ordering (the
       // anti-join may plan as a shuffle join, which would otherwise emit
       // shuffle-ordered files and silently kill row-group pruning for
-      // every later probe).
-      def sorted(d: DataFrame): DataFrame =
-        if (parts.contains("centroid_bucket"))
-          d.repartition(parts.map(col): _*).sortWithinPartitions("centroid")
-        else d
+      // every later probe). Sort keys lead with the partition columns —
+      // see tableSort's scaladoc on the dynamic-partition writer.
+      val tblName = tablePath.substring(tablePath.lastIndexOf('/') + 1)
+      def sorted(d: DataFrame): DataFrame = {
+        val keys =
+          if (parts.contains("centroid_bucket")) parts :+ "centroid"
+          else tableSort(tblName)
+        if (keys.isEmpty) d
+        else d.repartition(parts.map(col): _*).sortWithinPartitions(keys.map(col): _*)
+      }
       val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
       if (affected.isEmpty) {
         // nothing to delete in this table
@@ -548,8 +553,12 @@ final class IndexIVF private (
       val inAffected = concat_ws("/", parts.map(c => concat(lit(s"$c="), col(c))): _*)
         .isin(affected: _*)
       val one = df.filter(inAffected).repartition(parts.map(col): _*)
+      val sortKeys =
+        if (parts.contains("centroid_bucket")) parts :+ "centroid"
+        else tableSort(tablePath.substring(tablePath.lastIndexOf('/') + 1))
       val placed =
-        if (parts.contains("centroid_bucket")) one.sortWithinPartitions("centroid") else one
+        if (sortKeys.isEmpty) one
+        else one.sortWithinPartitions(sortKeys.map(col): _*)
       val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
       placed.write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
       affected.foreach { rel =>
@@ -645,8 +654,18 @@ final class IndexIVF private (
     }
   }
 
-  private def writeAppend(df: DataFrame, tablePath: String, parts: Seq[String]): Unit =
-    df.write.mode("append").partitionBy(parts: _*).parquet(tablePath)
+  /** Append with the table's within-file ordering applied (see
+    * [[IndexIVF.tableSort]]): a task-local sort, no shuffle. Leading the
+    * sort keys with the partition columns satisfies the dynamic-partition
+    * writer's required ordering, so it does NOT insert its own
+    * partition-cols-only sort (which would destroy the secondary order). */
+  private def writeAppend(df: DataFrame, tablePath: String, parts: Seq[String]): Unit = {
+    val tbl = tablePath.substring(tablePath.lastIndexOf('/') + 1)
+    val sortCols = tableSort(tbl).filter(df.columns.contains)
+    val placed = if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(sortCols.map(col): _*)
+    placed.write.mode("append").partitionBy(parts: _*).parquet(tablePath)
+  }
 
   /** Append (tenant, field, centroid, doc_id) rows to postings/ preserving
     * the layout invariants (hive centroid buckets + within-file centroid
@@ -670,8 +689,12 @@ final class IndexIVF private (
         withBucket.coalesce(1)
           .sortWithinPartitions("tenant", "field", "centroid_bucket", "centroid")
       else
+        // the sort LEADS with the partition columns so the dynamic-partition
+        // writer's required ordering is already satisfied — otherwise it
+        // inserts its own partition-cols-only sort, which is not guaranteed
+        // stable and can destroy the centroid order inside each directory
         withBucket.repartition(col("tenant"), col("field"), col("centroid_bucket"))
-          .sortWithinPartitions("centroid")
+          .sortWithinPartitions("tenant", "field", "centroid_bucket", "centroid")
     writeAppend(placed, p("postings"), postingsParts)
   }
 
@@ -734,6 +757,29 @@ object IndexIVF {
     case "docs" | "tombstones" => Seq("tenant")
     case "postings" => Seq("tenant", "field", "centroid_bucket")
     case _ => Seq("tenant", "field")
+  }
+
+  /** Within-file ordering per table — written on EVERY append/rewrite so
+    * row-group min/max stats actually prune the reads that matter at scale:
+    * context + docs are probed by doc_id IN-lists (hydration multiget,
+    * context point lookups), scalars by term equality / numeric range.
+    * Scalars sort value_num FIRST: numeric fields populate both columns
+    * and their range probes need numeric, not lexicographic, row-group
+    * bounds; text fields have null value_num, so within their (tenant,
+    * field) directory the tie-break on value_str gives lexicographic order
+    * — each directory ends up sorted by ITS probe column. Postings
+    * ordering (centroid) is owned
+    * by [[IndexIVF]].writePostings' placement logic; tombstones are an
+    * append-only id list nothing range-probes. The sort keys LEAD with the
+    * partition columns: the dynamic-partition writer requires
+    * partition-col ordering and inserts its OWN sort (destroying any
+    * secondary order) when the plan's ordering doesn't already satisfy
+    * it. */
+  def tableSort(tbl: String): Seq[String] = tbl match {
+    case "context" => Seq("tenant", "field", "doc_id")
+    case "scalars" => Seq("tenant", "field", "value_num", "value_str")
+    case "docs" => Seq("tenant", "doc_id")
+    case _ => Nil
   }
 
   val postingsParts: Seq[String] = tableParts("postings")
@@ -855,7 +901,7 @@ object IndexIVF {
           .select(col("tenant"), col("field"), col("centroid"), col("doc_id"))
           .withColumn("centroid_bucket", centroidBucket(col("centroid")))
           .repartition(col("tenant"), col("field"), col("centroid_bucket"))
-          .sortWithinPartitions("centroid")
+          .sortWithinPartitions("tenant", "field", "centroid_bucket", "centroid")
         val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
         placed.write.mode("overwrite").partitionBy(postingsParts: _*).parquet(tmp.toString)
         fs.delete(orig, true)

@@ -519,6 +519,62 @@ class IndexSpec extends AnyFunSuite {
     assert(got.exists(_ >= 100L), "merged docs missing from search")
   }
 
+  test("every table's files are written in probe order (row-group stats invariant)") {
+    import spark.implicits._
+    // 32 centroids over 16 buckets (multiple centroids per bucket dir),
+    // shuffled input, bulk write path forced: if any write path loses its
+    // ordering — including to the dynamic-partition writer's own inserted
+    // sort — it shows here
+    val schema = GSchema(Seq(
+      GField.colbert("colbert", dim, numCentroids = 32, numIterations = 2),
+      GField(name = "cat", dataType = GDataType.TEXT.toString,
+        roles = Seq(FieldRole.Indexed.toString, FieldRole.Stored.toString)),
+      GField.indexed("num", GDataType.INTEGER)))
+    val r = new scala.util.Random(13)
+    val wide = (0L until 60L).map(i =>
+      Doc(i, Seq.fill(6)(Seq.fill(dim)(r.nextFloat() * 2f - 1f)),
+        s"c${i % 7}", i % 11))
+    val idx = IndexIVF.create(spark,
+      java.nio.file.Files.createTempDirectory("idx_order").toString, schema)
+    val shuffled = wide.toDF().repartition(8) // destroy input order
+    idx.train(shuffled)
+    spark.conf.set(IndexIVF.SmallAddMaxBytesKey, "0")
+    try idx.add(1, shuffled)
+    finally spark.conf.unset(IndexIVF.SmallAddMaxBytesKey)
+
+    def files(tbl: String): Seq[java.nio.file.Path] = {
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(idx.path, tbl))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator()).asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      finally stream.close()
+    }
+    def assertSorted[T](tbl: String, colName: String,
+        get: org.apache.spark.sql.Row => T)(implicit ord: Ordering[T]): Unit =
+      files(tbl).foreach { f =>
+        val vs = spark.read.parquet(f.toString).select(colName)
+          .collect().toSeq.filterNot(_.isNullAt(0)).map(get)
+        assert(vs == vs.sorted,
+          s"$tbl file $f not sorted by $colName: ${vs.mkString(",")}")
+      }
+    assertSorted[Long]("postings", "centroid", _.getLong(0))
+    assertSorted[Long]("context", "doc_id", _.getLong(0))
+    assertSorted[Long]("docs", "doc_id", _.getLong(0))
+    // scalars: each (tenant, field) dir must be ordered by ITS probe
+    // column — value_num for numeric fields, value_str for text fields
+    // (whose value_num is all-null)
+    files("scalars").foreach { f =>
+      val rows = spark.read.parquet(f.toString)
+        .select("value_str", "value_num").collect().toSeq
+      if (rows.forall(_.isNullAt(1))) {
+        val vs = rows.map(_.getString(0))
+        assert(vs == vs.sorted, s"text scalars file $f not sorted: $vs")
+      } else {
+        val vn = rows.map(_.getDouble(1))
+        assert(vn == vn.sorted, s"numeric scalars file $f not sorted: $vn")
+      }
+    }
+  }
+
   test("open() rejects an index with an older on-disk format version") {
     val idx = freshIndex(QuantizerKind.NONE)
     // overwrite metadata.json as a v1 (pre-centroid_bucket) index would have
