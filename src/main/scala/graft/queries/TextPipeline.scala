@@ -435,6 +435,19 @@ object TextPipeline {
       |  UNION
       |  SELECT e.ev, reach.r FROM reach JOIN e ON e.eu = reach.nd)""".stripMargin
 
+  /** (doc_id, cluster_id) labels for a corpus dir, computed once per
+    * session: the propagation's final frame is itself persisted, so the
+    * session cache both shares it between q_dedup_clusters and
+    * q_corpus_select and stops repeated invocations from stacking one
+    * persisted frame per call. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    DfCache.getOrBuild(s, s"cc_labels#$dir") {
+      val d = docs(s, dir)
+      val edges = jaccardPairs(s, d, dfCap = Knobs.shingleDfCap(s), cacheKey = dir)
+        .filter(col("jaccard_raw") >= 0.8).select("a_id", "b_id")
+      connectedComponents(d.select("doc_id"), edges)
+    }
+
   val defs: Seq[QueryDef] = Seq(
     // D1 — exact dedup: hash-aggregate on full content; keeper = min id.
     sql("q_dedup_exact", Seq("D1"),
@@ -486,10 +499,7 @@ object TextPipeline {
         |SELECT nd AS doc_id, min(r) AS cluster_id, min(r) = nd AS keep
         |FROM reach GROUP BY nd ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
-        val d = docs(s, dir)
-        val edges = jaccardPairs(s, d, dfCap = Knobs.shingleDfCap(s), cacheKey = dir)
-          .filter(col("jaccard_raw") >= 0.8).select("a_id", "b_id")
-        connectedComponents(d.select("doc_id"), edges)
+        clusterLabels(s, dir)
           .select(col("doc_id"), col("cluster_id"),
             (col("cluster_id") === col("doc_id")).as("keep"))
           .orderBy("doc_id")
@@ -525,9 +535,7 @@ object TextPipeline {
         |ORDER BY f.doc_id""".stripMargin) {
       (s, dir) =>
         val d = docs(s, dir)
-        val edges = jaccardPairs(s, d, dfCap = Knobs.shingleDfCap(s), cacheKey = dir)
-          .filter(col("jaccard_raw") >= 0.8).select("a_id", "b_id")
-        val cc = connectedComponents(d.select("doc_id"), edges)
+        val cc = clusterLabels(s, dir)
         def score(words: String*): Column =
           size(filter(toks, x => words.map(x === _).reduce(_ || _))).cast("long")
         val feat = d.select(col("doc_id"),
