@@ -377,7 +377,14 @@ object TextPipeline {
     * convergence probe is one count per round on the changed-label set —
     * driver-side control flow, never driver-side data. */
   private[graft] def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 25): DataFrame =
+    connectedComponentsWithRounds(nodes, edges, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it took
+    * to converge — ScaleSpec asserts the near-clique diameter argument
+    * (rounds stay flat as the corpus grows) on real pipeline output. */
+  private[graft] def connectedComponentsWithRounds(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 25): (DataFrame, Int) = {
     val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -406,7 +413,7 @@ object TextPipeline {
         "the graph has a longer chain than any near-dup corpus should; " +
         "switch this call to a star-contraction formulation")
     sym.unpersist()
-    labels
+    (labels, round)
   }
 
   /** Shared DuckDB CTE chain for the duplicate-cluster oracles: the

@@ -127,6 +127,31 @@ class ScaleSpec extends AnyFunSuite {
       "wider bands must collapse the saturated-bucket candidate volume")
   }
 
+  test("duplicate clusters: linear cluster output, flat propagation rounds at 10x") {
+    import graft.queries.{Tables, TextPipeline}
+    def run(dir: String): (Long, Int) = {
+      val d = Tables.t(spark, dir, "documents")
+      val edges = TextPipeline.jaccardPairs(spark, d)
+        .filter(col("jaccard_raw") >= 0.8).select("a_id", "b_id")
+      val (labels, rounds) =
+        TextPipeline.connectedComponentsWithRounds(d.select("doc_id"), edges)
+      val clusters = labels.filter(col("cluster_id") === col("doc_id")).count()
+      labels.unpersist()
+      (clusters, rounds)
+    }
+    val (c1, r1) = run(dir1)
+    val (cN, rN) = run(dirN)
+    info(s"clusters: 1x $c1 in $r1 rounds; ${factor}x $cN in $rN rounds")
+    val ratio = cN.toDouble / c1
+    assert(ratio >= 7 && ratio <= 13,
+      s"cluster count grew ${ratio}x for ${factor}x input (expected ~linear)")
+    // rounds = component diameter + 1 — near-dup components are
+    // near-cliques, so growing the corpus adds MORE components, not
+    // longer chains; a rising round count would mean the propagation
+    // becomes the scale bottleneck
+    assert(rN <= r1 + 1 && rN <= 5, s"propagation rounds grew: 1x=$r1, 10x=$rN")
+  }
+
   test("IVF-clustered embedding near-dup: linear when centroids scale with n") {
     // the scale knob: K centroids proportional to n keeps per-cluster
     // population ~constant, so candidate volume sum(cluster^2) stays linear
