@@ -48,6 +48,19 @@ final class IndexIVF private (
 
   private def p(name: String) = s"$path/$name"
 
+  /** Mutations to one index serialize per JVM: two concurrent appends to
+    * the same table share the Hadoop committer's `_temporary` staging dir,
+    * and the first job's commit destroys the second's pending task files —
+    * the same hazard [[runConcurrently]] documents for the lanes WITHIN one
+    * add, here guarded ACROSS calls (e.g. two ingest threads, or a
+    * maintenance compactFiles racing an add). Striped by index path so
+    * separate indexes never contend; monitor locks are reentrant, so
+    * update() → remove()+add() nests fine. The Spark jobs inside the
+    * critical section still parallelize — this serializes only the
+    * driver-side orchestration of writes to one index. */
+  private def withWriteLock[A](f: => A): A =
+    IndexIVF.writeLocks.computeIfAbsent(path, _ => new Object).synchronized(f)
+
   /** Total read: the declared schema is supplied explicitly (the index
     * format is versioned — see [[IndexIVF.FormatVersion]]), which skips
     * per-read footer inference AND makes a table with no data files yet
@@ -180,7 +193,7 @@ final class IndexIVF private (
     * argmax centroid assignment -> residual-codec encode -> regroup per doc.
     * Matching the reference quirk, the codec encodes the RAW token vector,
     * not the residual (DocProcessor.cpp:209-229; SURVEY §3.2). */
-  def add(tenant: Long, docs: DataFrame): Unit = {
+  def add(tenant: Long, docs: DataFrame): Unit = withWriteLock {
     val unknown = docs.columns.filterNot(c => c == "id" || schema.fields.exists(_.name == c))
     require(unknown.isEmpty, s"unknown fields: ${unknown.mkString(",")}")
     // Independent table writes run as concurrent Spark actions, KEYED BY
@@ -346,7 +359,7 @@ final class IndexIVF private (
     * role). Matches remove-then-re-add semantics exactly; the 100 TB bulk
     * alternative is [[removeDeferred]] + [[compact]] (tombstones), and both
     * strategies meet the read path in the single [[live]] funnel. */
-  def remove(tenant: Long, ids: Seq[Long]): Unit = {
+  def remove(tenant: Long, ids: Seq[Long]): Unit = withWriteLock {
     import spark.implicits._
     val tombs = ids.toDF("t_doc")
       .select(lit(tenant).cast("long").as("t_tenant"), col("t_doc").cast("long"))
@@ -384,7 +397,7 @@ final class IndexIVF private (
     * re-adding a tombstoned doc id before [[compact]] hides the new rows
     * too — use [[remove]]/[[update]] for read-modify-write workloads and
     * removeDeferred for bulk deletion pipelines. */
-  def removeDeferred(tenant: Long, ids: Seq[Long]): Unit = {
+  def removeDeferred(tenant: Long, ids: Seq[Long]): Unit = withWriteLock {
     import spark.implicits._
     writeAppend(ids.toDF("doc_id").select(lit(tenant).as("tenant"), col("doc_id")),
       p("tombstones"), Seq("tenant"))
@@ -393,7 +406,7 @@ final class IndexIVF private (
   /** Apply pending tombstones physically (partition rewrite per table) and
     * clear the tombstone table — the periodic compaction job of the
     * tombstone design. */
-  def compact(): Unit = {
+  def compact(): Unit = withWriteLock {
     if (!hasTombstones) return
     // anti-join form, NOT a collected id set: a bulk-delete pipeline (the
     // stated use of removeDeferred) can park 1e8 tombstones here, far past
@@ -517,7 +530,7 @@ final class IndexIVF private (
     * The reference runs RocksDB compactions for the same hygiene
     * (RocksdbInvertedList flush/merge); Parquet-on-object-store needs it
     * as an explicit maintenance op. */
-  def compactFiles(maxFiles: Int = 1): Unit = {
+  def compactFiles(maxFiles: Int = 1): Unit = withWriteLock {
     require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
     Seq("postings", "scalars", "context", "docs").foreach { tbl =>
       compactTableFiles(p(tbl), tableParts(tbl), maxFiles)
@@ -579,7 +592,7 @@ final class IndexIVF private (
     * BATCHES; a bulk rewrite beyond the guard should go through
     * [[removeDeferred]]/[[compact]] + [[add]], which never hold the id set
     * on the driver. */
-  def update(tenant: Long, docs: DataFrame): Unit = {
+  def update(tenant: Long, docs: DataFrame): Unit = withWriteLock {
     // guard and id collect in ONE bounded job: the limit caps what ever
     // reaches the driver, and one extra row is enough to detect overflow
     val ids = docs.select(col("id")).limit(UpdateBatchLimit.toInt + 1)
@@ -593,7 +606,7 @@ final class IndexIVF private (
 
   /** Merge another index's contents (reference: lintdb/index.cpp:512-535 —
     * key-by-key RocksDB copy; here a unionByName append per table). */
-  def merge(otherPath: String): Unit = {
+  def merge(otherPath: String): Unit = withWriteLock {
     // the other index's tables are read raw — refuse a layout we can't read
     IndexIVF.checkVersion(otherPath)
     // pending LOCAL tombstones are applied first: merge appends rows, and —
@@ -747,6 +760,11 @@ object IndexIVF {
     * SmallAddPartitions x files.maxPartitionBytes) — lets an operator (or a
     * test) force the clustering-shuffle bulk path for smaller inputs. */
   private[graft] val SmallAddMaxBytesKey = "graft.index.smallAddMaxBytes"
+
+  /** Per-index-path write locks (see the instance `withWriteLock`): keyed
+    * by path so two IndexIVF handles on the SAME directory (e.g. an open()
+    * reload beside the creator) share one lock. */
+  private val writeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private[graft] val MaxTargetedPartitionsKey = "graft.index.maxTargetedPartitions"
   private[graft] def maxTargetedPartitions(spark: SparkSession): Int =

@@ -575,6 +575,28 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent add() calls from two threads lose nothing (per-index write lock)") {
+    import spark.implicits._
+    // without the per-index write lock the two adds share the context/
+    // postings tables' Hadoop committer staging dir and the first commit
+    // destroys the second's pending task files (lost rows / job failure)
+    val idx = freshIndex(QuantizerKind.NONE)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fa = Future(idx.add(1,
+      (100L until 110L).map(i => Doc(i, corpus(i % numDocs), "even", 0L)).toDF()))
+    val fb = Future(idx.add(1,
+      (200L until 210L).map(i => Doc(i, corpus(i % numDocs), "odd", 1L)).toDF()))
+    Await.result(fa, 3.minutes); Await.result(fb, 3.minutes)
+    val ids = idx.contextDf.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert((100L until 110L).forall(ids.contains) && (200L until 210L).forall(ids.contains),
+      s"concurrent adds lost docs: ${ids.toSeq.sorted}")
+    assert(idx.postingsDf.select("doc_id").distinct().count() == numDocs + 20)
+  }
+
   test("open() rejects an index with an older on-disk format version") {
     val idx = freshIndex(QuantizerKind.NONE)
     // overwrite metadata.json as a v1 (pre-centroid_bucket) index would have
