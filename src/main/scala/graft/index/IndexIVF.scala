@@ -779,8 +779,10 @@ object IndexIVF {
 
   /** Within-file ordering per table — written on EVERY append/rewrite so
     * row-group min/max stats actually prune the reads that matter at scale:
-    * context + docs are probed by doc_id IN-lists (hydration multiget,
-    * context point lookups), scalars by term equality / numeric range.
+    * docs is probed by the hydration multiget's ≤k doc_id IN-list (pushed
+    * into the scan), context is doc_id-clustered so Spark's runtime
+    * bloom-filter join injection on the candidate join can row-group-prune
+    * it, scalars by term equality / numeric range.
     * Scalars sort value_num FIRST: numeric fields populate both columns
     * and their range probes need numeric, not lexicographic, row-group
     * bounds; text fields have null value_num, so within their (tenant,
