@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-doc DISTINCT xxhash64'd 3-word shingles as a native Catalyst
+  * expression over the raw UTF8String — ZERO string materialization.
+  *
+  * The key observation: `split(text, ' ')` separators are single spaces by
+  * definition (a run of k spaces yields k-1 empty tokens), so the bytes of
+  * any 3-token shingle `tᵢ ⧺ " " ⧺ tᵢ₊₁ ⧺ " " ⧺ tᵢ₊₂` are EXACTLY the byte
+  * subrange of the original text from the start of token i to the end of
+  * token i+2. The kernel therefore scans the utf8 bytes once for space
+  * positions (0x20 never occurs inside a multi-byte utf8 sequence, so the
+  * byte scan is unicode-safe) and hashes subranges of the text's own
+  * backing memory — no String decode to UTF-16, no per-shingle buffer, no
+  * UDF boxing. Hashes are bit-identical to
+  * `xxhash64(concat_ws(' ', slice(split(text, ' '), i+1, 3)))` (the
+  * adversarial-unicode parity spec pins this), so swapping the kernel
+  * changes no downstream result.
+  *
+  * Returns null for docs with fewer than 3 tokens (callers filter), like
+  * the builtin formulation's CASE guard.
+  */
+case class HashedShingles3(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_shingles3 expects string, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    HashedShingles3.kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""
+         |${ev.value} = graft.functions.HashedShingles3.kernel($s);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingles3 =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingles3"
+}
+
+object HashedShingles3 {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def apply(c: Column): Column = Bridge.column(HashedShingles3(Bridge.expression(c)))
+
+  /** The zero-copy kernel; static + JIT-friendly so generated code stays a
+    * one-liner. Returns null for < 3 tokens. */
+  def kernel(s: UTF8String): ArrayData = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // pass 1: count spaces (tokens = spaces + 1)
+    var spaces = 0
+    var i = 0
+    while (i < n) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) spaces += 1
+      i += 1
+    }
+    if (spaces < 2) return null // fewer than 3 tokens
+    // pass 2: space positions (token j ends at pos(j) for j < tokens-1)
+    val pos = new Array[Int](spaces)
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        pos(k) = i; k += 1
+      }
+      i += 1
+    }
+    val tokens = spaces + 1
+    // per-doc DISTINCT, first-seen order — identical to array_distinct over
+    // the transform(sequence(...)) formulation
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i + 2 < tokens) {
+      val start = if (i == 0) 0 else pos(i - 1) + 1
+      val end = if (i + 2 == tokens - 1) n else pos(i + 2)
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        base, off + start, end - start, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator(); var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}

@@ -34,63 +34,20 @@ object TextHash {
     sig
   }
 
-  /** Per-doc DISTINCT xxhash64'd 3-word shingles in one pass over the text;
-    * null for docs shorter than 3 tokens (callers filter). Values are
+  /** Per-doc DISTINCT xxhash64'd 3-word shingles in one pass over the raw
+    * utf8 bytes — see [[graft.functions.HashedShingles3]], the native
+    * Catalyst expression this delegates to (zero string materialization:
+    * each shingle is a byte SUBRANGE of the input's own backing memory).
+    * Null for docs shorter than 3 tokens (callers filter). Values are
     * bit-identical to Spark's `xxhash64(concat_ws(' ', ...))` — the kernel
     * calls the same catalyst XXH64 over the same utf8 bytes with the same
-    * seed (42) — so swapping this in changes no downstream result.
-    *
-    * A UDF deliberately: the equivalent higher-order-function chain
-    * (transform + sequence + concat_ws + array_distinct) is NOT whole-stage
-    * codegen'd (HOF lambdas evaluate interpreted per element), and measured
-    * ~2x slower than this tight loop with LinkedHashSet dedup. The usual
-    * "builtin functions beat UDFs" rule assumes the builtin is codegen'd;
-    * for HOFs it is not. */
-  val hashedShingles3: UserDefinedFunction = udf { (text: String) =>
-    // limit = -1: KEEP trailing empty tokens — Spark's split() and DuckDB's
-    // string_split both do, and the jaccard oracle's token counts depend on
-    // it (Java's default split would silently drop "foo bar " docs)
-    val t = if (text == null) Array.empty[String] else text.split(" ", -1)
-    if (t.length < 3) null
-    else {
-      // hash the utf8 bytes of "tokᵢ tokᵢ₊₁ tokᵢ₊₂" WITHOUT building the
-      // concatenated String/UTF8String per shingle: token bytes are encoded
-      // once, then each shingle is assembled in a reused buffer. Bytes are
-      // identical to UTF8String.fromString(concat).getBytes, so the hashes
-      // are bit-identical to the previous formulation (and to Spark's
-      // xxhash64(concat_ws(' ', ...)) — the parity specs pin both).
-      val bytes = new Array[Array[Byte]](t.length)
-      var maxLen = 0
-      var i = 0
-      while (i < t.length) {
-        val b = t(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        bytes(i) = b
-        if (b.length > maxLen) maxLen = b.length
-        i += 1
-      }
-      val buf = new Array[Byte](3 * maxLen + 2)
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
-      i = 0
-      while (i + 2 < t.length) {
-        var off = 0
-        var k = 0
-        while (k < 3) {
-          val b = bytes(i + k)
-          System.arraycopy(b, 0, buf, off, b.length)
-          off += b.length
-          if (k < 2) { buf(off) = ' '.toByte; off += 1 }
-          k += 1
-        }
-        seen.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-          buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, off, 42L))
-        i += 1
-      }
-      val out = new Array[Long](seen.size)
-      val it = seen.iterator(); var j = 0
-      while (it.hasNext) { out(j) = it.next(); j += 1 }
-      out
-    }
-  }
+    * seed (42) — so swapping this in changes no downstream result. The
+    * equivalent higher-order-function chain (transform + sequence +
+    * concat_ws + array_distinct) is NOT whole-stage codegen'd (HOF lambdas
+    * evaluate interpreted per element) and was measured ~2x slower than
+    * even the UDF predecessor of this expression. */
+  def hashedShingles3(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    HashedShingles3(c)
 
   /** The `n` MinHash permutation mins over a shingle-hash array in one pass.
     * Bit-identical to `array_min(transform(shs, x -> xxhash64(lit(i), x)))`
