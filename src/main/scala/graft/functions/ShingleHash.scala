@@ -56,6 +56,76 @@ case class HashedShingles3(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_shingles3"
 }
 
+/** The `n` MinHash permutation mins over a shingle-hash array as a native
+  * expression: reads longs straight out of ArrayData (the UDF predecessor
+  * deserialized the array into a boxed Seq[Long] per row — one box per
+  * shingle hash on a multi-million-shingle pass). Bit-identical to
+  * `array_min(transform(shs, x -> xxhash64(lit(i), x)))` for i in 0..n-1:
+  * Spark's XxHash64 chains child hashes through the seed
+  * (h = hashInt(i, 42); h = hashLong(x, h)), replicated here with
+  * precomputed per-permutation seeds. Widening n only appends
+  * permutations: h0..h15 of a 32-wide signature are bit-identical to the
+  * 16-wide one. */
+case class MinHashSigs(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash_sigs expects array<bigint>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigs.kernel(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.MinHashSigs.kernel($s, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash_sigs"
+}
+
+object MinHashSigs {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def apply(c: Column, n: Int): Column =
+    Bridge.column(MinHashSigs(Bridge.expression(c), n))
+
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+
+  private def seeds(n: Int): Array[Long] =
+    seedCache.computeIfAbsent(n, m =>
+      Array.tabulate(m)(i =>
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L)))
+
+  def kernel(shs: ArrayData, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val sd = seeds(n)
+    val mins = Array.fill(n)(Long.MaxValue)
+    val m = shs.numElements()
+    var idx = 0
+    while (idx < m) {
+      val sh = shs.getLong(idx)
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashLong(sh, sd(i))
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      idx += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+}
+
 object HashedShingles3 {
   import org.apache.spark.sql.graftbridge.Bridge
 

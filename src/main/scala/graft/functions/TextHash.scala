@@ -49,26 +49,11 @@ object TextHash {
   def hashedShingles3(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     HashedShingles3(c)
 
-  /** The `n` MinHash permutation mins over a shingle-hash array in one pass.
-    * Bit-identical to `array_min(transform(shs, x -> xxhash64(lit(i), x)))`
-    * for i in 0..n-1: Spark's XxHash64 chains child hashes through the seed
-    * (h = hashInt(i, 42); h = hashLong(x, h)), which this loop replicates
-    * with precomputed per-permutation seeds. One pass instead of n
-    * interpreted HOF traversals (same reasoning as [[hashedShingles3]]).
-    * Widening n only appends permutations: h0..h15 of a 32-wide signature
-    * are bit-identical to the 16-wide one. */
-  def minhashSigs(n: Int): UserDefinedFunction = udf { (shs: Seq[Long]) =>
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    val seeds = Array.tabulate(n)(i => XXH64.hashInt(i, 42L))
-    val mins = Array.fill(n)(Long.MaxValue)
-    shs.foreach { sh =>
-      var i = 0
-      while (i < n) {
-        val h = XXH64.hashLong(sh, seeds(i))
-        if (h < mins(i)) mins(i) = h
-        i += 1
-      }
-    }
-    mins
-  }
+  /** The `n` MinHash permutation mins over a shingle-hash array in one
+    * pass — delegates to [[graft.functions.MinHashSigs]], the native
+    * Catalyst expression (reads longs straight out of ArrayData; the UDF
+    * predecessor boxed every shingle hash into a Seq[Long] per row). See
+    * its scaladoc for the bit-parity construction. */
+  def minhashSigs(n: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => MinHashSigs(c, n)
 }
