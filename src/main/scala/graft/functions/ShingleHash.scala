@@ -126,6 +126,85 @@ object MinHashSigs {
   }
 }
 
+/** 64-bit SimHash over whitespace tokens of the raw UTF8String — per-bit
+  * majority vote across splitmix64 token hashes, computed straight over
+  * byte subranges of the input (tokens are the ranges between 0x20 bytes,
+  * including empties from consecutive spaces — matching `split(text, ' ')`
+  * exactly). Replaces simhash64(split(text, ' ')): no String array
+  * materialization, no UTF-16 decode, no UDF boxing; bit-identical to the
+  * UDF-over-tokens formulation (parity spec pins it — note the hash step
+  * XORs the SIGNED byte, sign-extended, exactly like the UDF's
+  * `h ^ byte`). */
+case class SimHash64Text(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_simhash64 expects string, got ${other.simpleString}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64Text.kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.SimHash64Text.kernel($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Text =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash64"
+}
+
+object SimHash64Text {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def apply(c: Column): Column = Bridge.column(SimHash64Text(Bridge.expression(c)))
+
+  def kernel(s: UTF8String): Long = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val counts = new Array[Int](64)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      val atSep = i == n ||
+        org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20
+      if (atSep) {
+        // token = bytes [start, i) — splitmix64 over the signed bytes,
+        // identical to the UDF's per-String loop (empty token -> h = 0)
+        var h = 0L
+        var j = start
+        while (j < i) {
+          var z = (h ^ org.apache.spark.unsafe.Platform.getByte(base, off + j)) +
+            0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          h = z ^ (z >>> 31)
+          j += 1
+        }
+        var b = 0
+        while (b < 64) {
+          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) >= 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+}
+
 object HashedShingles3 {
   import org.apache.spark.sql.graftbridge.Bridge
 

@@ -325,7 +325,7 @@ object TextPipeline {
     val numBands = 64 / bandBits
     val mask = (1L << bandBits) - 1
     val sig = spread(d)
-      .select(col("doc_id"), graft.functions.TextHash.simhash64(toks).as("simhash"))
+      .select(col("doc_id"), graft.functions.SimHash64Text(col("text")).as("simhash"))
     sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until numBands).map(b =>
         shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)): _*))

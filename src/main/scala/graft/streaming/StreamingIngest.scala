@@ -53,8 +53,7 @@ object StreamingIngest {
   def nearDupDedupedStream(stream: DataFrame, textCol: String,
       tsCol: String, watermark: String): DataFrame =
     stream
-      .withColumn("simhash",
-        graft.functions.TextHash.simhash64(split(col(textCol), " ")))
+      .withColumn("simhash", graft.functions.SimHash64Text(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("simhash"))
 

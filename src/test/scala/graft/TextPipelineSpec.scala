@@ -148,6 +148,16 @@ class TextPipelineSpec extends AnyFunSuite {
       assert(kernel == hof,
         s"kernel/builtin divergence for text '${cases(r.getLong(0).toInt)}': $kernel vs $hof")
     }
+    // the zero-copy simhash expression must match the UDF-over-split-tokens
+    // formulation on the same adversarial corpus (signed-byte XOR, empty
+    // tokens from consecutive/trailing spaces, multibyte utf8)
+    df.select(col("doc_id"),
+      graft.functions.SimHash64Text(col("text")).as("kernel"),
+      graft.functions.TextHash.simhash64(split(col("text"), " ")).as("udf"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) == r.getLong(2),
+          s"simhash divergence for text '${cases(r.getLong(0).toInt)}'")
+      }
   }
 
   test("train/val/test split is stable under corpus growth and roughly 90/5/5") {
