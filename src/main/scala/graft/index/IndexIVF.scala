@@ -57,9 +57,46 @@ final class IndexIVF private (
     * separate indexes never contend; monitor locks are reentrant, so
     * update() → remove()+add() nests fine. The Spark jobs inside the
     * critical section still parallelize — this serializes only the
-    * driver-side orchestration of writes to one index. */
+    * driver-side orchestration of writes to one index.
+    *
+    * The key is the FILESYSTEM-qualified path, not the raw string: two
+    * handles opened with different spellings of one directory (trailing
+    * slash, relative vs absolute, scheme-qualified vs not) must share one
+    * lock or the committer-staging-dir serialization silently evaporates. */
+  private lazy val lockKey: String = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      hp.toUri, spark.sparkContext.hadoopConfiguration)
+    fs.makeQualified(hp).toString
+  }
+
   private def withWriteLock[A](f: => A): A =
-    IndexIVF.writeLocks.computeIfAbsent(path, _ => new Object).synchronized(f)
+    IndexIVF.writeLocks.computeIfAbsent(lockKey, _ => new Object).synchronized(f)
+
+  // ------------------------------------------------------------ write epoch
+
+  /** Monotonic write epoch, persisted in `_meta/epoch.json` and advanced
+    * under the write lock by every [[add]]/[[merge]]/[[removeDeferred]].
+    * Appended rows are stamped with their write's epoch; a tombstone kills
+    * only rows with epoch <= its own — so removeDeferred(id) -> add(id) ->
+    * compact() keeps the re-added rows (they carry a LATER epoch than the
+    * tombstone), closing the data-loss edge every epoch-less tombstone
+    * design has on the bulk-delete path. The reference's synchronous deletes
+    * via the mapping CF (RocksdbInvertedList.cpp:22-95) never had the
+    * window; this restores the same RMW safety for the deferred path. */
+  private def currentEpoch(): Long = {
+    val ep = p("_meta/epoch.json")
+    if (!Json.exists(ep)) 0L
+    else Json.read(ep, classOf[Map[String, Any]])
+      .get("epoch").collect { case n: Number => n.longValue() }.getOrElse(0L)
+  }
+
+  /** Advance and persist the epoch counter (call under the write lock). */
+  private def nextEpoch(): Long = {
+    val nxt = currentEpoch() + 1L
+    Json.write(p("_meta/epoch.json"), Map("epoch" -> nxt))
+    nxt
+  }
 
   /** Total read: the declared schema is supplied explicitly (the index
     * format is versioned — see [[IndexIVF.FormatVersion]]), which skips
@@ -73,6 +110,18 @@ final class IndexIVF private (
     catch {
       case _: org.apache.spark.sql.AnalysisException => IndexIVF.empty(spark, schema)
     }
+
+  /** Declared on-disk schema per table (this index's stored fields for
+    * `docs`) — maintenance reads use it instead of footer inference so a
+    * table mixing pre-/post-epoch files always resolves every column. */
+  private def tableSchema(tbl: String): StructType = tbl match {
+    case "postings" => IndexIVF.postingsSchema
+    case "scalars" => IndexIVF.scalarsSchema
+    case "context" => IndexIVF.contextSchema
+    case "docs" => IndexIVF.docsSchema(schema)
+    case "tombstones" => IndexIVF.tombstonesSchema
+    case other => throw new IllegalArgumentException(s"unknown table $other")
+  }
 
   def postingsDf: DataFrame = live(readTable("postings", IndexIVF.postingsSchema))
   def scalarsDf: DataFrame = live(readTable("scalars", IndexIVF.scalarsSchema))
@@ -97,10 +146,24 @@ final class IndexIVF private (
     * it is an anti-join against the tombstone table — left UNHINTED so the
     * planner broadcasts the usual metadata-sized table but falls back to a
     * shuffle join when a bulk-delete pipeline has parked more tombstones
-    * than a broadcast can carry (same reasoning as [[compact]]). */
+    * than a broadcast can carry (same reasoning as [[compact]]).
+    *
+    * Epoch-aware: a tombstone hides only rows written at or before its own
+    * epoch (see [[nextEpoch]]), so rows re-added AFTER a pending deferred
+    * delete stay visible. The <= rides as a residual condition on the same
+    * (tenant, doc_id) equi-join — no plan-shape change. Nulls (pre-v3
+    * files) coalesce to the old kill-everything semantics. */
   private def live(df: DataFrame): DataFrame =
     if (!hasTombstones) df
-    else df.join(tombstonesDf, Seq("tenant", "doc_id"), "left_anti")
+    else {
+      val t = tombstonesDf.select(col("tenant").as("t_tenant"),
+        col("doc_id").as("t_doc"),
+        coalesce(col("epoch"), lit(Long.MaxValue)).as("t_epoch"))
+      df.join(t,
+        df("tenant") === t("t_tenant") && df("doc_id") === t("t_doc") &&
+          coalesce(df("epoch"), lit(0L)) <= t("t_epoch"),
+        "left_anti")
+    }
 
   def isTrained(field: String): Boolean = coarse.contains(field)
 
@@ -196,6 +259,10 @@ final class IndexIVF private (
   def add(tenant: Long, docs: DataFrame): Unit = withWriteLock {
     val unknown = docs.columns.filterNot(c => c == "id" || schema.fields.exists(_.name == c))
     require(unknown.isEmpty, s"unknown fields: ${unknown.mkString(",")}")
+    // one write epoch per add(): every row of this ingest is stamped with it
+    // so a pending deferred tombstone (necessarily at an earlier epoch)
+    // cannot hide or compact away these rows
+    val epoch = nextEpoch()
     // Independent table writes run as concurrent Spark actions, KEYED BY
     // TARGET TABLE: writes to different directories have no ordering
     // constraint, and overlapping their jobs hides per-write planning/commit
@@ -252,7 +319,8 @@ final class IndexIVF private (
           .select(lit(tenant).as("tenant"), lit(fid).as("field"),
             col("id").as("doc_id"), encodeDoc(col(f.name)).as("enc"))
           .select(col("tenant"), col("field"), col("doc_id"),
-            col("enc._1").as("doc_codes"), col("enc._2").as("doc_residuals"))
+            col("enc._1").as("doc_codes"), col("enc._2").as("doc_residuals"),
+            lit(epoch).as("epoch"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         writes += ("context" -> (() => writeAppend(ctx, p("context"), Seq("tenant", "field"))))
         // one posting row per doc x centroid (DocEncoder.cpp:71-104 groups
@@ -263,7 +331,8 @@ final class IndexIVF private (
         // hides).
         writes += ("postings" -> (() => writePostings(
           ctx.select(col("tenant"), col("field"),
-            explode(array_distinct(col("doc_codes"))).as("centroid"), col("doc_id")))))
+            explode(array_distinct(col("doc_codes"))).as("centroid"), col("doc_id"),
+            col("epoch")))))
         toUnpersist += ctx
       } else {
         // Indexed-only tensor field: postings only, no context table. The
@@ -277,7 +346,7 @@ final class IndexIVF private (
           docs.filter(col(f.name).isNotNull)
             .select(lit(tenant).as("tenant"), lit(fid).as("field"),
               explode(array_distinct(assignAll(col(f.name)))).as("centroid"),
-              col("id").as("doc_id")))))
+              col("id").as("doc_id"), lit(epoch).as("epoch")))))
       }
     }
 
@@ -304,7 +373,7 @@ final class IndexIVF private (
       val ctx = docs.filter(col(f.name).isNotNull).select(
         lit(tenant).as("tenant"), lit(fid).as("field"), col("id").as("doc_id"),
         array().cast(ArrayType(LongType)).as("doc_codes"),
-        payload.as("doc_residuals"))
+        payload.as("doc_residuals"), lit(epoch).as("epoch"))
       writes += ("context" -> (() => writeAppend(ctx, p("context"), Seq("tenant", "field"))))
     }
 
@@ -314,7 +383,8 @@ final class IndexIVF private (
       val vn = canonicalNum(f, col(f.name))
       docs.filter(col(f.name).isNotNull).select(
         lit(tenant).as("tenant"), lit(fid).as("field"),
-        vs.as("value_str"), vn.as("value_num"), col("id").as("doc_id"))
+        vs.as("value_str"), vn.as("value_num"), col("id").as("doc_id"),
+        lit(epoch).as("epoch"))
     }
     if (scalarRows.nonEmpty)
       writes += ("scalars" -> (() =>
@@ -323,7 +393,7 @@ final class IndexIVF private (
     val stored = schema.storedFields.filter(f => docs.columns.contains(f.name))
     if (stored.nonEmpty) {
       val d = docs.select(lit(tenant).as("tenant") +: col("id").as("doc_id") +:
-        stored.map(f => col(f.name)): _*)
+        stored.map(f => col(f.name)) :+ lit(epoch).as("epoch"): _*)
       writes += ("docs" -> (() => writeAppend(d, p("docs"), Seq("tenant"))))
     }
 
@@ -361,8 +431,10 @@ final class IndexIVF private (
     * strategies meet the read path in the single [[live]] funnel. */
   def remove(tenant: Long, ids: Seq[Long]): Unit = withWriteLock {
     import spark.implicits._
+    // a physical remove deletes the doc as of NOW: kill every epoch
     val tombs = ids.toDF("t_doc")
-      .select(lit(tenant).cast("long").as("t_tenant"), col("t_doc").cast("long"))
+      .select(lit(tenant).cast("long").as("t_tenant"), col("t_doc").cast("long"),
+        lit(Long.MaxValue).as("t_epoch"))
     Seq("postings", "scalars", "context", "docs").foreach { tbl =>
       compactTable(p(tbl), tableParts(tbl), tombs)
     }
@@ -393,13 +465,16 @@ final class IndexIVF private (
     * O(ids) instead of O(tenant partition) per delete, which is what makes
     * deletes viable when the postings table is tens of TB.
     *
-    * Caveat (documented, matching every epoch-less tombstone design):
-    * re-adding a tombstoned doc id before [[compact]] hides the new rows
-    * too — use [[remove]]/[[update]] for read-modify-write workloads and
-    * removeDeferred for bulk deletion pipelines. */
+    * Epoch-stamped: the tombstone kills only rows written at or before its
+    * own epoch, so removeDeferred(id) -> add(id) -> compact() keeps the
+    * re-added doc (its rows carry a later epoch) — read-modify-write is safe
+    * on the deferred path too, matching the reference's synchronous mapping-CF
+    * deletes (RocksdbInvertedList.cpp:22-95) which never had the window. */
   def removeDeferred(tenant: Long, ids: Seq[Long]): Unit = withWriteLock {
     import spark.implicits._
-    writeAppend(ids.toDF("doc_id").select(lit(tenant).as("tenant"), col("doc_id")),
+    val epoch = nextEpoch()
+    writeAppend(ids.toDF("doc_id").select(lit(tenant).as("tenant"), col("doc_id"),
+      lit(epoch).as("epoch")),
       p("tombstones"), Seq("tenant"))
   }
 
@@ -415,7 +490,8 @@ final class IndexIVF private (
     // Partition-column values (tenant) read back type-inferred — cast.
     val tombs = tombstonesDf.select(
       col("tenant").cast("long").as("t_tenant"),
-      col("doc_id").cast("long").as("t_doc"))
+      col("doc_id").cast("long").as("t_doc"),
+      coalesce(col("epoch"), lit(Long.MaxValue)).as("t_epoch"))
     Seq("postings", "scalars", "context", "docs").foreach { tbl =>
       compactTable(p(tbl), tableParts(tbl), tombs)
     }
@@ -438,13 +514,18 @@ final class IndexIVF private (
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tablePath), conf)
     val orig = new org.apache.hadoop.fs.Path(tablePath)
     if (!fs.exists(orig)) return
+    val tblName = tablePath.substring(tablePath.lastIndexOf('/') + 1)
+    // declared schema, not inference: a pre-v3 index appended to by this
+    // build mixes files with and without the epoch column, and footer
+    // inference would resolve the column only if it sampled the right file
     val source =
-      try Some(spark.read.parquet(tablePath))
+      try Some(spark.read.schema(tableSchema(tblName)).parquet(tablePath))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     source.foreach { df =>
       def cond(d: DataFrame) =
         d("tenant").cast("long") === tombs("t_tenant") &&
-          d("doc_id").cast("long") === tombs("t_doc")
+          d("doc_id").cast("long") === tombs("t_doc") &&
+          coalesce(d("epoch"), lit(0L)) <= tombs("t_epoch")
       // partitions holding at least one tombstoned row (small driver set:
       // bounded by the partition count, not the tombstone count)
       val affected = df.join(tombs, cond(df), "left_semi")
@@ -470,7 +551,6 @@ final class IndexIVF private (
       // shuffle-ordered files and silently kill row-group pruning for
       // every later probe). Sort keys lead with the partition columns —
       // see tableSort's scaladoc on the dynamic-partition writer.
-      val tblName = tablePath.substring(tablePath.lastIndexOf('/') + 1)
       def sorted(d: DataFrame): DataFrame = {
         val keys =
           if (parts.contains("centroid_bucket")) parts :+ "centroid"
@@ -490,15 +570,12 @@ final class IndexIVF private (
         survivors.write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
         affected.foreach { tuple =>
           val rel = tuple.mkString("/")
-          val dst = new org.apache.hadoop.fs.Path(s"$tablePath/$rel")
-          val src = new org.apache.hadoop.fs.Path(s"$tablePath.tmp/$rel")
-          fs.delete(dst, true)
           // a partition whose every row was tombstoned has no tmp dir — the
-          // delete above already removed it for good
-          if (fs.exists(src)) {
-            fs.mkdirs(dst.getParent)
-            fs.rename(src, dst)
-          }
+          // swap then just retires the original (safe even if the retire is
+          // interrupted: the pending tombstones still hide the rows, and the
+          // next compact() finishes the job)
+          swapDir(fs, src = new org.apache.hadoop.fs.Path(s"$tablePath.tmp/$rel"),
+            dst = new org.apache.hadoop.fs.Path(s"$tablePath/$rel"))
         }
         fs.delete(tmp, true)
       } else {
@@ -507,10 +584,37 @@ final class IndexIVF private (
         // in the partition filter) — whole-table tmp + dir swap
         sorted(df.join(tombs, cond(df), "left_anti"))
           .write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
-        fs.delete(orig, true)
-        fs.rename(tmp, orig)
+        swapDir(fs, src = tmp, dst = orig)
       }
     }
+  }
+
+  /** Crash-safe directory swap: replace `dst` with `src` (or just retire
+    * `dst` when `src` does not exist) with no window in which the only copy
+    * of the data sits in the `.tmp` tree a later overwrite-mode write would
+    * destroy. The pre-swap data moves ASIDE (a dot-prefixed sibling — hidden
+    * from Spark/Hadoop file listing, so a stranded aside dir can neither be
+    * double-read nor break partition-value parsing), never into tmp: a crash
+    * at any point leaves the data in `dst` or the aside dir, and the
+    * recovery step at the top of the next swap restores a stranded aside. */
+  private def swapDir(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
+    val aside = new org.apache.hadoop.fs.Path(dst.getParent, "." + dst.getName + ".old")
+    if (fs.exists(aside)) {
+      // leftover from a crashed swap: if dst exists the swap completed and
+      // the aside copy is superseded; if not, the crash hit between the two
+      // renames and the aside copy is the ONLY copy — restore it (this swap
+      // then retires it again cleanly)
+      if (fs.exists(dst)) fs.delete(aside, true)
+      else fs.rename(aside, dst)
+    }
+    val hadDst = fs.exists(dst)
+    if (hadDst) fs.rename(dst, aside)
+    if (fs.exists(src)) {
+      fs.mkdirs(dst.getParent)
+      fs.rename(src, dst)
+    }
+    if (hadDst) fs.delete(aside, true)
   }
 
   /** File-count maintenance for trickle ingest: repeated small [[add]]s
@@ -557,8 +661,9 @@ final class IndexIVF private (
       fs.listStatus(d).count(st => st.isFile && st.getPath.getName.endsWith(".parquet")) > maxFiles
     }.map(d => fs.makeQualified(d).toString.stripPrefix(rootQ).stripPrefix("/"))
     if (affected.isEmpty) return
+    val tblName = tablePath.substring(tablePath.lastIndexOf('/') + 1)
     val source =
-      try Some(spark.read.parquet(tablePath))
+      try Some(spark.read.schema(tableSchema(tblName)).parquet(tablePath))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     source.foreach { df =>
       // same unescaped-path matching invariant as compactTable: sound only
@@ -568,20 +673,19 @@ final class IndexIVF private (
       val one = df.filter(inAffected).repartition(parts.map(col): _*)
       val sortKeys =
         if (parts.contains("centroid_bucket")) parts :+ "centroid"
-        else tableSort(tablePath.substring(tablePath.lastIndexOf('/') + 1))
+        else tableSort(tblName)
       val placed =
         if (sortKeys.isEmpty) one
         else one.sortWithinPartitions(sortKeys.map(col): _*)
       val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
       placed.write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
       affected.foreach { rel =>
-        val dst = new org.apache.hadoop.fs.Path(s"$tablePath/$rel")
         val src = new org.apache.hadoop.fs.Path(s"$tablePath.tmp/$rel")
-        if (fs.exists(src)) {
-          fs.delete(dst, true)
-          fs.mkdirs(dst.getParent)
-          fs.rename(src, dst)
-        }
+        // a rewrite never empties a directory (it only re-packs files), so a
+        // missing tmp dir means the partition vanished under us — leave the
+        // original alone rather than retiring data we didn't rewrite
+        if (fs.exists(src))
+          swapDir(fs, src = src, dst = new org.apache.hadoop.fs.Path(s"$tablePath/$rel"))
       }
       fs.delete(tmp, true)
     }
@@ -618,20 +722,41 @@ final class IndexIVF private (
     // the copy (append only its live rows) and are NOT imported: a tombstone
     // for (tenant, id) in the other index must not hide/delete this index's
     // own unrelated doc with the same id
-    val otherTombs =
-      try Some(spark.read.parquet(s"$otherPath/tombstones").select("tenant", "doc_id"))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val otherSchema = Json.read(s"$otherPath/_meta/schema.json", classOf[GSchema])
+    def otherTableSchema(tbl: String): StructType =
+      if (tbl == "docs") IndexIVF.docsSchema(otherSchema) else tableSchema(tbl)
+    val otherTombs = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(s"$otherPath/tombstones"), spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$otherPath/tombstones"))) None
+      else Some(spark.read.schema(IndexIVF.tombstonesSchema)
+        .parquet(s"$otherPath/tombstones")
+        .select(col("tenant").cast("long").as("t_tenant"),
+          col("doc_id").cast("long").as("t_doc"),
+          coalesce(col("epoch"), lit(Long.MaxValue)).as("t_epoch")))
+    }
+    // imported rows are re-stamped with a fresh LOCAL epoch: the other
+    // index's epochs come from its own counter and are meaningless against
+    // this index's tombstones (all pending local tombstones were just
+    // compacted away above, so "newer than every local tombstone" is right)
+    val epoch = nextEpoch()
     Seq("postings", "scalars", "context", "docs").map(t => t -> tableParts(t)).foreach {
       case (tbl, parts) =>
         // only the read may fail benignly (no data files yet on the other
         // side); a failure during the append must propagate
         val other =
-          try Some(spark.read.parquet(s"$otherPath/$tbl"))
+          try Some(spark.read.schema(otherTableSchema(tbl)).parquet(s"$otherPath/$tbl"))
           catch { case _: org.apache.spark.sql.AnalysisException => None }
         other.filter(!_.isEmpty).foreach { df =>
+          // the other index's pending tombstones apply at ITS epochs (a row
+          // the other side re-added after its tombstone must survive the copy)
           val liveRows = otherTombs
-            .map(t => df.join(t, Seq("tenant", "doc_id"), "left_anti"))
+            .map(t => df.join(t,
+              df("tenant") === t("t_tenant") && df("doc_id") === t("t_doc") &&
+                coalesce(df("epoch"), lit(0L)) <= t("t_epoch"),
+              "left_anti"))
             .getOrElse(df)
+            .withColumn("epoch", lit(epoch))
           // postings MUST go through writePostings, not a raw append: a read
           // task can pack several of the other index's (individually sorted)
           // files into one split, and concatenated sorted runs are not
@@ -640,7 +765,7 @@ final class IndexIVF private (
           // sortedness after merge)
           if (tbl == "postings")
             writePostings(liveRows.select(
-              col("tenant"), col("field"), col("centroid"), col("doc_id")))
+              col("tenant"), col("field"), col("centroid"), col("doc_id"), col("epoch")))
           else
             writeAppend(liveRows.select(df.columns.map(col): _*), p(tbl), parts)
         }
@@ -653,17 +778,15 @@ final class IndexIVF private (
     val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
     val orig = new org.apache.hadoop.fs.Path(tablePath)
     if (!fs.exists(orig)) return // nothing written yet
-    // only schema inference may fail benignly (dir exists but has no data
-    // files); a failure while writing the rewrite must propagate
+    val tblName = tablePath.substring(tablePath.lastIndexOf('/') + 1)
     val source =
-      try Some(spark.read.parquet(tablePath))
+      try Some(spark.read.schema(tableSchema(tblName)).parquet(tablePath))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     source match {
       case None => // no data files
       case Some(df) =>
         f(df).write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
-        fs.delete(orig, true)
-        fs.rename(tmp, orig)
+        swapDir(fs, src = tmp, dst = orig)
     }
   }
 
@@ -698,10 +821,21 @@ final class IndexIVF private (
     val maxBytes = spark.conf.getOption(SmallAddMaxBytesKey).map(BigInt(_))
       .getOrElse(BigInt(splitBytes) * SmallAddPartitions)
     val placed =
-      if (withBucket.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
-        withBucket.coalesce(1)
+      if (withBucket.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes) {
+        // the size estimate is heuristic without CBO (a selective filter or
+        // join can be badly underestimated) — a free execution-time backstop
+        // counts the rows that actually flowed through the single task and
+        // warns loudly past the clamp, naming the escape hatch. observe()
+        // rides the write plan (no extra job); it sits BELOW the sort so the
+        // dynamic-partition writer still sees the required ordering.
+        IndexIVF.installSmallAddClamp(spark)
+        val cap = spark.conf.get(SmallAddMaxRowsKey, SmallAddMaxRowsDefault.toString).toLong
+        withBucket
+          .observe("graft.smallAdd",
+            count(lit(1)).as("rows"), max(lit(cap)).as("cap"))
+          .coalesce(1)
           .sortWithinPartitions("tenant", "field", "centroid_bucket", "centroid")
-      else
+      } else
         // the sort LEADS with the partition columns so the dynamic-partition
         // writer's required ordering is already satisfied — otherwise it
         // inserts its own partition-cols-only sort, which is not guaranteed
@@ -760,6 +894,42 @@ object IndexIVF {
     * SmallAddPartitions x files.maxPartitionBytes) — lets an operator (or a
     * test) force the clustering-shuffle bulk path for smaller inputs. */
   private[graft] val SmallAddMaxBytesKey = "graft.index.smallAddMaxBytes"
+
+  /** Execution-time clamp on the single-task postings path: if the rows that
+    * actually flowed through it exceed this, the plan-time size ESTIMATE was
+    * wrong (heuristic stats under selective filters/joins) and the warning
+    * names [[SmallAddMaxBytesKey]] as the escape hatch. ~16M rows of
+    * (tenant, field, centroid, doc_id, epoch) ≈ the 4-split byte budget. */
+  private[graft] val SmallAddMaxRowsKey = "graft.index.smallAddMaxRows"
+  private[graft] val SmallAddMaxRowsDefault = 16L * 1000 * 1000
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[IndexIVF])
+
+  /** Once per session: watch write executions for the `graft.smallAdd`
+    * observed metric and warn when the single-task path carried more rows
+    * than the clamp — the cheap runtime complement to the plan-time stats
+    * routing in [[IndexIVF.writePostings]] (no extra job, no plan change). */
+  private val clampInstalled =
+    scala.collection.concurrent.TrieMap[SparkSession, Boolean]()
+  private[index] def installSmallAddClamp(spark: SparkSession): Unit =
+    if (clampInstalled.putIfAbsent(spark, true).isEmpty)
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.get("graft.smallAdd").foreach { row =>
+            val rows = row.getLong(row.fieldIndex("rows"))
+            val cap = row.getLong(row.fieldIndex("cap"))
+            if (rows > cap) log.warn(
+              s"small-add single-task postings write carried $rows rows " +
+                s"(clamp $cap): the optimizer size estimate under-measured " +
+                s"this append. Set $SmallAddMaxBytesKey lower (or " +
+                s"$SmallAddMaxRowsKey higher if intended) to route ingests " +
+                "like this through the clustering-shuffle bulk path.")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
 
   /** Per-index-path write locks (see the instance `withWriteLock`): keyed
     * by path so two IndexIVF handles on the SAME directory (e.g. an open()
@@ -852,12 +1022,16 @@ object IndexIVF {
     idx
   }
 
-  /** On-disk format version. Version 2 = postings hive-partitioned by
-    * (tenant, field, centroid_bucket); version 1 (no bucket level) cannot be
-    * read or safely appended to by this code — [[open]] rejects it with a
-    * migration hint instead of failing at query time (or worse, letting an
-    * add() interleave two directory layouts under one table). */
-  val FormatVersion = 2
+  /** On-disk format version. Version 3 = every table carries a write-epoch
+    * column and tombstones kill by epoch (nullable; absent columns in files
+    * appended under v2 read as null and coalesce to the old semantics, so
+    * the v2 -> v3 migration is metadata-only). Version 2 = postings
+    * hive-partitioned by (tenant, field, centroid_bucket); version 1 (no
+    * bucket level) cannot be read or safely appended to by this code —
+    * [[open]] rejects it with a migration hint instead of failing at query
+    * time (or worse, letting an add() interleave two directory layouts
+    * under one table). */
+  val FormatVersion = 3
 
   private def writeMeta(path: String, schema: GSchema): Unit = {
     Json.write(s"$path/_meta/schema.json", schema)
@@ -879,29 +1053,40 @@ object IndexIVF {
     if (version != FormatVersion) throw new IllegalStateException(
       s"index at $path has format version $version, this build reads/writes " +
         s"version $FormatVersion (postings are hive-partitioned by " +
-        "centroid_bucket since v2). Run IndexIVF.migrate(spark, path) to " +
-        "upgrade it in place, or rebuild with create()+add().")
+        "centroid_bucket since v2; rows and tombstones carry a write epoch " +
+        "since v3). Run IndexIVF.migrate(spark, path) to upgrade it in " +
+        "place, or rebuild with create()+add().")
   }
 
-  /** In-place upgrade of a version-1 index (postings hive-partitioned by
-    * (tenant, field) only) to the current layout: derive `centroid_bucket`
-    * for every posting, rewrite `postings/` as the three-level hive tree
-    * with the within-file centroid sort [[open]] and the searchers rely on,
-    * and stamp metadata.json with [[FormatVersion]]. Every other table is
-    * layout-identical across v1/v2 and left untouched. Idempotent: a
-    * current-version index returns immediately.
+  /** In-place upgrade of a version-1 or version-2 index to the current
+    * format. v2 -> v3 is METADATA-ONLY: the epoch columns are nullable, old
+    * files read as epoch null, and every epoch comparison coalesces nulls to
+    * the pre-epoch semantics (row null -> epoch 0, tombstone null -> kill
+    * everything), so no data rewrite is needed — new appends simply start
+    * stamping. v1 additionally needs the postings layout rewrite: derive
+    * `centroid_bucket` for every posting and rewrite `postings/` as the
+    * three-level hive tree with the within-file centroid sort [[open]] and
+    * the searchers rely on. Idempotent: a current-version index returns
+    * immediately.
     *
-    * One clustering shuffle of the postings table — O(postings), the minimum
-    * any layout migration can do — with the same one-file-per-bucket
-    * placement as a bulk [[IndexIVF.add]]. The tmp-write + directory-swap
-    * means a crash mid-migrate leaves the original v1 tree intact (and
-    * metadata.json still says v1, so nothing reads the half-written tmp). */
+    * The v1 rewrite is one clustering shuffle of the postings table —
+    * O(postings), the minimum any layout migration can do — with the same
+    * one-file-per-bucket placement as a bulk [[IndexIVF.add]]. The
+    * tmp-write + directory-swap means a crash mid-migrate leaves the
+    * original v1 tree intact (and metadata.json still says v1, so nothing
+    * reads the half-written tmp). */
   def migrate(spark: SparkSession, path: String): Unit = {
     val version = readVersion(path)
     if (version == FormatVersion) return
-    require(version == 1,
-      s"cannot migrate an index with format version $version (expected 1); " +
-        "version 0 means no metadata.json — this is not a graft index")
+    require(version == 1 || version == 2,
+      s"cannot migrate an index with format version $version (expected 1 or " +
+        "2); version 0 means no metadata.json — this is not a graft index")
+    if (version == 2) {
+      Json.write(s"$path/_meta/metadata.json",
+        Map("format" -> "graft-ivf-parquet", "version" -> FormatVersion,
+          "layout" -> "postings/tenant/field/centroid_bucket"))
+      return
+    }
     val tablePath = s"$path/postings"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
@@ -936,25 +1121,35 @@ object IndexIVF {
   private def empty(spark: SparkSession, s: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
 
+  /** Every table carries a write `epoch` (monotonic per index, see
+    * [[IndexIVF.nextEpoch]]) as its LAST column: per append it is a single
+    * constant, so parquet dictionary/RLE encodes it to ~nothing, and readers
+    * that address columns by position are unaffected. Files written before
+    * v3 lack the column and read as null under the declared schema — every
+    * epoch comparison coalesces (row null -> 0, tombstone null -> MaxValue),
+    * which reproduces the old epoch-less kill-everything semantics for
+    * pre-upgrade data exactly. */
   val postingsSchema: StructType = StructType(Seq(
     StructField("tenant", LongType), StructField("field", IntegerType),
     StructField("centroid", LongType), StructField("doc_id", LongType),
-    StructField("centroid_bucket", IntegerType)))
+    StructField("centroid_bucket", IntegerType), StructField("epoch", LongType)))
   val scalarsSchema: StructType = StructType(Seq(
     StructField("tenant", LongType), StructField("field", IntegerType),
     StructField("value_str", StringType), StructField("value_num", DoubleType),
-    StructField("doc_id", LongType)))
+    StructField("doc_id", LongType), StructField("epoch", LongType)))
   val contextSchema: StructType = StructType(Seq(
     StructField("tenant", LongType), StructField("field", IntegerType),
     StructField("doc_id", LongType),
     StructField("doc_codes", ArrayType(LongType)),
-    StructField("doc_residuals", BinaryType)))
+    StructField("doc_residuals", BinaryType), StructField("epoch", LongType)))
   val tombstonesSchema: StructType = StructType(Seq(
-    StructField("tenant", LongType), StructField("doc_id", LongType)))
+    StructField("tenant", LongType), StructField("doc_id", LongType),
+    StructField("epoch", LongType)))
 
   def docsSchema(schema: GSchema): StructType = StructType(
-    StructField("tenant", LongType) +: StructField("doc_id", LongType) +:
-      schema.storedFields.map(f => StructField(f.name, sparkType(f))))
+    (StructField("tenant", LongType) +: StructField("doc_id", LongType) +:
+      schema.storedFields.map(f => StructField(f.name, sparkType(f)))) :+
+      StructField("epoch", LongType))
 
   def sparkType(f: GField): DataType = f.dtype match {
     case GDataType.INTEGER => LongType

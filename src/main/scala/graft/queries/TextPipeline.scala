@@ -127,8 +127,9 @@ object TextPipeline {
     * full aggregation pass before the main pipeline could start. */
   private object DropLog {
     private val regs = new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.util.CollectionAccumulator[Long],
-      (String, org.apache.spark.SparkContext, java.util.concurrent.atomic.AtomicLong)]()
+      (org.apache.spark.SparkContext, String),
+      (org.apache.spark.util.CollectionAccumulator[Long],
+        java.util.concurrent.atomic.AtomicLong)]()
     private val installed =
       scala.collection.concurrent.TrieMap[org.apache.spark.SparkContext, Boolean]()
 
@@ -136,17 +137,23 @@ object TextPipeline {
       * accumulator collects the KEYS (bounded: the hot set rides a
       * broadcast by design) and the log reports the DISTINCT count, so
       * re-materialization of an uncached plan branch or a retried task
-      * can't inflate the number. Entries of stopped sessions are purged on
-      * the next job end. */
+      * can't inflate the number — and ONE accumulator is reused per
+      * (context, label), so a long-lived session repeatedly building dedup
+      * plans registers O(labels) accumulators, not O(invocations) (distinct
+      * semantics make reuse across invocations exact: same corpus, same hot
+      * keys). Entries of stopped contexts are purged on the next job end. */
     def tick(s: SparkSession, label: String): Column => Column = {
-      val a = s.sparkContext.collectionAccumulator[Long](s"graft.drops.$label")
-      regs.put(a, (label, s.sparkContext, new java.util.concurrent.atomic.AtomicLong(0)))
-      if (installed.putIfAbsent(s.sparkContext, true).isEmpty) {
-        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      val sc = s.sparkContext
+      val (a, _) = regs.computeIfAbsent((sc, label), _ =>
+        (sc.collectionAccumulator[Long](s"graft.drops.$label"),
+          new java.util.concurrent.atomic.AtomicLong(0)))
+      if (installed.putIfAbsent(sc, true).isEmpty) {
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-            regs.forEach { (acc, entry) =>
-              val (lbl, sc, seen) = entry
-              if (sc.isStopped) { regs.remove(acc); () }
+            regs.forEach { (key, entry) =>
+              val (ctx, lbl) = key
+              val (acc, seen) = entry
+              if (ctx.isStopped) { regs.remove(key); installed.remove(ctx); () }
               else {
                 val v = scala.jdk.CollectionConverters.ListHasAsScala(acc.value)
                   .asScala.toSet.size.toLong
@@ -167,10 +174,10 @@ object TextPipeline {
       * fired on a corpus built to trip them. */
     def dropped(labelPrefix: String): Long = {
       var best = 0L
-      regs.forEach { (acc, entry) =>
-        val (lbl, sc, _) = entry
-        if (!sc.isStopped && lbl.startsWith(labelPrefix)) {
-          val v = scala.jdk.CollectionConverters.ListHasAsScala(acc.value)
+      regs.forEach { (key, entry) =>
+        val (ctx, lbl) = key
+        if (!ctx.isStopped && lbl.startsWith(labelPrefix)) {
+          val v = scala.jdk.CollectionConverters.ListHasAsScala(entry._1.value)
             .asScala.toSet.size.toLong
           if (v > best) best = v
         }

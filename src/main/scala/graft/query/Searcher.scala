@@ -107,7 +107,7 @@ object Searcher {
       val topIds = topRows.map(_.getLong(0))
       val docsDf = idx.docsDf
         .filter(col("tenant") === tenant && col("doc_id").isin(topIds: _*))
-        .drop("tenant")
+        .drop("tenant", "epoch")
       // duplicate-add dedup (one stored row per id, arbitrary winner — the
       // reference dedups in iterators too) happens in the driver-side map:
       // a dropDuplicates here would add a whole shuffle stage to a <= k-row

@@ -285,6 +285,35 @@ class IndexSpec extends AnyFunSuite {
     assert(readded.contains(3L))
   }
 
+  test("removeDeferred -> re-add -> compact keeps the re-added doc (epoch-stamped tombstones)") {
+    import spark.implicits._
+    val idx = freshIndex(QuantizerKind.NONE)
+    // the exact round-7 data-loss sequence: defer-delete two docs, then
+    // re-ingest one of them BEFORE compaction (what a bulk pipeline does)
+    idx.removeDeferred(1, Seq(3L, 4L))
+    idx.add(1, Seq(Doc(3L, corpus(3L), "odd", 0L)).toDF())
+    // pending tombstone + later re-add: live() must show the new rows NOW
+    val pre = idx.search(1, query(3), numDocs, exhaustive)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pre.contains(3L), "re-added doc visible while its tombstone is pending")
+    assert(!pre.contains(4L), "doc without a re-add stays hidden")
+    // compaction kills only rows at or before the tombstone's epoch
+    idx.compact()
+    assert(idx.tombstonesDf.count() == 0)
+    val post = idx.search(1, query(3), numDocs, exhaustive)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(post.contains(3L), "compact() preserved the re-added doc's rows")
+    assert(!post.contains(4L), "compact() applied the un-superseded delete")
+    // every table kept exactly the re-added rows (not stale pre-delete ones)
+    assert(idx.docsDf.filter("tenant = 1 AND doc_id = 3").count() == 1)
+    assert(idx.contextDf.filter("tenant = 1 AND doc_id = 3").count() == 1)
+    // and a PHYSICAL remove still kills the doc across all epochs
+    idx.remove(1, Seq(3L))
+    val gone = idx.search(1, query(3), numDocs, exhaustive)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!gone.contains(3L))
+  }
+
   test("compact() rewrites only partitions containing tombstoned rows (targeted)") {
     val idx = freshIndex(QuantizerKind.NONE)
     idx.add(tenant = 2, docsDf)
@@ -658,18 +687,21 @@ class IndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("99"))
   }
 
-  test("removeDeferred caveat: a re-add before compact() stays hidden (documented)") {
+  test("a deferred tombstone hides only rows it postdates; a later one kills the re-add too") {
     import spark.implicits._
     val idx = freshIndex(QuantizerKind.NONE)
     idx.removeDeferred(1, Seq(9L))
     idx.add(1, Seq(Doc(9L, corpus(9L), "odd", 0L)).toDF())
+    // a SECOND removeDeferred carries a later epoch than the re-add: the doc
+    // must now be hidden again (epoch ordering, not id matching, decides)
+    idx.removeDeferred(1, Seq(9L))
     val got = idx.search(1, query(9), numDocs, exhaustive)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(!got.contains(9L), "tombstone hides re-added rows until compaction")
+    assert(!got.contains(9L), "the later tombstone hides the re-added rows")
     idx.compact()
     val after = idx.search(1, query(9), numDocs, exhaustive)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(!after.contains(9L), "compaction applied the tombstone to all rows")
+    assert(!after.contains(9L), "compaction applied the later tombstone to all rows")
   }
 
   test("update() after removeDeferred discharges the stale tombstone (read-modify-write path)") {
