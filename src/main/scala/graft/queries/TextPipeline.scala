@@ -366,40 +366,48 @@ object TextPipeline {
       .distinct()
   }
 
-  /** Connected components over an undirected (a_id, b_id) edge list by
-    * iterative min-label propagation: label(v) <- min(label(v), labels of
-    * v's neighbors) until fixpoint. Returns (doc_id, cluster_id) for EVERY
-    * node (singletons label themselves) with cluster_id = min doc_id in the
-    * component — the deterministic keeper rule of a dedup pipeline.
+  /** Connected components over an undirected (a_id, b_id) edge list.
+    * Returns (doc_id, cluster_id) for EVERY node (singletons label
+    * themselves) with cluster_id = min doc_id in the component — the
+    * deterministic keeper rule of a dedup pipeline.
     *
-    * Scale shape: each round is one key-partitioned join + one aggregation
-    * over the (narrow) edge list, and rounds = component diameter. Near-dup
-    * graphs have tiny diameters by construction — candidate pairs come from
-    * shared LSH buckets / shared shingles, so components are near-cliques
-    * (every measured corpus converges in <= 3 rounds). A graph with
-    * adversarial long chains would want the alternating large-star/
-    * small-star formulation (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond", SoCC'14) at O(log^2 n) rounds; the propagation
-    * loop is deliberately the simple one until that graph exists. The
-    * convergence probe is one count per round on the changed-label set —
-    * driver-side control flow, never driver-side data. */
+    * Two-gear scale shape: min-label propagation (one key-partitioned join
+    * + aggregation per round, rounds = component diameter) runs first —
+    * near-dup graphs have tiny diameters by construction (candidate pairs
+    * come from shared LSH buckets / shared shingles, so components are
+    * near-cliques; every measured corpus converges in <= 3 rounds). If the
+    * graph turns out NOT to be near-clique (adversarial template-drift
+    * chains: A~B~C~… with only adjacent pairs above threshold), propagation
+    * hands off automatically after [[StarFallbackAt]] rounds to alternating
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — O(log^2 n) rounds on
+    * ANY graph, so a 1000-link chain converges in ~a dozen contractions
+    * instead of 1000 propagation passes. Convergence probes are one count
+    * per round — driver-side control flow, never driver-side data. */
   private[graft] def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 25): DataFrame =
     connectedComponentsWithRounds(nodes, edges, maxRounds)._1
 
-  /** [[connectedComponents]] plus the number of propagation rounds it took
-    * to converge — ScaleSpec asserts the near-clique diameter argument
-    * (rounds stay flat as the corpus grows) on real pipeline output. */
+  /** Propagation rounds before handing off to star contraction: measured
+    * corpora converge in <= 3, so 5 cheap rounds catch every real graph and
+    * the handoff only ever fires on adversarial chain structure. */
+  private[graft] val StarFallbackAt = 5
+
+  /** [[connectedComponents]] plus the total number of rounds (propagation +
+    * star contractions) it took — ScaleSpec asserts the near-clique
+    * diameter argument (rounds stay flat as the corpus grows) on real
+    * pipeline output, and chain convergence on a planted 1000-link chain. */
   private[graft] def connectedComponentsWithRounds(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 25): (DataFrame, Int) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(edges.select(col("b_id").as("u"), col("a_id").as("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(lvl)
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .persist(lvl)
     var round = 0
     var changed = 1L
-    while (changed > 0 && round < maxRounds) {
+    while (changed > 0 && round < math.min(StarFallbackAt, maxRounds)) {
       val neighborMin = sym.join(labels, sym("v") === labels("doc_id"))
         .select(col("u").as("doc_id"), col("cluster_id").as("nl"))
         .groupBy("doc_id").agg(min(col("nl")).as("nmin"))
@@ -407,7 +415,7 @@ object TextPipeline {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .persist(lvl)
       changed = next.as("n")
         .join(labels.select(col("doc_id"), col("cluster_id").as("prev")), Seq("doc_id"))
         .filter(col("cluster_id") =!= col("prev")).count()
@@ -415,12 +423,102 @@ object TextPipeline {
       labels = next
       round += 1
     }
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxRounds rounds — " +
-        "the graph has a longer chain than any near-dup corpus should; " +
-        "switch this call to a star-contraction formulation")
-    sym.unpersist()
-    (labels, round)
+    if (changed == 0) {
+      sym.unpersist()
+      (labels, round)
+    } else {
+      // diameter exceeded the propagation budget: star contraction. Current
+      // labels ride along as extra (doc, label) edges — they are
+      // same-component by construction, so the progress isn't thrown away.
+      val shortcuts = labels.filter(col("cluster_id") =!= col("doc_id"))
+        .select(col("doc_id").as("u"), col("cluster_id").as("v"))
+      val (starLabels, iters) =
+        starContract(nodes, sym.select(col("u"), col("v")).union(shortcuts))
+      // loud end-to-end guarantee (also discharges any paranoia about the
+      // contraction loop's signature-based convergence probe): one more
+      // propagation pass over the ORIGINAL edges must find nothing to improve
+      val improvable = sym.join(starLabels, sym("v") === starLabels("doc_id"))
+        .select(col("u").as("doc_id"), col("cluster_id").as("nl"))
+        .groupBy("doc_id").agg(min(col("nl")).as("nmin"))
+        .join(starLabels, Seq("doc_id"))
+        .filter(col("nmin") < col("cluster_id")).count()
+      require(improvable == 0,
+        s"star contraction returned non-converged labels ($improvable nodes improvable)")
+      labels.unpersist()
+      sym.unpersist()
+      (starLabels, round + iters)
+    }
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * SoCC'14): each round is two join+agg passes over the CURRENT edge set,
+    * which keeps shrinking toward a union of stars rooted at each
+    * component's minimum node — O(log^2 n) rounds on any graph, including
+    * chains that would take min-label propagation O(n) rounds. Convergence
+    * = the canonical edge set reaches a fixed point, detected by an
+    * order-independent (count, bit_xor of edge hashes) signature (exact on
+    * the deduped edge set; the caller additionally verifies the labels
+    * against the original graph). */
+  private[graft] def starContract(nodes: DataFrame, rawEdges: DataFrame,
+      maxIters: Int = 64): (DataFrame, Int) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // large-star: for every node u, connect each strictly-larger neighbor
+    // to m = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = s.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      s.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    // small-star: orient every edge toward its smaller endpoint, then for
+    // every node u connect all smaller neighbors AND u itself to
+    // m = min(N⁻(u) ∪ {u}) (= min neighbor, since all of N⁻(u) < u)
+    def smallStar(e: DataFrame): DataFrame = {
+      val d = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).where(col("u") =!= col("v"))
+      val mins = d.groupBy("u").agg(min("v").as("m"))
+      d.join(mins, "u").select(col("v").as("x"), col("m"))
+        .union(mins.select(col("u").as("x"), col("m")))
+        .where(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v")).distinct()
+    }
+    // Lineage MUST be truncated per iteration: one contraction step embeds
+    // ~16 copies of the previous edge plan (two self-unions + two join-agg
+    // passes), so persist() alone leaves an exponentially growing logical
+    // plan that kills the ANALYZER long before execution. localCheckpoint
+    // materializes the step to executor storage and replaces the plan with
+    // a flat scan — the standard shape for iterative DataFrame algorithms.
+    // Superseded checkpoint blocks are released by the ContextCleaner once
+    // the old Dataset is unreachable (bounded: <= maxIters small edge sets).
+    var cur = rawEdges.select(col("u"), col("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    var curSig = sig(cur)
+    var done = curSig._1 == 0L // no edges: every node is its own star
+    var it = 0
+    while (!done && it < maxIters) {
+      val nxt = smallStar(largeStar(cur)).localCheckpoint()
+      val nxtSig = sig(nxt)
+      done = nxtSig == curSig
+      cur = nxt; curSig = nxtSig; it += 1
+    }
+    require(done, s"star contraction did not converge in $maxIters rounds — " +
+      "not a connectivity structure this fixpoint can miss; investigate the edge input")
+    // at the fixed point every edge points from a node to its component's
+    // minimum: labels = that root, singletons label themselves
+    val labels = nodes.select(col("doc_id"))
+      .join(cur.select(col("u").as("doc_id"), col("v").as("root")),
+        Seq("doc_id"), "left")
+      .groupBy("doc_id").agg(min(coalesce(col("root"), col("doc_id"))).as("cluster_id"))
+      .persist(lvl)
+    labels.count() // materialize off the checkpointed edge set
+    (labels, it)
   }
 
   /** Shared DuckDB CTE chain for the duplicate-cluster oracles: the

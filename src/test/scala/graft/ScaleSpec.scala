@@ -152,6 +152,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(rN <= r1 + 1 && rN <= 5, s"propagation rounds grew: 1x=$r1, 10x=$rN")
   }
 
+  test("adversarial 1000-link chain converges via star-contraction fallback, rounds bounded") {
+    import spark.implicits._
+    import graft.queries.TextPipeline
+    // template-drift family: A~B~C~... with ONLY adjacent pairs above
+    // threshold — diameter 1000, the exact graph min-label propagation
+    // cannot finish (it would need 1000 full passes; the pre-fallback code
+    // require-aborted at 25). Rounds must stay O(log^2 n), not O(n).
+    val n = 1001L
+    val nodes = spark.range(n).select(col("id").as("doc_id"))
+    val edges = spark.range(n - 1)
+      .select(col("id").as("a_id"), (col("id") + 1L).as("b_id"))
+    val (labels, rounds) =
+      TextPipeline.connectedComponentsWithRounds(nodes, edges)
+    val byLabel = labels.groupBy("cluster_id").count().collect()
+    assert(byLabel.length == 1 && byLabel.head.getLong(0) == 0L &&
+      byLabel.head.getLong(1) == n,
+      "the whole chain must fold into one component rooted at its minimum")
+    info(s"chain of ${n - 1} links converged in $rounds rounds")
+    assert(rounds <= TextPipeline.StarFallbackAt + 2 * 11 + 2,
+      s"rounds not O(log^2 n): $rounds") // 2*ceil(log2(1001)) + slack
+    labels.unpersist()
+    // and the fast path is untouched: a near-clique (triangle + singleton)
+    // converges by propagation alone in <= 3 rounds
+    val triNodes = Seq(0L, 1L, 2L, 9L).toDF("doc_id")
+    val triEdges = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("a_id", "b_id")
+    val (triLabels, triRounds) =
+      TextPipeline.connectedComponentsWithRounds(triNodes, triEdges)
+    assert(triRounds <= 3, s"near-clique took $triRounds rounds (fallback fired?)")
+    assert(triLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 0L), (1L, 0L), (2L, 0L), (9L, 9L)))
+    triLabels.unpersist()
+  }
+
   test("IVF-clustered embedding near-dup: linear when centroids scale with n") {
     // the scale knob: K centroids proportional to n keeps per-cluster
     // population ~constant, so candidate volume sum(cluster^2) stays linear
