@@ -267,15 +267,90 @@ object Searcher {
     v.queryTokens.zipWithIndex.foreach { case (tok, i) =>
       System.arraycopy(cq.scoreAll(tok), 0, m, i * nc, nc)
     }
-    val kTop = math.min(opts.kTopCentroids, nc)
+    (m, topCentroids(m, nq, nc, math.min(opts.kTopCentroids, nc), opts.nProbe))
+  }
+
+  /** Probe selection over the (nq x nc) score matrix: per query token keep
+    * the kTop best centroids by (score desc, id asc), record each selected
+    * centroid's best positive score across tokens, return the top nProbe of
+    * those by the same order — semantically KnnNearestCentroids.cpp:6-110
+    * including the score>0 prune.
+    *
+    * Primitive bounded heaps end to end (the Spark-side twin of the
+    * reference's partial_sort, KnnNearestCentroids.cpp:59-102): the old
+    * formulation sorted nc BOXED tuples per token — at production scale
+    * (nc=65536, nq=32) that is ~2M tuple allocations per query per plan,
+    * driver-side, on the latency path of every search. */
+  private[graft] def topCentroids(m: Array[Float], nq: Int, nc: Int,
+      kTop: Int, nProbe: Int): Array[Long] = {
     val high = new Array[Float](nc)
-    (0 until nq).foreach { i =>
-      (0 until nc).map(c => (c, m(i * nc + c))).sortBy { case (c, s) => (-s, c) }
-        .take(kTop).foreach { case (c, s) => if (s > high(c)) high(c) = s }
+    val heap = new TopKHeap(kTop)
+    var i = 0
+    while (i < nq) {
+      heap.reset()
+      val off = i * nc
+      var c = 0
+      while (c < nc) { heap.offer(m(off + c), c); c += 1 }
+      var j = 0
+      while (j < heap.size) { // selection membership only — order irrelevant
+        val c2 = heap.id(j); val s2 = heap.score(j)
+        if (s2 > high(c2)) high(c2) = s2
+        j += 1
+      }
+      i += 1
     }
-    val probes = high.zipWithIndex.filter(_._1 > 0)
-      .sortBy { case (s, c) => (-s, c) }.take(opts.nProbe).map(_._2.toLong)
-    (m, probes)
+    val probeHeap = new TopKHeap(math.min(nProbe, nc))
+    var c = 0
+    while (c < nc) { if (high(c) > 0) probeHeap.offer(high(c), c); c += 1 }
+    probeHeap.sortedIds.map(_.toLong)
+  }
+
+  /** Bounded top-k over (score: Float, id: Int) pairs, kept best-k by
+    * (score desc, id asc) — a primitive-array min-heap whose root is the
+    * weakest kept element; no boxing, O(nc log k) per pass. */
+  private[graft] final class TopKHeap(k: Int) {
+    private val s = new Array[Float](math.max(k, 1))
+    private val c = new Array[Int](math.max(k, 1))
+    private var n = 0
+    def size: Int = n
+    def id(i: Int): Int = c(i)
+    def score(i: Int): Float = s(i)
+    def reset(): Unit = n = 0
+    // a is WORSE than b under (score desc, id asc)
+    private def worse(sa: Float, ca: Int, sb: Float, cb: Int): Boolean =
+      sa < sb || (sa == sb && ca > cb)
+    def offer(score: Float, id: Int): Unit =
+      if (k == 0) ()
+      else if (n < k) {
+        var i = n
+        s(i) = score; c(i) = id; n += 1
+        while (i > 0 && worse(s(i), c(i), s((i - 1) / 2), c((i - 1) / 2))) {
+          val p = (i - 1) / 2
+          val ts = s(i); val tc = c(i)
+          s(i) = s(p); c(i) = c(p); s(p) = ts; c(p) = tc
+          i = p
+        }
+      } else if (worse(s(0), c(0), score, id)) {
+        s(0) = score; c(0) = id
+        var i = 0
+        var continue = true
+        while (continue) {
+          val l = 2 * i + 1; val r = l + 1
+          var w = i // index of the worst among i and its children
+          if (l < n && worse(s(l), c(l), s(w), c(w))) w = l
+          if (r < n && worse(s(r), c(r), s(w), c(w))) w = r
+          if (w == i) continue = false
+          else {
+            val ts = s(i); val tc = c(i)
+            s(i) = s(w); c(i) = c(w); s(w) = ts; c(w) = tc
+            i = w
+          }
+        }
+      }
+    /** Kept ids by (score desc, id asc) — k is small, the final sort is
+      * over the kept entries only. */
+    def sortedIds: Array[Int] =
+      Array.range(0, n).sortBy(i => (-s(i), c(i))).map(c(_))
   }
 
   /** The ANN leaf: candidates + phase-1 scoring via the broadcast

@@ -102,6 +102,32 @@ object ProfMain {
           }
         }
         spark.conf.unset("graft.text.minhashRows")
+      case "plan" =>
+        // driver-side probe selection at production planning scale:
+        // nc=65536 centroids, nq=32 query tokens (VERDICT r7 #4). Compares
+        // the old sort-all-boxed-tuples formulation against the primitive
+        // bounded heap on the SAME matrix; both produce identical probes
+        // (pinned by ProbeSelectionSpec).
+        val nc = 65536; val nq = 32; val kTop = 32; val nProbe = 128
+        val rnd = new scala.util.Random(7)
+        val m = Array.fill(nq * nc)(rnd.nextFloat() * 2f - 1f)
+        def naive(): Seq[Long] = {
+          val high = new Array[Float](nc)
+          (0 until nq).foreach { i =>
+            (0 until nc).map(c => (c, m(i * nc + c))).sortBy { case (c, s) => (-s, c) }
+              .take(kTop).foreach { case (c, s) => if (s > high(c)) high(c) = s }
+          }
+          high.zipWithIndex.filter(_._1 > 0)
+            .sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2.toLong).toSeq
+        }
+        var last: Seq[Long] = Seq.empty
+        (1 to 3).foreach { i =>
+          time(s"sort-based selection #$i") { last = naive() }
+          time(s"heap-based selection #$i") {
+            last = graft.query.Searcher.topCentroids(m, nq, nc, kTop, nProbe).toSeq
+          }
+        }
+        println(s"[prof] probes: ${last.length}")
       case "jaccard" => profJaccard(spark, dir)
       case "jaccard2" => profJaccard2(spark, dir)
       case "scale" => profScale(spark)
