@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // SIMD centroid-assignment kernel (graft.quantizers.AssignKernel); the
+  // code probes for the module at runtime and falls back to a bit-identical
+  // scalar path when absent
+  "--add-modules", "jdk.incubator.vector",
 )
+Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")

@@ -301,13 +301,28 @@ final class IndexIVF private (
         val encodeDoc = udf { (toks: Seq[Seq[Float]]) =>
           val cq = bc.value; val q = bq.value
           val n = toks.length
-          val codes = new Array[Long](n)
-          val residuals = new java.io.ByteArrayOutputStream(n * q.codeSize)
+          val d = cq.dim
+          // one flattened (n x dim) block per doc: assignment runs through
+          // the GEMM-shaped kernel (centroid tile stays cache-resident
+          // across the doc's tokens) instead of n independent scans of the
+          // whole centroid matrix — the O(n*K) term of ingest once K∝corpus
+          val flat = new Array[Float](n * d)
           var i = 0
           while (i < n) {
-            val v = toks(i).toArray
-            codes(i) = cq.assign(v).toLong
-            residuals.write(q.encode(v))
+            val t = toks(i)
+            require(t.length == d,
+              s"token vector has length ${t.length}, expected dim $d")
+            var j = 0
+            while (j < d) { flat(i * d + j) = t(j); j += 1 }
+            i += 1
+          }
+          val assigned = cq.assignBlock(flat, n)
+          val codes = new Array[Long](n)
+          val residuals = new java.io.ByteArrayOutputStream(n * q.codeSize)
+          i = 0
+          while (i < n) {
+            codes(i) = assigned(i).toLong
+            residuals.write(q.encode(java.util.Arrays.copyOfRange(flat, i * d, (i + 1) * d)))
             i += 1
           }
           (codes.toSeq, residuals.toByteArray)
@@ -340,7 +355,19 @@ final class IndexIVF private (
         // shuffle (cross-doc rows can't collide — doc_id differs).
         val assignAll = udf { (toks: Seq[Seq[Float]]) =>
           val cq = bc.value
-          toks.map(t => cq.assign(t.toArray).toLong)
+          val n = toks.length
+          val d = cq.dim
+          val flat = new Array[Float](n * d)
+          var i = 0
+          while (i < n) {
+            val t = toks(i)
+            require(t.length == d,
+              s"token vector has length ${t.length}, expected dim $d")
+            var j = 0
+            while (j < d) { flat(i * d + j) = t(j); j += 1 }
+            i += 1
+          }
+          cq.assignBlock(flat, n).toSeq.map(_.toLong)
         }
         writes += ("postings" -> (() => writePostings(
           docs.filter(col(f.name).isNotNull)

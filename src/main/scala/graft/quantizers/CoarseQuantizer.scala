@@ -26,15 +26,93 @@ final class CoarseQuantizer(val centroids: Array[Array[Float]]) extends Serializ
     s
   }
 
-  /** argmax inner product; deterministic tie-break = lowest centroid id. */
-  def assign(vec: Array[Float]): Int = {
-    var best = 0; var bestScore = Float.NegativeInfinity; var c = 0
-    while (c < centroids.length) {
-      val s = ip(vec, centroids(c))
-      if (s > bestScore) { bestScore = s; best = c }
+  /** argmax inner product; deterministic tie-break = lowest centroid id.
+    * Delegates to the block kernel so single-vector and batch assignment
+    * share one canonical accumulation order (bit-identical results). */
+  def assign(vec: Array[Float]): Int = assignBlock(vec, 1)(0)
+
+  /** Transposed (dim-major) copy of the centroid matrix — row i holds dim i
+    * of ALL centroids contiguously — built lazily once per JVM/executor
+    * (transient: rebuilt after broadcast deserialization). This is the
+    * layout that turns assignment into elementwise array FMAs HotSpot's
+    * SuperWord pass actually vectorizes: per-centroid DOT products are
+    * sequential FP reductions, which C2 refuses to SIMD (float addition
+    * doesn't reassociate), while `scores(c) += tv * row(c)` is a pure
+    * elementwise loop that packs into AVX lanes like a saxpy. */
+  @transient private lazy val flatT: Array[Float] = {
+    val d = dim
+    val k = centroids.length
+    val out = new Array[Float](k * d)
+    var c = 0
+    while (c < k) {
+      val row = centroids(c)
+      var i = 0
+      while (i < d) { out(i * k + c) = row(i); i += 1 }
       c += 1
     }
-    best
+    out
+  }
+
+  /** GEMM-shaped argmax assignment for a BLOCK of vectors (flattened
+    * row-major (n x dim)) — the production shape for the O(n*K) assignment
+    * term of train/add once K grows with the corpus (the reference leans on
+    * Faiss' blocked knn_inner_product for exactly this,
+    * CoarseQuantizer.cpp assign/train paths).
+    *
+    * Dispatch: the register-blocked SIMD kernel ([[AssignKernel]], JDK
+    * incubator Vector API — 4 tokens per centroid-row load, accumulators
+    * register-resident across the whole dim loop) when the module is
+    * present, else a scalar fallback. BOTH compute the same canonical
+    * result: a centroid's score accumulates dim-ascending with each product
+    * rounded before its add — in the SIMD kernel every centroid owns one
+    * LANE, so there is no cross-lane reduction and therefore no
+    * reassociation at any vector width. Bit-identical across paths and to
+    * single-vector [[assign]] (which delegates here); pinned by
+    * CoarseQuantizerSpec. */
+  def assignBlock(vecs: Array[Float], n: Int): Array[Int] = {
+    val k = numCentroids
+    val d = dim
+    require(vecs.length == n * d, s"assignBlock: ${vecs.length} floats != $n x $d")
+    val out = new Array[Int](n)
+    if (n == 0 || k == 0) return out
+    CoarseQuantizer.simdKernel match {
+      case Some(m) =>
+        m.invoke(null, vecs, Int.box(n), Int.box(d), flatT, Int.box(k), out)
+      case None => assignBlockScalar(vecs, n, out)
+    }
+    out
+  }
+
+  /** Scalar twin of [[AssignKernel]] with the identical accumulation order
+    * (dim-ascending elementwise sweeps over the dim-major matrix — the
+    * SLP-vectorizable saxpy shape, so even the fallback beats the old
+    * per-centroid dot loop). private[graft] so the parity spec can pin
+    * SIMD == scalar regardless of which one assignBlock dispatched to. */
+  private[graft] def assignBlockScalar(vecs: Array[Float], n: Int,
+      out: Array[Int]): Unit = {
+    val k = numCentroids
+    val d = dim
+    val ct = flatT
+    val scores = new Array[Float](k)
+    var t = 0
+    while (t < n) {
+      java.util.Arrays.fill(scores, 0f)
+      val ao = t * d
+      var i = 0
+      while (i < d) {
+        val tv = vecs(ao + i)
+        val ro = i * k
+        var c = 0
+        while (c < k) { scores(c) += tv * ct(ro + c); c += 1 }
+        i += 1
+      }
+      var best = 0
+      var bs = Float.NegativeInfinity
+      var c = 0
+      while (c < k) { val s = scores(c); if (s > bs) { bs = s; best = c }; c += 1 }
+      out(t) = best
+      t += 1
+    }
   }
 
   /** all centroid scores for one vector (inner products). */
@@ -63,6 +141,22 @@ final class CoarseQuantizer(val centroids: Array[Array[Float]]) extends Serializ
 }
 
 object CoarseQuantizer {
+
+  /** The SIMD kernel's entry point, resolved ONCE by reflection — and only
+    * after probing the incubator module's own class, so `AssignKernel`
+    * (which links against jdk.incubator.vector) is never even loaded when
+    * the module is absent and the bit-identical scalar twin takes over.
+    * Reflection also keeps the Scala compile unit free of any reference to
+    * the incubator API (scalac has no --add-modules). Per-invoke overhead
+    * is one boxed call per BLOCK (a whole document's tokens) — noise next
+    * to the kernel's own runtime. */
+  private[quantizers] lazy val simdKernel: Option[java.lang.reflect.Method] =
+    try {
+      Class.forName("jdk.incubator.vector.FloatVector")
+      Some(Class.forName("graft.quantizers.AssignKernel").getMethod("assignBlock",
+        classOf[Array[Float]], classOf[Int], classOf[Int],
+        classOf[Array[Float]], classOf[Int], classOf[Array[Int]]))
+    } catch { case _: Throwable => None }
 
   /** Max training points per centroid — the Faiss Clustering default
     * (max_points_per_centroid = 256): coarse-quantizer k-means is always
