@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // This container has BURSTY external CPU contention (documented across
+    // rounds 6-7): one run cannot be trusted even with calibration, so the
+    // headline set runs N times (default 2) and the artifact reports
+    // per-query MINIMA plus one calibration per repetition. Override with
+    // SPARK_GRAFT_BENCH_REPEATS=1 for quick local iteration.
+    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,9 +17,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // one session runs ~40 queries back to back: keep the status store's
-      // retained plan graphs/metrics bounded so listener-bus and heap load
-      // don't creep up on the queries that happen to run last
+      // one session runs ~40 queries back to back (x repeats): keep the
+      // status store's retained plan graphs/metrics bounded so listener-bus
+      // and heap load don't creep up on the queries that happen to run last
       .config("spark.sql.ui.retainedExecutions", "8")
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")
@@ -24,38 +30,70 @@ object Bench {
     // main tables (file listing, footer reads, OS page cache) so those
     // one-time costs don't land on whichever query happens to sort first
     spark.range(1000).selectExpr("sum(id)").collect()
-    // Self-validation: a fixed CPU-bound probe timed AFTER warmup, plus the
-    // OS load average, ride the record so a contention-corrupted run is
-    // detectable from the artifact alone (round 6 recorded 186 s for a
-    // binary that measures 29 s on a quiet machine — nothing in the JSON
-    // could tell). On this container the probe runs ~150-400 ms quiet;
-    // multiples of that, or a loadavg far above the core count, mean the
-    // wall-clock numbers below are machine noise, not code.
-    val calT0 = System.nanoTime()
-    // sum of int32 hashes over 2e8 rows peaks at ~4e17, safely inside long
-    spark.range(200L * 1000 * 1000).selectExpr("sum(cast(hash(id) as bigint))").collect()
-    val calibrationMs = (System.nanoTime() - calT0) / 1e6
-    val loadavg = try {
+    // Self-validation probe: a fixed CPU-bound measurement, timed once per
+    // repetition, plus the OS load average — a contention-corrupted
+    // repetition is detectable from the artifact alone (~438 ms at the
+    // quietest observed on this container; multiples of that, or a loadavg
+    // far above the core count, mean that repetition's wall-clock numbers
+    // are machine noise, not code).
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      // sum of int32 hashes over 2e8 rows peaks at ~4e17, safely inside long
+      spark.range(200L * 1000 * 1000).selectExpr("sum(cast(hash(id) as bigint))").collect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    def loadavg(): String = try {
       java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ").take(3).mkString(",")
     } catch { case _: Throwable => "" }
+    // warm the probe itself once (untimed) so every reported calibration
+    // measures steady-state compute, not the probe's own codegen: quiet
+    // baseline ~240 ms on this container under the warmed semantics
+    // (rounds <= 7 reported the cold probe, quiet ~438 ms — not comparable)
+    calibrate()
     Seq("region", "lineitem", "documents", "embeddings", "events").foreach(t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count())
     // optional arg: comma-separated query-name filter (local iteration only;
     // the driver invokes with no args => full headline set)
     val only = args.headOption.map(_.split(',').toSet)
-    val results = SparkEntry.queries.toSeq
+    val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.fold(SparkEntry.headline(name))(_.contains(name)) }
-      .sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      .sortBy(_._1)
+    val runs = (1 to repeats).map { r =>
+      // every repetition measures the COLD pipeline: drop the session-level
+      // plan caches (DfCache) and any stray persisted frames so repetition
+      // N can't ride repetition N-1's materialized work — minima then
+      // reflect quiet-machine code speed, not cache reuse. JIT/page-cache
+      // warmth legitimately carries over (same binary, steady state).
+      if (r > 1) {
+        graft.queries.DfCache.clear(spark)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      }
+      val cal = calibrate()
+      val la = loadavg()
+      val times = selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      (cal, la, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-      s""""calibration_ms":$calibrationMs,"loadavg":"$loadavg"}""")
+    // per-query minimum across repetitions: the contention-robust estimate
+    // (a failed query records -1 in every repetition, so the min keeps the
+    // failure signal); calibration_ms mirrors that with the min probe time
+    val best = selected.map { case (name, _) =>
+      name -> runs.map(_._3.toMap.apply(name)).min
+    }
+    def qJson(ts: Seq[(String, Double)]): String =
+      ts.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = best.map(_._2).sum
+    val runsJson = runs.map { case (cal, la, times) =>
+      s"""{"calibration_ms":$cal,"loadavg":"$la","queries":${qJson(times)}}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(best)},""" +
+      s""""sf":"$sfDir","repeats":$repeats,""" +
+      s""""calibration_ms":${runs.map(_._1).min},"loadavg":"${runs.head._2}",""" +
+      s""""runs":$runsJson}""")
     spark.stop()
   }
 }

@@ -56,6 +56,16 @@ object DfCache {
     cache.getOrElseUpdate((s, key),
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
   }
+
+  /** Unpersist and forget this session's entries — used by Bench between
+    * repetitions so every repetition measures the COLD pipeline (the
+    * session cache is a real feature, but a repeat that silently reuses the
+    * previous repetition's persisted frames would report warm-cache minima
+    * as if the code were faster). */
+  def clear(s: SparkSession): Unit =
+    cache.keys.filter(_._1 eq s).foreach { k =>
+      cache.remove(k).foreach(_.unpersist(blocking = true))
+    }
 }
 
 /** Shared table loaders. */
