@@ -37,6 +37,23 @@ object BatchSearcher {
   private def maxMatrixBytes(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.get(MaxMatrixBytesKey, (512L << 20).toString).toLong
 
+  /** Rerank-input shape (session conf). `false` (default): the phase-2 pool
+    * RE-JOINS the context table for residuals after the per-query window
+    * cut — two context scans, but the row_number shuffle moves only
+    * (query_id, doc_id, score). `true`: residual bytes ride phase-1 through
+    * the window cut — one context scan, heavier shuffle. Measured at
+    * sf0.1 / batch 212 (ProfMain batch, numbers in COVERAGE.md): a wash
+    * locally (2.77 vs 2.89 ms/query warm, inside run-to-run noise), so the
+    * default follows the scale asymmetry — the second scan stays cheap at
+    * any corpus size (doc_id-sorted row groups + runtime bloom filter on a
+    * <= batch x numSecondPass id set) while the shuffle payload grows with
+    * EVERY phase-1 candidate's residual bytes; the single-query path keeps
+    * the opposite choice because its pool cut is a driver-side limit, not
+    * a shuffle. */
+  val CarryResidualsKey = "graft.batch.carryResiduals"
+  private def carryResiduals(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get(CarryResidualsKey, "false").toBoolean
+
   /** @param queries one row per query: (query_id: long,
     *                tokens: array<array<float>>) */
   def searchBatch(idx: IndexIVF, tenant: Long, field: String, queries: DataFrame,
@@ -109,11 +126,16 @@ object BatchSearcher {
 
     // phase-1: native codegen'd expression; all per-query matrices ride as
     // ONE stage-level plan constant keyed by query_id (no UDF boxing on the
-    // (query x candidate) hot loop)
-    val phase1 = candidates.join(ctx.select("doc_id", "doc_codes"), Seq("doc_id"))
-      .select(col("query_id"), col("doc_id"),
-        graft.functions.BatchCentroidScore(col("query_id"), col("doc_codes"),
-          matrices, nc).as("score"))
+    // (query x candidate) hot loop). Residuals optionally ride along — see
+    // CarryResidualsKey for the measured trade.
+    val carry = carryResiduals(spark) && opts.secondPass
+    val phase1Cols = Seq(col("query_id"), col("doc_id"),
+      graft.functions.BatchCentroidScore(col("query_id"), col("doc_codes"),
+        matrices, nc).as("score")) ++
+      (if (carry) Seq(col("doc_codes"), col("doc_residuals")) else Nil)
+    val phase1 = candidates
+      .join(if (carry) ctx else ctx.select("doc_id", "doc_codes"), Seq("doc_id"))
+      .select(phase1Cols: _*)
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -136,11 +158,14 @@ object BatchSearcher {
       Plaid.scoreByResiduals(q, q.length / dim, doc, n, dim, normalize = true).toDouble
     }
     val reranked =
-      if (opts.secondPass)
+      if (!opts.secondPass) pool
+      else if (carry)
+        pool.select(col("query_id"), col("doc_id"),
+          rerankUdf(col("query_id"), col("doc_codes"), col("doc_residuals")).as("score"))
+      else
         pool.join(ctx, Seq("doc_id"))
           .select(col("query_id"), col("doc_id"),
             rerankUdf(col("query_id"), col("doc_codes"), col("doc_residuals")).as("score"))
-      else pool
 
     reranked.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")

@@ -44,6 +44,19 @@ class BatchSearchSpec extends AnyFunSuite {
       }
     }
 
+    // both rerank-input shapes (re-join context after the window cut vs
+    // carrying residuals through it — see CarryResidualsKey) must return
+    // identical rows
+    spark.conf.set(BatchSearcher.CarryResidualsKey, "true")
+    try {
+      val carried = BatchSearcher.searchBatch(idx, 1, "colbert", queriesDf, k = 5, opts)
+        .collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+      queryIds.foreach(qid => assert(carried(qid) == batch(qid),
+        s"carry-residuals shape diverged for query $qid"))
+    } finally spark.conf.unset(BatchSearcher.CarryResidualsKey)
+
     // matrix plan-constant guard: an over-limit batch fails at plan time
     // with a split-the-batch error, never serializing the payload into tasks
     spark.conf.set(BatchSearcher.MaxMatrixBytesKey, "16")

@@ -337,6 +337,21 @@ object ProfMain {
     // warmup pass so the first measured batch isn't paying codegen
     BatchSearcher.searchBatch(idx, 1, "colbert", batch(32), k = 3,
       SearchOptions(kTopCentroids = 4, nProbe = 8)).count()
+    // rerank-input A/B (VERDICT r7 #6): re-join context after the window
+    // cut (carry=false, two scans, light shuffle) vs carrying residuals
+    // through it (carry=true, one scan, heavy shuffle) — interleaved twice
+    // to average drift; results must be identical
+    Seq(false, true, false, true).zipWithIndex.foreach { case (carry, i) =>
+      spark.conf.set(BatchSearcher.CarryResidualsKey, carry.toString)
+      val q = batch(212)
+      val t0 = System.nanoTime()
+      val rows = BatchSearcher.searchBatch(idx, 1, "colbert", q, k = 3,
+        SearchOptions(kTopCentroids = 4, nProbe = 8)).count()
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"[prof] rerank A/B #$i carry=$carry%5s  ${ms / 212}%6.2f ms/query  " +
+        f"${ms / 1000}%6.2f s total  $rows%6d rows")
+    }
+    spark.conf.unset(BatchSearcher.CarryResidualsKey)
     Seq(212, 512, 1024).foreach { size =>
       val q = batch(size)
       val t0 = System.nanoTime()
