@@ -102,6 +102,73 @@ public final class AssignKernel {
         }
     }
 
+    /**
+     * Full score matrix for n row-major (n x d) vectors against k dim-major
+     * centroids, into out (row-major n x k) — the planning-side sibling of
+     * {@link #assignBlock} (Searcher.computePlan fills the per-token
+     * centroid score matrix with exactly this shape). Same lane-per-centroid
+     * accumulation: bit-identical to a sequential per-centroid dot.
+     */
+    public static void scoreBlock(float[] toks, int n, int d, float[] ct, int k, float[] out) {
+        int bound = S.loopBound(k);
+        int t = 0;
+        for (; t + 4 <= n; t += 4) {
+            int a0 = t * d, a1 = a0 + d, a2 = a1 + d, a3 = a2 + d;
+            int o0 = t * k, o1 = o0 + k, o2 = o1 + k, o3 = o2 + k;
+            int c = 0;
+            for (; c < bound; c += S.length()) {
+                FloatVector acc0 = FloatVector.zero(S);
+                FloatVector acc1 = FloatVector.zero(S);
+                FloatVector acc2 = FloatVector.zero(S);
+                FloatVector acc3 = FloatVector.zero(S);
+                for (int i = 0; i < d; i++) {
+                    FloatVector cv = FloatVector.fromArray(S, ct, i * k + c);
+                    acc0 = acc0.add(cv.mul(toks[a0 + i]));
+                    acc1 = acc1.add(cv.mul(toks[a1 + i]));
+                    acc2 = acc2.add(cv.mul(toks[a2 + i]));
+                    acc3 = acc3.add(cv.mul(toks[a3 + i]));
+                }
+                acc0.intoArray(out, o0 + c);
+                acc1.intoArray(out, o1 + c);
+                acc2.intoArray(out, o2 + c);
+                acc3.intoArray(out, o3 + c);
+            }
+            for (; c < k; c++) {
+                float p0 = 0f, p1 = 0f, p2 = 0f, p3 = 0f;
+                for (int i = 0; i < d; i++) {
+                    float cv = ct[i * k + c];
+                    p0 += cv * toks[a0 + i];
+                    p1 += cv * toks[a1 + i];
+                    p2 += cv * toks[a2 + i];
+                    p3 += cv * toks[a3 + i];
+                }
+                out[o0 + c] = p0;
+                out[o1 + c] = p1;
+                out[o2 + c] = p2;
+                out[o3 + c] = p3;
+            }
+        }
+        for (; t < n; t++) {
+            int a0 = t * d, o0 = t * k;
+            int c = 0;
+            for (; c < bound; c += S.length()) {
+                FloatVector acc0 = FloatVector.zero(S);
+                for (int i = 0; i < d; i++) {
+                    FloatVector cv = FloatVector.fromArray(S, ct, i * k + c);
+                    acc0 = acc0.add(cv.mul(toks[a0 + i]));
+                }
+                acc0.intoArray(out, o0 + c);
+            }
+            for (; c < k; c++) {
+                float p0 = 0f;
+                for (int i = 0; i < d; i++) {
+                    p0 += ct[i * k + c] * toks[a0 + i];
+                }
+                out[o0 + c] = p0;
+            }
+        }
+    }
+
     private static int argmax(float[] s, int k) {
         int best = 0;
         float bs = Float.NEGATIVE_INFINITY;

@@ -20,12 +20,6 @@ final class CoarseQuantizer(val centroids: Array[Array[Float]]) extends Serializ
   def numCentroids: Int = centroids.length
   def dim: Int = centroids.headOption.map(_.length).getOrElse(0)
 
-  private def ip(a: Array[Float], b: Array[Float]): Float = {
-    var s = 0.0f; var i = 0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
-    s
-  }
-
   /** argmax inner product; deterministic tie-break = lowest centroid id.
     * Delegates to the block kernel so single-vector and batch assignment
     * share one canonical accumulation order (bit-identical results). */
@@ -116,11 +110,50 @@ final class CoarseQuantizer(val centroids: Array[Array[Float]]) extends Serializ
   }
 
   /** all centroid scores for one vector (inner products). */
-  def scoreAll(vec: Array[Float]): Array[Float] = {
-    val out = new Array[Float](numCentroids)
-    var c = 0
-    while (c < numCentroids) { out(c) = ip(vec, centroids(c)); c += 1 }
+  def scoreAll(vec: Array[Float]): Array[Float] = scoreBlock(vec, 1)
+
+  /** Full (n x numCentroids) score matrix for a block of flattened
+    * row-major vectors — the planning-side sibling of [[assignBlock]]
+    * (Searcher.computePlan's matrix fill IS this shape; at production
+    * scale, nc=65536 x nq=32 x dim sequential dots were the remaining
+    * driver-side planning cost). Same dispatch and the same
+    * lane-per-centroid accumulation order as assignment: bit-identical to
+    * the per-centroid sequential dot at any vector width. */
+  def scoreBlock(vecs: Array[Float], n: Int): Array[Float] = {
+    val k = numCentroids
+    val d = dim
+    require(vecs.length == n * d, s"scoreBlock: ${vecs.length} floats != $n x $d")
+    val out = new Array[Float](n * k)
+    if (n == 0 || k == 0) return out
+    CoarseQuantizer.simdScoreKernel match {
+      case Some(m) =>
+        m.invoke(null, vecs, Int.box(n), Int.box(d), flatT, Int.box(k), out)
+      case None => scoreBlockScalar(vecs, n, out)
+    }
     out
+  }
+
+  /** Scalar twin of [[AssignKernel.scoreBlock]] with the identical
+    * accumulation order (see [[assignBlockScalar]]). */
+  private[graft] def scoreBlockScalar(vecs: Array[Float], n: Int,
+      out: Array[Float]): Unit = {
+    val k = numCentroids
+    val d = dim
+    val ct = flatT
+    var t = 0
+    while (t < n) {
+      val ao = t * d
+      val oo = t * k
+      var i = 0
+      while (i < d) {
+        val tv = vecs(ao + i)
+        val ro = i * k
+        var c = 0
+        while (c < k) { out(oo + c) += tv * ct(ro + c); c += 1 }
+        i += 1
+      }
+      t += 1
+    }
   }
 
   /** top-k (centroid, score) by inner product, descending. */
@@ -156,6 +189,15 @@ object CoarseQuantizer {
       Some(Class.forName("graft.quantizers.AssignKernel").getMethod("assignBlock",
         classOf[Array[Float]], classOf[Int], classOf[Int],
         classOf[Array[Float]], classOf[Int], classOf[Array[Int]]))
+    } catch { case _: Throwable => None }
+
+  /** [[AssignKernel.scoreBlock]], resolved under the same module probe. */
+  private[quantizers] lazy val simdScoreKernel: Option[java.lang.reflect.Method] =
+    try {
+      Class.forName("jdk.incubator.vector.FloatVector")
+      Some(Class.forName("graft.quantizers.AssignKernel").getMethod("scoreBlock",
+        classOf[Array[Float]], classOf[Int], classOf[Int],
+        classOf[Array[Float]], classOf[Int], classOf[Array[Float]]))
     } catch { case _: Throwable => None }
 
   /** Max training points per centroid — the Faiss Clustering default

@@ -263,10 +263,16 @@ object Searcher {
       throw new IllegalStateException(s"field ${v.field} is not trained"))
     val nq = v.queryTokens.length
     val nc = cq.numCentroids
-    val m = new Array[Float](nq * nc)
+    // one SIMD-kernel block fill for the whole (nq x nc) matrix — the
+    // matrix IS scoreBlock's output layout (CoarseQuantizer.scoreBlock)
+    val dim = cq.dim
+    val flat = new Array[Float](nq * dim)
     v.queryTokens.zipWithIndex.foreach { case (tok, i) =>
-      System.arraycopy(cq.scoreAll(tok), 0, m, i * nc, nc)
+      require(tok.length == dim,
+        s"query token has length ${tok.length}, expected dim $dim")
+      System.arraycopy(tok, 0, flat, i * dim, dim)
     }
+    val m = cq.scoreBlock(flat, nq)
     (m, topCentroids(m, nq, nc, math.min(opts.kTopCentroids, nc), opts.nProbe))
   }
 

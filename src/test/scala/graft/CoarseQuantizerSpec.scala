@@ -65,6 +65,34 @@ class CoarseQuantizerSpec extends AnyFunSuite {
     }
   }
 
+  test("scoreBlock == scalar twin == sequential per-centroid dots, bit-exact") {
+    for (seed <- 0 until 3; k <- Seq(5, 16, 67); dim <- Seq(7, 16)) {
+      val cq = mkQuantizer(k, dim, seed)
+      val rnd = new scala.util.Random(seed + 2000)
+      for (n <- Seq(1, 4, 5)) {
+        val vecs = Array.fill(n)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+        val flat = new Array[Float](n * dim)
+        vecs.zipWithIndex.foreach { case (v, i) =>
+          System.arraycopy(v, 0, flat, i * dim, dim)
+        }
+        val dispatched = cq.scoreBlock(flat, n)
+        val scalar = new Array[Float](n * k)
+        cq.scoreBlockScalar(flat, n, scalar)
+        assert(dispatched.toSeq == scalar.toSeq,
+          s"SIMD vs scalar scores diverged: seed=$seed k=$k dim=$dim n=$n")
+        // the canonical order: per centroid, a sequential dim-ascending dot
+        val naive = vecs.flatMap(v => cq.centroids.map { c =>
+          var s = 0f; var i = 0
+          while (i < dim) { s += v(i) * c(i); i += 1 }
+          s
+        })
+        assert(scalar.toSeq == naive.toSeq,
+          s"scalar vs naive scores diverged: seed=$seed k=$k dim=$dim n=$n")
+        assert(cq.scoreAll(vecs(0)).toSeq == dispatched.take(k).toSeq)
+      }
+    }
+  }
+
   test("assignBlock rejects a mis-sized flat array") {
     val cq = mkQuantizer(4, 8, 0)
     intercept[IllegalArgumentException](cq.assignBlock(new Array[Float](9), 1))

@@ -128,6 +128,33 @@ object ProfMain {
           }
         }
         println(s"[prof] probes: ${last.length}")
+        // the other half of computePlan: the (nq x nc) matrix fill itself,
+        // old per-centroid sequential dots vs the SIMD scoreBlock
+        val dimp = 128
+        val cents = Array.fill(nc)(Array.fill(dimp)(rnd.nextFloat() * 2f - 1f))
+        val cqp = new graft.quantizers.CoarseQuantizer(cents)
+        val qflat = Array.fill(nq * dimp)(rnd.nextFloat() * 2f - 1f)
+        def oldFill(): Array[Float] = {
+          val out = new Array[Float](nq * nc)
+          var t = 0
+          while (t < nq) {
+            var c = 0
+            while (c < nc) {
+              val ce = cents(c); var s = 0f; var i = 0
+              while (i < dimp) { s += qflat(t * dimp + i) * ce(i); i += 1 }
+              out(t * nc + c) = s; c += 1
+            }
+            t += 1
+          }
+          out
+        }
+        (1 to 2).foreach { _ => cqp.scoreBlock(qflat, nq); oldFill() } // warmup
+        (1 to 3).foreach { i =>
+          var a: Array[Float] = null; var b: Array[Float] = null
+          time(s"matrix fill dots #$i") { a = oldFill() }
+          time(s"matrix fill simd #$i") { b = cqp.scoreBlock(qflat, nq) }
+          assert(a.toSeq == b.toSeq, "matrix fill diverged")
+        }
       case "assign" =>
         // centroid-assignment throughput at production K (VERDICT r7 #3):
         // sf0.1 embeddings as the token stream, K=4096 random centroids.
