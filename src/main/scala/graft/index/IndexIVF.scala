@@ -932,6 +932,11 @@ object IndexIVF {
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[IndexIVF])
 
+  /** Last row count seen by the small-add clamp listener (test hook — the
+    * listener bus is async, so specs poll this; -1 until any single-task
+    * write has reported). */
+  private[graft] val lastSmallAddRows = new java.util.concurrent.atomic.AtomicLong(-1L)
+
   /** Once per session: watch write executions for the `graft.smallAdd`
     * observed metric and warn when the single-task path carried more rows
     * than the clamp — the cheap runtime complement to the plan-time stats
@@ -946,6 +951,7 @@ object IndexIVF {
           qe.observedMetrics.get("graft.smallAdd").foreach { row =>
             val rows = row.getLong(row.fieldIndex("rows"))
             val cap = row.getLong(row.fieldIndex("cap"))
+            lastSmallAddRows.set(rows)
             if (rows > cap) log.warn(
               s"small-add single-task postings write carried $rows rows " +
                 s"(clamp $cap): the optimizer size estimate under-measured " +

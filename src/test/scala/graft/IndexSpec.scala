@@ -314,6 +314,20 @@ class IndexSpec extends AnyFunSuite {
     assert(!gone.contains(3L))
   }
 
+  test("small-add clamp observes the single-task write's actual row count") {
+    // the observe() metric is the execution-time backstop for the plan-time
+    // size estimate: prove the listener actually receives it on a write
+    // action (observedMetrics on command executions is a Spark subtlety
+    // worth pinning), so the over-clamp warning path is live
+    IndexIVF.lastSmallAddRows.set(-1L)
+    freshIndex(QuantizerKind.NONE) // add() routes small postings appends single-task
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (IndexIVF.lastSmallAddRows.get() < 0 && System.nanoTime() < deadline)
+      Thread.sleep(50) // listener bus is async
+    val rows = IndexIVF.lastSmallAddRows.get()
+    assert(rows > 0, "small-add observe metric never reached the listener")
+  }
+
   test("compact() rewrites only partitions containing tombstoned rows (targeted)") {
     val idx = freshIndex(QuantizerKind.NONE)
     idx.add(tenant = 2, docsDf)
