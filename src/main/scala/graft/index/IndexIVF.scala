@@ -191,18 +191,40 @@ final class IndexIVF private (
       cq.save(p(s"_meta/${f.name}.centroids.json"))
 
       // sqrt-subsample above 1e5 embeddings (index.cpp:260-280); residuals
-      // computed executor-side against broadcast centroids
+      // computed executor-side against broadcast centroids. Assignment runs
+      // through the GEMM-shaped block kernel in partition-local chunks —
+      // per-token scans of the whole centroid matrix are the O(sample*K)
+      // term of codec training once K grows with the corpus (bit-identical
+      // ids either way, CoarseQuantizerSpec)
       def sampledResiduals: DataFrame = {
         val n = tokens.count()
         val sampled = if (n > 1e5.toLong)
           tokens.sample(withReplacement = false, math.sqrt(n.toDouble) / n, 42L)
         else tokens
         val bc = spark.sparkContext.broadcast(cq)
-        val residualUdf = udf { (vec: Seq[Float]) =>
-          val v = vec.toArray
-          bc.value.residual(v, bc.value.assign(v)).toSeq
-        }
-        sampled.select(residualUdf(col("vec")).as("r"))
+        import spark.implicits._
+        sampled.select(col("vec")).as[Seq[Float]].mapPartitions { it =>
+          val cq = bc.value
+          val d = cq.dim
+          it.grouped(1024).flatMap { chunk =>
+            val m = chunk.length
+            val flat = new Array[Float](m * d)
+            var i = 0
+            while (i < m) {
+              val v = chunk(i)
+              require(v.length == d,
+                s"token vector has length ${v.length}, expected dim $d")
+              var j = 0
+              while (j < d) { flat(i * d + j) = v(j); j += 1 }
+              i += 1
+            }
+            val assigned = cq.assignBlock(flat, m)
+            chunk.indices.map { i =>
+              cq.residual(java.util.Arrays.copyOfRange(flat, i * d, (i + 1) * d),
+                assigned(i)).toSeq
+            }
+          }
+        }.toDF("r")
       }
 
       val quant: Quantizer = params.quantizerKind match {
