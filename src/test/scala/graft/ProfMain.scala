@@ -201,78 +201,6 @@ object ProfMain {
             f"block ${sNew}%8.3f s (${n / sNew / 1e3}%8.1f ktok/s)  " +
             f"speedup ${sOld / sNew}%5.2f x")
         }
-      case "assignv" =>
-        // scratch kernel-variant comparison (not shipped)
-        val rnd = new scala.util.Random(11)
-        val k = 4096; val d = 64; val n = 2000
-        val cents = new Array[Float](k * d)
-        (0 until k * d).foreach(i => cents(i) = rnd.nextFloat() * 2f - 1f)
-        val toks = new Array[Float](n * d)
-        (0 until n * d).foreach(i => toks(i) = rnd.nextFloat() * 2f - 1f)
-        def vSeq(): Long = { // baseline: plain reduction chain
-          var h = 0L; var t = 0
-          while (t < n) {
-            var best = 0; var bs = Float.NegativeInfinity; var c = 0
-            while (c < k) {
-              var s = 0f; var i = 0
-              while (i < d) { s += toks(t * d + i) * cents(c * d + i); i += 1 }
-              if (s > bs) { bs = s; best = c }
-              c += 1
-            }
-            h += best; t += 1
-          }
-          h
-        }
-        def vArr(): Long = { // float[8] array accumulator (SLP-friendly?)
-          var h = 0L; var t = 0
-          val acc = new Array[Float](8)
-          while (t < n) {
-            var best = 0; var bs = Float.NegativeInfinity; var c = 0
-            while (c < k) {
-              java.util.Arrays.fill(acc, 0f)
-              var i = 0
-              while (i < d) {
-                var j = 0
-                while (j < 8) { acc(j) += toks(t * d + i + j) * cents(c * d + i + j); j += 1 }
-                i += 8
-              }
-              val s = ((acc(0) + acc(1)) + (acc(2) + acc(3))) + ((acc(4) + acc(5)) + (acc(6) + acc(7)))
-              if (s > bs) { bs = s; best = c }
-              c += 1
-            }
-            h += best; t += 1
-          }
-          h
-        }
-        val centsT = new Array[Float](k * d) // dim-major: row i holds all k centroids' dim i
-        (0 until k).foreach(c => (0 until d).foreach(i => centsT(i * k + c) = cents(c * d + i)))
-        def vScores(): Long = { // transposed elementwise-FMA formulation (array-to-array SLP)
-          var h = 0L
-          val scores = new Array[Float](k)
-          var t = 0
-          while (t < n) {
-            java.util.Arrays.fill(scores, 0f)
-            var i = 0
-            while (i < d) {
-              val tv = toks(t * d + i)
-              val ro = i * k
-              var c = 0
-              while (c < k) { scores(c) += tv * centsT(ro + c); c += 1 }
-              i += 1
-            }
-            var best = 0; var bs = Float.NegativeInfinity; var c = 0
-            while (c < k) { val s = scores(c); if (s > bs) { bs = s; best = c }; c += 1 }
-            h += best; t += 1
-          }
-          h
-        }
-        (1 to 3).foreach { r =>
-          Seq("seq" -> (() => vSeq()), "arr8" -> (() => vArr()), "scoresT" -> (() => vScores()))
-            .foreach { case (lbl, f) =>
-              val t0 = System.nanoTime(); val x = f(); val dt = (System.nanoTime() - t0) / 1e9
-              println(f"[prof] $lbl%-8s #$r ${dt}%7.3f s (${n / dt / 1e3}%7.1f ktok/s) [$x]")
-            }
-        }
       case "jaccard" => profJaccard(spark, dir)
       case "jaccard2" => profJaccard2(spark, dir)
       case "scale" => profScale(spark)
