@@ -1,0 +1,101 @@
+package graft
+
+import graft.core._
+import graft.index.IndexIVF
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based lifecycle test for the epoch/tombstone delete machinery
+  * (IndexIVF.scala): a seeded-random interleaving of add / remove /
+  * removeDeferred / compact / update is replayed against a driver-side model
+  * (the set of ids that SHOULD be visible), and after every step the index's
+  * visible doc set — through the `live()` read funnel, i.e. with pending
+  * tombstones applied at their epochs — must equal the model in both the
+  * docs and scalars tables. This is the generalization of the targeted
+  * IndexSpec cases (removeDeferred -> re-add -> compact, double tombstone,
+  * update-after-removeDeferred): ANY interleaving must respect epoch
+  * ordering, not just the three hand-picked ones. A second tenant ingested
+  * up front must come out untouched (tenant isolation under randomized
+  * maintenance). Reference semantics: synchronous mapping-CF deletes
+  * (lintdb/invlists/RocksdbInvertedList.cpp:22-95) composed with
+  * read-modify-write never lose a re-added doc. */
+class IndexLifecycleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val schema = GSchema(Seq(
+    GField.indexedStored("val", GDataType.INTEGER),
+    GField.stored("body", GDataType.TEXT)))
+
+  private def docsFor(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(i => (i, i * 10, s"doc-$i")).toDF("id", "val", "body")
+  }
+
+  private def visible(idx: IndexIVF, tenant: Long): Set[Long] = {
+    import org.apache.spark.sql.functions.col
+    val d = idx.docsDf.filter(col("tenant") === tenant)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val s = idx.scalarsDf.filter(col("tenant") === tenant)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(d == s, s"docs and scalars tables disagree on visible ids: " +
+      s"docs-only ${d diff s}, scalars-only ${s diff d}")
+    d
+  }
+
+  test("random add/remove/removeDeferred/compact/update interleavings match the model") {
+    val path = java.nio.file.Files.createTempDirectory("idx_lifecycle").toString
+    val idx = IndexIVF.create(spark, path, schema)
+    val rnd = new scala.util.Random(20260813L)
+    val idPool = (0L until 12L).toSeq
+
+    // tenant-2 fixture: must survive every tenant-1 op below unchanged
+    idx.add(tenant = 2, docsFor(Seq(3L, 5L, 7L)))
+
+    var model = Set.empty[Long] // ids visible in tenant 1
+    idx.add(tenant = 1, docsFor(idPool.take(6)))
+    model ++= idPool.take(6)
+
+    def someIds(): Seq[Long] = {
+      val n = 1 + rnd.nextInt(3)
+      Seq.fill(n)(idPool(rnd.nextInt(idPool.length))).distinct
+    }
+
+    val ops = (1 to 22).map(_ => rnd.nextInt(10))
+    ops.zipWithIndex.foreach { case (op, step) =>
+      val trace = new StringBuilder(s"step $step: ")
+      op match {
+        case 0 | 1 | 2 =>
+          // add (re-add included: a pending tombstone must NOT hide these)
+          val ids = someIds()
+          trace ++= s"add(${ids.mkString(",")})"
+          idx.add(1, docsFor(ids)); model ++= ids
+        case 3 | 4 =>
+          val ids = someIds()
+          trace ++= s"remove(${ids.mkString(",")})"
+          idx.remove(1, ids); model --= ids
+        case 5 | 6 =>
+          // deferred delete hides immediately through live()
+          val ids = someIds()
+          trace ++= s"removeDeferred(${ids.mkString(",")})"
+          idx.removeDeferred(1, ids); model --= ids
+        case 7 =>
+          trace ++= "compact()"
+          idx.compact() // applies pending tombstones; no visible change
+        case 8 =>
+          val ids = someIds()
+          trace ++= s"update(${ids.mkString(",")})"
+          idx.update(1, docsFor(ids)); model ++= ids
+        case 9 =>
+          trace ++= "compactFiles()"
+          idx.compactFiles() // pure file hygiene; no visible change
+      }
+      assert(visible(idx, 1) == model, s"$trace: visible set diverged from model")
+    }
+
+    // final compact + reopen: physical state must still match the model, and
+    // tenant 2 must be exactly its original ingest
+    idx.compact()
+    val reopened = IndexIVF.open(spark, path)
+    assert(visible(reopened, 1) == model, "post-compact reopen diverged from model")
+    assert(visible(reopened, 2) == Set(3L, 5L, 7L), "tenant-2 fixture was disturbed")
+  }
+}
