@@ -28,7 +28,8 @@ object SparkEntry {
       "q_engine_search_oracle", "q_engine_batch_search_oracle",
       "q_multimodal_frames",
       "q_dedup_minhash_md5", "q_dedup_simhash_md5", "q_neardup_ivf",
-      "q_dedup_clusters", "q_train_split", "q_corpus_select"))
+      "q_dedup_clusters", "q_train_split", "q_corpus_select",
+      "q_quality_repetition", "q_decontaminate", "q_source_cap", "q_lang_mix"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Two-phase IVF vector search — the reference's core query shape. */

@@ -59,6 +59,21 @@ object TextPipeline {
   private[graft] val LshBits = 10
   private[graft] val LshPlanes = LshBands * LshBits
 
+  /** Decontamination window in tokens: a document sharing any
+    * [[DeconNgram]]-token shingle with the benchmark set is flagged as
+    * contaminated — the published eval-decontamination setups (GPT-3
+    * appendix C, PaLM) use 8-13-token windows; 8 is the strict end. The
+    * deterministic stand-in benchmark set is every doc_id divisible by
+    * [[DeconBenchMod]] (a real pipeline would read the eval suites). */
+  private[graft] val DeconNgram = 8
+  private[graft] val DeconBenchMod = 31
+
+  /** Per-source document cap for q_source_cap (domain-cap pipeline rule). */
+  private[graft] val SourceCap = 20
+
+  /** Fixed-point scale for q_lang_mix sampling rates (mils). */
+  private[graft] val MixScale = 1000
+
   /** Session-conf knobs for every cap / banding constant above, so a
     * 100 TB operator can re-tune per-corpus without a rebuild (same
     * pattern as `graft.index.maxTargetedPartitions`). Defaults are the
@@ -1046,6 +1061,149 @@ object TextPipeline {
         .select(col("a_id"), col("b_id"), round(dot(col("ua"), col("ub")), 4).as("cos"))
         .filter(col("cos") >= 0.2)
         .orderBy(col("cos").desc, col("a_id"), col("b_id"))
+    },
+
+    // TA2b — repetition-based quality signals (the Gopher/MassiveText
+    // repetition rules re-expressed over whitespace tokens): most-frequent-
+    // token fraction and duplicate-2-gram fraction, with an integer-gate
+    // `flagged` verdict (x5 > n avoids any float-compare hazard between
+    // engines). Every signal is computed PER ROW from the token array
+    // (transform/filter/array_distinct — all codegen'd collection
+    // expressions): zero shuffles at any corpus size, the ideal 100 TB
+    // shape. The O(u*n) per-row top-token scan is bounded by document
+    // length, not corpus size.
+    sql("q_quality_repetition", Seq("TA2"),
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id, len(toks) AS n_toks,
+        |  list_max([len(list_filter(toks, y -> y = x)) for x in list_distinct(toks)]) AS top_cnt,
+        |  CASE WHEN len(toks) >= 2
+        |    THEN len(toks) - 1 - len(list_distinct([array_to_string(toks[n:n+1], ' ') for n in range(1, len(toks))]))
+        |    ELSE 0 END AS dup2
+        |  FROM d)
+        |SELECT doc_id, n_toks,
+        |  floor(top_cnt * 1.0 / n_toks * 10000 + 0.5) / 10000 AS top_tok_frac,
+        |  CASE WHEN n_toks >= 2 THEN floor(dup2 * 1.0 / (n_toks - 1) * 10000 + 0.5) / 10000
+        |       ELSE 0.0 END AS dup_2gram_frac,
+        |  (top_cnt * 5 > n_toks OR dup2 * 5 > n_toks - 1) AS flagged
+        |FROM f ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val nToks = size(toks)
+        val topCnt = array_max(transform(array_distinct(toks),
+          x => size(filter(toks, y => y === x))))
+        val twoGrams = transform(sequence(lit(1), nToks - 1),
+          n => array_join(slice(toks, n, lit(2)), " "))
+        val dup2 = when(nToks >= 2, nToks - 1 - size(array_distinct(twoGrams)))
+          .otherwise(0)
+        docs(s, dir)
+          .select(col("doc_id"), nToks.cast("long").as("n_toks"),
+            topCnt.cast("long").as("top_cnt"), dup2.cast("long").as("dup2"))
+          .select(col("doc_id"), col("n_toks"),
+            QueryDef.floorRound(col("top_cnt") * lit(1.0) / col("n_toks"), 4)
+              .as("top_tok_frac"),
+            when(col("n_toks") >= 2,
+              QueryDef.floorRound(col("dup2") * lit(1.0) / (col("n_toks") - 1), 4))
+              .otherwise(lit(0.0)).as("dup_2gram_frac"),
+            (col("top_cnt") * 5 > col("n_toks") ||
+              col("dup2") * 5 > col("n_toks") - 1).as("flagged"))
+          .orderBy("doc_id")
+    },
+
+    // D7 — benchmark decontamination: flag any training document sharing an
+    // 8-token shingle with the (deterministic stand-in) benchmark set —
+    // the eval-leak guard every LLM training pipeline runs before a corpus
+    // ships. Scale shape: per-doc-distinct shingles are built PER ROW
+    // (array_distinct before explode — no dedup shuffle), the benchmark
+    // shingle set is metadata-sized (eval suites, ~1e6 shingles at
+    // production scale) so the membership probe is a BROADCAST semi-join,
+    // and the only shuffle is the output-sized per-doc hit count.
+    sql("q_decontaminate", Seq("D7"),
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= $DeconNgram
+        |        THEN [array_to_string(toks[n:n+${DeconNgram - 1}], ' ') for n in range(1, len(toks) - ${DeconNgram - 2})]
+        |        ELSE [] END)) AS sh FROM d),
+        |bench AS (SELECT DISTINCT sh FROM s WHERE doc_id % $DeconBenchMod = 0),
+        |hits AS (SELECT s.doc_id, count(*) AS n_hits FROM s JOIN bench USING (sh)
+        |         WHERE s.doc_id % $DeconBenchMod <> 0 GROUP BY s.doc_id)
+        |SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits,
+        |  coalesce(n_hits, 0) > 0 AS contaminated
+        |FROM d LEFT JOIN hits USING (doc_id) WHERE d.doc_id % $DeconBenchMod <> 0
+        |ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val d = docs(s, dir)
+        val shArr = array_distinct(when(size(toks) >= DeconNgram,
+          transform(sequence(lit(1), size(toks) - (DeconNgram - 1)),
+            n => array_join(slice(toks, n, lit(DeconNgram)), " ")))
+          .otherwise(array().cast("array<string>")))
+        val sh = d.select(col("doc_id"), explode(shArr).as("sh"))
+        val bench = sh.filter(col("doc_id") % DeconBenchMod === 0)
+          .select("sh").distinct()
+        val hits = sh.filter(col("doc_id") % DeconBenchMod =!= 0)
+          .join(broadcast(bench), Seq("sh"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        d.filter(col("doc_id") % DeconBenchMod =!= 0).select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+          .orderBy("doc_id")
+    },
+
+    // TA7 — per-source document cap (the per-domain cap rule of web-corpus
+    // pipelines: no single domain may dominate the corpus). Deterministic
+    // keeper order: longest documents first, doc_id tiebreak. One window
+    // shuffle partitioned by source — at 100 TB a hot source partitions the
+    // window, which is exactly the skew AQE handles; the rank itself is a
+    // streaming computation per partition, no buffering.
+    sql("q_source_cap", Seq("TA7"),
+      s"""WITH r AS (SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, rk, rk <= $SourceCap AS kept FROM r
+        |ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+        docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            row_number().over(w).cast("long").as("rk"))
+          .select(col("doc_id"), col("source"), col("rk"),
+            (col("rk") <= SourceCap).as("kept"))
+          .orderBy("doc_id")
+    },
+
+    // TA8 — temperature-style language rebalancing (corpus mixing): each
+    // language's keep-rate is sqrt(n_min/n_s) in fixed-point mils — the
+    // sqrt-temperature downsampling used to stop a dominant language
+    // swamping a multilingual corpus — gated per document by the proven
+    // md5-mod construction, so the sample is a pure function of doc_id
+    // (corpus growth or re-runs never flip earlier keep decisions within a
+    // language's unchanged rate). Scale shape: one metadata-sized groupBy
+    // for the language counts, broadcast back; the per-doc gate is scalar
+    // column work with no shuffle.
+    sql("q_lang_mix", Seq("TA8"),
+      s"""WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_s) AS n_min FROM c),
+        |r AS (SELECT lang, floor(sqrt(n_min * 1.0 / n_s) * $MixScale)::BIGINT AS rate_mils
+        |      FROM c, m),
+        |h AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 15))::BIGINT % $MixScale AS hb
+        |  FROM documents)
+        |SELECT h.doc_id, h.lang, r.rate_mils, hb < r.rate_mils AS keep
+        |FROM h JOIN r USING (lang) ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val d = docs(s, dir)
+        val c = d.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+        val m = c.agg(min(col("n_s")).as("n_min"))
+        val r = c.crossJoin(broadcast(m))
+          .select(col("lang"),
+            floor(sqrt(col("n_min") * lit(1.0) / col("n_s")) * MixScale)
+              .cast("long").as("rate_mils"))
+        val h = d.select(col("doc_id"), col("lang"),
+          (conv(substring(md5(concat(lit("mix"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % MixScale).as("hb"))
+        h.join(broadcast(r), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("rate_mils"),
+            (col("hb") < col("rate_mils")).as("keep"))
+          .orderBy("doc_id")
     }
   )
 }
