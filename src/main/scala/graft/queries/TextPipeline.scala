@@ -134,6 +134,20 @@ object TextPipeline {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.t(s, dir, "documents")
 
+  /** Per-row distinct [[DeconNgram]]-token shingles of a text column — the
+    * decontamination kernel, shared by batch `q_decontaminate` and the
+    * streaming ingest guard ([[graft.streaming.StreamingIngest
+    * .decontaminatedStream]]) so the two paths can never drift. Pure
+    * collection expressions (codegen'd, zero shuffle); documents shorter
+    * than the window yield an empty array. */
+  private[graft] def deconShingles(textCol: Column): Column = {
+    val t = split(textCol, " ")
+    array_distinct(when(size(t) >= DeconNgram,
+      transform(sequence(lit(1), size(t) - (DeconNgram - 1)),
+        n => array_join(slice(t, n, lit(DeconNgram)), " ")))
+      .otherwise(array().cast("array<string>")))
+  }
+
   /** "No silent caps" without a dedicated count job: the hot-key set is tiny
     * (it rides a broadcast), so a pass-through UDF on it ticks a long
     * accumulator while the broadcast relation is built, and a session-level
@@ -1130,11 +1144,7 @@ object TextPipeline {
         |ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
         val d = docs(s, dir)
-        val shArr = array_distinct(when(size(toks) >= DeconNgram,
-          transform(sequence(lit(1), size(toks) - (DeconNgram - 1)),
-            n => array_join(slice(toks, n, lit(DeconNgram)), " ")))
-          .otherwise(array().cast("array<string>")))
-        val sh = d.select(col("doc_id"), explode(shArr).as("sh"))
+        val sh = d.select(col("doc_id"), explode(deconShingles(col("text"))).as("sh"))
         val bench = sh.filter(col("doc_id") % DeconBenchMod === 0)
           .select("sh").distinct()
         val hits = sh.filter(col("doc_id") % DeconBenchMod =!= 0)

@@ -57,6 +57,48 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("simhash"))
 
+  /** Streaming decontamination guard: drop any incoming document that
+    * shares a [[graft.queries.TextPipeline.DeconNgram]]-token shingle with
+    * the benchmark shingle set — the eval-leak filter of a training-data
+    * ingest pipeline, run BEFORE a contaminated doc ever reaches the
+    * corpus (the batch twin, q_decontaminate, audits a corpus after the
+    * fact). Stateless: the shingle array is built per row by the SAME
+    * kernel as the batch operator and probed against a broadcast set, so
+    * this adds zero streaming state and no shuffle at any rate.
+    *
+    * The benchmark set is collected to the driver and broadcast — it is
+    * metadata-sized by nature (the eval suites, ~1e6 shingles at
+    * production scale), and the guard refuses anything bigger than
+    * [[DeconBenchMaxShingles]] loudly rather than silently building an
+    * executor-crushing broadcast. The probe is a short-circuiting `exists`
+    * over the row's own (deduped) shingles.
+    *
+    * `benchShingles` must expose the shingle strings in a column named
+    * `sh` (the shape `TextPipeline.deconShingles` + `explode` produces). */
+  def decontaminatedStream(stream: DataFrame, textCol: String,
+      benchShingles: DataFrame): DataFrame = {
+    import graft.queries.TextPipeline
+    val limited = benchShingles.select(col("sh").cast("string"))
+      .distinct().limit(DeconBenchMaxShingles + 1)
+      .collect().map(_.getString(0)).toSet
+    require(limited.size <= DeconBenchMaxShingles,
+      s"benchmark shingle set exceeds $DeconBenchMaxShingles entries: a set " +
+        "this large should not ride a broadcast — pre-filter the benchmark " +
+        "suites or raise the limit deliberately")
+    val bc = stream.sparkSession.sparkContext.broadcast(limited)
+    val contaminated = udf { (shingles: Seq[String]) =>
+      val set = bc.value
+      shingles.exists(set.contains)
+    }
+    stream.filter(!contaminated(TextPipeline.deconShingles(col(textCol))))
+  }
+
+  /** Hard cap on the broadcast benchmark shingle set (entries). ~10M short
+    * strings is on the order of a few hundred MB broadcast — already
+    * generous; past that the right design is a stream-static join, not a
+    * bigger broadcast. */
+  val DeconBenchMaxShingles: Int = 10 * 1000 * 1000
+
   /** Gap-based session windows over a `ts`-timestamped event stream: one
     * output row per (user, session), session end = last event + gap (Spark
     * `session_window` semantics). The SAME plan serves the batch operator

@@ -120,6 +120,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected < docs.count() * 2, "duplicated input actually collapsed")
   }
 
+  test("streaming decontamination guard drops docs sharing an 8-gram with the benchmark") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    // benchmark = the q_decontaminate stand-in set (doc_id % 31), via the
+    // SHARED kernel — the batch operator's own definition of contamination
+    val bench = docs.filter(col("doc_id") % 31 === 0)
+      .select(explode(graft.queries.TextPipeline.deconShingles(col("text"))).as("sh"))
+    val dir = java.nio.file.Files.createTempDirectory("decon_stream").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val guarded = graft.streaming.StreamingIngest
+      .decontaminatedStream(stream, "text", bench)
+    val qn = s"stream_decon_${System.nanoTime()}"
+    val q = guarded.writeStream.outputMode("append")
+      .format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // batch ground truth: survivors = docs with no benchmark shingle (note
+    // the benchmark docs themselves are self-contaminated and get dropped —
+    // the INGEST guard must never admit benchmark text verbatim, unlike the
+    // batch AUDIT which reports only non-benchmark docs)
+    val benchSet = bench.distinct().collect().map(_.getString(0)).toSet
+    val expected = docs.collect().count { r =>
+      val t = r.getString(1).split(" ")
+      !(t.length >= 8 && t.sliding(8).exists(w => benchSet.contains(w.mkString(" "))))
+    }
+    val got = spark.table(qn).count()
+    assert(got == expected, s"guard admitted $got docs, batch ground truth $expected")
+    assert(got < docs.count(), "at least the benchmark docs themselves were dropped")
+  }
+
   test("session windows run identically in batch and as a stream") {
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
     // batch ground truth from the SAME function (watermark is a no-op there)
