@@ -97,6 +97,23 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("repetition signals shuffle nothing; decontamination probe broadcasts (scale invariants)") {
+    // q_quality_repetition: every signal is a per-row collection expression
+    // — the ONLY exchange in the whole plan is the final orderBy's range
+    // partition (deterministic output order for the oracle compare). A hash
+    // exchange appearing would mean a token-level groupBy crept in.
+    val rep = graft.SparkEntry.queries("q_quality_repetition")(spark, sf)
+    val repPlan = rep.queryExecution.executedPlan.toString
+    assert(!repPlan.contains("hashpartitioning"), repPlan)
+    // q_decontaminate: the benchmark membership probe must be a broadcast
+    // join, never a sort-merge join — at 100 TB the corpus-side shingle
+    // stream cannot be shuffled by shingle string
+    val dec = graft.SparkEntry.queries("q_decontaminate")(spark, sf)
+    val decPlan = dec.queryExecution.executedPlan.toString
+    assert(!decPlan.contains("SortMergeJoin"), decPlan)
+    assert(decPlan.contains("BroadcastHashJoin"), decPlan)
+  }
+
   test("shingle/signature UDF kernels are bit-identical to the HOF formulation") {
     import org.apache.spark.sql.functions._
     import graft.queries.{Tables, TextPipeline}
