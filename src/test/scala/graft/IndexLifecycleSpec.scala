@@ -45,7 +45,11 @@ class IndexLifecycleSpec extends AnyFunSuite {
     val path = java.nio.file.Files.createTempDirectory("idx_lifecycle").toString
     val idx = IndexIVF.create(spark, path, schema)
     val rnd = new scala.util.Random(20260813L)
-    val idPool = (0L until 12L).toSeq
+    // 20/21 overlap the merge-source ids: a local remove of 20 followed by a
+    // merge re-surfaces it (imported rows carry a fresh local epoch), and a
+    // local re-add of 21 must NOT be hidden by the OTHER index's pending
+    // tombstone on 21 (foreign tombstones are never imported)
+    val idPool = (0L until 12L) :+ 20L :+ 21L
 
     // tenant-2 fixture: must survive every tenant-1 op below unchanged
     idx.add(tenant = 2, docsFor(Seq(3L, 5L, 7L)))
@@ -54,12 +58,21 @@ class IndexLifecycleSpec extends AnyFunSuite {
     idx.add(tenant = 1, docsFor(idPool.take(6)))
     model ++= idPool.take(6)
 
+    // a second index to merge from: docs 20-24 live, 21 under a PENDING
+    // deferred delete — merge must copy only the other side's live rows and
+    // must NOT import its tombstone (21 re-added locally later must survive)
+    val otherPath = java.nio.file.Files.createTempDirectory("idx_lifecycle_other").toString
+    val other = IndexIVF.create(spark, otherPath, schema)
+    other.add(tenant = 1, docsFor(Seq(20L, 21L, 22L, 23L, 24L)))
+    other.removeDeferred(1, Seq(21L))
+    val mergedLive = Set(20L, 22L, 23L, 24L)
+
     def someIds(): Seq[Long] = {
       val n = 1 + rnd.nextInt(3)
       Seq.fill(n)(idPool(rnd.nextInt(idPool.length))).distinct
     }
 
-    val ops = (1 to 22).map(_ => rnd.nextInt(10))
+    val ops = (1 to 22).map(_ => rnd.nextInt(11))
     ops.zipWithIndex.foreach { case (op, step) =>
       val trace = new StringBuilder(s"step $step: ")
       op match {
@@ -87,6 +100,14 @@ class IndexLifecycleSpec extends AnyFunSuite {
         case 9 =>
           trace ++= "compactFiles()"
           idx.compactFiles() // pure file hygiene; no visible change
+        case 10 =>
+          // merge: the other side's live rows become visible (duplicates on
+          // re-merge collapse in the distinct visibility check); its pending
+          // tombstone on 21 applies to ITS copy only and is not imported —
+          // and merge() first compacts any pending LOCAL tombstones, which
+          // changes nothing visible (the model already excludes them)
+          trace ++= "merge(other)"
+          idx.merge(otherPath); model ++= mergedLive
       }
       assert(visible(idx, 1) == model, s"$trace: visible set diverged from model")
     }
