@@ -71,6 +71,11 @@ object TextPipeline {
   /** Per-source document cap for q_source_cap (domain-cap pipeline rule). */
   private[graft] val SourceCap = 20
 
+  /** Salt fan-out for q_source_cap's phase-1 local ranking: a hot source's
+    * sort spreads over this many tasks; the exact phase-2 window then sees
+    * at most SourceCap*CapSalts rows per source. */
+  private[graft] val CapSalts = 8
+
   /** Fixed-point scale for q_lang_mix sampling rates (mils). */
   private[graft] val MixScale = 1000
 
@@ -1158,25 +1163,37 @@ object TextPipeline {
     },
 
     // TA7 — per-source document cap (the per-domain cap rule of web-corpus
-    // pipelines: no single domain may dominate the corpus). Deterministic
-    // keeper order: longest documents first, doc_id tiebreak. One window
-    // shuffle partitioned by source — at 100 TB a hot source partitions the
-    // window, which is exactly the skew AQE handles; the rank itself is a
-    // streaming computation per partition, no buffering.
+    // pipelines: no single domain may dominate the corpus): emit the kept
+    // set — the top-SourceCap docs per source by the deterministic keeper
+    // order (longest first, doc_id tiebreak) — with exact ranks. TWO-PHASE
+    // at scale: a plain source-partitioned window would sort an entire hot
+    // source in ONE task (window partitions are NOT a skew AQE can split —
+    // that machinery is join-only), so phase 1 ranks within (source, salt)
+    // subgroups and keeps each subgroup's local top-C (a row outside its
+    // subgroup's top C cannot be in the source's top C), and phase 2's
+    // exact global window ranks only <= C*CapSalts survivors per source.
+    // The oracle needs no salting — DuckDB computes the full window and
+    // filters; the two-phase plan must hash-match it exactly.
     sql("q_source_cap", Seq("TA7"),
       s"""WITH r AS (SELECT doc_id, source, n_chars,
         |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents)
-        |SELECT doc_id, source, rk, rk <= $SourceCap AS kept FROM r
+        |SELECT doc_id, source, rk FROM r WHERE rk <= $SourceCap
         |ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+        def keepOrder = Seq(col("n_chars").desc, col("doc_id"))
+        val wLocal = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("salt")).orderBy(keepOrder: _*)
+        val wGlobal = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(keepOrder: _*)
         docs(s, dir)
-          .select(col("doc_id"), col("source"),
-            row_number().over(w).cast("long").as("rk"))
-          .select(col("doc_id"), col("source"), col("rk"),
-            (col("rk") <= SourceCap).as("kept"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            pmod(hash(col("doc_id")), lit(CapSalts)).as("salt"))
+          .withColumn("lrk", row_number().over(wLocal))
+          .filter(col("lrk") <= SourceCap)
+          .withColumn("rk", row_number().over(wGlobal).cast("long"))
+          .filter(col("rk") <= SourceCap)
+          .select(col("doc_id"), col("source"), col("rk"))
           .orderBy("doc_id")
     },
 
