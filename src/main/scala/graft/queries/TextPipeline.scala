@@ -1130,34 +1130,48 @@ object TextPipeline {
     // D7 — benchmark decontamination: flag any training document sharing an
     // 8-token shingle with the (deterministic stand-in) benchmark set —
     // the eval-leak guard every LLM training pipeline runs before a corpus
-    // ships. Scale shape: per-doc-distinct shingles are built PER ROW
+    // ships. Reports BOTH the any-hit verdict and the PARTIAL contamination
+    // fraction (hit shingles / doc shingles, integer mils — the
+    // PaLM-style graded measure that separates a quoted sentence from a
+    // wholesale copy; integer fixed-point so no cross-engine float
+    // compare). Scale shape: per-doc-distinct shingles are built PER ROW
     // (array_distinct before explode — no dedup shuffle), the benchmark
     // shingle set is metadata-sized (eval suites, ~1e6 shingles at
     // production scale) so the membership probe is a BROADCAST semi-join,
     // and the only shuffle is the output-sized per-doc hit count.
     sql("q_decontaminate", Seq("D7"),
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |s AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= $DeconNgram
-        |        THEN [array_to_string(toks[n:n+${DeconNgram - 1}], ' ') for n in range(1, len(toks) - ${DeconNgram - 2})]
-        |        ELSE [] END)) AS sh FROM d),
+      s"""WITH d AS (SELECT doc_id, list_distinct(CASE
+        |        WHEN len(string_split(text, ' ')) >= $DeconNgram
+        |        THEN [array_to_string(string_split(text, ' ')[n:n+${DeconNgram - 1}], ' ')
+        |              for n in range(1, len(string_split(text, ' ')) - ${DeconNgram - 2})]
+        |        ELSE [] END) AS shs FROM documents),
+        |s AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM d),
         |bench AS (SELECT DISTINCT sh FROM s WHERE doc_id % $DeconBenchMod = 0),
         |hits AS (SELECT s.doc_id, count(*) AS n_hits FROM s JOIN bench USING (sh)
         |         WHERE s.doc_id % $DeconBenchMod <> 0 GROUP BY s.doc_id)
-        |SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits,
+        |SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits, len(shs) AS n_shingles,
+        |  CASE WHEN len(shs) > 0
+        |       THEN (coalesce(n_hits, 0) * $MixScale) // len(shs) ELSE 0 END AS contam_mils,
         |  coalesce(n_hits, 0) > 0 AS contaminated
         |FROM d LEFT JOIN hits USING (doc_id) WHERE d.doc_id % $DeconBenchMod <> 0
         |ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
-        val d = docs(s, dir)
-        val sh = d.select(col("doc_id"), explode(deconShingles(col("text"))).as("sh"))
+        val d = docs(s, dir).select(col("doc_id"), deconShingles(col("text")).as("shs"))
+        val sh = d.select(col("doc_id"), explode(col("shs")).as("sh"))
         val bench = sh.filter(col("doc_id") % DeconBenchMod === 0)
           .select("sh").distinct()
         val hits = sh.filter(col("doc_id") % DeconBenchMod =!= 0)
           .join(broadcast(bench), Seq("sh"))
           .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-        d.filter(col("doc_id") % DeconBenchMod =!= 0).select(col("doc_id"))
+        d.filter(col("doc_id") % DeconBenchMod =!= 0)
+          .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
           .join(hits, Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            col("n_shingles"),
+            when(col("n_shingles") > 0,
+              floor(coalesce(col("n_hits"), lit(0L)) * MixScale / col("n_shingles"))
+                .cast("long"))
+              .otherwise(lit(0L)).as("contam_mils"),
             (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
           .orderBy("doc_id")
     },
