@@ -581,6 +581,29 @@ object TextPipeline {
       |  UNION
       |  SELECT e.ev, reach.r FROM reach JOIN e ON e.eu = reach.nd)""".stripMargin
 
+  /** The per-source cap's kept set — (doc_id, source, rk) for exactly the
+    * top-[[SourceCap]] docs per source by the deterministic keeper order —
+    * in the two-phase shape (see q_source_cap's scaladoc-comment): salted
+    * local top-C windows bound any hot source's sort, then the exact
+    * window ranks the <= C*[[CapSalts]] survivors. Exact: a row outside
+    * its salted subgroup's top C cannot be in the source's top C, and for
+    * surviving rows rank-among-survivors == global rank in the <= C
+    * regime. Shared by q_source_cap and the composed selection. */
+  private def sourceCapKept(d: DataFrame): DataFrame = {
+    def keepOrder = Seq(col("n_chars").desc, col("doc_id"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("salt")).orderBy(keepOrder: _*)
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(keepOrder: _*)
+    d.select(col("doc_id"), col("source"), col("n_chars"),
+        pmod(hash(col("doc_id")), lit(CapSalts)).as("salt"))
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= SourceCap)
+      .withColumn("rk", row_number().over(wGlobal).cast("long"))
+      .filter(col("rk") <= SourceCap)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
   /** (doc_id, cluster_id) labels for a corpus dir, computed once per
     * session: the propagation's final frame is itself persisted, so the
     * session cache both shares it between q_dedup_clusters and
@@ -1195,18 +1218,7 @@ object TextPipeline {
         |SELECT doc_id, source, rk FROM r WHERE rk <= $SourceCap
         |ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
-        def keepOrder = Seq(col("n_chars").desc, col("doc_id"))
-        val wLocal = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source"), col("salt")).orderBy(keepOrder: _*)
-        val wGlobal = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(keepOrder: _*)
-        docs(s, dir)
-          .select(col("doc_id"), col("source"), col("n_chars"),
-            pmod(hash(col("doc_id")), lit(CapSalts)).as("salt"))
-          .withColumn("lrk", row_number().over(wLocal))
-          .filter(col("lrk") <= SourceCap)
-          .withColumn("rk", row_number().over(wGlobal).cast("long"))
-          .filter(col("rk") <= SourceCap)
+        sourceCapKept(docs(s, dir))
           .select(col("doc_id"), col("source"), col("rk"))
           .orderBy("doc_id")
     },
@@ -1244,6 +1256,114 @@ object TextPipeline {
         h.join(broadcast(r), Seq("lang"))
           .select(col("doc_id"), col("lang"), col("rate_mils"),
             (col("hb") < col("rate_mils")).as("keep"))
+          .orderBy("doc_id")
+    },
+
+    // TA9 — the FULL composed corpus-selection verdict: every curation gate
+    // this engine ships, evaluated per document in one query — language x
+    // quality x duplicate-cluster keeper x deterministic split x
+    // decontamination x sqrt-temperature mixing x per-source cap. This is
+    // the pipeline a training run executes end to end, and the whole
+    // composition is hash-checked against ONE DuckDB query assembled from
+    // the same shared CTE chains / constants as the individual operators
+    // (any drift in any gate breaks the hash). Benchmark stand-in docs are
+    // never `clean` (eval data must not enter a training corpus). Scale
+    // shape = the union of the parts: cached cluster labels, broadcast
+    // benchmark probe, metadata-sized mix rates, two-phase cap — joined on
+    // doc_id (co-partitioned key joins, no new hazards).
+    sql("q_corpus_select_full", Seq("TA1", "TA2", "TA5", "TA7", "TA8", "D6", "D7"),
+      s"""WITH RECURSIVE $clusterCtes,
+        |cc AS (SELECT nd AS doc_id, min(r) AS cluster_id FROM reach GROUP BY nd),
+        |feat AS (SELECT doc_id, lang, source, n_chars,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of')) AS en_s,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'der' OR x = 'die' OR x = 'und')) AS de_s,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'el' OR x = 'los' OR x = 'que')) AS es_s,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'le' OR x = 'les' OR x = 'est')) AS fr_s,
+        |  len(string_split(text, ' ')) AS n_toks,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS h,
+        |  ('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 15))::BIGINT % $MixScale AS hb
+        |  FROM documents),
+        |dshs AS (SELECT doc_id, list_distinct(CASE
+        |        WHEN len(string_split(text, ' ')) >= $DeconNgram
+        |        THEN [array_to_string(string_split(text, ' ')[k:k+${DeconNgram - 1}], ' ')
+        |              for k in range(1, len(string_split(text, ' ')) - ${DeconNgram - 2})]
+        |        ELSE [] END) AS shs FROM documents),
+        |ds AS (SELECT doc_id, unnest(shs) AS dsh FROM dshs),
+        |dbench AS (SELECT DISTINCT dsh FROM ds WHERE doc_id % $DeconBenchMod = 0),
+        |dhits AS (SELECT ds.doc_id, count(*) AS n_hits FROM ds JOIN dbench USING (dsh)
+        |          WHERE ds.doc_id % $DeconBenchMod <> 0 GROUP BY ds.doc_id),
+        |mc AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+        |mr AS (SELECT lang,
+        |       floor(sqrt((SELECT min(n_s) FROM mc) * 1.0 / n_s) * $MixScale)::BIGINT AS rate_mils
+        |       FROM mc),
+        |cap AS (SELECT doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |SELECT f.doc_id,
+        |  (en_s >= de_s AND en_s >= es_s AND en_s >= fr_s) AS lang_ok,
+        |  (n_toks >= 5 AND n_chars - (n_toks - 1) <= 12 * n_toks) AS quality_ok,
+        |  (cc.cluster_id = f.doc_id) AS dedup_keep,
+        |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split,
+        |  (f.doc_id % $DeconBenchMod <> 0 AND coalesce(n_hits, 0) = 0) AS clean,
+        |  (hb < mr.rate_mils) AS mix_keep,
+        |  (cap.rk <= $SourceCap) AS cap_kept,
+        |  ((en_s >= de_s AND en_s >= es_s AND en_s >= fr_s)
+        |    AND (n_toks >= 5 AND n_chars - (n_toks - 1) <= 12 * n_toks)
+        |    AND cc.cluster_id = f.doc_id AND h < 90
+        |    AND (f.doc_id % $DeconBenchMod <> 0 AND coalesce(n_hits, 0) = 0)
+        |    AND hb < mr.rate_mils AND cap.rk <= $SourceCap) AS selected
+        |FROM feat f
+        |JOIN cc ON cc.doc_id = f.doc_id
+        |LEFT JOIN dhits ON dhits.doc_id = f.doc_id
+        |JOIN mr ON mr.lang = f.lang
+        |JOIN cap ON cap.doc_id = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin) {
+      (s, dir) =>
+        val d = docs(s, dir)
+        val cc = clusterLabels(s, dir)
+        def score(words: String*): Column =
+          size(filter(toks, x => words.map(x === _).reduce(_ || _))).cast("long")
+        val feat = d.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          score("the", "a", "of").as("en_s"), score("der", "die", "und").as("de_s"),
+          score("el", "los", "que").as("es_s"), score("le", "les", "est").as("fr_s"),
+          size(toks).cast("long").as("n_toks"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 100).as("h"),
+          (conv(substring(md5(concat(lit("mix"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % MixScale).as("hb"))
+        val shArr = d.select(col("doc_id"), deconShingles(col("text")).as("shs"))
+        val ds = shArr.select(col("doc_id"), explode(col("shs")).as("dsh"))
+        val dbench = ds.filter(col("doc_id") % DeconBenchMod === 0)
+          .select("dsh").distinct()
+        val dhits = ds.filter(col("doc_id") % DeconBenchMod =!= 0)
+          .join(broadcast(dbench), Seq("dsh"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        val mc = d.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+        val mr = mc.crossJoin(broadcast(mc.agg(min(col("n_s")).as("n_min"))))
+          .select(col("lang"),
+            floor(sqrt(col("n_min") * lit(1.0) / col("n_s")) * MixScale)
+              .cast("long").as("rate_mils"))
+        val capKept = sourceCapKept(d).select(col("doc_id"), lit(true).as("ck"))
+        val langOk = col("en_s") >= col("de_s") && col("en_s") >= col("es_s") &&
+          col("en_s") >= col("fr_s")
+        val qualOk = col("n_toks") >= 5 &&
+          (col("n_chars") - (col("n_toks") - 1)) <= lit(12) * col("n_toks")
+        val keeper = col("cluster_id") === col("doc_id")
+        val clean = col("doc_id") % DeconBenchMod =!= 0 &&
+          coalesce(col("n_hits"), lit(0L)) === 0
+        val mixKeep = col("hb") < col("rate_mils")
+        val capOk = coalesce(col("ck"), lit(false))
+        feat.join(cc, Seq("doc_id"))
+          .join(dhits, Seq("doc_id"), "left")
+          .join(broadcast(mr), Seq("lang"))
+          .join(capKept, Seq("doc_id"), "left")
+          .select(col("doc_id"), langOk.as("lang_ok"), qualOk.as("quality_ok"),
+            keeper.as("dedup_keep"),
+            when(col("h") < 90, "train").when(col("h") < 95, "val")
+              .otherwise("test").as("split"),
+            clean.as("clean"), mixKeep.as("mix_keep"), capOk.as("cap_kept"),
+            (langOk && qualOk && keeper && col("h") < 90 && clean && mixKeep && capOk)
+              .as("selected"))
           .orderBy("doc_id")
     }
   )
