@@ -74,10 +74,19 @@ object StreamingIngest {
     * over the row's own (deduped) shingles.
     *
     * `benchShingles` must expose the shingle strings in a column named
-    * `sh` (the shape `TextPipeline.deconShingles` + `explode` produces). */
+    * `sh` (the shape `TextPipeline.deconShingles` + `explode` produces).
+    *
+    * `maxContamMils` grades the verdict like the batch audit's
+    * `contam_mils`: a doc is dropped when hit shingles exceed that
+    * per-mil fraction of its own shingles. The default 0 drops on ANY
+    * shared shingle (the strict end of published setups); 700 ≈ the
+    * PaLM-style high-overlap bar. Short docs (no full window) always
+    * pass. */
   def decontaminatedStream(stream: DataFrame, textCol: String,
-      benchShingles: DataFrame): DataFrame = {
+      benchShingles: DataFrame, maxContamMils: Int = 0): DataFrame = {
     import graft.queries.TextPipeline
+    require(maxContamMils >= 0 && maxContamMils < 1000,
+      s"maxContamMils must be in [0, 1000), got $maxContamMils")
     val limited = benchShingles.select(col("sh").cast("string"))
       .distinct().limit(DeconBenchMaxShingles + 1)
       .collect().map(_.getString(0)).toSet
@@ -88,7 +97,13 @@ object StreamingIngest {
     val bc = stream.sparkSession.sparkContext.broadcast(limited)
     val contaminated = udf { (shingles: Seq[String]) =>
       val set = bc.value
-      shingles.exists(set.contains)
+      if (shingles.isEmpty) false
+      else if (maxContamMils == 0) shingles.exists(set.contains)
+      else {
+        var hits = 0
+        shingles.foreach(s => if (set.contains(s)) hits += 1)
+        hits.toLong * 1000 > maxContamMils.toLong * shingles.length
+      }
     }
     stream.filter(!contaminated(TextPipeline.deconShingles(col(textCol))))
   }

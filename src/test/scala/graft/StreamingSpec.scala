@@ -152,6 +152,28 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.table(qn).count()
     assert(got == expected, s"guard admitted $got docs, batch ground truth $expected")
     assert(got < docs.count(), "at least the benchmark docs themselves were dropped")
+
+    // graded threshold: at maxContamMils=999 only near-wholesale copies are
+    // dropped — ground truth recomputed with the same per-mil rule
+    val guarded2 = graft.streaming.StreamingIngest
+      .decontaminatedStream(spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir), "text", bench,
+        maxContamMils = 999)
+    val qn2 = s"stream_decon2_${System.nanoTime()}"
+    val q2 = guarded2.writeStream.outputMode("append")
+      .format("memory").queryName(qn2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val expected2 = docs.collect().count { r =>
+      val t = r.getString(1).split(" ")
+      val shs = if (t.length >= 8) t.sliding(8).map(_.mkString(" ")).toSeq.distinct else Nil
+      val hits = shs.count(benchSet.contains)
+      !(shs.nonEmpty && hits.toLong * 1000 > 999L * shs.length)
+    }
+    val got2 = spark.table(qn2).count()
+    assert(got2 == expected2,
+      s"graded guard admitted $got2 docs, batch ground truth $expected2")
+    assert(got2 >= got, "a looser threshold can only admit more docs")
   }
 
   test("session windows run identically in batch and as a stream") {
