@@ -201,6 +201,43 @@ object ProfMain {
             f"block ${sNew}%8.3f s (${n / sNew / 1e3}%8.1f ktok/s)  " +
             f"speedup ${sOld / sNew}%5.2f x")
         }
+      case "cap" =>
+        // plain window+rank-filter (what sourceCapKept ships — Catalyst's
+        // InferWindowGroupLimit makes it a partial pre-shuffle group limit)
+        // vs an explicit hand-salted two-phase, on a SKEWED corpus: one
+        // source holds 80% of the rows (the hot-domain shape of a web
+        // corpus). Measured a WASH at 4M and 24M rows — the evidence that
+        // the optimizer-native form needs no hand-salting. Same kept count
+        // both ways (asserted).
+        import graft.queries.TextPipeline
+        import org.apache.spark.sql.expressions.Window
+        val n = sys.env.getOrElse("SPARK_GRAFT_CAP_ROWS", "4000000").toLong
+        val skewed = spark.range(n).select(
+          col("id").as("doc_id"),
+          // 80% src_hot, the rest spread over 50 cold sources
+          when(pmod(col("id"), lit(10)) < 8, "src_hot")
+            .otherwise(concat(lit("src_"), pmod(col("id"), lit(50)))).as("source"),
+          pmod(col("id") * 2654435761L, lit(100000)).cast("int").as("n_chars"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        println(s"[prof] rows: ${skewed.count()}")
+        def salted() = {
+          val cap = TextPipeline.SourceCap
+          val keepOrder = Seq(col("n_chars").desc, col("doc_id"))
+          val wLocal = Window.partitionBy(col("source"), col("salt"))
+            .orderBy(keepOrder: _*)
+          val wGlobal = Window.partitionBy(col("source")).orderBy(keepOrder: _*)
+          skewed.withColumn("salt", pmod(hash(col("doc_id")), lit(8)))
+            .withColumn("lrk", row_number().over(wLocal)).filter(col("lrk") <= cap)
+            .withColumn("rk", row_number().over(wGlobal)).filter(col("rk") <= cap)
+            .count()
+        }
+        val plain = time("plain (WindowGroupLimit)")(TextPipeline.sourceCapKept(skewed).count())
+        val two = time("hand-salted two-phase")(salted())
+        time("plain again")(TextPipeline.sourceCapKept(skewed).count())
+        time("salted again")(salted())
+        require(plain == two, s"kept sets diverge: plain $plain vs salted $two")
+        println(s"[prof] kept rows: $plain")
+
       case "jaccard" => profJaccard(spark, dir)
       case "jaccard2" => profJaccard2(spark, dir)
       case "scale" => profScale(spark)

@@ -112,6 +112,15 @@ class TextPipelineSpec extends AnyFunSuite {
     val decPlan = dec.queryExecution.executedPlan.toString
     assert(!decPlan.contains("SortMergeJoin"), decPlan)
     assert(decPlan.contains("BroadcastHashJoin"), decPlan)
+    // q_source_cap ships the PLAIN window + rank filter because Catalyst's
+    // InferWindowGroupLimit plans it as a partial PRE-SHUFFLE group limit
+    // (split-bounded sorts, k rows per source per map task) plus a final
+    // one — the optimizer-native two-phase. Pin BOTH group limits: if a
+    // future shape change stops the rule matching, a hot source would
+    // silently go back to sorting in one task.
+    val cap = graft.SparkEntry.queries("q_source_cap")(spark, sf)
+    val capPlan = cap.queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(capPlan).size >= 2, capPlan)
   }
 
   test("shingle/signature UDF kernels are bit-identical to the HOF formulation") {
