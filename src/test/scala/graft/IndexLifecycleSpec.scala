@@ -119,4 +119,54 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(visible(reopened, 1) == model, "post-compact reopen diverged from model")
     assert(visible(reopened, 2) == Set(3L, 5L, 7L), "tenant-2 fixture was disturbed")
   }
+
+  test("tensor-schema walk: postings/context/docs stay model-consistent under the delete lifecycle") {
+    // the epoch machinery is most dangerous on the TENSOR tables (postings
+    // is the 100 TB table compact() rewrites targeted partitions of) — a
+    // shorter randomized walk over a trained colbert index, with the
+    // visible-set probe reading postings, context AND docs and requiring
+    // them to agree with the model after every op
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(8L)
+    val corpus = (0L until 10L).map(i =>
+      i -> Seq.fill(3)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))).toMap
+    def docsOf(ids: Seq[Long]) = corpus.filter(kv => ids.contains(kv._1)).toSeq
+      .sortBy(_._1).map { case (i, t) => Doc(i, t, s"c$i", i % 2) }.toDF()
+    val path = java.nio.file.Files.createTempDirectory("idx_lifecycle_t").toString
+    val idx = IndexIVF.create(spark, path,
+      GSchema(Seq(GField.colbert("colbert", dim, numCentroids = 4, numIterations = 3),
+        GField(name = "cat", dataType = GDataType.TEXT.toString,
+          roles = Seq(FieldRole.Indexed.toString, FieldRole.Stored.toString)),
+        GField.indexed("num", GDataType.INTEGER))))
+    idx.train(docsOf(corpus.keys.toSeq))
+    def allVisible(): Set[Long] = {
+      import org.apache.spark.sql.functions.col
+      val byTable = Seq("postings" -> idx.postingsDf, "context" -> idx.contextDf,
+        "docs" -> idx.docsDf).map { case (name, df) =>
+        name -> df.filter(col("tenant") === 1).select("doc_id")
+          .distinct().collect().map(_.getLong(0)).toSet
+      }
+      val sets = byTable.map(_._2).distinct
+      assert(sets.size == 1, s"tables disagree on visible ids: $byTable")
+      sets.head
+    }
+    var model = Set.empty[Long]
+    idx.add(1, docsOf(Seq(0L, 1L, 2L, 3L, 4L))); model ++= Seq(0L, 1L, 2L, 3L, 4L)
+    val ids = corpus.keys.toSeq.sorted
+    (1 to 10).foreach { step =>
+      val pick = Seq.fill(1 + rnd.nextInt(2))(ids(rnd.nextInt(ids.length))).distinct
+      val op = rnd.nextInt(6)
+      op match {
+        case 0 | 1 => idx.add(1, docsOf(pick)); model ++= pick
+        case 2 => idx.remove(1, pick); model --= pick
+        case 3 => idx.removeDeferred(1, pick); model --= pick
+        case 4 => idx.compact()
+        case 5 => idx.update(1, docsOf(pick)); model ++= pick
+      }
+      assert(allVisible() == model, s"step $step (op $op on $pick) diverged")
+    }
+    idx.compact()
+    assert(allVisible() == model, "final compact diverged")
+  }
 }
