@@ -599,6 +599,33 @@ object TextPipeline {
       .select(col("doc_id"), col("source"), col("rk"))
   }
 
+  /** Materialize the curated training corpus: run the full composed
+    * selection (the q_corpus_select_full verdict), keep `selected` docs,
+    * and write (doc_id, text, lang, source, n_chars) to `outPath`
+    * hive-partitioned by `split` — the consumption layout a training run
+    * reads (train/val/test prune to whole directories). Within each
+    * partition, files are written in doc_id order (task-local sort, no
+    * extra shuffle) so re-materializations are byte-stable modulo
+    * partitioning and downstream shard readers see a deterministic order.
+    * Returns the selected-row count per split (small; driver-side).
+    *
+    * Scale shape: the verdict plan's own shapes (cached cluster labels,
+    * broadcast benchmark probe, group-limited cap) plus one join back to
+    * the documents table on doc_id and a partitioned write — no new
+    * shuffles beyond the write's own layout clustering. */
+  def materializeSelected(s: SparkSession, dir: String, outPath: String): Map[String, Long] = {
+    val verdict = defs.find(_.name == "q_corpus_select_full").get.fn(s, dir)
+      .filter(col("selected")).select(col("doc_id"), col("split"))
+    val out = docs(s, dir).join(verdict, Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), col("split"))
+      .repartition(col("split"))
+      .sortWithinPartitions(col("split"), col("doc_id"))
+    out.write.mode("overwrite").partitionBy("split").parquet(outPath)
+    s.read.parquet(outPath).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
   /** (doc_id, cluster_id) labels for a corpus dir, computed once per
     * session: the propagation's final frame is itself persisted, so the
     * session cache both shares it between q_dedup_clusters and

@@ -123,6 +123,37 @@ class TextPipelineSpec extends AnyFunSuite {
     assert("WindowGroupLimit".r.findAllIn(capPlan).size >= 2, capPlan)
   }
 
+  test("materializeSelected writes exactly the selected docs, hive-partitioned by split") {
+    import graft.queries.TextPipeline
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("corpus_out").toString
+    val counts = TextPipeline.materializeSelected(spark, sf, out)
+    // ground truth from the verdict query itself
+    val verdict = graft.SparkEntry.queries("q_corpus_select_full")(spark, sf)
+      .filter(col("selected")).select("doc_id", "split")
+    val expected = verdict.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == expected, s"materialized counts $counts != verdict $expected")
+    // layout: one directory per split, pruning works, ids match exactly
+    val re = spark.read.parquet(out)
+    assert(re.columns.contains("split"))
+    val trainIds = re.filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectedTrain = verdict.filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trainIds == expectedTrain)
+    // within-file doc_id order (deterministic shard reads): each file's ids
+    // must arrive sorted
+    val files = new java.io.File(out).listFiles().filter(_.getName.startsWith("split="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"${f.getName} not in doc_id order")
+    }
+  }
+
   test("shingle/signature UDF kernels are bit-identical to the HOF formulation") {
     import org.apache.spark.sql.functions._
     import graft.queries.{Tables, TextPipeline}
