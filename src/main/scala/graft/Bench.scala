@@ -1,6 +1,43 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.util.Locale
+
 object Bench {
+  /** Compact FINAL stdout line — the only line the driver parses.
+    *
+    * The driver keeps the last ~2,000 characters of stdout and parses the
+    * final line as JSON. Round 8 embedded the per-repetition `runs` array
+    * here (~5 KB with 2 repeats × 38 queries); the line's head — including
+    * `"metric":"total"` — fell outside the tail capture and the driver
+    * recorded `parsed: null`. The repetition detail therefore prints on its
+    * own EARLIER line ([[runsDetailJson]]) and this headline carries only
+    * the compact fields; BenchArtifactSpec pins it under 1,500 chars against
+    * the real headline query set so a future field can't silently re-break
+    * the capture. Times are formatted to 0.1 ms (locale-fixed) — bench noise
+    * floor is far above that — which keeps the line ~40% shorter than raw
+    * Double.toString.
+    */
+  def headlineJson(total: Double, best: Seq[(String, Double)], sfDir: String,
+                   repeats: Int, calibrationMs: Double, loadavg: String,
+                   batch212MsPerQuery: Double): String = {
+    def num(v: Double): String = String.format(Locale.ROOT, "%.4f", Double.box(v))
+    val qs = best.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","repeats":$repeats,"calibration_ms":${num(calibrationMs)},""" +
+      s""""loadavg":"$loadavg","batch212_ms_per_query":${num(batch212MsPerQuery)}}"""
+  }
+
+  /** Full per-repetition detail (calibration, loadavg, every timing) — its
+    * own stdout line, printed BEFORE the headline so tail capture can only
+    * ever truncate detail, never the parsed artifact. */
+  def runsDetailJson(runs: Seq[(Double, String, Seq[(String, Double)])]): String = {
+    def qJson(ts: Seq[(String, Double)]): String =
+      ts.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    runs.map { case (cal, la, times) =>
+      s"""{"calibration_ms":$cal,"loadavg":"$la","queries":${qJson(times)}}"""
+    }.mkString("""{"detail":"bench_runs","runs":[""", ",", "]}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -84,16 +121,20 @@ object Bench {
     val best = selected.map { case (name, _) =>
       name -> runs.map(_._3.toMap.apply(name)).min
     }
-    def qJson(ts: Seq[(String, Double)]): String =
-      ts.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = best.map(_._2).sum
-    val runsJson = runs.map { case (cal, la, times) =>
-      s"""{"calibration_ms":$cal,"loadavg":"$la","queries":${qJson(times)}}"""
-    }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(best)},""" +
-      s""""sf":"$sfDir","repeats":$repeats,""" +
-      s""""calibration_ms":${runs.map(_._1).min},"loadavg":"${runs.head._2}",""" +
-      s""""runs":$runsJson}""")
+    // Serving-latency trend (VERDICT r8 #8): run the 212-query LoTTE-shaped
+    // batch harness once, OUTSIDE the timed headline set, and record its
+    // amortized ms/query as a machine-tracked field. Skipped (-1) when the
+    // local iteration filter is active or the harness fails.
+    val batch212 = if (only.isEmpty) {
+      try {
+        SparkEntry.queries("q_engine_batch_search_212")(spark, sfDir).count()
+        graft.queries.EngineQueries.lastBatch212MsPerQuery
+      } catch { case _: Throwable => -1.0 }
+    } else -1.0
+    println(runsDetailJson(runs))
+    println(headlineJson(total, best, sfDir, repeats, runs.map(_._1).min,
+      runs.head._2, batch212))
     spark.stop()
   }
 }

@@ -355,12 +355,19 @@ object EngineQueries {
           k = 3, SearchOptions(kTopCentroids = 4, nProbe = 8))
         val out = materializeAndClean(s, res, path)
         val ms = (System.nanoTime() - t0) / 1e6
+        lastBatch212MsPerQuery = ms / 212
         log.warn(f"q_engine_batch_search_212: ${ms / 212}%.1f ms/query amortized " +
           f"(212 queries, ${ms / 1000}%.2f s batch, index build excluded)")
         out
       }
     }
   )
+
+  /** Amortized ms/query from the most recent q_engine_batch_search_212 run
+    * in this JVM — read by [[graft.Bench]] to record the serving-latency
+    * trend as a machine-tracked JSON field (the log.warn above remains the
+    * human-readable trace). -1 until the harness has run. */
+  @volatile var lastBatch212MsPerQuery: Double = -1.0
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.EngineQueries")
 }
