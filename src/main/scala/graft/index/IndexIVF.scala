@@ -171,8 +171,12 @@ final class IndexIVF private (
 
   /** Learn coarse centroids per tensor field, then train the residual codec
     * on (a sqrt-subsample of) centroid residuals — reference
-    * lintdb/index.cpp:198-315. Everything distributed: k-means is MLlib,
-    * residuals and per-dim averages are DataFrame aggs; only the dim-length
+    * lintdb/index.cpp:198-315. Coarse k-means is [[CoarseQuantizer.train]]:
+    * one distributed pass collects a bounded seeded sample (≤ K·256 vectors,
+    * the Faiss bound the reference inherits), then Lloyd's runs driver-local
+    * with its O(sample·K·d) assignment term on the SIMD score kernel across
+    * all cores — the shape of the reference's in-process Faiss training.
+    * Residuals and per-dim averages are DataFrame aggs; only the dim-length
     * quantile computation happens on the driver.
     *
     * A field whose coarse quantizer is already present (via

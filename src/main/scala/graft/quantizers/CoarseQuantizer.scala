@@ -212,12 +212,16 @@ object CoarseQuantizer {
     * token embeddings (reference train: lintdb/index.cpp:250-254).
     *
     * Distributed work is ONE pass: a seeded uniform sample of at most
-    * `numCentroids * MaxPointsPerCentroid` vectors is collected (a few MB at
+    * `numCentroids * MaxPointsPerCentroid` vectors is collected (bounded at
     * any corpus size), then Lloyd's runs driver-local on primitive arrays —
     * the same shape as the reference's Faiss training, where clustering also
-    * happens in-process on a subsample. Assignment (the per-token argmax
-    * that touches all data) stays distributed via the broadcast
-    * [[CoarseQuantizer]]. Fixed seed for determinism. */
+    * happens in-process on a subsample. Driver-local is NOT single-core:
+    * the O(sample·K·dim) assignment term runs the SIMD score kernel across
+    * all cores (see [[lloyd]]), the treatment Faiss gets from OpenMP. Only
+    * the sample collect and the O(sample·dim) mean updates are sequential.
+    * Assignment of the full corpus (the per-token argmax that touches all
+    * data) stays distributed via the broadcast [[CoarseQuantizer]]. Fixed
+    * seed for determinism at any thread count. */
   def train(tokens: DataFrame, numCentroids: Int, numIterations: Int,
       seed: Long = 42L): CoarseQuantizer = {
     val maxSample = numCentroids.toLong * MaxPointsPerCentroid
@@ -246,8 +250,20 @@ object CoarseQuantizer {
     * argmax-IP on L2-normalized embeddings — see class doc). Init = seeded
     * random distinct samples, matching Faiss's random-sample init; empty
     * clusters are re-seeded from a random point (Faiss splits clusters —
-    * same effect: no dead centroids). */
-  private def lloyd(points: Array[Array[Float]], k: Int, iters: Int,
+    * same effect: no dead clusters).
+    *
+    * The O(n·K·dim) assignment term runs through the SIMD score kernel in
+    * parallel point chunks ([[assignExactL2]]) — the reference gets the same
+    * treatment from Faiss's OpenMP+SIMD clustering (kmeans.cpp:11-35). The
+    * decisions (and therefore the centroids) are bit-identical to
+    * [[lloydScalarReference]] by construction: float-precision near-ties are
+    * re-decided by the reference's own double-precision comparison. The
+    * cheap O(n·dim) sums/update pass stays the reference's sequential code
+    * verbatim, so no floating-point reassociation can creep in there either.
+    * KMeansParitySpec pins fast == reference on gaussian blobs, exact
+    * symmetric ties, k > n padding, and a catastrophic-cancellation corpus
+    * that forces the recheck path on nearly every point. */
+  private[graft] def lloyd(points: Array[Array[Float]], k: Int, iters: Int,
       seed: Long): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
     val n = points.length
@@ -256,6 +272,152 @@ object CoarseQuantizer {
       rnd.shuffle(points.indices.toVector).take(math.min(k, n))
         .map(i => points(i).clone).toArray
     // fewer distinct points than centroids: pad with jittered repeats
+    while (cents.length < k)
+      cents = cents :+ cents(rnd.nextInt(cents.length)).map(x => x + rnd.nextFloat() * 1e-4f)
+
+    // augmented flat copy of the sample, built once: [v_0..v_{dim-1}, 1f].
+    // The constant trailing 1 turns the per-centroid bias -‖c‖²/2 into one
+    // extra "dimension", so the UNMODIFIED IP kernels compute the argmin-L2
+    // score IP(v,c) - ‖c‖²/2 directly (argmin-L2 == argmax of that).
+    val da = dim + 1
+    val flatAug = new Array[Float](n * da)
+    val normV = new Array[Double](n)
+    var p0 = 0
+    while (p0 < n) {
+      val v = points(p0); val o = p0 * da
+      var s = 0.0; var i = 0
+      while (i < dim) { val x = v(i); flatAug(o + i) = x; s += x.toDouble * x; i += 1 }
+      flatAug(o + dim) = 1f
+      normV(p0) = math.sqrt(s)
+      p0 += 1
+    }
+
+    var it = 0
+    while (it < iters) {
+      val assign = assignExactL2(points, flatAug, normV, cents)
+      // sums/update: the reference loop verbatim (sequential point order —
+      // O(n·dim), ~1000× cheaper than assignment, so not worth threading
+      // at the cost of double-addition reassociation)
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Int](k)
+      var p = 0
+      while (p < n) {
+        val v = points(p)
+        val best = assign(p)
+        counts(best) += 1
+        val s = sums(best)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        p += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) points(rnd.nextInt(n)).clone
+        else {
+          val a = new Array[Float](dim)
+          var i = 0
+          while (i < dim) { a(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+          a
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Exact argmin-L2 assignment of every sample point to `cents`: parallel
+    * over fixed 256-point chunks (fork-join common pool; chunks are
+    * independent, so the result is deterministic at ANY thread count), with
+    * the O(n·K·dim) score fill inside [[CoarseQuantizer.scoreBlock]] — the
+    * SIMD kernel when the incubator module is present, its bit-identical
+    * scalar twin otherwise.
+    *
+    * Exactness guard: a lane-accumulated float score differs from the real
+    * value by at most γ·(‖v‖·Cmax + Cmax²/2) with γ = (dim+2)·2⁻²⁴ (one
+    * rounded multiply-add per dimension; Σ|v_i·c_i| ≤ ‖v‖‖c‖), inflated 4×
+    * to also absorb the bias-term rounding and the reference loop's own
+    * double rounding. A row whose float runner-up lands within twice that
+    * slack of the float max — including every exact tie — is re-decided by
+    * the reference's double-precision argmin (ascending ids, strict less)
+    * over the inside-slack shortlist, which provably contains the reference
+    * winner. Decisions therefore match [[lloydScalarReference]] exactly, not
+    * just with high probability. */
+  private def assignExactL2(points: Array[Array[Float]], flatAug: Array[Float],
+      normV: Array[Double], cents: Array[Array[Float]]): Array[Int] = {
+    val n = points.length
+    val k = cents.length
+    val dim = points(0).length
+    val da = dim + 1
+    var maxNorm2 = 0.0
+    val aug = Array.tabulate(k) { c =>
+      val ce = cents(c)
+      var s = 0.0; var i = 0
+      while (i < dim) { s += ce(i).toDouble * ce(i); i += 1 }
+      if (s > maxNorm2) maxNorm2 = s
+      val a = java.util.Arrays.copyOf(ce, da)
+      a(dim) = (-s / 2).toFloat
+      a
+    }
+    val maxNormC = math.sqrt(maxNorm2)
+    val q = new CoarseQuantizer(aug)
+    val gamma = 4.0 * (dim + 2) / (1 << 24).toDouble
+    val out = new Array[Int](n)
+    val chunk = 256
+    val nChunks = (n + chunk - 1) / chunk
+    java.util.stream.IntStream.range(0, nChunks).parallel().forEach { ci =>
+      val from = ci * chunk
+      val m = math.min(chunk, n - from)
+      val block = new Array[Float](m * da)
+      System.arraycopy(flatAug, from * da, block, 0, m * da)
+      val scores = q.scoreBlock(block, m)
+      var t = 0
+      while (t < m) {
+        val so = t * k
+        val p = from + t
+        var best = 0; var bs = Float.NegativeInfinity
+        var second = Float.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          val s = scores(so + c)
+          if (s > bs) { second = bs; bs = s; best = c }
+          else if (s > second) second = s
+          c += 1
+        }
+        val slack = (gamma * (normV(p) * maxNormC + maxNorm2 / 2)).toFloat
+        if (second >= bs - 2 * slack) {
+          // float-precision near-tie (or exact tie): reference decision
+          val v = points(p)
+          val cut = bs - 2 * slack
+          var bestE = 0; var bd = Double.MaxValue
+          c = 0
+          while (c < k) {
+            if (scores(so + c) >= cut) {
+              val ce = cents(c)
+              var d = 0.0; var i = 0
+              while (i < dim) { val diff = v(i) - ce(i); d += diff * diff; i += 1 }
+              if (d < bd) { bd = d; bestE = c }
+            }
+            c += 1
+          }
+          out(p) = bestE
+        } else out(p) = best
+        t += 1
+      }
+    }
+    out
+  }
+
+  /** The pre-round-9 single-threaded trainer, kept verbatim as the parity
+    * reference for [[lloyd]] (KMeansParitySpec, ProfMain `train_scale`):
+    * per-point argmin over double-precision squared L2 with strict-less
+    * lowest-id ties, sequential sums. */
+  private[graft] def lloydScalarReference(points: Array[Array[Float]], k: Int,
+      iters: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = points.length
+    val dim = points(0).length
+    var cents: Array[Array[Float]] =
+      rnd.shuffle(points.indices.toVector).take(math.min(k, n))
+        .map(i => points(i).clone).toArray
     while (cents.length < k)
       cents = cents :+ cents(rnd.nextInt(cents.length)).map(x => x + rnd.nextFloat() * 1e-4f)
 

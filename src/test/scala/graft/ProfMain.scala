@@ -155,6 +155,35 @@ object ProfMain {
           time(s"matrix fill simd #$i") { b = cqp.scoreBlock(qflat, nq) }
           assert(a.toSeq == b.toSeq, "matrix fill diverged")
         }
+      case "train_scale" =>
+        // coarse-training throughput at production K (VERDICT r8 #2):
+        // K=4096, dim=64 — the old single-threaded double-L2 Lloyd's vs the
+        // round-9 trainer (SIMD score kernel, parallel point chunks, exact
+        // near-tie recheck). Centroids must be IDENTICAL: the fast path is
+        // designed to reproduce the reference's decisions bit-for-bit
+        // (KMeansParitySpec), so this is a pure speed A/B. n is 16/centroid
+        // (a 1/16 slice of the Faiss 256/centroid sample bound) to keep the
+        // scalar side measurable; both sides scale linearly in n.
+        import graft.quantizers.CoarseQuantizer
+        val k = 4096; val dimT = 64; val n = 65536; val iters = 2
+        val rnd = new java.util.Random(7)
+        val pts = Array.fill(n)(Array.fill(dimT)(rnd.nextGaussian().toFloat))
+        var fast: Array[Array[Float]] = null
+        time("lloyd fast (cold)") { fast = CoarseQuantizer.lloyd(pts, k, iters, 42L) }
+        val tF0 = System.nanoTime()
+        time("lloyd fast (warm)") { fast = CoarseQuantizer.lloyd(pts, k, iters, 42L) }
+        val sFast = (System.nanoTime() - tF0) / 1e9
+        val tS0 = System.nanoTime()
+        var ref: Array[Array[Float]] = null
+        time("lloyd scalar reference") {
+          ref = CoarseQuantizer.lloydScalarReference(pts, k, iters, 42L)
+        }
+        val sRef = (System.nanoTime() - tS0) / 1e9
+        fast.indices.foreach { i =>
+          assert(java.util.Arrays.equals(fast(i), ref(i)), s"centroid $i differs")
+        }
+        println(f"[prof] train_scale K=$k dim=$dimT n=$n iters=$iters: " +
+          f"${sRef}%.2f s -> ${sFast}%.2f s = ${sRef / sFast}%.1f x, centroids identical")
       case "assign" =>
         // centroid-assignment throughput at production K (VERDICT r7 #3):
         // sf0.1 embeddings as the token stream, K=4096 random centroids.
