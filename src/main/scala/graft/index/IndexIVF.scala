@@ -231,7 +231,18 @@ final class IndexIVF private (
         }.toDF("r")
       }
 
-      val quant: Quantizer = params.quantizerKind match {
+      // a preset residual codec (clone-from-trained, or a deterministic
+      // model installed the way preset coarse centroids are) is kept and
+      // saved, mirroring the coarse skip-path above — lintdb/index.cpp:76-90
+      val quant: Quantizer = quantizers.get(f.name) match {
+        case Some(preset) =>
+          preset match {
+            case b: Binarizer => b.save(p(s"_meta/${f.name}.binarizer.json"))
+            case pe: ProductEncoder => pe.save(p(s"_meta/${f.name}.pq.json"))
+            case _ =>
+          }
+          preset
+        case None => params.quantizerKind match {
         case QuantizerKind.NONE => IdentityQuantizer(params.dimensions)
         case QuantizerKind.BINARIZER =>
           // per-dim average residual, distributed (train input of
@@ -268,6 +279,7 @@ final class IndexIVF private (
           val pe = ProductEncoder.train(sample, m = params.numSubquantizers)
           pe.save(p(s"_meta/${f.name}.pq.json"))
           pe
+        }
       }
       quantizers += f.name -> quant
     }

@@ -69,20 +69,25 @@ object EngineQueries {
     * embedding vectors) instead of trained k-means — the clone-from-trained
     * flow (S3/lintdb/index.cpp:76-90) with a deterministic model, so the
     * composed create -> add -> open -> search product path is DuckDB-
-    * reproducible (see [[engineOracleSql]]). */
-  private def buildIndexFixed(s: org.apache.spark.sql.SparkSession,
-      dir: String): (IndexIVF, String) = {
+    * reproducible (see [[engineOracleSql]]). With BINARIZER, the
+    * deterministic [[OracleBinarizer]] is preset the same way (quantile
+    * training skipped), putting the 2-bit encode -> pack -> decode ->
+    * rerank composition itself under the hash check. */
+  private def buildIndexFixed(s: org.apache.spark.sql.SparkSession, dir: String,
+      quant: QuantizerKind.Value = QuantizerKind.NONE): (IndexIVF, String) = {
     val docs = engineDocs(s, dir)
     val cents = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 16)
       .orderBy("vec_id").collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
     val path = java.nio.file.Files.createTempDirectory("graft_engine_oracle").toString
-    val idx = IndexIVF.create(s, path, engineSchema(QuantizerKind.NONE))
+    val idx = IndexIVF.create(s, path, engineSchema(quant))
     idx.coarse = Map("colbert" -> new graft.quantizers.CoarseQuantizer(cents))
-    idx.train(docs) // coarse preset -> keeps it, saves models (S4 skip-path)
+    if (quant == QuantizerKind.BINARIZER)
+      idx.quantizers += "colbert" -> OracleBinarizer
+    idx.train(docs) // presets kept, models saved (S4 skip-path)
     idx.add(tenant = 1, docs)
     // re-open from disk: the oracle run also covers S2/S9 (schema + centroid
-    // JSON round-trip; shortest-decimal float repr reparses exactly)
+    // + codec JSON round-trip; shortest-decimal float repr reparses exactly)
     (IndexIVF.open(s, path), path)
   }
 
@@ -127,26 +132,59 @@ object EngineQueries {
     try it.forEach(p => Files.deleteIfExists(p)) finally it.close()
   }
 
+  /** Preset deterministic 2-bit binarizer for the hash-checked binarized
+    * lifecycle (q_engine_search_binarized_oracle): dyadic cutoffs/weights
+    * (exact in f32 AND in SQL literals), installed instead of quantile
+    * training the same way the oracle flow presets coarse centroids —
+    * so the encode -> pack -> decode -> rerank composition is
+    * DuckDB-reproducible. Encode/decode round-trips each dimension to
+    * bucketWeights[bucketize(v)]; the SQL twin reproduces exactly that
+    * CASE ladder (the bit-packing in between is pinned byte-exactly by
+    * BinarizerSpec). */
+  private[queries] val OracleBinarizer = graft.quantizers.Binarizer(
+    bucketCutoffs = Array(-0.25f, 0.0f, 0.25f),
+    bucketWeights = Array(-0.375f, -0.125f, 0.125f, 0.375f),
+    avgResidual = 0.0f, nbits = 2, dim = 64)
+
   /** Generated DuckDB twin of the FIXED-centroid engine search
-    * (q_engine_search_oracle): every stage of the two-phase PLAID pipeline
-    * re-derived in SQL from the same parquet table, with all arithmetic in
-    * DuckDB FLOAT — FLOAT*FLOAT and FLOAT+FLOAT stay float32 in DuckDB, and
-    * every sum is an explicit left-associated term chain, so each kernel is
-    * bit-identical to the engine's f32 loops (CoarseQuantizer.ip/assign,
-    * CentroidScore.compute, Plaid.scoreByResiduals with normalize=true).
+    * (q_engine_search_oracle, and with `binarized`
+    * q_engine_search_binarized_oracle): every stage of the two-phase PLAID
+    * pipeline re-derived in SQL from the same parquet table, with all
+    * arithmetic in DuckDB FLOAT — FLOAT*FLOAT and FLOAT+FLOAT stay float32
+    * in DuckDB, and every sum is an explicit left-associated term chain, so
+    * each kernel is bit-identical to the engine's f32 loops
+    * (CoarseQuantizer.ip/assign, CentroidScore.compute,
+    * Plaid.scoreByResiduals with normalize=true). With `binarized`, the
+    * phase-2 doc token is first passed through [[OracleBinarizer]]'s
+    * bucketize -> weight ladder (the engine encodes the RAW token, so
+    * decode is exactly that elementwise map); the decoded values are dyadic
+    * f32 constants, so the norm/divide/dot chain stays bit-deterministic.
     * f32 values can never land exactly on a 1e-4 rounding half-boundary
     * (0.00005 is not dyadic), so the final round(…,4) agrees too. */
-  private[queries] lazy val engineOracleSql: String = {
+  private def singleEngineOracleSql(binarized: Boolean): String = {
     val dim = 64
     def ip(a: String, b: String): String =
       (1 to dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
+    // with the binarizer in the loop, phase-2 sees decode(encode(v)) =
+    // bucketWeights[bucketize(v)] per dimension — the CASE ladder below,
+    // with every literal dyadic (exact f32)
+    val decCte = if (binarized)
+      """dec AS (SELECT vec_id, label, list_transform(embedding,
+        |    x -> CASE WHEN x < (-0.25)::FLOAT THEN (-0.375)::FLOAT
+        |              WHEN x < (0.0)::FLOAT THEN (-0.125)::FLOAT
+        |              WHEN x < (0.25)::FLOAT THEN (0.125)::FLOAT
+        |              ELSE (0.375)::FLOAT END) AS embedding
+        |  FROM embeddings),
+        |""".stripMargin
+    else ""
+    val docTokens = if (binarized) "dec" else "embeddings"
     val normChain = ip("e.embedding", "e.embedding")
     // Plaid.scoreByResiduals: doc token normalized in place (f32 divide,
     // zero-norm rows pass through), then f32 dot with the raw query token
     val dotChain = (1 to dim).map(i =>
       s"(CASE WHEN n.nm > 0 THEN n.embedding[$i] / n.nm ELSE n.embedding[$i] END) * q.qe[$i]")
       .mkString(" + ")
-    s"""WITH c AS (SELECT vec_id AS centroid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+    s"""WITH ${decCte}c AS (SELECT vec_id AS centroid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
        |s AS (SELECT q.qid, c.centroid, ${ip("q.qe", "c.cemb")} AS s FROM q, c),
        |topk AS (SELECT centroid, s FROM (
@@ -175,7 +213,7 @@ object EngineQueries {
        |  SELECT label, row_number() OVER (ORDER BY p1s DESC, label) AS rn FROM p1)
        |  WHERE rn <= 6),
        |nrm AS (SELECT e.vec_id, e.label, e.embedding, sqrt(($normChain)::DOUBLE)::FLOAT AS nm
-       |  FROM embeddings e JOIN pool USING (label)),
+       |  FROM $docTokens e JOIN pool USING (label)),
        |dots AS (SELECT n.label, q.qid, $dotChain AS dp FROM nrm n, q),
        |p2 AS (SELECT label, ((f0 + f1) + f2) + f3 AS score FROM (
        |  SELECT label,
@@ -194,6 +232,9 @@ object EngineQueries {
        |  USING (label)
        |WHERE r.rn <= 5 ORDER BY score DESC, doc_id""".stripMargin
   }
+
+  private[queries] lazy val engineOracleSql: String = singleEngineOracleSql(binarized = false)
+  private[queries] lazy val binarizedEngineOracleSql: String = singleEngineOracleSql(binarized = true)
 
   /** Generated DuckDB twin of the FIXED-centroid BATCH search
     * (q_engine_batch_search_oracle): [[engineOracleSql]]'s two-phase PLAID
@@ -284,6 +325,28 @@ object EngineQueries {
       Seq("S1", "S2", "S4", "S5", "S9", "SC3", "J3", "A5", "A8"), engineOracleSql) {
       (s, dir) => withoutAqe(s) {
         val (idx, path) = buildIndexFixed(s, dir)
+        val query = queryTokens(s, dir, maxVecId = 4)
+        val res = idx.search(1, VectorQuery("colbert", query), k = 5,
+          SearchOptions(kTopCentroids = 4, nProbe = 8, numSecondPass = 6))
+        materializeAndClean(s, res, path)
+          .select(col("doc_id"), col("n_vecs"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+      }
+    },
+    // The binarized product path, HASH-CHECKED (Q4 end-to-end): the same
+    // fixed-centroid lifecycle with the deterministic preset 2-bit
+    // binarizer in the loop — encode-at-add (RAW token, the reference
+    // quirk), bit-packed storage, decode + normalize + exact MaxSim at
+    // rerank — reproduced by the generated SQL twin's bucketize->weight
+    // CASE ladder. Complements the rows-only q_engine_search_binarized
+    // (trained quantiles) by pinning the codec COMPOSITION, not just its
+    // kernels (BinarizerSpec) or its retrieval quality
+    // (RetrievalQualitySpec).
+    sql("q_engine_search_binarized_oracle",
+      Seq("Q4", "Q8", "S1", "S2", "S4", "S5", "S9", "J3", "A5", "A8"),
+      binarizedEngineOracleSql) {
+      (s, dir) => withoutAqe(s) {
+        val (idx, path) = buildIndexFixed(s, dir, QuantizerKind.BINARIZER)
         val query = queryTokens(s, dir, maxVecId = 4)
         val res = idx.search(1, VectorQuery("colbert", query), k = 5,
           SearchOptions(kTopCentroids = 4, nProbe = 8, numSecondPass = 6))
