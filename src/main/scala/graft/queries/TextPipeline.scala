@@ -600,26 +600,41 @@ object TextPipeline {
   }
 
   /** Materialize the curated training corpus: run the full composed
-    * selection (the q_corpus_select_full verdict), keep `selected` docs,
-    * and write (doc_id, text, lang, source, n_chars) to `outPath`
-    * hive-partitioned by `split` — the consumption layout a training run
-    * reads (train/val/test prune to whole directories). Within each
-    * partition, files are written in doc_id order (task-local sort, no
-    * extra shuffle) so re-materializations are byte-stable modulo
-    * partitioning and downstream shard readers see a deterministic order.
-    * Returns the selected-row count per split (small; driver-side).
+    * selection (the q_corpus_select_full verdict), keep every doc that
+    * passes all CONTENT gates (language, quality, dedup keeper, clean,
+    * mix, cap), and write (doc_id, text, lang, source, n_chars) to
+    * `outPath` hive-partitioned by `split` — the consumption layout a
+    * training run reads (train/val/test prune to whole directories).
+    * Split membership is the verdict's own deterministic assignment, NOT
+    * a gate: the verdict's `selected` flag additionally requires
+    * split=train (it is the training-set verdict), but a materialization
+    * that filtered on it would silently discard every val/test doc that
+    * passed curation — here the train partition holds exactly the
+    * `selected` docs and val/test hold their curated rows too.
+    *
+    * The pre-write exchange is `repartitionByRange(split, doc_id)`: a
+    * range shuffle keeps all [[org.apache.spark.sql.internal.SQLConf]]
+    * shuffle partitions busy (hashing on `split` alone would funnel the
+    * ~90%-train corpus through single tasks — 3 distinct keys is not a
+    * partitioning), while still clustering each output file to one split
+    * and keeping files in doc_id order (the range sort + task-local
+    * sort), so re-materializations are byte-stable modulo partitioning
+    * and downstream shard readers see a deterministic order. Returns the
+    * materialized-row count per split (small; driver-side).
     *
     * Scale shape: the verdict plan's own shapes (cached cluster labels,
     * broadcast benchmark probe, group-limited cap) plus one join back to
     * the documents table on doc_id and a partitioned write — no new
-    * shuffles beyond the write's own layout clustering. */
+    * shuffles beyond the write's own layout range exchange. */
   def materializeSelected(s: SparkSession, dir: String, outPath: String): Map[String, Long] = {
     val verdict = defs.find(_.name == "q_corpus_select_full").get.fn(s, dir)
-      .filter(col("selected")).select(col("doc_id"), col("split"))
+      .filter(col("lang_ok") && col("quality_ok") && col("dedup_keep") &&
+        col("clean") && col("mix_keep") && col("cap_kept"))
+      .select(col("doc_id"), col("split"))
     val out = docs(s, dir).join(verdict, Seq("doc_id"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"), col("split"))
-      .repartition(col("split"))
+      .repartitionByRange(col("split"), col("doc_id"))
       .sortWithinPartitions(col("split"), col("doc_id"))
     out.write.mode("overwrite").partitionBy("split").parquet(outPath)
     s.read.parquet(outPath).groupBy("split").count()
@@ -1132,10 +1147,13 @@ object TextPipeline {
     // token fraction and duplicate-2-gram fraction, with an integer-gate
     // `flagged` verdict (x5 > n avoids any float-compare hazard between
     // engines). Every signal is computed PER ROW from the token array
-    // (transform/filter/array_distinct — all codegen'd collection
-    // expressions): zero shuffles at any corpus size, the ideal 100 TB
-    // shape. The O(u*n) per-row top-token scan is bounded by document
-    // length, not corpus size.
+    // (sort/aggregate/array_distinct collection expressions): zero
+    // shuffles at any corpus size, the ideal 100 TB shape. The top-token
+    // count is array_sort + one run-length-max pass — O(n log n) per row,
+    // so a single pathological document (100k tokens, huge vocabulary)
+    // costs ~1e6 comparisons in its task, not the ~1e10 a naive
+    // per-distinct-token rescan would (the oracle keeps the O(u*n)
+    // formulation: same integer, and DuckDB only ever sees sf0.01).
     sql("q_quality_repetition", Seq("TA2"),
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |f AS (SELECT doc_id, len(toks) AS n_toks,
@@ -1152,8 +1170,18 @@ object TextPipeline {
         |FROM f ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
         val nToks = size(toks)
-        val topCnt = array_max(transform(array_distinct(toks),
-          x => size(filter(toks, y => y === x))))
+        // longest equal-run in the sorted token array == max token
+        // frequency; the "" sentinel can only merge with a leading ""
+        // token, whose run then correctly starts at 0+1
+        val topCnt = aggregate(
+          array_sort(toks),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc("best"), run).as("best"))
+          },
+          acc => acc("best"))
         val twoGrams = transform(sequence(lit(1), nToks - 1),
           n => array_join(slice(toks, n, lit(2)), " "))
         val dup2 = when(nToks >= 2, nToks - 1 - size(array_distinct(twoGrams)))

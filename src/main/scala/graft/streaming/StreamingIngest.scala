@@ -77,16 +77,28 @@ object StreamingIngest {
     * `sh` (the shape `TextPipeline.deconShingles` + `explode` produces).
     *
     * `maxContamMils` grades the verdict like the batch audit's
-    * `contam_mils`: a doc is dropped when hit shingles exceed that
-    * per-mil fraction of its own shingles. The default 0 drops on ANY
-    * shared shingle (the strict end of published setups); 700 ≈ the
-    * PaLM-style high-overlap bar. Short docs (no full window) always
-    * pass. */
+    * `contam_mils` (both in units of 1/[[graft.queries.TextPipeline
+    * .MixScale]], the shared fixed-point scale — the same constant in
+    * both comparisons means the guard and the audit can never disagree
+    * about what "700 mils" is): a doc is dropped when hit shingles
+    * exceed that per-mil fraction of its own shingles. The default 0
+    * drops on ANY shared shingle (the strict end of published setups);
+    * 700 ≈ the PaLM-style high-overlap bar. Short docs (no full window)
+    * always pass.
+    *
+    * Broadcast lifecycle: each call ships one broadcast of the benchmark
+    * set and the returned plan holds it for as long as it runs — the
+    * CALLER owns that lifetime. A long-lived session that constructs
+    * guards repeatedly should stop the old query and release the old
+    * guard's broadcast by letting the plan be GC'd (Spark's
+    * ContextCleaner reclaims unreferenced broadcasts); for deterministic
+    * reclamation construct the guard once per benchmark-set version, not
+    * per micro-batch or per restart. */
   def decontaminatedStream(stream: DataFrame, textCol: String,
       benchShingles: DataFrame, maxContamMils: Int = 0): DataFrame = {
     import graft.queries.TextPipeline
-    require(maxContamMils >= 0 && maxContamMils < 1000,
-      s"maxContamMils must be in [0, 1000), got $maxContamMils")
+    require(maxContamMils >= 0 && maxContamMils < TextPipeline.MixScale,
+      s"maxContamMils must be in [0, ${TextPipeline.MixScale}), got $maxContamMils")
     val limited = benchShingles.select(col("sh").cast("string"))
       .distinct().limit(DeconBenchMaxShingles + 1)
       .collect().map(_.getString(0)).toSet
@@ -95,6 +107,7 @@ object StreamingIngest {
         "this large should not ride a broadcast — pre-filter the benchmark " +
         "suites or raise the limit deliberately")
     val bc = stream.sparkSession.sparkContext.broadcast(limited)
+    val scale = TextPipeline.MixScale
     val contaminated = udf { (shingles: Seq[String]) =>
       val set = bc.value
       if (shingles.isEmpty) false
@@ -102,7 +115,7 @@ object StreamingIngest {
       else {
         var hits = 0
         shingles.foreach(s => if (set.contains(s)) hits += 1)
-        hits.toLong * 1000 > maxContamMils.toLong * shingles.length
+        hits.toLong * scale > maxContamMils.toLong * shingles.length
       }
     }
     stream.filter(!contaminated(TextPipeline.deconShingles(col(textCol))))

@@ -123,17 +123,24 @@ class TextPipelineSpec extends AnyFunSuite {
     assert("WindowGroupLimit".r.findAllIn(capPlan).size >= 2, capPlan)
   }
 
-  test("materializeSelected writes exactly the selected docs, hive-partitioned by split") {
+  test("materializeSelected writes every curated doc in every split, hive-partitioned") {
     import graft.queries.TextPipeline
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("corpus_out").toString
     val counts = TextPipeline.materializeSelected(spark, sf, out)
-    // ground truth from the verdict query itself
+    // ground truth from the verdict query itself: content gates only —
+    // split membership is an assignment, not a gate (a `selected` filter
+    // would silently drop every curated val/test doc)
     val verdict = graft.SparkEntry.queries("q_corpus_select_full")(spark, sf)
-      .filter(col("selected")).select("doc_id", "split")
+      .filter(col("lang_ok") && col("quality_ok") && col("dedup_keep") &&
+        col("clean") && col("mix_keep") && col("cap_kept"))
+      .select("doc_id", "split")
     val expected = verdict.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == expected, s"materialized counts $counts != verdict $expected")
+    // the corpus actually has curated val/test docs, and they materialize
+    assert(expected.keySet == Set("train", "val", "test"),
+      s"corpus should curate docs in all three splits, got $expected")
     // layout: one directory per split, pruning works, ids match exactly
     val re = spark.read.parquet(out)
     assert(re.columns.contains("split"))
@@ -142,6 +149,12 @@ class TextPipelineSpec extends AnyFunSuite {
     val expectedTrain = verdict.filter(col("split") === "train")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(trainIds == expectedTrain)
+    // the train partition is exactly the verdict's `selected` set — the
+    // training-set semantics are unchanged by the every-split fix
+    val selectedIds = graft.SparkEntry.queries("q_corpus_select_full")(spark, sf)
+      .filter(col("selected")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(trainIds == selectedIds)
     // within-file doc_id order (deterministic shard reads): each file's ids
     // must arrive sorted
     val files = new java.io.File(out).listFiles().filter(_.getName.startsWith("split="))
