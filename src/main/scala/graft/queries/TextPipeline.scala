@@ -149,6 +149,49 @@ object TextPipeline {
       .otherwise(array().cast("array<string>")))
   }
 
+  /** Benchmark-decontamination audit of a corpus against a REAL benchmark
+    * set — the production entry point behind `q_decontaminate` (whose
+    * doc_id-derived stand-in only exists so the driver's DuckDB oracle can
+    * re-derive the benchmark from the same parquet).
+    *
+    * `corpus` needs (doc_id, text). `bench` is the eval-suite input in
+    * either supported schema: a column `sh` of ready
+    * [[DeconNgram]]-token shingle strings, or a column `text` of raw
+    * benchmark documents — shingled here by the SAME kernel as the corpus
+    * side ([[deconShingles]]), so the two sides can never tokenize apart.
+    *
+    * Returns one row per corpus doc: (doc_id, n_hits, n_shingles,
+    * contam_mils, contaminated) — the any-hit verdict plus the graded
+    * PaLM-style fraction in integer [[MixScale]]-mils.
+    *
+    * Scale shape: identical to the oracle twin's — the benchmark set is
+    * metadata-sized by nature (eval suites, ~1e6 shingles at production
+    * scale) and rides a BROADCAST membership probe (the streaming guard
+    * [[graft.streaming.StreamingIngest.decontaminatedStream]] enforces the
+    * same metadata-sized contract with an explicit collect-side cap); the
+    * corpus-side shingle stream is never shuffled by shingle — the only
+    * shuffle is the output-sized per-doc hit count. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame): DataFrame = {
+    val benchSh =
+      (if (bench.columns.contains("sh")) bench.select(col("sh").cast("string").as("sh"))
+       else bench.select(explode(deconShingles(col("text"))).as("sh")))
+        .distinct()
+    val withShs = corpus.select(col("doc_id"), deconShingles(col("text")).as("shs"))
+    val hits = withShs.select(col("doc_id"), explode(col("shs")).as("sh"))
+      .join(broadcast(benchSh), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    withShs
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_shingles"),
+        when(col("n_shingles") > 0,
+          floor(coalesce(col("n_hits"), lit(0L)) * MixScale / col("n_shingles"))
+            .cast("long"))
+          .otherwise(lit(0L)).as("contam_mils"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** "No silent caps" without a dedicated count job: the hot-key set is tiny
     * (it rides a broadcast), so a pass-through UDF on it ticks a long
     * accumulator while the broadcast relation is built, and a session-level
@@ -1229,23 +1272,13 @@ object TextPipeline {
         |FROM d LEFT JOIN hits USING (doc_id) WHERE d.doc_id % $DeconBenchMod <> 0
         |ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
-        val d = docs(s, dir).select(col("doc_id"), deconShingles(col("text")).as("shs"))
-        val sh = d.select(col("doc_id"), explode(col("shs")).as("sh"))
-        val bench = sh.filter(col("doc_id") % DeconBenchMod === 0)
-          .select("sh").distinct()
-        val hits = sh.filter(col("doc_id") % DeconBenchMod =!= 0)
-          .join(broadcast(bench), Seq("sh"))
-          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-        d.filter(col("doc_id") % DeconBenchMod =!= 0)
-          .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"))
-          .join(hits, Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-            col("n_shingles"),
-            when(col("n_shingles") > 0,
-              floor(coalesce(col("n_hits"), lit(0L)) * MixScale / col("n_shingles"))
-                .cast("long"))
-              .otherwise(lit(0L)).as("contam_mils"),
-            (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        // the stand-in benchmark set: shingles of every doc_id % mod == 0
+        // doc, handed to the SAME decontaminate() API a production caller
+        // uses with real eval-suite shingles
+        val d = docs(s, dir)
+        val bench = d.filter(col("doc_id") % DeconBenchMod === 0)
+          .select(explode(deconShingles(col("text"))).as("sh"))
+        decontaminate(d.filter(col("doc_id") % DeconBenchMod =!= 0), bench)
           .orderBy("doc_id")
     },
 

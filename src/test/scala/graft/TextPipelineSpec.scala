@@ -167,6 +167,41 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate() audits against a caller-supplied benchmark set (both schemas)") {
+    import graft.queries.TextPipeline
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def w(c: Char, n: Int) = (1 to n).map(i => s"$c$i")
+    val benchWords = w('b', 8) // exactly one 8-token shingle
+    val corpus = Seq(
+      (1L, (w('a', 4) ++ benchWords).mkString(" ")), // 12 toks, 5 shingles, 1 hit
+      (2L, w('c', 12).mkString(" ")),                // 5 shingles, 0 hits
+      (3L, (benchWords ++ w('d', 1)).mkString(" ")), // 2 shingles, 1 hit
+      (4L, w('e', 3).mkString(" "))                  // below the window: always clean
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .toSeq
+    // raw-text benchmark schema: shingled by the same kernel as the corpus
+    val viaText = rows(TextPipeline.decontaminate(
+      corpus, Seq(Tuple1(benchWords.mkString(" "))).toDF("text")))
+    assert(viaText == Seq(
+      (1L, 1L, 5L, 200L, true),  // floor(1 * 1000 / 5)
+      (2L, 0L, 5L, 0L, false),
+      (3L, 1L, 2L, 500L, true),
+      (4L, 0L, 0L, 0L, false)))
+    // ready-shingle benchmark schema must agree exactly
+    val viaSh = rows(TextPipeline.decontaminate(
+      corpus, Seq(Tuple1(benchWords.mkString(" "))).toDF("sh")))
+    assert(viaSh == viaText)
+    // the probe stays a broadcast join (the 100 TB contract)
+    val plan = TextPipeline.decontaminate(
+      corpus, Seq(Tuple1(benchWords.mkString(" "))).toDF("sh"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"), plan)
+  }
+
   test("shingle/signature UDF kernels are bit-identical to the HOF formulation") {
     import org.apache.spark.sql.functions._
     import graft.queries.{Tables, TextPipeline}
