@@ -34,6 +34,29 @@ import org.apache.spark.sql.types._
   *
   * Duplicate adds keep duplicate postings, and search dedups by doc_id at
   * query time — matching the reference (SURVEY §7.5.6).
+  *
+  * ==Reader vs maintenance isolation contract==
+  *
+  * Writers serialize through the per-path write lock, but READERS take no
+  * lock and get no snapshot isolation from maintenance: a `DataFrame`
+  * handle (a search result not yet collected, `postingsDf`, …) captures the
+  * table's FILE LISTING when it is created, and [[compact]]/
+  * [[compactFiles]]/[[remove]]'s directory swaps delete the listed files.
+  * Executing a pre-swap handle after a swap fails LOUDLY — Spark raises
+  * `FileNotFoundException` ("…It is possible the underlying files have been
+  * updated… recreate the Dataset/DataFrame") — it never silently returns
+  * partial data, because `spark.sql.files.ignoreMissingFiles` stays at its
+  * `false` default (setting it true would turn this contract violation into
+  * silent row loss; don't). The reference never faced this: RocksDB hands
+  * every read a point-in-time snapshot for free (lintdb/index.cpp search
+  * paths), while Parquet-on-a-filesystem has no MVCC. So the contract is:
+  * '''maintenance ops are stop-the-world for in-flight reads of the same
+  * index''' — quiesce readers around [[compact]]/[[compactFiles]]/bulk
+  * [[remove]], or catch the failure and re-plan from a fresh handle. Handles
+  * created AFTER the swap are always safe (every read re-lists through
+  * [[readTable]]; nothing caches listings across calls).
+  * MaintenanceIsolationSpec pins both halves — the loud failure and the
+  * fresh-handle recovery.
   */
 final class IndexIVF private (
     val spark: SparkSession,
@@ -545,7 +568,8 @@ final class IndexIVF private (
 
   /** Apply pending tombstones physically (partition rewrite per table) and
     * clear the tombstone table — the periodic compaction job of the
-    * tombstone design. */
+    * tombstone design. Stop-the-world for in-flight readers of this index:
+    * see the class-level reader-vs-maintenance isolation contract. */
   def compact(): Unit = withWriteLock {
     if (!hasTombstones) return
     // anti-join form, NOT a collected id set: a bulk-delete pipeline (the
@@ -698,7 +722,8 @@ final class IndexIVF private (
     * original directory intact. IO is O(affected partitions), not O(table).
     * The reference runs RocksDB compactions for the same hygiene
     * (RocksdbInvertedList flush/merge); Parquet-on-object-store needs it
-    * as an explicit maintenance op. */
+    * as an explicit maintenance op. Stop-the-world for in-flight readers of
+    * this index: see the class-level isolation contract. */
   def compactFiles(maxFiles: Int = 1): Unit = withWriteLock {
     require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
     Seq("postings", "scalars", "context", "docs").foreach { tbl =>
