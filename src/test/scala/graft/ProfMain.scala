@@ -184,6 +184,88 @@ object ProfMain {
         }
         println(f"[prof] train_scale K=$k dim=$dimT n=$n iters=$iters: " +
           f"${sRef}%.2f s -> ${sFast}%.2f s = ${sRef / sFast}%.1f x, centroids identical")
+      case "index_scale" =>
+        // ONE production-shaped index (VERDICT r8 #5): K=4096, dim=128,
+        // 100k docs x 4 tokens = 400k vectors, built once — build time,
+        // bucketed-layout file counts, probe pruning, and the 212-query
+        // batch harness ms/query at a real shape instead of the bench's
+        // per-invocation toy (16 centroids, 10 docs). Tokens are a
+        // deterministic expression of (doc_id, token, dim), generated
+        // distributively — no driver-side data generation.
+        import graft.core._
+        import graft.query._
+        import spark.implicits._
+        val k = 4096; val dimI = 128; val nDocs = 100000; val tpd = 4
+        val schema = GSchema(Seq(GField.colbert("colbert", dimensions = dimI,
+          numCentroids = k, quantization = QuantizerKind.NONE,
+          numIterations = 2, nbits = 2)))
+        val path = java.nio.file.Files.createTempDirectory("graft_scale_idx").toString
+        val idx = graft.index.IndexIVF.create(spark, path, schema)
+        val tokensExpr = expr(
+          s"""transform(sequence(0, ${tpd - 1}), t ->
+             |  transform(sequence(0, ${dimI - 1}), d ->
+             |    cast(pmod(xxhash64(id, t, d), 2000) / 1000.0 - 1.0 as float)))"""
+            .stripMargin)
+        val docs = spark.range(nDocs.toLong).select(col("id"), tokensExpr.as("colbert"))
+        time(s"train K=$k dim=$dimI n=${nDocs * tpd}") { idx.train(docs) }
+        time(s"add $nDocs docs (${nDocs * tpd} vectors)") { idx.add(1, docs) }
+        // bucketed layout at shape: directories + files under postings/
+        val postingsRoot = java.nio.file.Paths.get(path, "postings")
+        val walk = java.nio.file.Files.walk(postingsRoot)
+        val all = try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toVector
+        } finally walk.close()
+        val bucketDirs = all.count(p => p.getFileName.toString.startsWith("centroid_bucket="))
+        val files = all.count(_.getFileName.toString.endsWith(".parquet"))
+        println(s"[prof] postings layout: $bucketDirs bucket dirs, $files parquet files")
+        // single-query probe pruning: files read by one search's pruned scan.
+        // AQE hides FileSourceScanExec inside query stages (executedPlan
+        // .collect sees only the AdaptiveSparkPlanExec leaf), so it is
+        // turned off around this measurement — pruning is static partition
+        // filtering + pushdown, which AQE does not change.
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        // numFiles per TABLE (a search scans postings + context + docs in
+        // one plan; summing across them misreads pruning)
+        def numFilesByTable(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+          df.collect()
+          df.queryExecution.executedPlan.collect {
+            case f: FileSourceScanExec =>
+              val root = f.relation.location.rootPaths.head.toString
+              val table = root.split('/').last
+              table -> f.metrics("numFiles").value
+          }.groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sum }
+        }
+        val qPool = docs.filter(col("id") < 212).orderBy("id").collect()
+          .map(_.getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("colbert")
+            .map(_.toArray).toArray)
+        val opts = SearchOptions(kTopCentroids = 4, nProbe = 32, numSecondPass = 64)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val single = time("single search (cold)") {
+          idx.search(1, VectorQuery("colbert", qPool(0)), k = 10, opts)
+        }
+        val probed = numFilesByTable(single)
+        val full = numFilesByTable(idx.postingsDf
+          .filter(col("tenant") === 1 && col("field") === 0))("postings")
+        // a tight probe shows the 16-way directory granularity itself
+        val tight = numFilesByTable(idx.search(1, VectorQuery("colbert", qPool(0)),
+          k = 10, opts.copy(nProbe = 4)))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        println(s"[prof] probe pruning: postings ${probed.getOrElse("postings", -1L)} " +
+          s"of $full files at nProbe=32, ${tight.getOrElse("postings", -1L)} at nProbe=4; " +
+          s"per-table nProbe=32: " + probed.toSeq.sorted.map { case (t, n) => s"$t=$n" }
+            .mkString(", "))
+        // the amortized serving shape: 212 queries through ONE batch pass
+        val queries = qPool.zipWithIndex
+          .map { case (toks, i) => (i.toLong, toks.map(_.toSeq).toSeq) }.toSeq
+          .toDF("query_id", "tokens")
+        val t0 = System.nanoTime()
+        val res = graft.query.BatchSearcher.searchBatch(
+          idx, 1, "colbert", queries, k = 10, opts)
+        val n = res.count()
+        val ms = (System.nanoTime() - t0) / 1e6
+        println(f"[prof] batch 212 queries: ${ms / 1000}%.2f s total, " +
+          f"${ms / 212}%.1f ms/query amortized, $n result rows")
       case "assign" =>
         // centroid-assignment throughput at production K (VERDICT r7 #3):
         // sf0.1 embeddings as the token stream, K=4096 random centroids.
