@@ -6,11 +6,13 @@ import graft.query._
 import org.apache.spark.sql.functions._
 
 /** Driver-visible end-to-end runs of the actual engine ([[IndexIVF]]):
-  * create -> train (MLlib KMeans) -> add (posting/context build) -> search
-  * (two-phase PLAID). Results depend on trained centroids, so there is no
-  * SQL oracle — the driver records the rows-only check; determinism comes
-  * from the fixed KMeans seed, and exactness-vs-brute-force is asserted in
-  * IndexSpec.
+  * create -> train (bounded-sample SIMD Lloyd's) -> add (posting/context
+  * build) -> search (two-phase PLAID). Results depend on trained centroids,
+  * so there is no SQL oracle — the driver records the rows-only check;
+  * determinism comes from the fixed k-means seed, and exactness-vs-brute-
+  * force is asserted in IndexSpec. The `_oracle` twins fix the centroids
+  * (and, for the binarized twin, preset codec cutoffs) so the full
+  * lifecycle IS hash-checked against generated DuckDB SQL.
   */
 object EngineQueries {
   import QueryDef._
