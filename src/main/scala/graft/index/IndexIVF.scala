@@ -482,7 +482,7 @@ final class IndexIVF private (
     if (stored.nonEmpty) {
       val d = docs.select(lit(tenant).as("tenant") +: col("id").as("doc_id") +:
         stored.map(f => col(f.name)) :+ lit(epoch).as("epoch"): _*)
-      writes += ("docs" -> (() => writeAppend(d, p("docs"), Seq("tenant"))))
+      writes += ("docs" -> (() => writeDocs(d)))
     }
 
     try runConcurrently(writes.toSeq)
@@ -856,6 +856,11 @@ final class IndexIVF private (
           if (tbl == "postings")
             writePostings(liveRows.select(
               col("tenant"), col("field"), col("centroid"), col("doc_id"), col("epoch")))
+          else if (tbl == "docs")
+            // same re-placement rationale as postings: a read task can pack
+            // several of the other index's files into one split, so the
+            // import re-derives doc_bucket and re-sorts per directory
+            writeDocs(liveRows.drop("doc_bucket"))
           else
             writeAppend(liveRows.select(df.columns.map(col): _*), p(tbl), parts)
         }
@@ -901,38 +906,56 @@ final class IndexIVF private (
     * writes from a single sorted task, which both cuts a Spark job and stops
     * tiny adds from fanning out one micro-file per (bucket x shuffle
     * partition). */
-  private def writePostings(rows: DataFrame): Unit = {
-    val withBucket = rows.withColumn("centroid_bucket", centroidBucket(col("centroid")))
-    // size the add from optimizer statistics (driver-side metadata), NOT
-    // df.rdd.getNumPartitions — under AQE the .rdd access materializes the
-    // plan's shuffle stages as a real job (~0.3 s of dead time per add on
-    // the per-invocation engine queries)
+  /** Size-gated placement shared by the bucketed-table appends: a small
+    * input (by optimizer statistics) collapses to ONE sorted task — cutting
+    * a Spark job and stopping a trickle add from fanning one micro-file
+    * into every bucket directory — while a bulk input clusters one shuffle
+    * on the partition columns so each directory gets one file. Size comes
+    * from driver-side metadata, NOT df.rdd.getNumPartitions — under AQE the
+    * .rdd access materializes the plan's shuffle stages as a real job
+    * (~0.3 s of dead time per add on the per-invocation engine queries).
+    * The sort LEADS with the partition columns so the dynamic-partition
+    * writer's required ordering is already satisfied — otherwise it inserts
+    * its own partition-cols-only sort, which is not guaranteed stable and
+    * can destroy the secondary order inside each directory. */
+  private def sizeGatedPlacement(rows: DataFrame, parts: Seq[String],
+      sortKeys: Seq[String]): DataFrame = {
     val splitBytes = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
     val maxBytes = spark.conf.getOption(SmallAddMaxBytesKey).map(BigInt(_))
       .getOrElse(BigInt(splitBytes) * SmallAddPartitions)
-    val placed =
-      if (withBucket.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes) {
-        // the size estimate is heuristic without CBO (a selective filter or
-        // join can be badly underestimated) — a free execution-time backstop
-        // counts the rows that actually flowed through the single task and
-        // warns loudly past the clamp, naming the escape hatch. observe()
-        // rides the write plan (no extra job); it sits BELOW the sort so the
-        // dynamic-partition writer still sees the required ordering.
-        IndexIVF.installSmallAddClamp(spark)
-        val cap = spark.conf.get(SmallAddMaxRowsKey, SmallAddMaxRowsDefault.toString).toLong
-        withBucket
-          .observe("graft.smallAdd",
-            count(lit(1)).as("rows"), max(lit(cap)).as("cap"))
-          .coalesce(1)
-          .sortWithinPartitions("tenant", "field", "centroid_bucket", "centroid")
-      } else
-        // the sort LEADS with the partition columns so the dynamic-partition
-        // writer's required ordering is already satisfied — otherwise it
-        // inserts its own partition-cols-only sort, which is not guaranteed
-        // stable and can destroy the centroid order inside each directory
-        withBucket.repartition(col("tenant"), col("field"), col("centroid_bucket"))
-          .sortWithinPartitions("tenant", "field", "centroid_bucket", "centroid")
+    if (rows.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes) {
+      // the size estimate is heuristic without CBO (a selective filter or
+      // join can be badly underestimated) — a free execution-time backstop
+      // counts the rows that actually flowed through the single task and
+      // warns loudly past the clamp, naming the escape hatch. observe()
+      // rides the write plan (no extra job); it sits BELOW the sort so the
+      // dynamic-partition writer still sees the required ordering.
+      IndexIVF.installSmallAddClamp(spark)
+      val cap = spark.conf.get(SmallAddMaxRowsKey, SmallAddMaxRowsDefault.toString).toLong
+      rows
+        .observe("graft.smallAdd",
+          count(lit(1)).as("rows"), max(lit(cap)).as("cap"))
+        .coalesce(1)
+        .sortWithinPartitions(sortKeys.map(col): _*)
+    } else
+      rows.repartition(parts.map(col): _*)
+        .sortWithinPartitions(sortKeys.map(col): _*)
+  }
+
+  private def writePostings(rows: DataFrame): Unit = {
+    val withBucket = rows.withColumn("centroid_bucket", centroidBucket(col("centroid")))
+    val placed = sizeGatedPlacement(withBucket, postingsParts,
+      Seq("tenant", "field", "centroid_bucket", "centroid"))
     writeAppend(placed, p("postings"), postingsParts)
+  }
+
+  /** Append forward-index rows preserving the v4 layout invariants (hive
+    * doc buckets + within-file doc_id sort) with the same size-gated
+    * placement as postings. */
+  private def writeDocs(rows: DataFrame): Unit = {
+    val withBucket = rows.withColumn("doc_bucket", docBucket(col("doc_id")))
+    val placed = sizeGatedPlacement(withBucket, tableParts("docs"), tableSort("docs"))
+    writeAppend(placed, p("docs"), tableParts("docs"))
   }
 
   // ---------------------------------------------------------------- search
@@ -965,6 +988,26 @@ object IndexIVF {
     * hand-rolled `%`) so the probe always selects the directory the posting
     * was written to (`pmod` == `floorMod`, not Java's signed `%`). */
   def bucketOf(c: Long): Int = java.lang.Math.floorMod(c, CentroidBuckets.toLong).toInt
+
+  /** Number of hash buckets docs/ is hive-partitioned by (on top of
+    * tenant) since format v4. Higher than CentroidBuckets on purpose: the
+    * consumer is the ≤k hydration multiget, whose driver-known id set
+    * prunes to ≤ min(k, DocBuckets) directories — pruning scales with
+    * DocBuckets while k stays small (k=10 against 64 buckets reads ≤10
+    * dirs; against 16 it would read ~10 of 16 and save little). The cost
+    * side stays bounded: #dirs = #tenants × 64, and the micro-file fanout
+    * a trickle add could cause is capped by the same size-gated placement
+    * postings use ([[IndexIVF.add]] docs lane) + compactFiles hygiene. */
+  val DocBuckets = 64
+
+  def docBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(c, lit(DocBuckets.toLong)).cast("int")
+
+  /** Driver-side twin of [[docBucket]] (same floorMod caveat as
+    * [[bucketOf]]) — the hydration multiget builds its directory-pruning
+    * IN-list with this. */
+  def docBucketOf(id: Long): Int =
+    java.lang.Math.floorMod(id, DocBuckets.toLong).toInt
 
   /** A postings append estimated (from optimizer statistics) at no more
     * than this many input splits takes the single-sorted-task write path in
@@ -1036,9 +1079,18 @@ object IndexIVF {
   private[graft] def maxTargetedPartitions(spark: SparkSession): Int =
     spark.conf.get(MaxTargetedPartitionsKey, "1000").toInt
 
-  /** Hive partition columns per table (rewrites must preserve layout). */
+  /** Hive partition columns per table (rewrites must preserve layout).
+    * docs/ carries a doc_bucket level since format v4: the hydration
+    * multiget's ids are driver-known, so their bucket set prunes whole
+    * DIRECTORIES before any footer is opened — the same design as
+    * postings' centroid_bucket, applied to the forward index's point
+    * lookups (the reference's RocksdbForwardIndex.cpp:44-92 multiget gets
+    * this from key-ordered SSTs). Targeted deletes gain the same bound:
+    * remove() rewrites only the victim ids' bucket directories instead of
+    * the whole tenant partition. */
   def tableParts(tbl: String): Seq[String] = tbl match {
-    case "docs" | "tombstones" => Seq("tenant")
+    case "docs" => Seq("tenant", "doc_bucket")
+    case "tombstones" => Seq("tenant")
     case "postings" => Seq("tenant", "field", "centroid_bucket")
     case _ => Seq("tenant", "field")
   }
@@ -1064,7 +1116,7 @@ object IndexIVF {
   def tableSort(tbl: String): Seq[String] = tbl match {
     case "context" => Seq("tenant", "field", "doc_id")
     case "scalars" => Seq("tenant", "field", "value_num", "value_str")
-    case "docs" => Seq("tenant", "doc_id")
+    case "docs" => Seq("tenant", "doc_bucket", "doc_id")
     case _ => Nil
   }
 
@@ -1122,19 +1174,22 @@ object IndexIVF {
     * column and tombstones kill by epoch (nullable; absent columns in files
     * appended under v2 read as null and coalesce to the old semantics, so
     * the v2 -> v3 migration is metadata-only). Version 2 = postings
-    * hive-partitioned by (tenant, field, centroid_bucket); version 1 (no
-    * bucket level) cannot be read or safely appended to by this code —
-    * [[open]] rejects it with a migration hint instead of failing at query
-    * time (or worse, letting an add() interleave two directory layouts
-    * under one table). */
-  val FormatVersion = 3
+    * hive-partitioned by (tenant, field, centroid_bucket); version 4 adds
+    * the docs/ doc_bucket level. An older version (missing a bucket level)
+    * cannot be read or safely appended to by this code — [[open]] rejects
+    * it with a migration hint instead of failing at query time (or worse,
+    * letting an add() interleave two directory layouts under one table). */
+  val FormatVersion = 4
+
+  private val layoutDesc =
+    "postings/tenant/field/centroid_bucket, docs/tenant/doc_bucket"
 
   private def writeMeta(path: String, schema: GSchema): Unit = {
     Json.write(s"$path/_meta/schema.json", schema)
     Json.write(s"$path/_meta/mapper.json", FieldMapper.fromSchema(schema).nameToId)
     Json.write(s"$path/_meta/metadata.json",
       Map("format" -> "graft-ivf-parquet", "version" -> FormatVersion,
-        "layout" -> "postings/tenant/field/centroid_bucket"))
+        "layout" -> layoutDesc))
   }
 
   private def readVersion(path: String): Int = {
@@ -1150,68 +1205,97 @@ object IndexIVF {
       s"index at $path has format version $version, this build reads/writes " +
         s"version $FormatVersion (postings are hive-partitioned by " +
         "centroid_bucket since v2; rows and tombstones carry a write epoch " +
-        "since v3). Run IndexIVF.migrate(spark, path) to upgrade it in " +
-        "place, or rebuild with create()+add().")
+        "since v3; docs are hive-partitioned by doc_bucket since v4). Run " +
+        "IndexIVF.migrate(spark, path) to upgrade it in place, or rebuild " +
+        "with create()+add().")
   }
 
-  /** In-place upgrade of a version-1 or version-2 index to the current
-    * format. v2 -> v3 is METADATA-ONLY: the epoch columns are nullable, old
-    * files read as epoch null, and every epoch comparison coalesces nulls to
-    * the pre-epoch semantics (row null -> epoch 0, tombstone null -> kill
-    * everything), so no data rewrite is needed — new appends simply start
-    * stamping. v1 additionally needs the postings layout rewrite: derive
-    * `centroid_bucket` for every posting and rewrite `postings/` as the
-    * three-level hive tree with the within-file centroid sort [[open]] and
-    * the searchers rely on. Idempotent: a current-version index returns
+  /** In-place upgrade of a version-1..3 index to the current format,
+    * staged by what each version is missing. v1 needs the postings layout
+    * rewrite: derive `centroid_bucket` for every posting and rewrite
+    * `postings/` as the three-level hive tree with the within-file centroid
+    * sort [[open]] and the searchers rely on. The v3 epoch upgrade is
+    * METADATA-ONLY: the epoch columns are nullable, old files read as epoch
+    * null, and every epoch comparison coalesces nulls to the pre-epoch
+    * semantics (row null -> epoch 0, tombstone null -> kill everything), so
+    * no data rewrite is needed — new appends simply start stamping. v4 adds
+    * the docs/ doc_bucket level: every pre-v4 version rewrites `docs/` once
+    * (derive doc_bucket, recluster, within-file (tenant, doc_bucket,
+    * doc_id) sort). Idempotent: a current-version index returns
     * immediately.
     *
-    * The v1 rewrite is one clustering shuffle of the postings table —
-    * O(postings), the minimum any layout migration can do — with the same
-    * one-file-per-bucket placement as a bulk [[IndexIVF.add]]. The
-    * tmp-write + directory-swap means a crash mid-migrate leaves the
-    * original v1 tree intact (and metadata.json still says v1, so nothing
+    * Each layout rewrite is one clustering shuffle of its table —
+    * O(table), the minimum any layout migration can do — with the same
+    * one-file-per-directory placement as a bulk [[IndexIVF.add]]. The
+    * tmp-write + swap means a crash mid-migrate leaves the original tree
+    * intact (and metadata.json still says the old version, so nothing
     * reads the half-written tmp). */
   def migrate(spark: SparkSession, path: String): Unit = {
     val version = readVersion(path)
     if (version == FormatVersion) return
-    require(version == 1 || version == 2,
-      s"cannot migrate an index with format version $version (expected 1 or " +
-        "2); version 0 means no metadata.json — this is not a graft index")
-    if (version == 2) {
-      Json.write(s"$path/_meta/metadata.json",
-        Map("format" -> "graft-ivf-parquet", "version" -> FormatVersion,
-          "layout" -> "postings/tenant/field/centroid_bucket"))
-      return
-    }
-    val tablePath = s"$path/postings"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
-    val orig = new org.apache.hadoop.fs.Path(tablePath)
-    if (fs.exists(orig)) {
-      // schema inference (not the declared v2 schema): a v1 tree has no
-      // centroid_bucket directory level, and an empty tree (only _SUCCESS)
-      // reads as None -> nothing to rewrite
+    require(version >= 1 && version < FormatVersion,
+      s"cannot migrate an index with format version $version (expected " +
+        s"1..${FormatVersion - 1}); version 0 means no metadata.json — " +
+        "this is not a graft index")
+
+    /** Rewrite one table adding a derived hive bucket level. Reads by
+      * schema INFERENCE (an old tree lacks the bucket directory level; an
+      * empty tree — only _SUCCESS — reads as None -> nothing to rewrite). */
+    def addBucketLevel(tbl: String, bucketCol: String,
+        derive: DataFrame => org.apache.spark.sql.Column,
+        sort: Seq[String]): Unit = {
+      val tablePath = s"$path/$tbl"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tablePath), spark.sparkContext.hadoopConfiguration)
+      val orig = new org.apache.hadoop.fs.Path(tablePath)
+      if (!fs.exists(orig)) return
       val source =
         try Some(spark.read.parquet(tablePath))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
       source.foreach { df =>
-        require(!df.columns.contains("centroid_bucket"),
-          s"$tablePath already has a centroid_bucket level but metadata.json " +
-            "says version 1 — refusing to guess which is authoritative")
-        val placed = df
-          .select(col("tenant"), col("field"), col("centroid"), col("doc_id"))
-          .withColumn("centroid_bucket", centroidBucket(col("centroid")))
-          .repartition(col("tenant"), col("field"), col("centroid_bucket"))
-          .sortWithinPartitions("tenant", "field", "centroid_bucket", "centroid")
-        val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
-        placed.write.mode("overwrite").partitionBy(postingsParts: _*).parquet(tmp.toString)
-        fs.delete(orig, true)
-        fs.rename(tmp, orig)
+        if (df.columns.contains(bucketCol)) {
+          // the inferred schema already carries the bucket column. If it is
+          // a DIRECTORY level, this table is already the target layout —
+          // the re-run-after-crash case (a prior migrate rewrote the table
+          // but died before stamping metadata.json), so skip it: migrate
+          // must stay idempotent PER TABLE or a crash would strand the
+          // index. A bucket column sitting INSIDE the files with no
+          // directory level is not something any version ever wrote —
+          // refuse to guess.
+          val isDirLevel = Seq("*", "*/*").exists(depth =>
+            fs.globStatus(new org.apache.hadoop.fs.Path(
+              s"$tablePath/$depth/$bucketCol=*")) match {
+              case null => false
+              case hits => hits.nonEmpty
+            })
+          require(isDirLevel,
+            s"$tablePath carries $bucketCol inside its data files but has " +
+              s"no $bucketCol= directory level and metadata.json says " +
+              s"version $version — refusing to guess which is authoritative")
+        } else {
+          val parts = tableParts(tbl)
+          val placed = df
+            .withColumn(bucketCol, derive(df))
+            .repartition(parts.map(col): _*)
+            .sortWithinPartitions(sort.map(col): _*)
+          val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
+          placed.write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
+          fs.delete(orig, true)
+          fs.rename(tmp, orig)
+        }
       }
     }
+
+    if (version == 1)
+      addBucketLevel("postings", "centroid_bucket",
+        d => centroidBucket(d("centroid")),
+        Seq("tenant", "field", "centroid_bucket", "centroid"))
+    // every pre-v4 version lacks the docs bucket level
+    addBucketLevel("docs", "doc_bucket",
+      d => docBucket(d("doc_id")), tableSort("docs"))
     Json.write(s"$path/_meta/metadata.json",
       Map("format" -> "graft-ivf-parquet", "version" -> FormatVersion,
-        "layout" -> "postings/tenant/field/centroid_bucket"))
+        "layout" -> layoutDesc))
   }
 
   private def empty(spark: SparkSession, s: StructType): DataFrame =
@@ -1243,9 +1327,10 @@ object IndexIVF {
     StructField("epoch", LongType)))
 
   def docsSchema(schema: GSchema): StructType = StructType(
-    (StructField("tenant", LongType) +: StructField("doc_id", LongType) +:
+    ((StructField("tenant", LongType) +: StructField("doc_id", LongType) +:
       schema.storedFields.map(f => StructField(f.name, sparkType(f)))) :+
-      StructField("epoch", LongType))
+      StructField("epoch", LongType)) :+
+      StructField("doc_bucket", IntegerType))
 
   def sparkType(f: GField): DataType = f.dtype match {
     case GDataType.INTEGER => LongType

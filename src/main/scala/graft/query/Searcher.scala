@@ -95,19 +95,23 @@ object Searcher {
     if (idx.schema.storedFields.nonEmpty) {
       // Hydration. The ranked result is <= k rows, so it is collected ONCE
       // (the distributed phase-1/rerank DAG runs here) and its ids pushed
-      // into the docs scan as an IN filter: the full forward-index scan
-      // becomes a row-group-pruned multiget — the Spark analogue of the
-      // reference's forward-index multiget (RocksdbForwardIndex.cpp:44-92).
-      // At cluster scale the docs/ table would additionally be bucketed by
-      // doc_id. The multiget result is ALSO <= k rows, so the final join is
-      // a driver-local hash lookup over two k-row arrays — doing it with
-      // broadcast joins would spend several Spark jobs shuffling rows that
-      // both already fit in the collected result.
+      // into the docs scan as TWO static filters: the ids' doc_bucket set
+      // prunes whole hive DIRECTORIES (<= min(k, DocBuckets) of the
+      // forward index's directories are even listed), then the doc_id
+      // IN-list row-group-prunes the surviving files — the Spark analogue
+      // of the reference's key-ordered forward-index multiget
+      // (RocksdbForwardIndex.cpp:44-92). The multiget result is ALSO <= k
+      // rows, so the final join is a driver-local hash lookup over two
+      // k-row arrays — doing it with broadcast joins would spend several
+      // Spark jobs shuffling rows that both already fit in the collected
+      // result.
       val topRows = top.collect()
       val topIds = topRows.map(_.getLong(0))
+      val topBuckets = topIds.map(IndexIVF.docBucketOf).distinct
       val docsDf = idx.docsDf
-        .filter(col("tenant") === tenant && col("doc_id").isin(topIds: _*))
-        .drop("tenant", "epoch")
+        .filter(col("tenant") === tenant &&
+          col("doc_bucket").isin(topBuckets: _*) && col("doc_id").isin(topIds: _*))
+        .drop("tenant", "epoch", "doc_bucket")
       // duplicate-add dedup (one stored row per id, arbitrary winner — the
       // reference dedups in iterators too) happens in the driver-side map:
       // a dropDuplicates here would add a whole shuffle stage to a <= k-row

@@ -5,14 +5,17 @@ import graft.index.IndexIVF
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
-/** v2 → v3 migration interop: a pre-epoch index (files WITHOUT the epoch
-  * column, format version 2) must migrate metadata-only and then behave
-  * correctly under the epoch-stamped tombstone machinery — null epochs
-  * coalesce to "killable by any tombstone", re-adds land with real epochs
-  * above every tombstone, and a compact over the MIXED table (pre-epoch +
-  * post-epoch files in one directory) kills exactly the old rows. This is
-  * the upgrade path every existing index takes after the round-8 format
-  * bump. */
+/** Migration interop across the format history. v2 → v4: a pre-epoch index
+  * (files WITHOUT the epoch column, docs WITHOUT the bucket level, format
+  * version 2) must migrate — one docs/ clustering rewrite plus metadata —
+  * and then behave correctly under the epoch-stamped tombstone machinery:
+  * null epochs coalesce to "killable by any tombstone", re-adds land with
+  * real epochs above every tombstone, and a compact over the MIXED table
+  * (pre-epoch + post-epoch files in one directory) kills exactly the old
+  * rows. v3 → v4: an epoch-stamped index lacking only the docs bucket
+  * level migrates with the docs rewrite alone and searches identically.
+  * These are the upgrade paths every existing index takes after the
+  * round-8 (epoch) and round-9 (doc_bucket) format bumps. */
 class IndexMigrationV2Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -29,33 +32,45 @@ class IndexMigrationV2Spec extends AnyFunSuite {
     idx.docsDf.filter(col("tenant") === 1).select("doc_id")
       .distinct().collect().map(_.getLong(0)).toSet
 
-  test("v2 pre-epoch index migrates metadata-only and interops with epoch tombstones") {
+  /** Collapse the docs/ doc_bucket hive level (and optionally the epoch
+    * column) back to the pre-v4 single-level layout — what an index
+    * written by an older format actually contains on disk. */
+  private def stripDocsTo(path: String, dropEpoch: Boolean): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tables =
+      if (dropEpoch) Seq("docs" -> Seq("tenant"), "scalars" -> Seq("tenant", "field"))
+      else Seq("docs" -> Seq("tenant"))
+    tables.foreach { case (tbl, parts) =>
+      val tablePath = s"$path/$tbl"
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tablePath), conf)
+      if (fs.exists(new org.apache.hadoop.fs.Path(tablePath))) {
+        val read = spark.read.parquet(tablePath)
+        val stripped0 = if (read.columns.contains("doc_bucket"))
+          read.drop("doc_bucket") else read
+        val stripped = if (dropEpoch) stripped0.drop("epoch") else stripped0
+        val tmp = new org.apache.hadoop.fs.Path(tablePath + ".oldtmp")
+        stripped.write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
+        fs.delete(new org.apache.hadoop.fs.Path(tablePath), true)
+        fs.rename(tmp, new org.apache.hadoop.fs.Path(tablePath))
+      }
+    }
+  }
+
+  test("v2 pre-epoch index migrates and interops with epoch tombstones") {
     val path = java.nio.file.Files.createTempDirectory("idx_v2").toString
     val idx = IndexIVF.create(spark, path, schema)
     idx.add(tenant = 1, docsFor(Seq(0L, 1L, 2L, 3L)))
 
-    // simulate a v2 index: strip the epoch column from every data file and
-    // stamp the metadata back to version 2 (what an index written by the
-    // previous format actually contains)
-    val conf = spark.sparkContext.hadoopConfiguration
-    Seq("docs" -> Seq("tenant"), "scalars" -> Seq("tenant", "field")).foreach {
-      case (tbl, parts) =>
-        val tablePath = s"$path/$tbl"
-        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tablePath), conf)
-        if (fs.exists(new org.apache.hadoop.fs.Path(tablePath))) {
-          val stripped = spark.read.parquet(tablePath).drop("epoch")
-          val tmp = new org.apache.hadoop.fs.Path(tablePath + ".v2tmp")
-          stripped.write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
-          fs.delete(new org.apache.hadoop.fs.Path(tablePath), true)
-          fs.rename(tmp, new org.apache.hadoop.fs.Path(tablePath))
-        }
-    }
+    // simulate a v2 index: strip the epoch column from every data file,
+    // collapse the docs bucket level, stamp the metadata back to version 2
+    stripDocsTo(path, dropEpoch = true)
     new java.io.File(s"$path/_meta/epoch.json").delete()
     Json.write(s"$path/_meta/metadata.json",
       Map("format" -> "graft-ivf-parquet", "version" -> 2,
         "layout" -> "postings/tenant/field/centroid_bucket"))
 
-    // open() refuses the old version; migrate() is metadata-only for v2
+    // open() refuses the old version; migrate() rewrites docs/ (bucket
+    // level) — the epoch half of the upgrade stays metadata-only
     intercept[IllegalStateException](IndexIVF.open(spark, path))
     IndexIVF.migrate(spark, path)
     IndexIVF.migrate(spark, path) // idempotent
@@ -78,5 +93,34 @@ class IndexMigrationV2Spec extends AnyFunSuite {
     assert(rows1 == 1L, s"doc 1 should have exactly its re-added row, got $rows1")
     assert(re.docsDf.filter(col("tenant") === 1 && col("doc_id") === 2L).isEmpty,
       "doc 2 physically gone")
+  }
+
+  test("v3 index (no docs bucket level) migrates via the docs rewrite alone") {
+    val path = java.nio.file.Files.createTempDirectory("idx_v3").toString
+    val idx = IndexIVF.create(spark, path, schema)
+    idx.add(tenant = 1, docsFor(Seq(0L, 1L, 2L, 65L)))
+    val before = idx.docsDf.filter(col("tenant") === 1)
+      .select("doc_id", "val", "body").collect().map(_.toSeq).toSet
+
+    // simulate v3: collapse the docs bucket level, keep epochs, stamp v3
+    stripDocsTo(path, dropEpoch = false)
+    Json.write(s"$path/_meta/metadata.json",
+      Map("format" -> "graft-ivf-parquet", "version" -> 3,
+        "layout" -> "postings/tenant/field/centroid_bucket"))
+
+    intercept[IllegalStateException](IndexIVF.open(spark, path))
+    IndexIVF.migrate(spark, path)
+    val re = IndexIVF.open(spark, path)
+    val after = re.docsDf.filter(col("tenant") === 1)
+      .select("doc_id", "val", "body").collect().map(_.toSeq).toSet
+    assert(after == before, "docs content unchanged by the layout rewrite")
+
+    // the rewrite produced the real hive level (doc 65 shares bucket 1
+    // with doc 1 under DocBuckets=64 — floorMod, one dir per bucket)
+    val dirs = new java.io.File(s"$path/docs/tenant=1").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val want = Set(0L, 1L, 2L, 65L).map(id =>
+      s"doc_bucket=${IndexIVF.docBucketOf(id)}")
+    assert(dirs == want, s"expected bucket dirs $want, got $dirs")
   }
 }

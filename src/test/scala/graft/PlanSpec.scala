@@ -118,14 +118,35 @@ class PlanSpec extends AnyFunSuite {
       // the listener bus is async — poll until the multiget plan arrives
       val deadline = System.nanoTime() + 10e9.toLong
       var seen = false
+      var bucketPruned = false
       while (!seen && System.nanoTime() < deadline) {
-        seen = scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
-          .exists(p => p.contains("In(doc_id") && p.contains("docs"))
+        val snap = scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
+        seen = snap.exists(p => p.contains("In(doc_id") && p.contains("docs"))
+        bucketPruned = snap.exists(p => p.contains("In(doc_id") &&
+          p.contains("docs") && p.contains("doc_bucket"))
         if (!seen) Thread.sleep(50)
       }
       assert(seen, s"no executed plan pushed the top-k ids into the docs scan:\n" +
         scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala.mkString("\n---\n"))
+      // v4: the same multiget also carries the ids' bucket set as a
+      // PARTITION filter — directories are pruned before any footer opens
+      assert(bucketPruned, "multiget plan has no doc_bucket partition filter:\n" +
+        scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala.mkString("\n---\n"))
     } finally spark.listenerManager.unregister(listener)
+
+    // file-count proof on the forward index: one id's bucket reads fewer
+    // files than the tenant's docs table holds (8 ids spread over buckets)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f.metrics("numFiles").value
+      }.sum
+    }
+    val one = numFiles(idx.docsDf.filter(col("tenant") === 1 &&
+      col("doc_bucket") === IndexIVF.docBucketOf(3L) && col("doc_id") === 3L))
+    val full = numFiles(idx.docsDf.filter(col("tenant") === 1))
+    assert(one < full, s"docs multiget read $one of $full files - no bucket pruning")
   }
 
   test("engine postings scan prunes hive partitions on (tenant, field)") {
