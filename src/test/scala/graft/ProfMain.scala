@@ -196,9 +196,12 @@ object ProfMain {
         import graft.query._
         import spark.implicits._
         val k = 4096; val dimI = 128; val nDocs = 100000; val tpd = 4
-        val schema = GSchema(Seq(GField.colbert("colbert", dimensions = dimI,
-          numCentroids = k, quantization = QuantizerKind.NONE,
-          numIterations = 2, nbits = 2)))
+        val schema = GSchema(Seq(
+          GField.colbert("colbert", dimensions = dimI,
+            numCentroids = k, quantization = QuantizerKind.NONE,
+            numIterations = 2, nbits = 2),
+          GField(name = "n_chars", dataType = GDataType.INTEGER.toString,
+            roles = Seq(FieldRole.Stored.toString))))
         val path = java.nio.file.Files.createTempDirectory("graft_scale_idx").toString
         val idx = graft.index.IndexIVF.create(spark, path, schema)
         val tokensExpr = expr(
@@ -206,55 +209,77 @@ object ProfMain {
              |  transform(sequence(0, ${dimI - 1}), d ->
              |    cast(pmod(xxhash64(id, t, d), 2000) / 1000.0 - 1.0 as float)))"""
             .stripMargin)
-        val docs = spark.range(nDocs.toLong).select(col("id"), tokensExpr.as("colbert"))
+        val docs = spark.range(nDocs.toLong).select(col("id"),
+          tokensExpr.as("colbert"), pmod(col("id") * 31L, lit(5000)).as("n_chars"))
         time(s"train K=$k dim=$dimI n=${nDocs * tpd}") { idx.train(docs) }
         time(s"add $nDocs docs (${nDocs * tpd} vectors)") { idx.add(1, docs) }
-        // bucketed layout at shape: directories + files under postings/
-        val postingsRoot = java.nio.file.Paths.get(path, "postings")
-        val walk = java.nio.file.Files.walk(postingsRoot)
-        val all = try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toVector
-        } finally walk.close()
-        val bucketDirs = all.count(p => p.getFileName.toString.startsWith("centroid_bucket="))
-        val files = all.count(_.getFileName.toString.endsWith(".parquet"))
-        println(s"[prof] postings layout: $bucketDirs bucket dirs, $files parquet files")
-        // single-query probe pruning: files read by one search's pruned scan.
-        // AQE hides FileSourceScanExec inside query stages (executedPlan
-        // .collect sees only the AdaptiveSparkPlanExec leaf), so it is
-        // turned off around this measurement — pruning is static partition
-        // filtering + pushdown, which AQE does not change.
+        // bucketed layout at shape: directories + files per table
+        def layout(tbl: String): (Long, Long) = {
+          val root = java.nio.file.Paths.get(path, tbl)
+          val walk = java.nio.file.Files.walk(root)
+          val all = try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toVector
+          } finally walk.close()
+          (all.count(p => p.getFileName.toString.contains("bucket=")),
+            all.count(_.getFileName.toString.endsWith(".parquet")))
+        }
+        val (pDirs, pFiles) = layout("postings")
+        val (dDirs, dFiles) = layout("docs")
+        println(s"[prof] layout: postings $pDirs bucket dirs / $pFiles files, " +
+          s"docs $dDirs bucket dirs / $dFiles files")
+        // per-table files read by the plans ONE search actually executes
+        // (hydration makes the result a driver-local frame, so the scans
+        // live in the intermediate query executions — captured via
+        // listener). AQE is off around this measurement: it hides
+        // FileSourceScanExec inside query stages, and pruning is static
+        // partition filtering + pushdown, which AQE does not change.
         import org.apache.spark.sql.execution.FileSourceScanExec
-        // numFiles per TABLE (a search scans postings + context + docs in
-        // one plan; summing across them misreads pruning)
-        def numFilesByTable(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
-          df.collect()
-          df.queryExecution.executedPlan.collect {
+        def searchFiles(run: => Unit): Map[String, Long] = {
+          val qes = new java.util.concurrent.ConcurrentLinkedQueue[
+            org.apache.spark.sql.execution.QueryExecution]()
+          val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(f: String,
+                qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+              qes.add(qe); ()
+            }
+            override def onFailure(f: String,
+                qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+          }
+          spark.listenerManager.register(listener)
+          try { run; Thread.sleep(1500) } finally
+            spark.listenerManager.unregister(listener)
+          import scala.jdk.CollectionConverters._
+          qes.asScala.toVector.flatMap(_.executedPlan.collect {
             case f: FileSourceScanExec =>
               val root = f.relation.location.rootPaths.head.toString
-              val table = root.split('/').last
-              table -> f.metrics("numFiles").value
-          }.groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sum }
+              root.split('/').last -> f.metrics("numFiles").value
+          }).groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sum }
         }
         val qPool = docs.filter(col("id") < 212).orderBy("id").collect()
           .map(_.getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("colbert")
             .map(_.toArray).toArray)
         val opts = SearchOptions(kTopCentroids = 4, nProbe = 32, numSecondPass = 64)
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        val single = time("single search (cold)") {
-          idx.search(1, VectorQuery("colbert", qPool(0)), k = 10, opts)
+        var single: org.apache.spark.sql.DataFrame = null
+        val probed = searchFiles {
+          time("single search (cold)") {
+            single = idx.search(1, VectorQuery("colbert", qPool(0)), k = 10, opts)
+            single.collect()
+          }
         }
-        val probed = numFilesByTable(single)
-        val full = numFilesByTable(idx.postingsDf
-          .filter(col("tenant") === 1 && col("field") === 0))("postings")
         // a tight probe shows the 16-way directory granularity itself
-        val tight = numFilesByTable(idx.search(1, VectorQuery("colbert", qPool(0)),
-          k = 10, opts.copy(nProbe = 4)))
+        val tight = searchFiles {
+          idx.search(1, VectorQuery("colbert", qPool(0)),
+            k = 10, opts.copy(nProbe = 4)).collect()
+        }
         spark.conf.set("spark.sql.adaptive.enabled", "true")
-        println(s"[prof] probe pruning: postings ${probed.getOrElse("postings", -1L)} " +
-          s"of $full files at nProbe=32, ${tight.getOrElse("postings", -1L)} at nProbe=4; " +
-          s"per-table nProbe=32: " + probed.toSeq.sorted.map { case (t, n) => s"$t=$n" }
-            .mkString(", "))
+        def fmt(m: Map[String, Long]): String =
+          Seq("postings", "context", "docs").map(t =>
+            s"$t=${m.getOrElse(t, 0L)}").mkString(", ")
+        println(s"[prof] files read per search: nProbe=32 {${fmt(probed)}}, " +
+          s"nProbe=4 {${fmt(tight)}} of postings=$pFiles, docs=$dFiles " +
+          s"(docs pruned to the k=10 ids' buckets)")
         // the amortized serving shape: 212 queries through ONE batch pass
         val queries = qPool.zipWithIndex
           .map { case (toks, i) => (i.toLong, toks.map(_.toSeq).toSeq) }.toSeq
