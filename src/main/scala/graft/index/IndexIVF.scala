@@ -475,8 +475,7 @@ final class IndexIVF private (
         lit(epoch).as("epoch"))
     }
     if (scalarRows.nonEmpty)
-      writes += ("scalars" -> (() =>
-        writeAppend(scalarRows.reduce(_ unionByName _), p("scalars"), Seq("tenant", "field"))))
+      writes += ("scalars" -> (() => writeScalars(scalarRows.reduce(_ unionByName _))))
 
     val stored = schema.storedFields.filter(f => docs.columns.contains(f.name))
     if (stored.nonEmpty) {
@@ -861,6 +860,8 @@ final class IndexIVF private (
             // several of the other index's files into one split, so the
             // import re-derives doc_bucket and re-sorts per directory
             writeDocs(liveRows.drop("doc_bucket"))
+          else if (tbl == "scalars")
+            writeScalars(liveRows.drop("value_bucket"))
           else
             writeAppend(liveRows.select(df.columns.map(col): _*), p(tbl), parts)
         }
@@ -958,6 +959,15 @@ final class IndexIVF private (
     writeAppend(placed, p("docs"), tableParts("docs"))
   }
 
+  /** Append scalar postings preserving the v4 layout invariants (hive
+    * value buckets + within-file value sort) with the same size-gated
+    * placement as postings. */
+  private def writeScalars(rows: DataFrame): Unit = {
+    val withBucket = rows.withColumn("value_bucket", valueBucket(col("value_str")))
+    val placed = sizeGatedPlacement(withBucket, tableParts("scalars"), tableSort("scalars"))
+    writeAppend(placed, p("scalars"), tableParts("scalars"))
+  }
+
   // ---------------------------------------------------------------- search
 
   def search(tenant: Long, root: QueryNode, k: Int,
@@ -1008,6 +1018,36 @@ object IndexIVF {
     * IN-list with this. */
   def docBucketOf(id: Long): Int =
     java.lang.Math.floorMod(id, DocBuckets.toLong).toInt
+
+  /** Number of hash buckets scalars/ is hive-partitioned by (on top of
+    * tenant, field) since format v4: a term-EQUALITY probe's value is
+    * driver-known, so its bucket prunes the scalar postings to one
+    * directory in 64 before any footer opens. Range probes ignore the
+    * level (a hash destroys order) and keep exactly their pre-v4 cost:
+    * the same files spread over 64 dirs, each still internally
+    * value_num-sorted for row-group pruning. */
+  val ValueBuckets = 64
+
+  /** Bucket of a scalar posting, derived from the STORED canonical string
+    * (value_str) — CRC32 of the UTF-8 bytes, a hash both Spark
+    * (`crc32(cast(value_str as binary))`) and the driver can compute
+    * identically. Consistency with the equality probe is by construction:
+    * the probe only matches rows whose value_str EQUALS the probed
+    * canonical value, and equal strings hash to the same bucket. */
+  def valueBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(coalesce(crc32(c.cast("binary")), lit(0L)), lit(ValueBuckets.toLong))
+      .cast("int")
+
+  /** Driver-side twin of [[valueBucket]] for the term probe's static
+    * partition filter. */
+  def valueBucketOf(canonical: String): Int = {
+    if (canonical == null) 0
+    else {
+      val crc = new java.util.zip.CRC32
+      crc.update(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Math.floorMod(crc.getValue, ValueBuckets.toLong).toInt
+    }
+  }
 
   /** A postings append estimated (from optimizer statistics) at no more
     * than this many input splits takes the single-sorted-task write path in
@@ -1090,6 +1130,7 @@ object IndexIVF {
     * the whole tenant partition. */
   def tableParts(tbl: String): Seq[String] = tbl match {
     case "docs" => Seq("tenant", "doc_bucket")
+    case "scalars" => Seq("tenant", "field", "value_bucket")
     case "tombstones" => Seq("tenant")
     case "postings" => Seq("tenant", "field", "centroid_bucket")
     case _ => Seq("tenant", "field")
@@ -1115,7 +1156,7 @@ object IndexIVF {
     * it. */
   def tableSort(tbl: String): Seq[String] = tbl match {
     case "context" => Seq("tenant", "field", "doc_id")
-    case "scalars" => Seq("tenant", "field", "value_num", "value_str")
+    case "scalars" => Seq("tenant", "field", "value_bucket", "value_num", "value_str")
     case "docs" => Seq("tenant", "doc_bucket", "doc_id")
     case _ => Nil
   }
@@ -1175,14 +1216,16 @@ object IndexIVF {
     * appended under v2 read as null and coalesce to the old semantics, so
     * the v2 -> v3 migration is metadata-only). Version 2 = postings
     * hive-partitioned by (tenant, field, centroid_bucket); version 4 adds
-    * the docs/ doc_bucket level. An older version (missing a bucket level)
+    * the docs/ doc_bucket and scalars/ value_bucket levels. An older
+    * version (missing a bucket level)
     * cannot be read or safely appended to by this code — [[open]] rejects
     * it with a migration hint instead of failing at query time (or worse,
     * letting an add() interleave two directory layouts under one table). */
   val FormatVersion = 4
 
   private val layoutDesc =
-    "postings/tenant/field/centroid_bucket, docs/tenant/doc_bucket"
+    "postings/tenant/field/centroid_bucket, docs/tenant/doc_bucket, " +
+      "scalars/tenant/field/value_bucket"
 
   private def writeMeta(path: String, schema: GSchema): Unit = {
     Json.write(s"$path/_meta/schema.json", schema)
@@ -1205,9 +1248,9 @@ object IndexIVF {
       s"index at $path has format version $version, this build reads/writes " +
         s"version $FormatVersion (postings are hive-partitioned by " +
         "centroid_bucket since v2; rows and tombstones carry a write epoch " +
-        "since v3; docs are hive-partitioned by doc_bucket since v4). Run " +
-        "IndexIVF.migrate(spark, path) to upgrade it in place, or rebuild " +
-        "with create()+add().")
+        "since v3; docs and scalars are hive-partitioned by doc_bucket / " +
+        "value_bucket since v4). Run IndexIVF.migrate(spark, path) to " +
+        "upgrade it in place, or rebuild with create()+add().")
   }
 
   /** In-place upgrade of a version-1..3 index to the current format,
@@ -1218,11 +1261,11 @@ object IndexIVF {
     * METADATA-ONLY: the epoch columns are nullable, old files read as epoch
     * null, and every epoch comparison coalesces nulls to the pre-epoch
     * semantics (row null -> epoch 0, tombstone null -> kill everything), so
-    * no data rewrite is needed — new appends simply start stamping. v4 adds
-    * the docs/ doc_bucket level: every pre-v4 version rewrites `docs/` once
-    * (derive doc_bucket, recluster, within-file (tenant, doc_bucket,
-    * doc_id) sort). Idempotent: a current-version index returns
-    * immediately.
+    * no data rewrite is needed — new appends simply start stamping. v4
+    * adds the docs/ doc_bucket and scalars/ value_bucket levels: every
+    * pre-v4 version rewrites each of those tables once (derive the bucket,
+    * recluster, restore the within-file sort). Idempotent: a
+    * current-version index returns immediately.
     *
     * Each layout rewrite is one clustering shuffle of its table —
     * O(table), the minimum any layout migration can do — with the same
@@ -1290,9 +1333,11 @@ object IndexIVF {
       addBucketLevel("postings", "centroid_bucket",
         d => centroidBucket(d("centroid")),
         Seq("tenant", "field", "centroid_bucket", "centroid"))
-    // every pre-v4 version lacks the docs bucket level
+    // every pre-v4 version lacks the docs and scalars bucket levels
     addBucketLevel("docs", "doc_bucket",
       d => docBucket(d("doc_id")), tableSort("docs"))
+    addBucketLevel("scalars", "value_bucket",
+      d => valueBucket(d("value_str")), tableSort("scalars"))
     Json.write(s"$path/_meta/metadata.json",
       Map("format" -> "graft-ivf-parquet", "version" -> FormatVersion,
         "layout" -> layoutDesc))
@@ -1316,7 +1361,8 @@ object IndexIVF {
   val scalarsSchema: StructType = StructType(Seq(
     StructField("tenant", LongType), StructField("field", IntegerType),
     StructField("value_str", StringType), StructField("value_num", DoubleType),
-    StructField("doc_id", LongType), StructField("epoch", LongType)))
+    StructField("doc_id", LongType), StructField("epoch", LongType),
+    StructField("value_bucket", IntegerType)))
   val contextSchema: StructType = StructType(Seq(
     StructField("tenant", LongType), StructField("field", IntegerType),
     StructField("doc_id", LongType),

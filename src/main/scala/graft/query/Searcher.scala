@@ -152,9 +152,14 @@ object Searcher {
     case TermQuery(field, value) =>
       val f = idx.schema.field(field)
       val fid = idx.mapper.id(field)
+      val canonical = IndexIVF.canonicalValue(f, value)
+      // the probed value is driver-known, so its bucket is a STATIC
+      // partition filter: one directory in ValueBuckets is even listed
+      // (v4 layout), then value_str equality row-group-prunes inside it
       restricted(idx.scalarsDf
         .filter(col("tenant") === tenant && col("field") === fid &&
-          col("value_str") === IndexIVF.canonicalValue(f, value))
+          col("value_bucket") === IndexIVF.valueBucketOf(canonical) &&
+          col("value_str") === canonical)
         .select(col("doc_id")).distinct(), restrict)
         .withColumn("score", lit(1.0))
 
@@ -188,9 +193,11 @@ object Searcher {
     case TermQuery(field, value) =>
       val f = idx.schema.field(field)
       val fid = idx.mapper.id(field)
+      val canonical = IndexIVF.canonicalValue(f, value)
       idx.scalarsDf
         .filter(col("tenant") === tenant && col("field") === fid &&
-          col("value_str") === IndexIVF.canonicalValue(f, value))
+          col("value_bucket") === IndexIVF.valueBucketOf(canonical) &&
+          col("value_str") === canonical)
         .select(col("doc_id")).distinct()
     case RangeQuery(field, lo, hi) =>
       val fid = idx.mapper.id(field)

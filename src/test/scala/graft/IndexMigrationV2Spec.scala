@@ -32,27 +32,25 @@ class IndexMigrationV2Spec extends AnyFunSuite {
     idx.docsDf.filter(col("tenant") === 1).select("doc_id")
       .distinct().collect().map(_.getLong(0)).toSet
 
-  /** Collapse the docs/ doc_bucket hive level (and optionally the epoch
-    * column) back to the pre-v4 single-level layout — what an index
-    * written by an older format actually contains on disk. */
+  /** Collapse the v4 bucket hive levels (docs doc_bucket, scalars
+    * value_bucket) and optionally the epoch column back to the pre-v4
+    * layout — what an index written by an older format actually contains
+    * on disk. */
   private def stripDocsTo(path: String, dropEpoch: Boolean): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val tables =
-      if (dropEpoch) Seq("docs" -> Seq("tenant"), "scalars" -> Seq("tenant", "field"))
-      else Seq("docs" -> Seq("tenant"))
-    tables.foreach { case (tbl, parts) =>
-      val tablePath = s"$path/$tbl"
-      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tablePath), conf)
-      if (fs.exists(new org.apache.hadoop.fs.Path(tablePath))) {
-        val read = spark.read.parquet(tablePath)
-        val stripped0 = if (read.columns.contains("doc_bucket"))
-          read.drop("doc_bucket") else read
-        val stripped = if (dropEpoch) stripped0.drop("epoch") else stripped0
-        val tmp = new org.apache.hadoop.fs.Path(tablePath + ".oldtmp")
-        stripped.write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
-        fs.delete(new org.apache.hadoop.fs.Path(tablePath), true)
-        fs.rename(tmp, new org.apache.hadoop.fs.Path(tablePath))
-      }
+    Seq("docs" -> Seq("tenant"), "scalars" -> Seq("tenant", "field")).foreach {
+      case (tbl, parts) =>
+        val tablePath = s"$path/$tbl"
+        val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tablePath), conf)
+        if (fs.exists(new org.apache.hadoop.fs.Path(tablePath))) {
+          val read = spark.read.parquet(tablePath)
+          val stripped0 = read.drop("doc_bucket", "value_bucket")
+          val stripped = if (dropEpoch) stripped0.drop("epoch") else stripped0
+          val tmp = new org.apache.hadoop.fs.Path(tablePath + ".oldtmp")
+          stripped.write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
+          fs.delete(new org.apache.hadoop.fs.Path(tablePath), true)
+          fs.rename(tmp, new org.apache.hadoop.fs.Path(tablePath))
+        }
     }
   }
 
@@ -122,5 +120,13 @@ class IndexMigrationV2Spec extends AnyFunSuite {
     val want = Set(0L, 1L, 2L, 65L).map(id =>
       s"doc_bucket=${IndexIVF.docBucketOf(id)}")
     assert(dirs == want, s"expected bucket dirs $want, got $dirs")
+
+    // scalars got its value_bucket level in the same migrate, and the
+    // bucket a term probe computes matches the directory the row landed in
+    val sDirs = new java.io.File(s"$path/scalars/tenant=1/field=0").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val sWant = Set(0L, 1L, 2L, 65L).map(id =>
+      s"value_bucket=${IndexIVF.valueBucketOf((id * 10).toString)}")
+    assert(sDirs == sWant, s"expected scalar bucket dirs $sWant, got $sDirs")
   }
 }

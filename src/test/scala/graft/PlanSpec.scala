@@ -149,6 +149,41 @@ class PlanSpec extends AnyFunSuite {
     assert(one < full, s"docs multiget read $one of $full files - no bucket pruning")
   }
 
+  test("term-equality probe prunes scalars to the value's bucket directory") {
+    import spark.implicits._
+    import graft.core._
+    import graft.index.IndexIVF
+    import graft.query.{SearchOptions, TermQuery}
+    val idx = IndexIVF.create(spark,
+      java.nio.file.Files.createTempDirectory("idx_scal").toString,
+      GSchema(Seq(GField.indexed("cat", GDataType.TEXT))))
+    // 16 distinct values spread across value buckets, one doc each
+    val docs = (0L until 16L).map(i => (i, s"cat-$i")).toDF("id", "cat")
+    idx.add(1, docs)
+    // the probe is lazy (no stored fields -> no hydration collect), so the
+    // scalars scan with its partition filter is in the RESULT's own plan
+    val res = idx.search(1, TermQuery("cat", "cat-7"), k = 5, SearchOptions())
+    val p = res.queryExecution.executedPlan.toString
+    assert(p.contains("value_bucket"), s"no value_bucket partition filter:\n$p")
+    assert(res.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // file-count proof: the probe lists one bucket directory, not the
+    // field's whole partition
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f.metrics("numFiles").value
+      }.sum
+    }
+    val canonical = "cat-7"
+    val probed = numFiles(idx.scalarsDf.filter(col("tenant") === 1 &&
+      col("field") === 0 &&
+      col("value_bucket") === IndexIVF.valueBucketOf(canonical) &&
+      col("value_str") === canonical))
+    val full = numFiles(idx.scalarsDf.filter(col("tenant") === 1 && col("field") === 0))
+    assert(probed < full, s"term probe read $probed of $full scalar files")
+  }
+
   test("engine postings scan prunes hive partitions on (tenant, field)") {
     import spark.implicits._
     import graft.core._
