@@ -201,7 +201,7 @@ object ProfMain {
             numCentroids = k, quantization = QuantizerKind.NONE,
             numIterations = 2, nbits = 2),
           GField(name = "n_chars", dataType = GDataType.INTEGER.toString,
-            roles = Seq(FieldRole.Stored.toString))))
+            roles = Seq(FieldRole.Indexed.toString, FieldRole.Stored.toString))))
         val path = java.nio.file.Files.createTempDirectory("graft_scale_idx").toString
         val idx = graft.index.IndexIVF.create(spark, path, schema)
         val tokensExpr = expr(
@@ -280,6 +280,21 @@ object ProfMain {
         println(s"[prof] files read per search: nProbe=32 {${fmt(probed)}}, " +
           s"nProbe=4 {${fmt(tight)}} of postings=$pFiles, docs=$dFiles " +
           s"(docs pruned to the k=10 ids' buckets)")
+        // term-equality probe at shape: 100k scalar postings over 5000
+        // distinct values; the driver-known value's bucket prunes dirs
+        val (_, sFiles) = layout("scalars")
+        def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+          df.collect()
+          df.queryExecution.executedPlan.collect {
+            case f: FileSourceScanExec => f.metrics("numFiles").value
+          }.sum
+        }
+        val canon = "1234"
+        val sProbe = numFiles(idx.scalarsDf.filter(col("tenant") === 1 &&
+          col("field") === 1 &&
+          col("value_bucket") === graft.index.IndexIVF.valueBucketOf(canon) &&
+          col("value_str") === canon))
+        println(s"[prof] term probe n_chars=$canon: $sProbe of $sFiles scalar files")
         // the amortized serving shape: 212 queries through ONE batch pass
         val queries = qPool.zipWithIndex
           .map { case (toks, i) => (i.toLong, toks.map(_.toSeq).toSeq) }.toSeq
