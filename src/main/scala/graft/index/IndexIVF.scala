@@ -722,7 +722,17 @@ final class IndexIVF private (
     * The reference runs RocksDB compactions for the same hygiene
     * (RocksdbInvertedList flush/merge); Parquet-on-object-store needs it
     * as an explicit maintenance op. Stop-the-world for in-flight readers of
-    * this index: see the class-level isolation contract. */
+    * this index: see the class-level isolation contract.
+    *
+    * Cadence note for trickle ingest under format v4: a small add writes
+    * from ONE task but still emits one file per hive directory it touches,
+    * and the v4 bucket levels multiply the touched-directory count (a
+    * spread-id micro-batch can touch up to DocBuckets docs dirs and
+    * ValueBuckets scalar dirs per indexed field, vs one per table pre-v4).
+    * The read-side pruning that bucketing buys costs a proportionally
+    * higher micro-file accumulation rate on the write side — size
+    * compactFiles cadence by file-count growth (a FileSystem listing, no
+    * data scan), not wall-clock. */
   def compactFiles(maxFiles: Int = 1): Unit = withWriteLock {
     require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
     Seq("postings", "scalars", "context", "docs").foreach { tbl =>
