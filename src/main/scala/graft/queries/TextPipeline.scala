@@ -75,6 +75,16 @@ object TextPipeline {
   /** Fixed-point scale for q_lang_mix sampling rates (mils). */
   private[graft] val MixScale = 1000
 
+  /** q_doc_chunk: context-window prep — 64-token windows at stride 48
+    * (16-token overlap keeps boundary n-grams visible to both sides). */
+  private[graft] val ChunkTokens = 64
+  private[graft] val ChunkStride = 48
+
+  /** q_span_dedup: granularity of the repeated-span audit — non-overlapping
+    * 16-token spans (half of Lee et al.'s 50-token exact-substring unit;
+    * the synthetic corpus' docs are short, so spans must be too). */
+  private[graft] val SpanTokens = 16
+
   /** Session-conf knobs for every cap / banding constant above, so a
     * 100 TB operator can re-tune per-corpus without a rebuild (same
     * pattern as `graft.index.maxTargetedPartitions`). Defaults are the
@@ -1120,6 +1130,82 @@ object TextPipeline {
         val minSh = sh.groupBy(col("doc_id")).agg(min(md5(col("s"))).as("min_shingle_fp"))
         docs(s, dir).select(col("doc_id"), md5(col("text")).as("content_fp"))
           .join(minSh, Seq("doc_id"), "left")
+          .orderBy("doc_id")
+    },
+
+    // TA9 — training-sequence chunking: fixed 64-token windows at stride 48
+    // (16-token overlap), the context-window prep step between curation and
+    // tokenization in an LLM data pipeline. Pure per-row expressions — the
+    // window starts, slices, and fingerprints are all computed inside the
+    // row, so the plan has ZERO shuffles at any corpus size (the orderBy is
+    // verify-determinism only); a chunk's identity is its md5 so downstream
+    // chunk-level dedup can run without re-materializing chunk text.
+    sql("q_doc_chunk", Seq("TA9"),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |c AS (SELECT doc_id, i AS chunk_idx,
+         |        t[i*${ChunkStride}+1 : i*${ChunkStride}+${ChunkTokens}] AS ct
+         |      FROM t, UNNEST(range(0,
+         |        1 + (greatest(0, len(t) - ${ChunkTokens}) + ${ChunkStride - 1})
+         |              // ${ChunkStride})) AS u(i))
+         |SELECT doc_id, chunk_idx, len(ct) AS n_chunk_tokens,
+         |       md5(array_to_string(ct, ' ')) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) {
+      (s, dir) =>
+        val nChunks = lit(1) +
+          expr(s"(greatest(0, size(split(text, ' ')) - $ChunkTokens) " +
+            s"+ ${ChunkStride - 1}) div $ChunkStride")
+        docs(s, dir)
+          .select(col("doc_id"), toks.as("t"),
+            sequence(lit(0), (nChunks - 1).cast("int")).as("idx"))
+          .select(col("doc_id"), col("t"), explode(col("idx")).as("chunk_idx"))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            slice(col("t"), col("chunk_idx") * ChunkStride + 1, lit(ChunkTokens)).as("ct"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("ct")).cast("long").as("n_chunk_tokens"),
+            md5(array_join(col("ct"), " ")).as("chunk_fp"))
+          .orderBy("doc_id", "chunk_idx")
+    },
+
+    // D8 — repeated-span audit (the span-level sibling of exact dedup, the
+    // shape of Lee et al.'s exact-substring dedup at fixed granularity):
+    // non-overlapping 16-token spans, fingerprinted per row, with a span
+    // flagged when its fingerprint occurs more than once corpus-wide
+    // (cross-doc copies AND intra-doc repetition both count — boilerplate
+    // shows up as either). 100 TB shape: one hash-partitioned count over
+    // span fingerprints (map-side partial combine absorbs hot spans) and
+    // one shuffle join back on the same key; spans never leave their hash
+    // form, so shuffle width is md5-sized, not text-sized.
+    sql("q_span_dedup", Seq("D8"),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sp AS (SELECT doc_id,
+         |         md5(array_to_string(t[i*${SpanTokens}+1 : i*${SpanTokens}+${SpanTokens}], ' ')) AS sp
+         |       FROM t, UNNEST(range(0, len(t) // ${SpanTokens})) AS u(i)),
+         |g AS (SELECT sp FROM sp GROUP BY sp HAVING count(*) > 1),
+         |d AS (SELECT doc_id, count(*) AS n_dup_spans
+         |      FROM sp JOIN g USING (sp) GROUP BY 1),
+         |n AS (SELECT doc_id, len(t) // ${SpanTokens} AS n_spans FROM t)
+         |SELECT n.doc_id, n.n_spans, coalesce(d.n_dup_spans, 0) AS n_dup_spans
+         |FROM n LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val d = docs(s, dir)
+        val nSpans = expr(s"size(split(text, ' ')) div $SpanTokens")
+        // guard the degenerate shape: sequence(0, -1) DESCENDS in Spark, so
+        // a short doc must produce an empty array, not a [0,-1] sequence
+        val spanFps = when(nSpans > 0,
+          expr(s"""transform(sequence(0, size(split(text, ' ')) div $SpanTokens - 1),
+                  |  i -> md5(array_join(slice(split(text, ' '),
+                  |                            i * $SpanTokens + 1, $SpanTokens), ' ')))"""
+            .stripMargin))
+          .otherwise(expr("array()"))
+        val sp = d.select(col("doc_id"), explode(spanFps).as("sp"))
+        val dupSet = sp.groupBy(col("sp")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 1).select("sp")
+        val perDoc = sp.join(dupSet, Seq("sp"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+        d.select(col("doc_id"), nSpans.cast("long").as("n_spans"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_spans"),
+            coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
           .orderBy("doc_id")
     },
 

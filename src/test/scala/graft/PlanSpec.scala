@@ -49,6 +49,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(user_id"), p)
   }
 
+  test("q_doc_chunk is pure per-row work: no shuffle beyond the verify sort") {
+    val p = planOf("q_doc_chunk")
+    // chunk starts, slices, and fingerprints are all row-local expressions;
+    // the only exchange allowed is the rangepartitioning of the
+    // verify-determinism orderBy
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected at most the orderBy exchange, got $exchanges:\n$p")
+  }
+
+  test("q_span_dedup shuffles md5 fingerprints, never span text") {
+    val p = planOf("q_span_dedup")
+    // the dup-set aggregate must partial-combine map-side before its
+    // exchange (hot spans), and no exchange may carry the token arrays
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("hashpartitioning(t#") && !p.contains("hashpartitioning(ct"), p)
+    assert(p.contains("hashpartitioning(sp"), p)
+  }
+
   test("q_session_window plans the native session-window aggregation") {
     val p = planOf("q_session_window")
     assert(p.toLowerCase.contains("session_window"), p)
