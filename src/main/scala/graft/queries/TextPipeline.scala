@@ -85,6 +85,13 @@ object TextPipeline {
     * the synthetic corpus' docs are short, so spans must be too). */
   private[graft] val SpanTokens = 16
 
+  /** q_seq_pack: training-sequence length for the concatenate-and-cut
+    * packing manifest, and the doc_id range width of its prefix-sum
+    * buckets (docs per bucket; bucket totals are the metadata-sized
+    * second phase). */
+  private[graft] val PackTokens = 1024
+  private[graft] val PackBucketDocs = 256
+
   /** Session-conf knobs for every cap / banding constant above, so a
     * 100 TB operator can re-tune per-corpus without a rebuild (same
     * pattern as `graft.index.maxTargetedPartitions`). Defaults are the
@@ -1164,6 +1171,55 @@ object TextPipeline {
             size(col("ct")).cast("long").as("n_chunk_tokens"),
             md5(array_join(col("ct"), " ")).as("chunk_fp"))
           .orderBy("doc_id", "chunk_idx")
+    },
+
+    // TA10 — sequence-packing manifest: GPT-style concatenate-and-cut —
+    // docs in doc_id order are conceptually concatenated and sliced into
+    // fixed 1024-token training sequences; each doc's manifest row says
+    // which sequences it lands in and at what offset. The naive form is a
+    // single global running sum — a one-partition window that dies at
+    // 100 TB — so this is the textbook two-phase distributed prefix sum:
+    // (1) running sums WITHIN doc_id-range buckets (hash-shuffled window,
+    // all parallel), (2) bucket TOTALS (one tiny row per 256 docs) prefix-
+    // summed in one partition — metadata-sized, like q_lang_mix's counts —
+    // and broadcast-joined back as each bucket's offset. Integer-only
+    // arithmetic, so the DuckDB twin (a plain global window — fine at
+    // oracle scale) hash-matches exactly.
+    sql("q_seq_pack", Seq("TA10"),
+      s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |          AS cum_before
+         |      FROM t)
+         |SELECT doc_id, n_tokens,
+         |       cum_before // ${PackTokens} AS first_seq,
+         |       (cum_before + n_tokens - 1) // ${PackTokens} AS last_seq,
+         |       cum_before % ${PackTokens} AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir).select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          expr(s"doc_id div $PackBucketDocs").as("bucket"))
+        val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val withIn = d.withColumn("cum_in",
+          coalesce(sum(col("n_tokens")).over(inBucket), lit(0L)))
+        val bucketPrefix = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = d.groupBy("bucket").agg(sum(col("n_tokens")).as("tot"))
+          .withColumn("bucket_offset",
+            coalesce(sum(col("tot")).over(bucketPrefix), lit(0L)))
+          .select("bucket", "bucket_offset")
+        withIn.join(broadcast(offsets), Seq("bucket"))
+          .withColumn("cum_before", col("bucket_offset") + col("cum_in"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr(s"cum_before div $PackTokens").as("first_seq"),
+            expr(s"(cum_before + n_tokens - 1) div $PackTokens").as("last_seq"),
+            expr(s"cum_before % $PackTokens").as("seq_offset"))
+          .orderBy("doc_id")
     },
 
     // D8 — repeated-span audit (the span-level sibling of exact dedup, the

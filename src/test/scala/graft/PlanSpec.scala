@@ -69,6 +69,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(sp"), p)
   }
 
+  test("q_seq_pack is a two-phase prefix sum: bucketed window + broadcast offsets") {
+    val p = planOf("q_seq_pack")
+    // phase 1 windows hash-partition on bucket (parallel at any scale);
+    // phase 2's bucket offsets come back as a broadcast join — the global
+    // single-partition window must only ever see bucket-level rows
+    assert(p.contains("hashpartitioning(bucket"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_session_window plans the native session-window aggregation") {
     val p = planOf("q_session_window")
     assert(p.toLowerCase.contains("session_window"), p)
