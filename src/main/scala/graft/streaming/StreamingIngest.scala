@@ -15,6 +15,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Per-user running state carried by [[StreamingIngest.userStats]]. */
 case class UserStats(userId: Long, firstMs: Long, lastMs: Long, n: Long, sumValue: Double)
 
+/** One admitted document from [[StreamingIngest.sourceCappedStream]]. */
+case class AdmittedDoc(doc_id: Long, source: String, window_start_ms: Long, ts_ms: Long)
+
 object StreamingIngest {
 
   /** Attach a streaming DataFrame of documents (same shape as
@@ -126,6 +129,62 @@ object StreamingIngest {
     * generous; past that the right design is a stream-static join, not a
     * bigger broadcast. */
   val DeconBenchMaxShingles: Int = 10 * 1000 * 1000
+
+  /** Per-(source, event-time-window) admission cap — the streaming twin of
+    * batch q_source_cap, applied at INGEST time: a crawler burst or one
+    * domain flooding the feed is cut off at `cap` docs per source per
+    * window instead of swamping everything downstream (dedup state, the
+    * index add path, the curated corpus). Batch caps by quality rank after
+    * the fact; an unbounded stream cannot rank-then-cut, so admission is
+    * first-arrival within the window — the honest streaming semantics, and
+    * the two compose (ingest cap bounds volume, batch cap re-ranks within
+    * it).
+    *
+    * State is ONE long (admitted count) per active (source, window) group,
+    * evicted by an event-time timeout at window end: once the watermark
+    * passes a window's end no admissible row for it can still arrive (late
+    * rows beyond the watermark are dropped before the stateful operator),
+    * so state is O(sources x windows inside the watermark horizon) at any
+    * stream rate — this is the op that makes the OTHER per-key state sizes
+    * (dedup signatures within the watermark) hold under a flood. */
+  def sourceCappedStream(stream: DataFrame, tsCol: String, sourceCol: String,
+      idCol: String, cap: Int, windowMs: Long = 3600L * 1000,
+      watermark: String = "2 hours"): Dataset[AdmittedDoc] = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    import stream.sparkSession.implicits._
+    stream
+      .withWatermark(tsCol, watermark)
+      // the watermark-tagged timestamp column must reach the stateful
+      // operator itself (the event-time-timeout checker reads its
+      // metadata, and a cast/alias would strip the tag), so it rides along
+      // untouched and millis derive in the lambda
+      .select(col(idCol).cast("long"), col(sourceCol).cast("string"),
+        col(tsCol))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey { case (_, src, ts) =>
+        val tms = ts.getTime
+        (src, tms - java.lang.Math.floorMod(tms, windowMs))
+      }
+      .flatMapGroupsWithState[Long, AdmittedDoc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((src, wStart), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var n = state.getOption.getOrElse(0L)
+            val out = Vector.newBuilder[AdmittedDoc]
+            rows.foreach { case (id, _, ts) =>
+              if (n < cap) { n += 1; out += AdmittedDoc(id, src, wStart, ts.getTime) }
+            }
+            state.update(n)
+            // surviving rows have ts >= watermark, so wStart + windowMs is
+            // strictly ahead of the watermark here; the timeout fires (and
+            // frees the count) exactly when the window can no longer admit
+            state.setTimeoutTimestamp(wStart + windowMs)
+            out.result().iterator
+          }
+      }
+  }
 
   /** Gap-based session windows over a `ts`-timestamped event stream: one
     * output row per (user, session), session end = last event + gap (Spark

@@ -225,6 +225,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("per-source admission cap bounds every (source, window) across micro-batches") {
+    import spark.implicits._
+    // 3 sources with per-window volumes straddling the cap, one source
+    // spanning two windows; the input is SPLIT across two files (not
+    // duplicated — admission is not dedup) so the hot source's arrivals
+    // cross a micro-batch boundary and the cap must hold via state
+    val windowMs = 3600L * 1000
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    val rows = (0 until 5).map(i => (i.toLong, "tiny", base + i * 1000)) ++
+      (0 until 80).map(i => (100L + i, "hot", base + i * 1000)) ++
+      (0 until 30).map(i => (1000L + i, "spread",
+        base + (i % 2) * windowMs + i * 1000))
+    def toDocs(rs: Seq[(Long, String, Long)]) = rs.toDF("doc_id", "source", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+    val dir = java.nio.file.Files.createTempDirectory("srccap_stream").toString
+    val (fstRows, sndRows) = rows.zipWithIndex.partition(_._2 % 2 == 0)
+    toDocs(fstRows.map(_._1)).coalesce(1).write.mode("overwrite").parquet(s"$dir/a")
+    toDocs(sndRows.map(_._1)).coalesce(1).write.mode("overwrite").parquet(s"$dir/b")
+    val stream = spark.readStream.schema(toDocs(rows.take(1)).schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/*")
+    val cap = 50
+    val capped = StreamingIngest.sourceCappedStream(
+      stream, "ts", "source", "doc_id", cap, windowMs)
+    val qn = s"stream_srccap_${System.nanoTime()}"
+    val q = capped.writeStream.outputMode("append")
+      .format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val admitted = spark.table(qn).as[graft.streaming.AdmittedDoc].collect()
+    // ground truth: min(cap, per-(source,window) input volume) — duplicated
+    // input does NOT double admission (the count is stateful)
+    val expected = rows.groupBy { case (_, src, tms) =>
+      (src, tms - java.lang.Math.floorMod(tms, windowMs))
+    }.map { case (k, g) => k -> math.min(cap, g.size) }
+    val got = admitted.groupBy(d => (d.source, d.window_start_ms))
+      .map { case (k, g) => k -> g.length }
+    assert(got == expected, s"admission counts: got $got, expected $expected")
+    // every admitted doc is a real input doc in its own window
+    val input = rows.map { case (id, src, tms) =>
+      (id, src, tms - java.lang.Math.floorMod(tms, windowMs))
+    }.toSet
+    assert(admitted.forall(d => input((d.doc_id, d.source, d.window_start_ms))))
+    // admitted ids are unique (cap admits each doc at most once)
+    assert(admitted.map(_.doc_id).distinct.length == admitted.length)
+  }
+
   test("windowed aggregation with watermark matches the batch plan") {
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
     // batch ground truth
