@@ -31,7 +31,8 @@ object SparkEntry {
       "q_dedup_minhash_md5", "q_dedup_simhash_md5", "q_neardup_ivf",
       "q_dedup_clusters", "q_train_split", "q_corpus_select",
       "q_quality_repetition", "q_decontaminate", "q_source_cap", "q_lang_mix",
-      "q_corpus_select_full", "q_doc_chunk", "q_span_dedup", "q_seq_pack"))
+      "q_corpus_select_full", "q_doc_chunk", "q_span_dedup", "q_seq_pack",
+      "q_pack_sequences"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Two-phase IVF vector search — the reference's core query shape. */

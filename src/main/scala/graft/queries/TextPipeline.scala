@@ -701,6 +701,64 @@ object TextPipeline {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
+  /** The packing prefix sum behind q_seq_pack / [[packedSequences]]: per
+    * doc, its token array, count, and the total token count of all earlier
+    * docs (doc_id order). Two-phase distributed prefix sum — running sums
+    * within doc_id-range buckets (hash-shuffled window, parallel at any
+    * width), bucket totals (one row per [[PackBucketDocs]] docs) prefix-
+    * summed in one metadata-sized partition and broadcast back — because
+    * the naive global running-sum window is a one-partition scale-killer. */
+  private def packManifest(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = d.select(col("doc_id"), toks.as("t"),
+      size(toks).cast("long").as("n_tokens"),
+      expr(s"doc_id div $PackBucketDocs").as("bucket"))
+    val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withIn = base.withColumn("cum_in",
+      coalesce(sum(col("n_tokens")).over(inBucket), lit(0L)))
+    val bucketPrefix = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("bucket").agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("tot")).over(bucketPrefix), lit(0L)))
+      .select("bucket", "bucket_offset")
+    withIn.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_before", col("bucket_offset") + col("cum_in"))
+      .select("doc_id", "t", "n_tokens", "cum_before")
+  }
+
+  /** Assembled fixed-length training sequences from a documents frame
+    * (GPT-style concatenate-and-cut at [[PackTokens]] tokens): one row per
+    * sequence — (seq_id, n_seq_tokens, text) — where concatenating all
+    * sequences in seq_id order reproduces the concatenation of all docs in
+    * doc_id order exactly (spec-pinned), and every sequence except the last
+    * is exactly [[PackTokens]] tokens. Pipeline shape: the [[packManifest]]
+    * prefix sum, one explode into per-(doc, sequence) fragments, and ONE
+    * hash shuffle on seq_id whose reducer state is bounded by the sequence
+    * length itself. Compose with [[materializeSelected]]'s output (or any
+    * curated frame) to produce the tensors-ready training layout. */
+  def packedSequences(d: DataFrame): DataFrame = {
+    val b = lit(PackTokens.toLong)
+    val frags = packManifest(d)
+      .select(col("t"), col("n_tokens"), col("cum_before"),
+        explode(sequence(expr(s"cum_before div $PackTokens"),
+          expr(s"(cum_before + n_tokens - 1) div $PackTokens"))).as("seq_id"))
+      .select(col("seq_id"),
+        greatest(lit(0L), col("cum_before") - col("seq_id") * b).as("off"),
+        slice(col("t"),
+          (greatest(lit(0L), col("seq_id") * b - col("cum_before")) + 1).cast("int"),
+          (least(col("n_tokens"), (col("seq_id") + 1) * b - col("cum_before")) -
+            greatest(lit(0L), col("seq_id") * b - col("cum_before"))).cast("int"))
+          .as("frag"))
+    frags.groupBy(col("seq_id"))
+      .agg(array_sort(collect_list(struct(col("off"), col("frag")))).as("fr"))
+      .select(col("seq_id"),
+        array_join(flatten(expr("transform(fr, x -> x.frag)")), " ").as("text"))
+      .select(col("seq_id"), size(split(col("text"), " ")).cast("long").as("n_seq_tokens"),
+        col("text"))
+  }
+
   /** (doc_id, cluster_id) labels for a corpus dir, computed once per
     * session: the propagation's final frame is itself persisted, so the
     * session cache both shares it between q_dedup_clusters and
@@ -1199,27 +1257,46 @@ object TextPipeline {
          |       cum_before % ${PackTokens} AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin) {
       (s, dir) =>
-        import org.apache.spark.sql.expressions.Window
-        val d = docs(s, dir).select(col("doc_id"),
-          size(toks).cast("long").as("n_tokens"),
-          expr(s"doc_id div $PackBucketDocs").as("bucket"))
-        val inBucket = Window.partitionBy("bucket").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val withIn = d.withColumn("cum_in",
-          coalesce(sum(col("n_tokens")).over(inBucket), lit(0L)))
-        val bucketPrefix = Window.orderBy("bucket")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = d.groupBy("bucket").agg(sum(col("n_tokens")).as("tot"))
-          .withColumn("bucket_offset",
-            coalesce(sum(col("tot")).over(bucketPrefix), lit(0L)))
-          .select("bucket", "bucket_offset")
-        withIn.join(broadcast(offsets), Seq("bucket"))
-          .withColumn("cum_before", col("bucket_offset") + col("cum_in"))
+        packManifest(docs(s, dir))
           .select(col("doc_id"), col("n_tokens"),
             expr(s"cum_before div $PackTokens").as("first_seq"),
             expr(s"(cum_before + n_tokens - 1) div $PackTokens").as("last_seq"),
             expr(s"cum_before % $PackTokens").as("seq_offset"))
           .orderBy("doc_id")
+    },
+
+    // TA10b — the packing MATERIALIZED: each output row is one assembled
+    // 1024-token training sequence (fingerprinted here; [[packedSequences]]
+    // returns the text itself). Docs explode into per-sequence fragments
+    // (a doc contributes one fragment per sequence it spans), fragments
+    // hash-shuffle ONCE on seq_id carrying only their own token slices
+    // (<= 1024 tokens rebuilt per sequence — bounded reducer state), and
+    // reassemble in offset order. The md5-of-text twin makes the WHOLE
+    // assembly — prefix sums, fragment slicing, offset order — one
+    // hash-checked unit.
+    sql("q_pack_sequences", Seq("TA10"),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |c AS (SELECT doc_id, t, len(t) AS n_tokens,
+         |        coalesce(sum(len(t)) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |          AS cum_before
+         |      FROM t),
+         |f AS (SELECT seq,
+         |        greatest(0, c.cum_before - seq * ${PackTokens}) AS off,
+         |        array_to_string(t[(greatest(0, seq * ${PackTokens} - c.cum_before) + 1)
+         |          : least(c.n_tokens, (seq + 1) * ${PackTokens} - c.cum_before)], ' ') AS ft
+         |      FROM c, UNNEST(range(c.cum_before // ${PackTokens},
+         |        (c.cum_before + c.n_tokens - 1) // ${PackTokens} + 1)) AS u(seq)),
+         |sq AS (SELECT seq AS seq_id,
+         |         string_agg(ft, ' ' ORDER BY off) AS txt
+         |       FROM f GROUP BY seq)
+         |SELECT seq_id, len(string_split(txt, ' '))::BIGINT AS n_seq_tokens,
+         |       md5(txt) AS seq_fp
+         |FROM sq ORDER BY seq_id""".stripMargin) {
+      (s, dir) =>
+        packedSequences(docs(s, dir))
+          .select(col("seq_id"), col("n_seq_tokens"), md5(col("text")).as("seq_fp"))
+          .orderBy("seq_id")
     },
 
     // D8 — repeated-span audit (the span-level sibling of exact dedup, the

@@ -310,6 +310,26 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(sel.values.exists(!_._1), "expected some non-keeper docs")
   }
 
+  test("packed sequences reconstruct the corpus exactly at fixed length") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+    val seqs = graft.queries.TextPipeline.packedSequences(docs)
+      .orderBy("seq_id").collect()
+    // dense ids from 0, every sequence but the last exactly PackTokens
+    assert(seqs.head.getLong(0) == 0L)
+    assert(seqs.map(_.getLong(0)).toSeq == (0L until seqs.length).toSeq)
+    val lens = seqs.map(_.getLong(1))
+    assert(lens.init.forall(_ == 1024L), "all but the last are full sequences")
+    assert(lens.last <= 1024L && lens.last >= 1L)
+    // concatenating the sequences reproduces the doc_id-ordered corpus
+    // token for token — the whole pipeline (two-phase prefix sum, fragment
+    // slicing, offset-ordered reassembly) verified as one string equality
+    val fromSeqs = seqs.map(_.getString(2)).mkString(" ")
+    val fromDocs = docs.orderBy("doc_id").select(col("text"))
+      .collect().map(_.getString(0)).mkString(" ")
+    assert(fromSeqs == fromDocs)
+  }
+
   test("fingerprints are deterministic and discriminate distinct content") {
     val a = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val b = run("q_fingerprint").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
