@@ -92,6 +92,28 @@ object TextPipeline {
   private[graft] val PackTokens = 1024
   private[graft] val PackBucketDocs = 256
 
+  /** q_pii_redact: PII patterns, written in the DIALECT INTERSECTION of
+    * Java regex (Spark's engine) and RE2 (DuckDB's) — character classes,
+    * bounded repetition and ASCII `\b` word boundaries mean the same thing
+    * in both, so the hash-checked twin pins the kernels bit-for-bit. Kept
+    * deliberately simple (the C4/Dolma-style scrub patterns): high-recall
+    * PII scrubbing with NER models is out of scope for a SQL-shaped
+    * operator; these are the regex tier every published corpus pipeline
+    * runs first. */
+  private[graft] val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiIpv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PiiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** q_train_order: shard count for the global training-order shuffle.
+    * Production sets this O(cluster cores); the oracle twin pins 8. */
+  private[graft] val OrderShards = 8
+
+  /** q_vocab_topk: vocabulary size for the tokenizer-vocab builder.
+    * Production would be 30k-plus; 20 is BELOW the synthetic corpus'
+    * 31-token vocabulary on purpose, so the oracle actually exercises the
+    * top-K cut (100 would pass every token through and never test it). */
+  private[graft] val VocabTopK = 20
+
   /** Session-conf knobs for every cap / banding constant above, so a
     * 100 TB operator can re-tune per-corpus without a rebuild (same
     * pattern as `graft.index.maxTargetedPartitions`). Defaults are the
@@ -207,6 +229,58 @@ object TextPipeline {
             .cast("long"))
           .otherwise(lit(0L)).as("contam_mils"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Regex-tier PII scrub of a text column — the privacy pass every
+    * published corpus pipeline (C4, Dolma, RefinedWeb) runs before a
+    * corpus ships: emails, IPv4 addresses and US-phone-shaped numbers are
+    * counted (on the original text, per pattern) and replaced with typed
+    * placeholder tokens, emails first so an address' digits can never be
+    * re-matched by the numeric patterns. Adds columns (n_email, n_ipv4,
+    * n_phone, pii_total, `textCol`_redacted).
+    *
+    * Scale shape: pure per-row codegen'd expression work — zero shuffles,
+    * zero state; the patterns ([[PiiEmailRe]] etc.) are Java/RE2
+    * dialect-intersection so the DuckDB twin hash-checks the kernel. */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def n(re: String) = size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    df.withColumn("n_email", n(PiiEmailRe))
+      .withColumn("n_ipv4", n(PiiIpv4Re))
+      .withColumn("n_phone", n(PiiPhoneRe))
+      .withColumn("pii_total", col("n_email") + col("n_ipv4") + col("n_phone"))
+      .withColumn(s"${textCol}_redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, PiiEmailRe, "<EMAIL>"),
+            PiiIpv4Re, "<IP>"),
+          PiiPhoneRe, "<PHONE>"))
+  }
+
+  /** Deterministic global training-order shuffle WITHOUT a global sort —
+    * the epoch-ordering step of a training pipeline. Every id gets a
+    * pseudo-random md5 draw; rows hash-shard on the draw's top bits and
+    * sort only WITHIN each shard (`pos` = 1-based rank), so a trainer that
+    * consumes shards in index order and rows in `pos` order reads a
+    * reproducible global permutation. Scale shape: ONE hash exchange on
+    * `shard` plus per-shard sorts of n/shards rows each — no single-task
+    * global ordering anywhere (the naive `ORDER BY random()` is a global
+    * sort, whose final merge is the 100 TB killer); production sets
+    * `shards` O(cluster cores) while the oracle twin pins
+    * [[OrderShards]]. Reproducibility is the md5-mod construction already
+    * proven for splits/mixing: a pure function of the id and the epoch
+    * seed, so re-runs and retries see the same order. */
+  def trainOrder(df: DataFrame, idCol: String = "doc_id",
+      shards: Int = OrderShards, seed: String = "ord"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val oh = md5(concat(lit(seed), col(idCol).cast("string")))
+    df.select(col(idCol), oh.as("oh"),
+        (conv(substring(oh, 1, 15), 16, 10).cast("long") % shards).as("shard"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard")).orderBy(col("oh"), col(idCol)))
+        .cast("long"))
+      .drop("oh")
   }
 
   /** "No silent caps" without a dedicated count job: the hot-key set is tiny
@@ -1664,6 +1738,102 @@ object TextPipeline {
             (langOk && qualOk && keeper && col("h") < 90 && clean && mixKeep && capOk)
               .as("selected"))
           .orderBy("doc_id")
+    },
+
+    // TA10 — regex-tier PII scrub (emails / IPv4 / phone-shaped numbers
+    // counted on the original text, then redacted to typed placeholders,
+    // email first). The synthetic corpus carries no PII characters at all
+    // ('@' and digits never appear), so — exactly like q_decontaminate's
+    // benchmark stand-in — the query injects DETERMINISTIC doc_id-derived
+    // PII into the text on BOTH engines before running the real
+    // [[redactPii]] kernel; a production caller applies redactPii to raw
+    // text directly. The md5 of the redacted text pins the replacement
+    // semantics (order, non-overlap, greediness) bit-for-bit, not just the
+    // counts. Scale shape: per-row codegen'd regex work, zero shuffles
+    // beyond the verify sort.
+    sql("q_pii_redact", Seq("TA10"),
+      s"""WITH t AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 3 = 0
+        |     THEN ' contact u' || doc_id::VARCHAR || '@example.com' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0
+        |     THEN ' node 10.' || (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 100)::VARCHAR
+        |     ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0
+        |     THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+        |          || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '$PiiEmailRe')) AS n_email,
+        |  len(regexp_extract_all(text, '$PiiIpv4Re')) AS n_ipv4,
+        |  len(regexp_extract_all(text, '$PiiPhoneRe')) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '$PiiEmailRe', '<EMAIL>', 'g'),
+        |    '$PiiIpv4Re', '<IP>', 'g'),
+        |    '$PiiPhoneRe', '<PHONE>', 'g')) AS red_md5
+        |  FROM t)
+        |SELECT doc_id, n_email, n_ipv4, n_phone,
+        |  n_email + n_ipv4 + n_phone AS pii_total, red_md5
+        |FROM c ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val injected = concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact u"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" node 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0."), (col("doc_id") % 100).cast("string"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+              lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")))
+        redactPii(docs(s, dir).select(col("doc_id"), injected.as("text")))
+          .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+            col("pii_total"), md5(col("text_redacted")).as("red_md5"))
+          .orderBy("doc_id")
+    },
+
+    // TA11 — deterministic global training-order shuffle, sharded: see
+    // [[trainOrder]]. The oracle twin re-derives the same md5 draw, shard
+    // assignment and within-shard ranks in SQL, so the permutation is
+    // pinned end to end; PlanSpec pins the plan to ONE hash exchange on
+    // `shard` with NO global sort/range exchange before the verify sort.
+    sql("q_train_order", Seq("TA11"),
+      s"""WITH h AS (SELECT doc_id, md5('ord' || doc_id::VARCHAR) AS oh FROM documents),
+        |s AS (SELECT doc_id, ('0x' || substr(oh, 1, 15))::BIGINT % $OrderShards AS shard, oh
+        |      FROM h)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin) {
+      (s, dir) =>
+        trainOrder(docs(s, dir))
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy("shard", "pos")
+    },
+
+    // TA12 — tokenizer-vocabulary builder: global token frequencies (tf)
+    // and document frequencies (df), top-[[VocabTopK]] by tf — the
+    // frequency table a BPE/WordPiece trainer seeds from (q_token_bpe
+    // consumes a vocabulary like this one). Scale shape: the token count
+    // partial-aggregates map-side (hash agg on tok), the top-K is
+    // TakeOrderedAndProject (per-partition heaps, no global sort of the
+    // vocabulary), and only the K survivors hit the single-partition
+    // rank window — metadata-sized by construction.
+    sql("q_vocab_topk", Seq("TA12"),
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |a AS (SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |k AS (SELECT tok, tf, df FROM a ORDER BY tf DESC, tok LIMIT $VocabTopK)
+        |SELECT row_number() OVER (ORDER BY tf DESC, tok) AS rank, tok, tf, df FROM k
+        |ORDER BY rank""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val a = docs(s, dir).select(col("doc_id"), explode(toks).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        a.orderBy(col("tf").desc, col("tok").asc).limit(VocabTopK)
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(col("tf").desc, col("tok").asc)).cast("long"))
+          .select("rank", "tok", "tf", "df")
+          .orderBy("rank")
     }
   )
 }

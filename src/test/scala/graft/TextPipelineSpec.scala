@@ -432,6 +432,80 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("redactPii counts and redacts emails, IPs and phones exactly") {
+    import spark.implicits._
+    import graft.queries.TextPipeline
+    val rows = Seq(
+      (1L, "mail a.b-c_d%x+1@sub.example.co.uk then ip 10.2.3.4 call 555-123-4567 done"),
+      (2L, "two mails x@y.io and z@w.ai one partial 999-12-3456 no match"),
+      (3L, "no pii here at all"),
+      (4L, "edge 255.255.255.255 1.2.3.4 and 555-000-0000"))
+      .toDF("doc_id", "text")
+    val out = TextPipeline.redactPii(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def counts(id: Long) = {
+      val r = out(id)
+      (r.getAs[Long]("n_email"), r.getAs[Long]("n_ipv4"),
+        r.getAs[Long]("n_phone"), r.getAs[Long]("pii_total"))
+    }
+    def red(id: Long) = out(id).getAs[String]("text_redacted")
+    assert(counts(1L) == ((1L, 1L, 1L, 3L)))
+    assert(red(1L) == "mail <EMAIL> then ip <IP> call <PHONE> done")
+    assert(counts(2L) == ((2L, 0L, 0L, 2L)))
+    assert(red(2L) == "two mails <EMAIL> and <EMAIL> one partial 999-12-3456 no match")
+    assert(counts(3L) == ((0L, 0L, 0L, 0L)))
+    assert(red(3L) == "no pii here at all")
+    assert(counts(4L) == ((0L, 2L, 1L, 3L)))
+    assert(red(4L) == "edge <IP> <IP> and <PHONE>")
+  }
+
+  test("trainOrder is a deterministic sharded permutation with no global sort") {
+    import spark.implicits._
+    import graft.queries.TextPipeline
+    val n = 1000L
+    val ids = (0L until n).toDF("doc_id")
+    def key(rows: Array[org.apache.spark.sql.Row]): Map[Long, (Long, Long)] =
+      rows.map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("shard"), r.getAs[Long]("pos")))).toMap
+    val o1 = key(TextPipeline.trainOrder(ids).collect())
+    // every id exactly once
+    assert(o1.keySet == (0L until n).toSet)
+    // shard in range; pos contiguous 1..count within each shard
+    assert(o1.values.forall { case (s, _) => s >= 0 && s < TextPipeline.OrderShards })
+    o1.values.groupBy(_._1).foreach { case (s, grp) =>
+      val ps = grp.map(_._2).toSeq.sorted
+      assert(ps == (1L to ps.size), s"shard $s positions not contiguous")
+    }
+    // deterministic across invocations; a different epoch seed reshuffles
+    assert(key(TextPipeline.trainOrder(ids).collect()) == o1)
+    val o2 = key(TextPipeline.trainOrder(ids, seed = "epoch2").collect())
+    assert(o2 != o1, "different seed must give a different permutation")
+    // plan shape: the one exchange hashes on shard; nothing range-partitions
+    // (a global sort would be the 100 TB scale-killer this op avoids)
+    val plan = TextPipeline.trainOrder(ids).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
+  test("vocab top-k matches brute force and actually cuts the vocabulary") {
+    import graft.queries.TextPipeline
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val toks = docs.flatMap { case (id, t) => t.split(" ").map(id -> _) }
+    val brute = toks.groupBy(_._2).map { case (tok, xs) =>
+      (tok, xs.length.toLong, xs.map(_._1).distinct.length.toLong)
+    }.toSeq.sortBy { case (tok, tf, _) => (-tf, tok) }
+    assert(brute.size > TextPipeline.VocabTopK,
+      "corpus vocabulary must exceed K or the cut is vacuous")
+    val expect = brute.take(TextPipeline.VocabTopK).zipWithIndex
+      .map { case ((tok, tf, df), i) => (i + 1L, tok, tf, df) }
+    val got = run("q_vocab_topk").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("tok"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df"))).toSeq
+    assert(got == expect)
+  }
+
   test("embedding LSH near-dup pairs are a high-cosine subset of brute force") {
     val brute = run("q_neardup_cosine").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
