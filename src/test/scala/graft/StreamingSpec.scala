@@ -293,4 +293,34 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == expected)
   }
+
+  test("PII scrub runs unchanged on a stream (stateless) and matches batch") {
+    import spark.implicits._
+    // PII-bearing docs split across micro-batches: the scrub is stateless
+    // column work, so the SAME redactPii kernel must apply to a streaming
+    // frame with no streaming-specific variant and produce the batch result
+    val docs = Seq(
+      (1L, "write me at a.user@example.org or at b.user@example.org today"),
+      (2L, "server 192.168.1.17 peered with 10.0.0.254 over vpn"),
+      (3L, "call 555-867-5309 before noon"),
+      (4L, "clean row with nothing to scrub")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pii_stream").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val scrubbed = graft.queries.TextPipeline.redactPii(stream)
+    assert(scrubbed.isStreaming, "kernel must compose with a streaming frame")
+    val qn = s"stream_pii_${System.nanoTime()}"
+    val q = scrubbed.writeStream.outputMode("append")
+      .format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_email", "n_ipv4", "n_phone", "pii_total", "text_redacted")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    val got = key(spark.table(qn))
+    assert(got == key(graft.queries.TextPipeline.redactPii(docs)))
+    assert(got(1L)._1 == 2L && got(2L)._2 == 2L && got(3L)._3 == 1L && got(4L)._4 == 0L)
+  }
 }
