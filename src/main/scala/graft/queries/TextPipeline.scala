@@ -412,31 +412,95 @@ object TextPipeline {
       (0 until n).map(i => col("hs")(i).as(s"h$i")) :+ col("cnt"): _*)
   }
 
-  /** Banded candidate pairs over a MinHash signature frame: one (band,
-    * bucket) key per doc x band (bucket = xxhash64 of that band's `rows`
-    * signature mins), hot buckets above `bucketCap` dropped per band (+
-    * DropLog), pairs = within-bucket collisions deduped across bands. The
-    * geometry knob lives here so the spec can measure candidate volume per
-    * (bands x rows) layout on one corpus. */
+  /** (doc_id, band, bucket) rows over a MinHash signature frame — one row
+    * per doc x band, bucket = xxhash64 of that band's `rows` signature
+    * mins, hot buckets above `bucketCap` dropped per band (+ DropLog under
+    * `dropLabel`). Shared by the within-corpus self-join
+    * ([[minhashCandidates]]) and the cross-corpus join
+    * ([[crossCorpusNearDups]]), where each corpus gets its own capped band
+    * frame. */
+  private def bandRows(s: SparkSession, sigs: DataFrame, bands: Int,
+      rows: Int, bucketCap: Int, dropLabel: String): DataFrame = {
+    val b = sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(i =>
+        xxhash64((0 until rows).map(r => col(s"h${rows * i + r}")): _*)): _*))
+        .as(Seq("band", "bucket")))
+    val hotB = b.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bc")).filter(col("bc") > bucketCap)
+      .select(col("band"),
+        DropLog.tick(s, s"$dropLabel: LSH buckets with > $bucketCap members")(
+          col("bucket")).as("bucket"))
+    b.join(broadcast(hotB), Seq("band", "bucket"), "left_anti")
+  }
+
+  /** Banded candidate pairs over a MinHash signature frame: within-bucket
+    * collisions deduped across bands. The geometry knob lives here so the
+    * spec can measure candidate volume per (bands x rows) layout on one
+    * corpus. */
   private[graft] def minhashCandidates(s: SparkSession, sigs: DataFrame,
       bands: Int, rows: Int, bucketCap: Int = BucketCap): DataFrame = {
-    val banded = {
-      val b = sigs.select(col("doc_id"),
-        posexplode(array((0 until bands).map(i =>
-          xxhash64((0 until rows).map(r => col(s"h${rows * i + r}")): _*)): _*))
-          .as(Seq("band", "bucket")))
-      val hotB = b.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("bc")).filter(col("bc") > bucketCap)
-        .select(col("band"),
-          DropLog.tick(s, s"q_dedup_minhash: LSH buckets with > $bucketCap members")(
-            col("bucket")).as("bucket"))
-      b.join(broadcast(hotB), Seq("band", "bucket"), "left_anti")
-    }
+    val banded = bandRows(s, sigs, bands, rows, bucketCap, "q_dedup_minhash")
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+  }
+
+  /** Cross-corpus near-duplicate screening — "don't re-ingest what the
+    * corpus already holds": for each incoming document, find its best
+    * near-duplicate (shingle Jaccard >= 0.5) in an EXISTING corpus via the
+    * same MinHash+LSH geometry as the within-corpus dedup. Returns one row
+    * per flagged incoming doc: (in_id, dup_of, jaccard) with dup_of = the
+    * existing doc of maximal exact Jaccard (min ex_id on ties).
+    *
+    * Scale shape mirrors q_dedup_minhash's, with the self-join replaced by
+    * an incoming x existing band join: signatures are row-local projections
+    * on BOTH sides (zero shuffle before banding), each side's hot buckets
+    * are capped independently (a dense region of the EXISTING corpus would
+    * otherwise pair with every incoming doc that lands in it —
+    * incoming x existing quadratic, the cross twin of the self-join
+    * hazard), candidates are exact-verified by re-joining the narrow
+    * hashed-shingle tables, and the final best-match verdict is a
+    * per-in_id window over candidate-sized data. The existing corpus'
+    * signature/shingle frames depend only on that corpus — at production
+    * scale they are computed once and reused across ingest batches
+    * (DfCache does this within a session when `cacheKey` is set). */
+  def crossCorpusNearDups(s: SparkSession, incoming: DataFrame,
+      existing: DataFrame, bands: Int = MinhashBands, rows: Int = MinhashRows,
+      bucketCap: Int = BucketCap, cacheKey: String = ""): DataFrame = {
+    val arrsIn = shingleArrays(incoming)
+    val arrsEx = if (cacheKey.isEmpty) shingleArrays(existing)
+      else DfCache.getOrBuild(s, s"cross_ex_arrs#$cacheKey")(shingleArrays(existing))
+    val sigsIn = minhashSigs(arrsIn, bands * rows)
+    val sigsEx = if (cacheKey.isEmpty) minhashSigs(arrsEx, bands * rows)
+      else DfCache.getOrBuild(s, s"cross_ex_sigs:${bands}x$rows#$cacheKey")(
+        minhashSigs(arrsEx, bands * rows))
+    val bIn = bandRows(s, sigsIn, bands, rows, bucketCap, "crossCorpus incoming")
+    val bEx = bandRows(s, sigsEx, bands, rows, bucketCap, "crossCorpus existing")
+    val cand = bIn.as("x").join(bEx.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("in_id"), col("y.doc_id").as("ex_id"))
+      .distinct()
+    val shIn = explodedShingles(arrsIn).select(col("doc_id").as("in_id"), col("sh"))
+    val shEx = explodedShingles(arrsEx).select(col("doc_id").as("ex_id"), col("sh"))
+    val common = cand.join(shIn, Seq("in_id")).join(shEx, Seq("ex_id", "sh"))
+      .groupBy(col("in_id"), col("ex_id")).agg(count(lit(1)).as("common"))
+    val scored = common
+      .join(sigsIn.select(col("doc_id").as("in_id"), col("cnt").as("ci")), Seq("in_id"))
+      .join(sigsEx.select(col("doc_id").as("ex_id"), col("cnt").as("ce")), Seq("ex_id"))
+      .select(col("in_id"), col("ex_id"),
+        (col("common") * lit(1.0) / (col("ci") + col("ce") - col("common")))
+          .as("jaccard_raw"))
+      .filter(col("jaccard_raw") >= 0.5)
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("in_id"))
+          .orderBy(col("jaccard_raw").desc, col("ex_id"))))
+      .filter(col("rk") === 1)
+      .select(col("in_id"), col("ex_id").as("dup_of"),
+        QueryDef.floorRound(col("jaccard_raw"), 4).as("jaccard"))
   }
 
   /** candidate pairs sharing >= 1 shingle, with exact Jaccard over the
