@@ -22,10 +22,34 @@ object Bench {
                    batch212MsPerQuery: Double): String = {
     def num(v: Double): String = String.format(Locale.ROOT, "%.4f", Double.box(v))
     val qs = best.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
+    val failed = best.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","repeats":$repeats,"calibration_ms":${num(calibrationMs)},""" +
+      s""""failed":$failed,"sf":"$sfDir","repeats":$repeats,""" +
+      s""""calibration_ms":${num(calibrationMs)},""" +
       s""""loadavg":"$loadavg","batch212_ms_per_query":${num(batch212MsPerQuery)}}"""
   }
+
+  /** Time one query run; a THROWING query records -1.0, never its elapsed
+    * time. Round 9's artifact recorded an analysis exception as the fastest
+    * "query" in the suite (0.07 s) because the catch's -1L was the discarded
+    * value of the try expression while the elapsed wall-clock was recorded
+    * regardless — a failure improved the headline. Factored out so
+    * BenchArtifactSpec can pin the contract with a deliberately-throwing
+    * query. */
+  def timeQuery(run: () => Unit): Double = {
+    val t0 = System.nanoTime()
+    try { run(); (System.nanoTime() - t0) / 1e9 }
+    catch { case _: Throwable => -1.0 }
+  }
+
+  /** Headline total = sum of SUCCEEDED query minima only. A -1 failure
+    * sentinel must never lower the total (round 9's crash deflated it);
+    * failures are surfaced separately via the `failed` list in the
+    * artifact, so a consumer comparing totals across rounds must also see
+    * an empty failed list before trusting the comparison. */
+  def headlineTotal(best: Seq[(String, Double)]): Double =
+    best.collect { case (_, v) if v >= 0 => v }.sum
 
   /** Full per-repetition detail (calibration, loadavg, every timing) — its
     * own stdout line, printed BEFORE the headline so tail capture can only
@@ -43,10 +67,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // This container has BURSTY external CPU contention (documented across
     // rounds 6-7): one run cannot be trusted even with calibration, so the
-    // headline set runs N times (default 2) and the artifact reports
-    // per-query MINIMA plus one calibration per repetition. Override with
+    // headline set runs N times (default 3 — round 9's 2-repeat artifact
+    // still carried an 11 s cold-start outlier as a "minimum"; the builder's
+    // clean records have always used 3) and the artifact reports per-query
+    // MINIMA plus one calibration per repetition. Override with
     // SPARK_GRAFT_BENCH_REPEATS=1 for quick local iteration.
-    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt)
+    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -90,6 +116,20 @@ object Bench {
     calibrate()
     Seq("region", "lineitem", "documents", "embeddings", "events").foreach(t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count())
+    // Text-kernel warm-up (untimed): BENCH_r09 showed q_dedup_minhash at
+    // 11.25 s in BOTH driver repetitions vs a 1.96 s quiet steady-state —
+    // the first heavy text query was paying one-time shingle/regex/codegen
+    // compilation for the whole text-pipeline expression family. One tiny
+    // shingle+signature job compiles those kernels before anything is timed.
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      Seq((1L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text")
+        .select(graft.functions.TextHash.minhashSigs(8)(
+          graft.functions.TextHash.hashedShingles3(col("text"))))
+        .count()
+    } catch { case _: Throwable => () } // warm-up must never fail the bench
     // optional arg: comma-separated query-name filter (local iteration only;
     // the driver invokes with no args => full headline set)
     val only = args.headOption.map(_.split(',').toSet)
@@ -109,19 +149,18 @@ object Bench {
       val cal = calibrate()
       val la = loadavg()
       val times = selected.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> timeQuery(() => fn(spark, sfDir).count())
       }
       (cal, la, times)
     }
     // per-query minimum across repetitions: the contention-robust estimate
-    // (a failed query records -1 in every repetition, so the min keeps the
-    // failure signal); calibration_ms mirrors that with the min probe time
+    // (a query that failed in ANY repetition records -1.0 there, so the min
+    // keeps the failure signal loud); calibration_ms mirrors that with the
+    // min probe time. The total sums successes only — see headlineTotal.
     val best = selected.map { case (name, _) =>
       name -> runs.map(_._3.toMap.apply(name)).min
     }
-    val total = best.map(_._2).sum
+    val total = headlineTotal(best)
     // Serving-latency trend (VERDICT r8 #8): run the 212-query LoTTE-shaped
     // batch harness once, OUTSIDE the timed headline set, and record its
     // amortized ms/query as a machine-tracked field. Skipped (-1) when the

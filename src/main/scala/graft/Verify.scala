@@ -18,11 +18,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A throwing query must be LOUD in the artifact, not just on stderr:
+    // in round 9 three queries started crashing at analysis, wrote no
+    // output dir, and silently vanished from the driver's correctness
+    // artifact (CORRECTNESS_r09 read all-green with 3 queries missing).
+    // Every failure is collected and written to _errors.json alongside the
+    // results, so a vanished query is detectable from the verify output
+    // alone — an empty {} asserts "every query produced output".
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -40,6 +49,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // loud but exit-0: the driver must still collect the partial results
+    // and the oracle SQL — a nonzero exit could void the whole round's
+    // correctness artifact over one broken query, recreating the blind spot
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} FAILED (see _errors.json): ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -479,8 +479,13 @@ final class IndexIVF private (
 
     val stored = schema.storedFields.filter(f => docs.columns.contains(f.name))
     if (stored.nonEmpty) {
+      // DATETIME stored fields normalize to TimestampType on the way in
+      // (no-op cast when already normal) so the docs table never persists a
+      // TIMESTAMP_NTZ column that a later reader would have to special-case.
       val d = docs.select(lit(tenant).as("tenant") +: col("id").as("doc_id") +:
-        stored.map(f => col(f.name)) :+ lit(epoch).as("epoch"): _*)
+        stored.map(f =>
+          if (f.dtype == GDataType.DATETIME) col(f.name).cast(TimestampType).as(f.name)
+          else col(f.name)) :+ lit(epoch).as("epoch"): _*)
       writes += ("docs" -> (() => writeDocs(d)))
     }
 
@@ -1400,16 +1405,21 @@ object IndexIVF {
 
   /** Canonical scalar encodings for the inverted key (the Spark analogue of
     * the typed key encodings in KeyBuilder.h:21-57). */
+  /** DATETIME intake tolerates TIMESTAMP_NTZ inputs (parquet written with
+    * isAdjustedToUTC=false, which Spark 4 surfaces as TimestampNTZType):
+    * the cast to TimestampType is exact under the engine's pinned UTC
+    * session timezone and a no-op when the column is already TimestampType,
+    * so unix_millis never sees an NTZ operand (DATATYPE_MISMATCH). */
   def canonicalString(f: GField, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     f.dtype match {
-      case GDataType.DATETIME => unix_millis(c).cast("string")
+      case GDataType.DATETIME => unix_millis(c.cast(TimestampType)).cast("string")
       case _ => c.cast("string")
     }
 
   def canonicalNum(f: GField, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     f.dtype match {
       case GDataType.INTEGER | GDataType.FLOAT => c.cast("double")
-      case GDataType.DATETIME => unix_millis(c).cast("double")
+      case GDataType.DATETIME => unix_millis(c.cast(TimestampType)).cast("double")
       case _ => lit(null).cast("double")
     }
 

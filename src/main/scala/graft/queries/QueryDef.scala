@@ -73,16 +73,37 @@ object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark 4 only reads as
-    * long via the legacy flag; normalize back to a (microsecond) timestamp
-    * column so downstream code sees an ordinary TimestampType. */
+  /** The testdata generator has shipped `ts` three ways across rounds:
+    * TIMESTAMP(NANOS) (Spark 4 reads as long only via the legacy flag),
+    * TIMESTAMP(MICROS) isAdjustedToUTC=false (Spark 4 reads as
+    * TIMESTAMP_NTZ), and plain TIMESTAMP. Normalize all of them to an
+    * ordinary TimestampType so downstream `unix_millis`/watermark code is
+    * generation-independent. The NTZ→TIMESTAMP cast is exact under the UTC
+    * session timezone this engine pins, and matches how the DuckDB oracle
+    * reads the same file (naive timestamps). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val e = t(s, dir, "events")
-    if (e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else e
+    e.schema("ts").dataType match {
+      case LongType         => e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => e.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => e
+    }
+  }
+
+  /** Same normalization for any externally-sourced timestamp column (the
+    * engine's DATETIME intake, streaming fixtures): NTZ and nanos-long both
+    * collapse to TimestampType; already-normal columns pass through. */
+  def normalizeTs(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType         => df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case TimestampNTZType => df.withColumn(colName, col(colName).cast(TimestampType))
+      case _                => df
+    }
   }
 
   /** embeddings with the float vector widened to double once, up front, so

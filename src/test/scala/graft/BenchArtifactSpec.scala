@@ -48,6 +48,29 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(failed.get("queries").get("q_x").asDouble() == -1.0)
   }
 
+  test("a throwing query records -1.0, not its elapsed time (round-9 defect)") {
+    // the throw happens AFTER measurable wall-clock has elapsed — the old
+    // code would have recorded that elapsed time as a (fast) success
+    val t = Bench.timeQuery { () =>
+      Thread.sleep(5); throw new RuntimeException("analysis exception stand-in")
+    }
+    assert(t == -1.0)
+    assert(Bench.timeQuery(() => ()) >= 0.0)
+  }
+
+  test("failures are excluded from the headline total and listed in `failed`") {
+    val best = Seq("q_ok" -> 2.5, "q_boom" -> -1.0, "q_ok2" -> 1.5)
+    val total = Bench.headlineTotal(best)
+    assert(total == 4.0) // a crash can never lower (or raise) the total
+    val j = parse(Bench.headlineJson(total, best, "d", 1, 1.0, "", -1.0))
+    assert(j.get("failed").size() == 1)
+    assert(j.get("failed").get(0).asText() == "q_boom")
+    // and the all-green shape carries an explicitly-empty list, so a
+    // consumer can distinguish "no failures" from "field missing"
+    val clean = parse(Bench.headlineJson(4.0, Seq("q_ok" -> 4.0), "d", 1, 1.0, "", -1.0))
+    assert(clean.get("failed").size() == 0)
+  }
+
   test("runs detail is valid JSON printed separately from the headline") {
     val detail = Bench.runsDetailJson(Seq(
       (241.5, "1.0,1.2,1.4", headlineNames.map(_ -> 0.123456789)),

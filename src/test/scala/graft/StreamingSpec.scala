@@ -92,6 +92,35 @@ class StreamingSpec extends AnyFunSuite {
       "each duplicated event survives exactly once")
   }
 
+  test("watermark path accepts a TIMESTAMP_NTZ-sourced stream once normalized") {
+    // Reproduce the round-9 testdata generation exactly: parquet whose ts is
+    // TIMESTAMP(MICROS) isAdjustedToUTC=false, which Spark 4 reads back as
+    // TimestampNTZType — watermarks reject that type outright
+    // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so streaming sources must route
+    // through the same normalization the batch loaders use.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("ev_ntz").toString
+    events.withColumn("ts", col("ts").cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema("ts").dataType == TimestampNTZType,
+      "fixture must round-trip as NTZ to exercise the failure mode")
+    val stream = graft.queries.Tables.normalizeTs(
+      spark.readStream.schema(back.schema).option("maxFilesPerTrigger", 1)
+        .parquet(dir),
+      "ts")
+    assert(stream.schema("ts").dataType == TimestampType)
+    val deduped = graft.streaming.StreamingIngest
+      .dedupedStream(stream, Seq("event_id"), "ts", "1 hour")
+    val qn = s"stream_ntz_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table(qn).count() == events.count())
+  }
+
   test("streaming near-dup dedup collapses equal-signature docs") {
     import org.apache.spark.sql.functions._
     val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
