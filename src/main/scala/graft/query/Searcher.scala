@@ -26,11 +26,13 @@ import org.apache.spark.sql.functions._
   *    scores for all candidates -> top num_second_pass -> phase-2 exact
   *    MaxSim on decompressed residuals (normalize=true, ColBERTScorer
   *    semantics: the exact score REPLACES the approximate one) -> top k ->
-  *    hydrate Stored fields from `docs`. The context table is scanned ONCE:
-  *    codes and residuals ride together through the pool cut (the pool is
-  *    <= num_second_pass rows, so carrying the residual bytes through the
-  *    per-partition top-k heap is cheaper than a second context join at
-  *    scale).
+  *    hydrate Stored fields from `docs`. Phase-1 reads ONLY the codes
+  *    column of `context` (columnar scan skips the residual bytes — the
+  *    index's largest column); the <= num_second_pass survivor ids are
+  *    driver-known after the cut, so phase-2 is a pruned context MULTIGET
+  *    (the same bounded-collect pattern as the <= k docs hydration),
+  *    decoded and rescored driver-locally exactly as the single-node
+  *    reference does.
   */
 object Searcher {
 
@@ -53,60 +55,60 @@ object Searcher {
     val rerankNode = vectorNodes.find(_.field == opts.colbertField)
       .orElse(vectorNodes.headOption)
     val phase1 = compile(idx, tenant, root, opts, restrict = None,
-      carryFor = if (needRerank) rerankNode.map(_.field) else None)
+      markFor = if (needRerank) rerankNode.map(_.field) else None)
 
-    val reranked =
+    val top: Either[Seq[(Long, Double)], DataFrame] =
       if (needRerank) {
-        val v = rerankNode.get
-        val f = idx.schema.field(v.field)
-        val dim = f.parameters.dimensions
-        val nq = v.queryTokens.length
-        val flatQuery = v.queryTokens.flatten
-        val bq = spark.sparkContext.broadcast(idx.quantizers(v.field))
-        val bquery = spark.sparkContext.broadcast(flatQuery)
-        val rerankUdf = udf { (codes: Seq[Long], residuals: Array[Byte]) =>
-          // doc matched only by non-vector OR children -> no colbert context
-          // -> score 0.0, matching ColBERTScorer (Scorer.cpp:23-28)
-          if (codes == null || residuals == null) 0.0
-          else {
-            val quant = bq.value
-            val n = codes.length
-            val doc = new Array[Float](n * dim)
-            var i = 0
-            while (i < n) {
-              val tok = quant.decode(java.util.Arrays.copyOfRange(
-                residuals, i * quant.codeSize, (i + 1) * quant.codeSize))
-              System.arraycopy(tok, 0, doc, i * dim, dim)
-              i += 1
-            }
-            Plaid.scoreByResiduals(bquery.value, nq, doc, n, dim, normalize = true)
-              .toDouble
-          }
-        }
-        phase1
-          .orderBy(col("score").desc, col("doc_id"))
+        // Two-pass rerank. Phase-1's cut is <= numSecondPass ids, so they
+        // are collected ONCE (bounded by the knob, same class as the <= k
+        // hydration collect) and phase-2 becomes a context MULTIGET over
+        // driver-known ids — doc_id IN-list row-group pruning now, whole
+        // doc_bucket directory pruning once context carries the bucket
+        // level — instead of dragging every candidate's residual bytes
+        // through the phase-1 scan and top-k shuffle. At scale the residual
+        // column is the index's largest; phase-1 now never reads it (the
+        // columnar scan reads codes only), which is exactly the reference's
+        // shape: phase-1 over codes, phase-2 decompresses residuals for the
+        // survivors only (QueryExecutor.cpp:14-71). The rescore itself is
+        // driver-local — numSecondPass * tokens * dim flops, the same work
+        // the single-node reference does for the same candidates.
+        val withMark = phase1.columns.contains("vec_match")
+        val p1 = phase1.orderBy(col("score").desc, col("doc_id"))
           .limit(opts.numSecondPass)
-          .select(col("doc_id"),
-            rerankUdf(col("doc_codes"), col("doc_residuals")).as("score"))
-      } else phase1.select(col("doc_id"), col("score"))
-
-    val top = reranked.orderBy(col("score").desc, col("doc_id")).limit(k)
+          .select(col("doc_id") +:
+            (if (withMark) Seq(col("vec_match")) else Seq.empty): _*)
+          .collect()
+        // only ids that matched the rerank field's vector leaf carry its
+        // context in the iterator semantics — the rest rescore to 0.0
+        val p1Ids = p1.map(_.getLong(0))
+        val vecIds = if (withMark) p1.filter(_.getBoolean(1)).map(_.getLong(0))
+                     else p1Ids
+        val exact = rerankExact(idx, tenant, rerankNode.get, vecIds).toMap
+        Left(p1Ids.map(id => id -> exact.getOrElse(id, 0.0))
+          .sortBy { case (id, s) => (-s, id) }.take(k).toSeq)
+      } else Right(
+        phase1.select(col("doc_id"), col("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(k))
 
     if (idx.schema.storedFields.nonEmpty) {
-      // Hydration. The ranked result is <= k rows, so it is collected ONCE
-      // (the distributed phase-1/rerank DAG runs here) and its ids pushed
-      // into the docs scan as TWO static filters: the ids' doc_bucket set
-      // prunes whole hive DIRECTORIES (<= min(k, DocBuckets) of the
-      // forward index's directories are even listed), then the doc_id
-      // IN-list row-group-prunes the surviving files — the Spark analogue
-      // of the reference's key-ordered forward-index multiget
+      // Hydration. The ranked result is <= k rows — either already
+      // driver-local (two-pass rerank) or collected ONCE here (the
+      // distributed phase-1 DAG runs now) — and its ids pushed into the
+      // docs scan as TWO static filters: the ids' doc_bucket set prunes
+      // whole hive DIRECTORIES (<= min(k, DocBuckets) of the forward
+      // index's directories are even listed), then the doc_id IN-list
+      // row-group-prunes the surviving files — the Spark analogue of the
+      // reference's key-ordered forward-index multiget
       // (RocksdbForwardIndex.cpp:44-92). The multiget result is ALSO <= k
       // rows, so the final join is a driver-local hash lookup over two
       // k-row arrays — doing it with broadcast joins would spend several
       // Spark jobs shuffling rows that both already fit in the collected
       // result.
-      val topRows = top.collect()
-      val topIds = topRows.map(_.getLong(0))
+      val topPairs: Seq[(Long, Double)] = top match {
+        case Left(pairs) => pairs
+        case Right(df) => df.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+      }
+      val topIds = topPairs.map(_._1)
       val topBuckets = topIds.map(IndexIVF.docBucketOf).distinct
       val docsDf = idx.docsDf
         .filter(col("tenant") === tenant &&
@@ -121,31 +123,99 @@ object Searcher {
       }
       val storedCols = docsDf.columns.drop(1) // doc_id first
       val outSchema = org.apache.spark.sql.types.StructType(
-        docsDf.schema.fields ++ top.schema.fields.filter(_.name != "doc_id"))
-      // topRows are already (score desc, doc_id) ordered — the output order
-      val rows: Seq[org.apache.spark.sql.Row] = topRows.toSeq.map { t =>
-        val id = t.getLong(0)
+        docsDf.schema.fields :+
+          org.apache.spark.sql.types.StructField(
+            "score", org.apache.spark.sql.types.DoubleType, nullable = false))
+      // topPairs are already (score desc, doc_id) ordered — the output order
+      val rows: Seq[org.apache.spark.sql.Row] = topPairs.map { case (id, score) =>
         val stored = byId.get(id)
         org.apache.spark.sql.Row.fromSeq(
-          id +: storedCols.indices.map(i => stored.map(_.get(i + 1)).orNull) :+
-            t.get(t.fieldIndex("score")))
+          id +: storedCols.indices.map(i => stored.map(_.get(i + 1)).orNull) :+ score)
       }
       spark.createDataFrame(
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, outSchema)
-    } else top
+    } else top match {
+      case Left(pairs) =>
+        // the reranked result is driver-local and <= k rows; hand it back as
+        // a small local frame with the same (doc_id, score) shape
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            "score", org.apache.spark.sql.types.DoubleType, nullable = false)))
+        spark.createDataFrame(
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            pairs.map { case (id, s) => org.apache.spark.sql.Row(id, s) }).asJava,
+          schema)
+      case Right(df) => df
+    }
   }
 
-  /** QueryNode -> DataFrame(doc_id, score[, doc_codes, doc_residuals]).
+  /** Phase-2 exact MaxSim over driver-known candidate ids: a context-table
+    * MULTIGET (doc_id IN-list row-group pruning; directory pruning once the
+    * context table carries a doc_bucket level) followed by a driver-local
+    * decode + rescore. Ids with no context row — docs matched only by
+    * non-vector OR children — score 0.0, matching ColBERTScorer
+    * (Scorer.cpp:23-28); the exact score REPLACES the approximate one
+    * (QueryExecutor.cpp:48-66). */
+  private def rerankExact(idx: IndexIVF, tenant: Long, v: VectorQuery,
+      ids: Array[Long]): Array[(Long, Double)] = {
+    if (ids.isEmpty) return Array.empty
+    val f = idx.schema.field(v.field)
+    val dim = f.parameters.dimensions
+    val nq = v.queryTokens.length
+    val flatQuery = v.queryTokens.flatten
+    val quant = idx.quantizers(v.field)
+    val fid = idx.mapper.id(v.field)
+    val ctxRows = idx.contextDf
+      .filter(col("tenant") === tenant && col("field") === fid &&
+        col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), col("doc_codes"), col("doc_residuals"))
+      .collect()
+    // one context row per id, arbitrary winner (duplicate-add dedup — the
+    // old single-scan path's dropDuplicates, done driver-side on <= nsp rows)
+    val byId = ctxRows.foldLeft(Map.empty[Long, (Seq[Long], Array[Byte])]) { (m, r) =>
+      val id = r.getLong(0)
+      if (m.contains(id)) m
+      else m + (id -> (r.getSeq[Long](1), r.getAs[Array[Byte]](2)))
+    }
+    ids.map { id =>
+      byId.get(id) match {
+        case None => id -> 0.0
+        case Some((codes, residuals)) =>
+          val n = codes.length
+          val doc = new Array[Float](n * dim)
+          var i = 0
+          while (i < n) {
+            val tok = quant.decode(java.util.Arrays.copyOfRange(
+              residuals, i * quant.codeSize, (i + 1) * quant.codeSize))
+            System.arraycopy(tok, 0, doc, i * dim, dim)
+            i += 1
+          }
+          id -> Plaid.scoreByResiduals(flatQuery, nq, doc, n, dim,
+            normalize = true).toDouble
+      }
+    }
+  }
+
+  /** QueryNode -> DataFrame(doc_id, score[, vec_match]).
     *
     * @param restrict candidate-id pushdown from an enclosing And: scoring is
     *                 restricted to these doc ids (reference: the iterator
     *                 tree enumerates the intersected candidates first)
-    * @param carryFor vector field whose leaf keeps doc_codes/doc_residuals
-    *                 in its output for single-scan reranking
+    * @param markFor  vector field whose leaf tags its rows `vec_match=true`.
+    *                 The reference's phase-2 scorer reads the colbert
+    *                 context from the ITERATOR's DocValues, so a doc matched
+    *                 only by non-vector (or other-field) children reranks to
+    *                 0.0 even though its context row exists in the table
+    *                 (Scorer.cpp:23-28 — colbert field absent from dvs).
+    *                 The marker is 1 byte through the cut, replacing the old
+    *                 design that dragged the residual BYTES through phase-1
+    *                 just to preserve this null-means-zero semantics.
     */
   def compile(idx: IndexIVF, tenant: Long, node: QueryNode, opts: SearchOptions,
       restrict: Option[DataFrame] = None,
-      carryFor: Option[String] = None)(
+      markFor: Option[String] = None)(
       implicit plans: PlanCache = scala.collection.mutable.Map.empty): DataFrame =
     node match {
 
@@ -171,19 +241,18 @@ object Searcher {
         .select(col("doc_id")).distinct(), restrict)
         .withColumn("score", lit(1.0))
 
-    case v: VectorQuery => compileVector(idx, tenant, v, opts, restrict, carryFor)
+    case v: VectorQuery =>
+      compileVector(idx, tenant, v, opts, restrict, markFor.contains(v.field))
 
     case AndQuery(children, comb) =>
       // candidate intersection FIRST, then score each child on it
       val cands = children.map(c => candidateIds(idx, tenant, c, opts))
         .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
-      val scored = children.map(c =>
-        compile(idx, tenant, c, opts, Some(cands), carryFor))
+      val scored = children.map(c => compile(idx, tenant, c, opts, Some(cands), markFor))
       joinChildren(scored, "inner", comb, orMode = false)
 
     case OrQuery(children, comb) =>
-      val scored = children.map(c =>
-        compile(idx, tenant, c, opts, restrict, carryFor))
+      val scored = children.map(c => compile(idx, tenant, c, opts, restrict, markFor))
       joinChildren(scored, "full_outer", comb, orMode = true)
   }
 
@@ -214,8 +283,10 @@ object Searcher {
       cs.map(c => candidateIds(idx, tenant, c, opts)).reduce(_ union _).distinct()
   }
 
-  /** Combine per-child (doc_id, score, [context]) frames; context columns
-    * are taken from whichever child carries them (the vector leaf). */
+  /** Combine per-child (doc_id, score[, vec_match]) frames; the vec_match
+    * marker is taken from whichever child carries it (the marked vector
+    * leaf) — null after a full-outer join means the doc did not match that
+    * leaf. */
   private def joinChildren(scored: Seq[DataFrame], joinType: String,
       comb: Combiner.Value, orMode: Boolean): DataFrame = {
     val renamed = scored.zipWithIndex.map { case (df, i) =>
@@ -224,12 +295,12 @@ object Searcher {
     }
     val joined = renamed.reduce((a, b) => a.join(b, Seq("doc_id"), joinType))
     val scores = scored.indices.map(i => col(s"score_$i"))
-    val ctxCols = scored.indices
-      .filter(i => renamed(i).columns.contains(s"doc_codes_$i"))
-      .headOption.toSeq.flatMap(i => Seq(
-        col(s"doc_codes_$i").as("doc_codes"),
-        col(s"doc_residuals_$i").as("doc_residuals")))
-    joined.select(col("doc_id") +: combine(comb, scores, orMode).as("score") +: ctxCols: _*)
+    val markCol = scored.indices
+      .filter(i => renamed(i).columns.contains(s"vec_match_$i"))
+      .headOption.toSeq
+      .map(i => coalesce(col(s"vec_match_$i"), lit(false)).as("vec_match"))
+    joined.select(col("doc_id") +: combine(comb, scores, orMode).as("score") +:
+      markCol: _*)
   }
 
   /** Score combiners (scoring_methods.cpp:61-85). In OR position a child
@@ -373,8 +444,8 @@ object Searcher {
   /** The ANN leaf: candidates + phase-1 scoring via the broadcast
     * query-x-centroid matrix over the doc's stored codes. */
   private def compileVector(idx: IndexIVF, tenant: Long, v: VectorQuery,
-      opts: SearchOptions, restrict: Option[DataFrame],
-      carryFor: Option[String])(implicit plans: PlanCache): DataFrame = {
+      opts: SearchOptions, restrict: Option[DataFrame], mark: Boolean)(
+      implicit plans: PlanCache): DataFrame = {
     val spark = idx.spark
     val fid = idx.mapper.id(v.field)
     val cq = idx.coarse.getOrElse(v.field,
@@ -382,7 +453,6 @@ object Searcher {
     val nc = cq.numCentroids
     val nq = v.queryTokens.length
     val (scoreMatrix, _) = queryPlan(idx, v, opts)
-    val carryContext = carryFor.contains(v.field)
 
     val candidates = restricted(postingCandidates(idx, tenant, v, opts), restrict)
 
@@ -404,17 +474,16 @@ object Searcher {
           codes => u(codes)
       }
 
-    val ctxCols =
-      if (carryContext) Seq(col("doc_id"), col("doc_codes"), col("doc_residuals"))
-      else Seq(col("doc_id"), col("doc_codes"))
+    // phase-1 reads doc_codes ONLY — the residual bytes (the index's
+    // largest column) are never selected, so the columnar scan skips them
+    // entirely; phase-2 multigets them for the <= numSecondPass survivors
     val ctx = idx.contextDf
       .filter(col("tenant") === tenant && col("field") === fid)
       .dropDuplicates("doc_id")
-      .select(ctxCols: _*)
+      .select(col("doc_id"), col("doc_codes"))
     val scored = candidates.join(ctx, Seq("doc_id"))
-    val outCols = col("doc_id") +: scoreCol(col("doc_codes")).as("score") +:
-      (if (carryContext) Seq(col("doc_codes"), col("doc_residuals")) else Seq.empty)
-    scored.select(outCols: _*)
+    scored.select(col("doc_id") +: scoreCol(col("doc_codes")).as("score") +:
+      (if (mark) Seq(lit(true).as("vec_match")) else Seq.empty): _*)
   }
 
   private def collectVectors(node: QueryNode): Seq[VectorQuery] = node match {
