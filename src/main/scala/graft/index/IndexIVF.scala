@@ -398,7 +398,7 @@ final class IndexIVF private (
             col("enc._1").as("doc_codes"), col("enc._2").as("doc_residuals"),
             lit(epoch).as("epoch"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        writes += ("context" -> (() => writeAppend(ctx, p("context"), Seq("tenant", "field"))))
+        writes += ("context" -> (() => writeContext(ctx)))
         // one posting row per doc x centroid (DocEncoder.cpp:71-104 groups
         // token codes per centroid; the posting payload itself is empty for
         // Colbert fields — codes live in context). Both writes read the
@@ -462,7 +462,7 @@ final class IndexIVF private (
         lit(tenant).as("tenant"), lit(fid).as("field"), col("id").as("doc_id"),
         array().cast(ArrayType(LongType)).as("doc_codes"),
         payload.as("doc_residuals"), lit(epoch).as("epoch"))
-      writes += ("context" -> (() => writeAppend(ctx, p("context"), Seq("tenant", "field"))))
+      writes += ("context" -> (() => writeContext(ctx)))
     }
 
     val scalarRows = schema.scalarIndexed.filter(f => docs.columns.contains(f.name)).map { f =>
@@ -965,6 +965,16 @@ final class IndexIVF private (
     writeAppend(placed, p("postings"), postingsParts)
   }
 
+  /** Append context rows preserving the v5 layout invariants (hive doc
+    * buckets + within-file doc_id sort) with the same size-gated placement
+    * as postings — phase-2's multiget prunes these directories exactly the
+    * way hydration prunes docs/. */
+  private def writeContext(rows: DataFrame): Unit = {
+    val withBucket = rows.withColumn("doc_bucket", docBucket(col("doc_id")))
+    val placed = sizeGatedPlacement(withBucket, tableParts("context"), tableSort("context"))
+    writeAppend(placed, p("context"), tableParts("context"))
+  }
+
   /** Append forward-index rows preserving the v4 layout invariants (hive
     * doc buckets + within-file doc_id sort) with the same size-gated
     * placement as postings. */
@@ -1148,6 +1158,9 @@ object IndexIVF {
     case "scalars" => Seq("tenant", "field", "value_bucket")
     case "tombstones" => Seq("tenant")
     case "postings" => Seq("tenant", "field", "centroid_bucket")
+    // v5: context gains the same doc_bucket level as docs — phase-2's
+    // multiget over driver-known survivor ids prunes whole directories
+    case "context" => Seq("tenant", "field", "doc_bucket")
     case _ => Seq("tenant", "field")
   }
 
@@ -1170,7 +1183,7 @@ object IndexIVF {
     * secondary order) when the plan's ordering doesn't already satisfy
     * it. */
   def tableSort(tbl: String): Seq[String] = tbl match {
-    case "context" => Seq("tenant", "field", "doc_id")
+    case "context" => Seq("tenant", "field", "doc_bucket", "doc_id")
     case "scalars" => Seq("tenant", "field", "value_bucket", "value_num", "value_str")
     case "docs" => Seq("tenant", "doc_bucket", "doc_id")
     case _ => Nil
@@ -1236,11 +1249,11 @@ object IndexIVF {
     * cannot be read or safely appended to by this code — [[open]] rejects
     * it with a migration hint instead of failing at query time (or worse,
     * letting an add() interleave two directory layouts under one table). */
-  val FormatVersion = 4
+  val FormatVersion = 5
 
   private val layoutDesc =
     "postings/tenant/field/centroid_bucket, docs/tenant/doc_bucket, " +
-      "scalars/tenant/field/value_bucket"
+      "scalars/tenant/field/value_bucket, context/tenant/field/doc_bucket"
 
   private def writeMeta(path: String, schema: GSchema): Unit = {
     Json.write(s"$path/_meta/schema.json", schema)
@@ -1264,7 +1277,8 @@ object IndexIVF {
         s"version $FormatVersion (postings are hive-partitioned by " +
         "centroid_bucket since v2; rows and tombstones carry a write epoch " +
         "since v3; docs and scalars are hive-partitioned by doc_bucket / " +
-        "value_bucket since v4). Run IndexIVF.migrate(spark, path) to " +
+        "value_bucket since v4; context is hive-partitioned by doc_bucket " +
+        "since v5). Run IndexIVF.migrate(spark, path) to " +
         "upgrade it in place, or rebuild with create()+add().")
   }
 
@@ -1353,6 +1367,10 @@ object IndexIVF {
       d => docBucket(d("doc_id")), tableSort("docs"))
     addBucketLevel("scalars", "value_bucket",
       d => valueBucket(d("value_str")), tableSort("scalars"))
+    // every pre-v5 version lacks the context bucket level (idempotent per
+    // table like the rest: a v4 index rewrites ONLY context here)
+    addBucketLevel("context", "doc_bucket",
+      d => docBucket(d("doc_id")), tableSort("context"))
     Json.write(s"$path/_meta/metadata.json",
       Map("format" -> "graft-ivf-parquet", "version" -> FormatVersion,
         "layout" -> layoutDesc))
@@ -1382,7 +1400,8 @@ object IndexIVF {
     StructField("tenant", LongType), StructField("field", IntegerType),
     StructField("doc_id", LongType),
     StructField("doc_codes", ArrayType(LongType)),
-    StructField("doc_residuals", BinaryType), StructField("epoch", LongType)))
+    StructField("doc_residuals", BinaryType), StructField("epoch", LongType),
+    StructField("doc_bucket", IntegerType)))
   val tombstonesSchema: StructType = StructType(Seq(
     StructField("tenant", LongType), StructField("doc_id", LongType),
     StructField("epoch", LongType)))

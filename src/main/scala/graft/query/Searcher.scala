@@ -167,9 +167,14 @@ object Searcher {
     val flatQuery = v.queryTokens.flatten
     val quant = idx.quantizers(v.field)
     val fid = idx.mapper.id(v.field)
+    // ids are driver-known, so their doc_bucket set is a STATIC partition
+    // filter — <= min(numSecondPass, DocBuckets) context directories are
+    // even listed (v5 layout) — then the doc_id IN-list row-group-prunes
+    // the surviving files (context files are doc_id-sorted within buckets)
+    val buckets = ids.map(IndexIVF.docBucketOf).distinct
     val ctxRows = idx.contextDf
       .filter(col("tenant") === tenant && col("field") === fid &&
-        col("doc_id").isin(ids: _*))
+        col("doc_bucket").isin(buckets: _*) && col("doc_id").isin(ids: _*))
       .select(col("doc_id"), col("doc_codes"), col("doc_residuals"))
       .collect()
     // one context row per id, arbitrary winner (duplicate-add dedup — the

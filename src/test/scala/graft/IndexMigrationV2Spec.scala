@@ -129,4 +129,61 @@ class IndexMigrationV2Spec extends AnyFunSuite {
       s"value_bucket=${IndexIVF.valueBucketOf((id * 10).toString)}")
     assert(sDirs == sWant, s"expected scalar bucket dirs $sWant, got $sDirs")
   }
+
+  test("v4 index (no context bucket level) migrates via the context rewrite alone") {
+    import graft.query._
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val tensorSchema = GSchema(Seq(
+      GField.colbert("colbert", dim, numCentroids = 4, numIterations = 3),
+      GField.stored("cat", GDataType.TEXT)))
+    def tensorDocs(ids: Seq[Long]) = {
+      import spark.implicits._
+      ids.map(i => Doc(i, Seq.fill(3)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f)),
+        s"doc-$i", 0L)).toDF()
+        .select(col("id"), col("colbert"), col("cat"))
+    }
+    val path = java.nio.file.Files.createTempDirectory("idx_v4").toString
+    val idx = IndexIVF.create(spark, path, tensorSchema)
+    val docs = tensorDocs(Seq(0L, 1L, 2L, 65L))
+    idx.train(docs.select(col("id"), col("colbert")))
+    idx.add(1, docs)
+    val query = VectorQuery("colbert",
+      Array.fill(2)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    def results(i: IndexIVF) =
+      i.search(1, query, 4, SearchOptions(kTopCentroids = 4, nProbe = 4))
+        .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = results(idx)
+    assert(before.nonEmpty)
+
+    // simulate v4: collapse the context bucket level, stamp v4
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ctxPath = s"$path/context"
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(ctxPath), conf)
+    val stripped = spark.read.parquet(ctxPath).drop("doc_bucket")
+    val tmp = new org.apache.hadoop.fs.Path(ctxPath + ".oldtmp")
+    stripped.write.mode("overwrite").partitionBy("tenant", "field").parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(ctxPath), true)
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(ctxPath))
+    Json.write(s"$path/_meta/metadata.json",
+      Map("format" -> "graft-ivf-parquet", "version" -> 4,
+        "layout" -> "postings/tenant/field/centroid_bucket"))
+
+    intercept[IllegalStateException](IndexIVF.open(spark, path))
+    IndexIVF.migrate(spark, path)
+    IndexIVF.migrate(spark, path) // idempotent
+    val re = IndexIVF.open(spark, path)
+
+    // the rewrite produced the real hive level under context/tenant/field
+    // (doc 65 shares bucket 1 with doc 1 under DocBuckets=64)
+    val dirs = new java.io.File(s"$path/context/tenant=1/field=0").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val want = Set(0L, 1L, 2L, 65L).map(id =>
+      s"doc_bucket=${IndexIVF.docBucketOf(id)}")
+    assert(dirs == want, s"expected context bucket dirs $want, got $dirs")
+
+    // search results (incl. phase-2 exact scores read through the new
+    // level) are bit-identical to the pre-migration index
+    assert(results(re) == before, "migration changed search results")
+  }
 }

@@ -179,6 +179,63 @@ class PlanSpec extends AnyFunSuite {
     assert(one < full, s"docs multiget read $one of $full files - no bucket pruning")
   }
 
+  test("phase-2 context multiget prunes doc_bucket dirs and phase-1 skips residuals") {
+    import spark.implicits._
+    import graft.core._
+    import graft.index.IndexIVF
+    import graft.query.{SearchOptions, VectorQuery}
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 8L).map(i =>
+      i -> Seq.fill(2)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1))).toMap
+    val docs = corpus.toSeq.sortBy(_._1)
+      .map { case (i, t) => Doc(i, t, s"c$i", i) }.toDF().drop("num")
+    val idx = IndexIVF.create(spark,
+      java.nio.file.Files.createTempDirectory("idx_ctx2p").toString,
+      GSchema(Seq(GField.colbert("colbert", dim, 4, numIterations = 2),
+        GField.stored("cat", GDataType.TEXT))))
+    idx.train(docs)
+    idx.add(1, docs)
+    val plans = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        plans.add(qe.executedPlan.toString); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // numSecondPass = 2 so the phase-2 multiget probes a strict subset of
+      // the 8 ids' buckets
+      val res = idx.search(1, VectorQuery("colbert", corpus(3L).map(_.toArray).toArray),
+        k = 2, SearchOptions(kTopCentroids = 4, nProbe = 4, numSecondPass = 2))
+      assert(res.collect().nonEmpty)
+      val deadline = System.nanoTime() + 10e9.toLong
+      var multiget = false
+      var phase1ThinScan = false
+      while (!(multiget && phase1ThinScan) && System.nanoTime() < deadline) {
+        val snap = scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
+        // phase-2: the context read carries BOTH the id IN-list and the
+        // bucket partition filter (v5 directory pruning)
+        multiget = snap.exists(p => p.contains("context") &&
+          p.contains("In(doc_id") && p.contains("doc_bucket"))
+        // phase-1: the plan that scans context TOGETHER with postings (the
+        // candidate join) must not read doc_residuals — codes only
+        phase1ThinScan = snap.exists(p => p.contains("context") &&
+          p.contains("postings") && !p.contains("doc_residuals"))
+        if (!(multiget && phase1ThinScan)) Thread.sleep(50)
+      }
+      val all = scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
+        .mkString("\n---\n")
+      assert(multiget,
+        s"no executed plan multigets context with bucket + id pruning:\n$all")
+      assert(phase1ThinScan,
+        s"phase-1 candidate join still reads doc_residuals:\n$all")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("term-equality probe prunes scalars to the value's bucket directory") {
     import spark.implicits._
     import graft.core._
