@@ -458,10 +458,15 @@ final class IndexIVF private (
           }
           encodeAll(col(f.name))
         }
+      // persisted for the same reason as the tensor-field ctx: writeContext
+      // probes the encoded size with one aggregate before writing, and the
+      // cache keeps the encode UDF from running twice
       val ctx = docs.filter(col(f.name).isNotNull).select(
         lit(tenant).as("tenant"), lit(fid).as("field"), col("id").as("doc_id"),
         array().cast(ArrayType(LongType)).as("doc_codes"),
         payload.as("doc_residuals"), lit(epoch).as("epoch"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toUnpersist += ctx
       writes += ("context" -> (() => writeContext(ctx)))
     }
 
@@ -966,12 +971,38 @@ final class IndexIVF private (
   }
 
   /** Append context rows preserving the v5 layout invariants (hive doc
-    * buckets + within-file doc_id sort) with the same size-gated placement
-    * as postings — phase-2's multiget prunes these directories exactly the
-    * way hydration prunes docs/. */
+    * buckets + within-file doc_id sort) — phase-2's multiget prunes these
+    * directories exactly the way hydration prunes docs/.
+    *
+    * Unlike the sibling writers, the small-vs-bulk decision is made on
+    * MEASURED bytes, not optimizer statistics: the residual column is
+    * UDF-encoded, so Catalyst prices it at the schema default (~100 B/row)
+    * — which routed a 100k-doc add's ~200 MB context write into the
+    * single-task small-add path and serialized the encode UDF behind the
+    * coalesce(1) (measured 94.9 s vs 10.8 s for the clustered write at the
+    * K=4096/dim=128 production shape). The probe aggregate doubles as the
+    * persist materializer (both add() call sites persist their ctx frame),
+    * so the encode runs once, distributed, and the write reads cache.
+    * Context's small bound is ONE scan split rather than
+    * SmallAddPartitions x: for the index's largest table, a single task
+    * writing more than a split loses more to serial parquet encode than
+    * micro-file fan-out would cost — trickle/micro-batch appends stay well
+    * under it and keep the one-sorted-task placement. */
   private def writeContext(rows: DataFrame): Unit = {
     val withBucket = rows.withColumn("doc_bucket", docBucket(col("doc_id")))
-    val placed = sizeGatedPlacement(withBucket, tableParts("context"), tableSort("context"))
+    val measured = rows.select(
+      coalesce(sum(coalesce(octet_length(col("doc_residuals")), lit(0)).cast("long") +
+        coalesce(size(col("doc_codes")), lit(0)).cast("long") * 8L + 64L), lit(0L)))
+      .first().getLong(0)
+    val smallMax = spark.conf.getOption(SmallAddMaxBytesKey).map(BigInt(_))
+      .getOrElse(BigInt(math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)))
+    val sortCols = tableSort("context").map(col)
+    val placed =
+      if (BigInt(measured) <= smallMax)
+        withBucket.coalesce(1).sortWithinPartitions(sortCols: _*)
+      else
+        withBucket.repartition(tableParts("context").map(col): _*)
+          .sortWithinPartitions(sortCols: _*)
     writeAppend(placed, p("context"), tableParts("context"))
   }
 

@@ -27,6 +27,10 @@ object ProfMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
+    // A/B hatch for the size-gated placement: force the bulk (clustering
+    // shuffle) path with GRAFT_SMALL_ADD_MAX_BYTES=1
+    sys.env.get("GRAFT_SMALL_ADD_MAX_BYTES").foreach(v =>
+      spark.conf.set("graft.index.smallAddMaxBytes", v))
 
     what match {
       case "engine" => profEngine(spark, dir)
@@ -242,7 +246,10 @@ object ProfMain {
         import graft.core._
         import graft.query._
         import spark.implicits._
-        val k = 4096; val dimI = 128; val nDocs = 100000; val tpd = 4
+        // optional 2nd arg scales the corpus (default 100k docs; 1M is the
+        // next-10x shape from VERDICT r9 #7)
+        val k = 4096; val dimI = 128
+        val nDocs = args.lift(1).map(_.toInt).getOrElse(100000); val tpd = 4
         val schema = GSchema(Seq(
           GField.colbert("colbert", dimensions = dimI,
             numCentroids = k, quantization = QuantizerKind.NONE,
