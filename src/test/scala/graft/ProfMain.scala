@@ -247,9 +247,12 @@ object ProfMain {
         import graft.query._
         import spark.implicits._
         // optional 2nd arg scales the corpus (default 100k docs; 1M is the
-        // next-10x shape from VERDICT r9 #7)
-        val k = 4096; val dimI = 128
+        // next-10x shape from VERDICT r9 #7); optional 3rd arg sets K (a
+        // fixed K at a growing corpus makes candidate sets — and per-query
+        // cost — grow linearly; production scales K with corpus)
+        val dimI = 128
         val nDocs = args.lift(1).map(_.toInt).getOrElse(100000); val tpd = 4
+        val k = args.lift(2).map(_.toInt).getOrElse(4096)
         val schema = GSchema(Seq(
           GField.colbert("colbert", dimensions = dimI,
             numCentroids = k, quantization = QuantizerKind.NONE,
