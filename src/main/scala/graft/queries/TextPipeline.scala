@@ -283,6 +283,42 @@ object TextPipeline {
       .drop("oh")
   }
 
+  /** q_curriculum_order: difficulty-tier width (docs bucket by
+    * `difficulty div width`, capped at [[CurriculumMaxBucket]]) — integer
+    * arithmetic on both engines so the oracle twin is bit-exact. */
+  private[graft] val CurriculumBucketWidth = 500
+  private[graft] val CurriculumMaxBucket = 7L
+
+  /** Curriculum training order (easy-to-hard scheduling): docs are tiered
+    * into difficulty buckets by a PER-ROW integer expression on a
+    * difficulty column (no quantile pass, no global state — `ntile`-style
+    * bucketing would be a single-partition window over the whole corpus,
+    * the 100 TB killer), then deterministically shuffled WITHIN each
+    * (bucket, shard) by the same seeded md5 draw as [[trainOrder]]. A
+    * consumer walks buckets in order and round-robins the shards inside
+    * each bucket, so training sees easy docs first with an unbiased order
+    * inside every tier. Scale shape: one hash exchange on (bucket, shard)
+    * — B x S window partitions, no partition ever holding more than its
+    * tier-shard slice — and nothing global anywhere. */
+  def curriculumOrder(df: DataFrame, diffCol: String = "n_chars",
+      idCol: String = "doc_id", shards: Int = OrderShards,
+      bucketWidth: Int = CurriculumBucketWidth,
+      maxBucket: Long = CurriculumMaxBucket, seed: String = "cur"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    import org.apache.spark.sql.expressions.Window
+    val oh = md5(concat(lit(seed), col(idCol).cast("string")))
+    df.select(col(idCol),
+        least(expr(s"$diffCol div $bucketWidth"), lit(maxBucket)).as("bucket"),
+        oh.as("oh"),
+        (conv(substring(oh, 1, 15), 16, 10).cast("long") % shards).as("shard"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("bucket"), col("shard"))
+          .orderBy(col("oh"), col(idCol)))
+        .cast("long"))
+      .drop("oh")
+  }
+
   /** "No silent caps" without a dedicated count job: the hot-key set is tiny
     * (it rides a broadcast), so a pass-through UDF on it ticks a long
     * accumulator while the broadcast relation is built, and a session-level
@@ -1872,6 +1908,27 @@ object TextPipeline {
         trainOrder(docs(s, dir))
           .select(col("doc_id"), col("shard"), col("pos"))
           .orderBy("shard", "pos")
+    },
+
+    // TA13 — curriculum (easy-to-hard) training order: per-row integer
+    // difficulty tiers (n_chars div width, capped — NO quantile pass, no
+    // ntile's single-partition window) + the trainOrder md5 draw within
+    // each (bucket, shard). The twin re-derives tiers, shards and
+    // within-tier ranks in SQL, pinning the schedule end to end.
+    sql("q_curriculum_order", Seq("TA13"),
+      s"""WITH h AS (SELECT doc_id,
+        |  LEAST(n_chars // $CurriculumBucketWidth, $CurriculumMaxBucket) AS bucket,
+        |  md5('cur' || doc_id::VARCHAR) AS oh FROM documents),
+        |s AS (SELECT doc_id, bucket,
+        |        ('0x' || substr(oh, 1, 15))::BIGINT % $OrderShards AS shard, oh
+        |      FROM h)
+        |SELECT doc_id, bucket, shard,
+        |  row_number() OVER (PARTITION BY bucket, shard ORDER BY oh, doc_id) AS pos
+        |FROM s ORDER BY bucket, shard, pos""".stripMargin) {
+      (s, dir) =>
+        curriculumOrder(docs(s, dir))
+          .select(col("doc_id"), col("bucket"), col("shard"), col("pos"))
+          .orderBy("bucket", "shard", "pos")
     },
 
     // TA12 — tokenizer-vocabulary builder: global token frequencies (tf)

@@ -487,6 +487,42 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"), plan)
   }
 
+  test("curriculumOrder tiers by difficulty, shuffles within tier, no global sort") {
+    import spark.implicits._
+    import graft.queries.TextPipeline
+    val n = 1000L
+    // difficulty spans several 500-wide tiers plus the capped tail
+    val docs = (0L until n).map(i => (i, i * 7 % 5000)).toDF("doc_id", "n_chars")
+    def key(rows: Array[org.apache.spark.sql.Row]): Map[Long, (Long, Long, Long)] =
+      rows.map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("bucket"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))).toMap
+    val o1 = key(TextPipeline.curriculumOrder(docs).collect())
+    assert(o1.keySet == (0L until n).toSet)
+    // bucket is the capped integer tier of the difficulty column
+    val diff = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    o1.foreach { case (id, (b, s, _)) =>
+      assert(b == math.min(diff(id) / TextPipeline.CurriculumBucketWidth,
+        TextPipeline.CurriculumMaxBucket), s"doc $id bucket $b")
+      assert(s >= 0 && s < TextPipeline.OrderShards)
+    }
+    // pos contiguous 1..count within every (bucket, shard)
+    o1.values.groupBy(v => (v._1, v._2)).foreach { case (bs, grp) =>
+      val ps = grp.map(_._3).toSeq.sorted
+      assert(ps == (1L to ps.size), s"tier $bs positions not contiguous")
+    }
+    // deterministic; a different seed reshuffles WITHIN tiers but cannot
+    // move a doc across tiers (difficulty is seed-independent)
+    assert(key(TextPipeline.curriculumOrder(docs).collect()) == o1)
+    val o2 = key(TextPipeline.curriculumOrder(docs, seed = "epoch2").collect())
+    assert(o2 != o1, "different seed must give a different within-tier order")
+    assert(o1.forall { case (id, (b, _, _)) => o2(id)._1 == b },
+      "seed change must not move docs across difficulty tiers")
+    // plan shape: one hash exchange on (bucket, shard); nothing global
+    val plan = TextPipeline.curriculumOrder(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(bucket"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
   test("vocab top-k matches brute force and actually cuts the vocabulary") {
     import graft.queries.TextPipeline
     val docs = spark.read.parquet(s"$sf/documents.parquet")
