@@ -63,10 +63,17 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(fileCounts("postings").values.exists(_ > 1),
       "12 single-file micro-batches should have accumulated micro-files")
+    // v5: context trickle lands one file per touched doc_bucket dir per
+    // micro-batch — these 12 single-doc batches hit 12 DISTINCT buckets
+    // (floorMod spread), so unlike postings no directory accumulates; the
+    // layout bound to pin is one-file-per-dir before AND after compaction
+    assert(fileCounts("context").size == 12,
+      s"12 distinct-bucket docs should spread 12 context dirs: ${fileCounts("context")}")
     val resBefore = idx.search(1, query, 12, SearchOptions(kTopCentroids = 4, nProbe = 4))
       .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     idx.compactFiles()
     assert(fileCounts("postings").values.forall(_ == 1), s"${fileCounts("postings")}")
+    assert(fileCounts("context").values.forall(_ == 1), s"${fileCounts("context")}")
     val resAfter = idx.search(1, query, 12, SearchOptions(kTopCentroids = 4, nProbe = 4))
       .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(resBefore == resAfter, "compactFiles changed streamed-index results")
