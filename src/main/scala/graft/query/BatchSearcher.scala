@@ -38,21 +38,46 @@ object BatchSearcher {
     spark.conf.get(MaxMatrixBytesKey, (512L << 20).toString).toLong
 
   /** Rerank-input shape (session conf). `false` (default): the phase-2 pool
-    * RE-JOINS the context table for residuals after the per-query window
-    * cut — two context scans, but the row_number shuffle moves only
+    * is collected after the per-query window cut and the residuals come
+    * from a SECOND, statically id-pruned context multiget (see
+    * [[RerankMultigetKey]]) — the row_number shuffle moves only
     * (query_id, doc_id, score). `true`: residual bytes ride phase-1 through
     * the window cut — one context scan, heavier shuffle. Measured at
     * sf0.1 / batch 212 (ProfMain batch, numbers in COVERAGE.md): a wash
-    * locally (2.77 vs 2.89 ms/query warm, inside run-to-run noise), so the
-    * default follows the scale asymmetry — the second scan stays cheap at
-    * any corpus size (doc_id-sorted row groups + runtime bloom filter on a
-    * <= batch x numSecondPass id set) while the shuffle payload grows with
-    * EVERY phase-1 candidate's residual bytes; the single-query path keeps
+    * locally at toy scale, so the default follows the scale asymmetry —
+    * the second pass reads only the pool's <= batch x numSecondPass rows
+    * at any corpus size while the carry shuffle payload grows with EVERY
+    * phase-1 candidate's residual bytes; the single-query path keeps
     * the opposite choice because its pool cut is a driver-side limit, not
     * a shuffle. */
   val CarryResidualsKey = "graft.batch.carryResiduals"
   private def carryResiduals(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get(CarryResidualsKey, "false").toBoolean
+
+  /** Phase-2 input shape for the default (carry=false) path. `true`
+    * (default): the pool cut's (query_id, doc_id) pairs — bounded by
+    * batch x numSecondPass — are collected ONCE and phase-2 becomes a
+    * bucket-grouped context MULTIGET over the driver-known id set: the
+    * ids' doc_bucket set and the id IN-set ride the context scan as
+    * STATIC filters, so only the <= batch x numSecondPass matching rows
+    * (not the whole corpus' residual bytes) survive into the dedup and
+    * the rerank join, and the join's pool side is a broadcast of the
+    * collected pairs. `false`: the round-9 shape — re-join the FULL
+    * context table (a scan plus a dedup shuffle of every residual byte
+    * in the corpus, the fixed per-batch cost that dominated the 1M-doc
+    * profile) against the pool. Kept as an A/B hatch for ProfMain. */
+  val RerankMultigetKey = "graft.batch.rerankMultiget"
+  private def rerankMultiget(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get(RerankMultigetKey, "true").toBoolean
+
+  /** Upper bound on the phase-2 pool collect, batch x numSecondPass rows
+    * of (query_id, doc_id) pairs on the driver (~16 B each). The default
+    * (4M rows, ~64 MB) is far above any sane serving batch; the guard
+    * converts a pathological batch x numSecondPass product into an
+    * explicit "split the batch" error before anything is collected. */
+  val MaxPoolRowsKey = "graft.batch.maxPoolRows"
+  private def maxPoolRows(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get(MaxPoolRowsKey, (4L << 20).toString).toLong
 
   /** @param queries one row per query: (query_id: long,
     *                tokens: array<array<float>>) */
@@ -162,7 +187,54 @@ object BatchSearcher {
       else if (carry)
         pool.select(col("query_id"), col("doc_id"),
           rerankUdf(col("query_id"), col("doc_codes"), col("doc_residuals")).as("score"))
-      else
+      else if (rerankMultiget(spark)) {
+        // the pool cut is <= batch x numSecondPass (query_id, doc_id)
+        // pairs — the bound is known at plan time, so guard BEFORE the
+        // collect (same style as the matrix plan-constant guard above)
+        val poolBound = plans.length.toLong * opts.numSecondPass
+        require(poolBound <= maxPoolRows(spark),
+          s"phase-2 pool would be up to $poolBound rows on the driver " +
+            s"(${plans.length} queries x numSecondPass=${opts.numSecondPass}, " +
+            s"limit ${maxPoolRows(spark)}): split the batch into smaller " +
+            s"searchBatch calls, lower numSecondPass, or raise $MaxPoolRowsKey")
+        val poolRows = pool.select(col("query_id"), col("doc_id")).collect()
+        if (poolRows.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("query_id",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("score",
+                org.apache.spark.sql.types.DoubleType, nullable = true))))
+        else {
+          // bucket-grouped multiget: the ids' doc_bucket set prunes
+          // context DIRECTORIES (saturated by a large batch — expected;
+          // the filters' real work is keeping the corpus' residual
+          // bytes out of the dedup shuffle and the join), then the
+          // doc_id IN-set row-group-prunes the surviving doc_id-sorted
+          // files where the id density allows
+          val ids = poolRows.map(_.getLong(1)).distinct
+          val buckets = ids.map(IndexIVF.docBucketOf).distinct.toSeq
+          val ctxM = idx.contextDf
+            .filter(col("tenant") === tenant && col("field") === fid &&
+              col("doc_bucket").isin(buckets: _*) &&
+              col("doc_id").isInCollection(ids.toSeq))
+            .select(col("doc_id"), col("doc_codes"), col("doc_residuals"))
+            .dropDuplicates("doc_id")
+          val poolDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(poolRows.toIndexedSeq, 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("query_id",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType, nullable = false))))
+          ctxM.join(broadcast(poolDf), Seq("doc_id"))
+            .select(col("query_id"), col("doc_id"),
+              rerankUdf(col("query_id"), col("doc_codes"), col("doc_residuals")).as("score"))
+        }
+      } else
         pool.join(ctx, Seq("doc_id"))
           .select(col("query_id"), col("doc_id"),
             rerankUdf(col("query_id"), col("doc_codes"), col("doc_residuals")).as("score"))

@@ -236,6 +236,66 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("batch phase-2 is a bucket+id-pruned context multiget with a broadcast pool join") {
+    import spark.implicits._
+    import graft.core._
+    import graft.index.IndexIVF
+    import graft.query.{BatchSearcher, SearchOptions}
+    val dim = 16
+    val rnd = new scala.util.Random(13)
+    val corpus = (0L until 8L).map(i =>
+      i -> Seq.fill(2)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1))).toMap
+    val docs = corpus.toSeq.sortBy(_._1)
+      .map { case (i, t) => Doc(i, t, s"c$i", i) }.toDF().drop("num")
+    val idx = IndexIVF.create(spark,
+      java.nio.file.Files.createTempDirectory("idx_batch_mg").toString,
+      GSchema(Seq(GField.colbert("colbert", dim, 4, numIterations = 2),
+        GField.stored("cat", GDataType.TEXT))))
+    idx.train(docs)
+    idx.add(1, docs)
+    val queriesDf = Seq(0L, 3L, 5L)
+      .map(q => (q, corpus(q).map(_.map(Float.box(_)).toSeq).toSeq))
+      .toDF("query_id", "tokens")
+    val plans = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        plans.add(qe.executedPlan.toString); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val res = BatchSearcher.searchBatch(idx, 1, "colbert", queriesDf, k = 2,
+        SearchOptions(kTopCentroids = 4, nProbe = 4, numSecondPass = 2))
+      assert(res.collect().nonEmpty)
+      val deadline = System.nanoTime() + 10e9.toLong
+      var multiget = false
+      var phase1Thin = false
+      while (!(multiget && phase1Thin) && System.nanoTime() < deadline) {
+        val snap = scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
+        // phase-2 runs as its OWN job (no postings in its plan): the context
+        // read carries the pool ids' IN-set AND the doc_bucket partition
+        // filter, and the (query_id, doc_id) pool side joins as a broadcast
+        // — the corpus' residual bytes never enter a shuffle
+        multiget = snap.exists(p => p.contains("context") &&
+          !p.contains("postings") && p.contains("In(doc_id") &&
+          p.contains("doc_bucket") && p.contains("BroadcastHashJoin"))
+        // the phase-1 pool job (postings + context candidate join) must
+        // stay codes-only — residual bytes are phase-2's alone
+        phase1Thin = snap.exists(p => p.contains("postings") &&
+          p.contains("context") && !p.contains("doc_residuals"))
+        if (!(multiget && phase1Thin)) Thread.sleep(50)
+      }
+      val all = scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
+        .mkString("\n---\n")
+      assert(multiget,
+        s"no batch plan multigets context with bucket + id pruning + broadcast pool:\n$all")
+      assert(phase1Thin, s"batch phase-1 reads doc_residuals:\n$all")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("term-equality probe prunes scalars to the value's bucket directory") {
     import spark.implicits._
     import graft.core._

@@ -446,6 +446,76 @@ object ProfMain {
         require(plain == two, s"kept sets diverge: plain $plain vs salted $two")
         println(s"[prof] kept rows: $plain")
 
+      case "batch_scale" =>
+        // A/B of the phase-2 rerank shape (full-table re-join vs the
+        // driver-known bucket-grouped multiget) on ONE production-shaped
+        // index, built once at a FIXED path and reused by later
+        // invocations — the build (~6 min at 1M docs) would otherwise
+        // swamp every measurement session. args: [nDocs] [K].
+        import graft.core._
+        import graft.query._
+        import spark.implicits._
+        val dimB = 128
+        val nDocsB = args.lift(1).map(_.toInt).getOrElse(1000000); val tpdB = 4
+        val kB = args.lift(2).map(_.toInt).getOrElse(16384)
+        val pathB = s"/root/repo/target/prof_batch_scale_${nDocsB}_$kB"
+        val tokensExprB = expr(
+          s"""transform(sequence(0, ${tpdB - 1}), t ->
+             |  transform(sequence(0, ${dimB - 1}), d ->
+             |    cast(pmod(xxhash64(id, t, d), 2000) / 1000.0 - 1.0 as float)))"""
+            .stripMargin)
+        val docsB = spark.range(nDocsB.toLong).select(col("id"),
+          tokensExprB.as("colbert"), pmod(col("id") * 31L, lit(5000)).as("n_chars"))
+        // reuse only a COMPLETED build (create writes _meta before train/add,
+        // so _meta alone can mark a half-built index after an OOM/kill)
+        val readyMarker = java.nio.file.Paths.get(pathB, "_prof_ready")
+        val idxB =
+          if (java.nio.file.Files.exists(readyMarker)) {
+            println(s"[prof] reusing index at $pathB")
+            graft.index.IndexIVF.open(spark, pathB)
+          } else {
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(pathB))) {
+              println(s"[prof] wiping partial build at $pathB")
+              val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(pathB))
+              try {
+                import scala.jdk.CollectionConverters._
+                walk.iterator().asScala.toVector.reverse
+                  .foreach(java.nio.file.Files.delete)
+              } finally walk.close()
+            }
+            val schema = GSchema(Seq(
+              GField.colbert("colbert", dimensions = dimB,
+                numCentroids = kB, quantization = QuantizerKind.NONE,
+                numIterations = 2, nbits = 2),
+              GField(name = "n_chars", dataType = GDataType.INTEGER.toString,
+                roles = Seq(FieldRole.Indexed.toString, FieldRole.Stored.toString))))
+            val ix = graft.index.IndexIVF.create(spark, pathB, schema)
+            time(s"train K=$kB dim=$dimB n=${nDocsB * tpdB}") { ix.train(docsB) }
+            time(s"add $nDocsB docs") { ix.add(1, docsB) }
+            java.nio.file.Files.createFile(readyMarker)
+            ix
+          }
+        val qPoolB = docsB.filter(col("id") < 212).orderBy("id").collect()
+          .map(_.getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("colbert")
+            .map(_.toArray).toArray)
+        val queriesB = qPoolB.zipWithIndex
+          .map { case (toks, i) => (i.toLong, toks.map(_.toSeq).toSeq) }.toSeq
+          .toDF("query_id", "tokens")
+        val optsB = SearchOptions(kTopCentroids = 4, nProbe = 32, numSecondPass = 64)
+        // codegen warm-up on a small batch before anything is measured
+        BatchSearcher.searchBatch(idxB, 1, "colbert",
+          queriesB.limit(8), k = 10, optsB).count()
+        Seq(true, false, true, false).zipWithIndex.foreach { case (mg, i) =>
+          spark.conf.set(BatchSearcher.RerankMultigetKey, mg.toString)
+          val t0 = System.nanoTime()
+          val n = BatchSearcher.searchBatch(idxB, 1, "colbert", queriesB,
+            k = 10, optsB).count()
+          val ms = (System.nanoTime() - t0) / 1e6
+          println(f"[prof] batch 212 #$i multiget=$mg%5s ${ms / 1000}%7.2f s " +
+            f"total ${ms / 212}%7.1f ms/query  $n rows")
+        }
+        spark.conf.unset(BatchSearcher.RerankMultigetKey)
+
       case "jaccard" => profJaccard(spark, dir)
       case "jaccard2" => profJaccard2(spark, dir)
       case "scale" => profScale(spark)
