@@ -22,9 +22,13 @@ object Bench {
                    batch212MsPerQuery: Double): String = {
     def num(v: Double): String = String.format(Locale.ROOT, "%.4f", Double.box(v))
     val qs = best.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
-    val failed = best.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
+    val failedNames = best.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failed = failedNames.mkString("[", ",", "]")
+    // `value` is null (not a smaller number) when any query failed: the
+    // total of a partial run must not read as a speedup to a consumer that
+    // diffs `value` without also checking `failed`
+    val valueJson = if (failedNames.isEmpty) num(total) else "null"
+    s"""{"metric":"total","value":$valueJson,"unit":"sec","queries":$qs,""" +
       s""""failed":$failed,"sf":"$sfDir","repeats":$repeats,""" +
       s""""calibration_ms":${num(calibrationMs)},""" +
       s""""loadavg":"$loadavg","batch212_ms_per_query":${num(batch212MsPerQuery)}}"""

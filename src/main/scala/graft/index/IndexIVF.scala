@@ -822,6 +822,23 @@ final class IndexIVF private (
   def merge(otherPath: String): Unit = withWriteLock {
     // the other index's tables are read raw — refuse a layout we can't read
     IndexIVF.checkVersion(otherPath)
+    // model-compatibility guard: postings centroid ids, codes and residual
+    // encodings are only meaningful against the model that produced them —
+    // unioning rows from a differently-trained index would mix centroid
+    // spaces silently (scores wrong, never a crash). The reference's merge
+    // carries the same precondition implicitly: it is only ever reached
+    // through the clone flow, which shares the trained model
+    // (lintdb/index.cpp:76-90, 512-535). The clone flow here
+    // ([[IndexIVF.copyTrained]]) copies the model artifacts byte-for-byte,
+    // so it passes; anything else must re-add its corpus through add().
+    val mine = IndexIVF.modelFingerprint(spark, path)
+    val theirs = IndexIVF.modelFingerprint(spark, otherPath)
+    require(mine == theirs,
+      s"merge: the index at $otherPath was trained with a different model " +
+        s"(field-mapping/centroids/codec fingerprint $theirs vs local $mine); " +
+        "merge only unions indexes sharing one trained model — create the " +
+        "other side via copyTrained (the clone flow) or re-add its corpus " +
+        "through this index's add()")
     // pending LOCAL tombstones are applied first: merge appends rows, and —
     // exactly like the update()-after-removeDeferred hazard — a stale local
     // tombstone would silently hide, then destroy, an imported doc that
@@ -883,7 +900,11 @@ final class IndexIVF private (
           else if (tbl == "scalars")
             writeScalars(liveRows.drop("value_bucket"))
           else
-            writeAppend(liveRows.select(df.columns.map(col): _*), p(tbl), parts)
+            // context: same re-placement rationale as docs/scalars — a read
+            // split can pack several of the other index's files, so the
+            // import re-derives doc_bucket and re-sorts per directory
+            // instead of fanning multiple files into one doc_bucket dir
+            writeContext(liveRows.drop("doc_bucket"))
         }
     }
   }
@@ -1222,7 +1243,31 @@ object IndexIVF {
 
   val postingsParts: Seq[String] = tableParts("postings")
 
+  /** DATETIME scalar keys are canonicalized via `cast(TimestampType)` +
+    * `unix_millis` ([[canonicalString]]/[[canonicalNum]]), which is
+    * value-exact for TIMESTAMP_NTZ inputs only under a UTC session
+    * timezone — an index written and queried under different session
+    * timezones would disagree on every DATETIME key. The engine's own
+    * entry points (Bench/Verify/tests) pin UTC; an embedding application
+    * must too, so [[create]]/[[open]] refuse a non-UTC session when the
+    * schema carries a DATETIME field rather than silently shifting keys. */
+  private def requireUtcForDatetime(spark: SparkSession, schema: GSchema): Unit = {
+    val hasDatetime = schema.fields.exists(_.dtype == GDataType.DATETIME)
+    if (hasDatetime) {
+      val tz = spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID)
+      val utc = tz == "UTC" || tz == "Etc/UTC" || tz == "GMT" || tz == "+00:00"
+      require(utc,
+        s"index schema has a DATETIME field but spark.sql.session.timeZone " +
+          s"is '$tz': DATETIME keys are canonicalized to epoch millis via a " +
+          "UTC-exact cast, so a non-UTC session would shift NTZ-sourced " +
+          "values and break key agreement across sessions — set " +
+          "spark.sql.session.timeZone=UTC before create/open")
+    }
+  }
+
   def create(spark: SparkSession, path: String, schema: GSchema): IndexIVF = {
+    requireUtcForDatetime(spark, schema)
     writeMeta(path, schema)
     // no eager table writes: an empty partitioned write emits only _SUCCESS
     // (no schema to infer later), so emptiness is handled at read time by
@@ -1235,6 +1280,7 @@ object IndexIVF {
   def open(spark: SparkSession, path: String): IndexIVF = {
     checkVersion(path)
     val schema = Json.read(s"$path/_meta/schema.json", classOf[GSchema])
+    requireUtcForDatetime(spark, schema)
     val idx = new IndexIVF(spark, path, schema)
     schema.tensorFields.foreach { f =>
       val cPath = s"$path/_meta/${f.name}.centroids.json"
@@ -1299,6 +1345,42 @@ object IndexIVF {
     if (!Json.exists(metaPath)) 0
     else Json.read(metaPath, classOf[Map[String, Any]])
       .get("version").collect { case n: Number => n.intValue() }.getOrElse(0)
+  }
+
+  /** Fingerprint of the trained model + field mapping, computed from the
+    * stored `_meta` artifacts (so it cannot drift from what [[open]] loads):
+    * the canonicalized field name->id mapping plus a SHA-256 over every
+    * per-field model file (`<field>.centroids.json`, `.binarizer.json`,
+    * `.pq.json`) in file-name order. Used by [[IndexIVF.merge]] to refuse
+    * unioning indexes whose centroid spaces / codecs differ. An untrained
+    * index (or a scalar-only schema) fingerprints to just its mapping, so
+    * scalar-only merges stay keyed on the field mapping alone. */
+  private[graft] def modelFingerprint(spark: SparkSession, path: String): String = {
+    val schema = Json.read(s"$path/_meta/schema.json", classOf[GSchema])
+    val mapping = FieldMapper.fromSchema(schema).nameToId.toSeq.sortBy(_._1)
+      .map { case (n, i) => s"$n=$i" }.mkString(",")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(mapping.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"$path/_meta"), spark.sparkContext.hadoopConfiguration)
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    fs.listStatus(metaDir).map(_.getPath)
+      .filter { f =>
+        val n = f.getName
+        n.endsWith(".centroids.json") || n.endsWith(".binarizer.json") ||
+          n.endsWith(".pq.json")
+      }
+      .sortBy(_.getName)
+      .foreach { f =>
+        md.update(f.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val in = fs.open(f)
+        try {
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      }
+    md.digest().map("%02x".format(_)).mkString
   }
 
   private def checkVersion(path: String): Unit = {

@@ -42,6 +42,25 @@ object Searcher {
   private[query] type PlanCache =
     scala.collection.mutable.Map[VectorQuery, (Array[Float], Array[Long])]
 
+  /** Upper bound (bytes, session conf) on the phase-2 rerank's driver-side
+    * context multiget, estimated at PLAN time as
+    * numSecondPass x assumedDocTokens x (codeSize + 8B codes) — the same
+    * guard style as the batch matrix plan constant
+    * (BatchSearcher.MaxMatrixBytesKey). A fat config (identity codec at
+    * high dim, long documents, large numSecondPass) would otherwise
+    * collect hundreds of MB of residuals onto the driver and OOM it
+    * mid-search; the guard converts that into an explicit plan-time
+    * error. The token term is an assumption (the index does not record
+    * per-doc token counts): [[AssumedDocTokensKey]] defaults to 512 —
+    * the common ColBERT document cap — and is a conf so deployments with
+    * longer documents can tell the guard the truth. */
+  val MaxRerankBytesKey = "graft.rerank.maxCollectBytes"
+  val AssumedDocTokensKey = "graft.rerank.assumedDocTokens"
+  private def maxRerankBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get(MaxRerankBytesKey, (512L << 20).toString).toLong
+  private def assumedDocTokens(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get(AssumedDocTokensKey, "512").toLong
+
   def search(idx: IndexIVF, tenant: Long, root: QueryNode, k: Int,
       opts: SearchOptions): DataFrame = {
     val spark = idx.spark
@@ -167,6 +186,17 @@ object Searcher {
     val flatQuery = v.queryTokens.flatten
     val quant = idx.quantizers(v.field)
     val fid = idx.mapper.id(v.field)
+    // plan-time byte bound on the driver-side collect below (see
+    // MaxRerankBytesKey): fail loudly before pulling anything
+    val estBytes = ids.length.toLong * assumedDocTokens(idx.spark) *
+      (quant.codeSize.toLong + 8L)
+    require(estBytes <= maxRerankBytes(idx.spark),
+      s"phase-2 rerank would collect ~$estBytes bytes of context onto the " +
+        s"driver (${ids.length} candidates x ${assumedDocTokens(idx.spark)} " +
+        s"assumed tokens x ${quant.codeSize}B codec; limit " +
+        s"${maxRerankBytes(idx.spark)}): lower numSecondPass or use a " +
+        s"quantized codec, or raise $MaxRerankBytesKey / set " +
+        s"$AssumedDocTokensKey to the corpus' real document length")
     // ids are driver-known, so their doc_bucket set is a STATIC partition
     // filter — <= min(numSecondPass, DocBuckets) context directories are
     // even listed (v5 layout) — then the doc_id IN-list row-group-prunes
@@ -289,9 +319,11 @@ object Searcher {
   }
 
   /** Combine per-child (doc_id, score[, vec_match]) frames; the vec_match
-    * marker is taken from whichever child carries it (the marked vector
-    * leaf) — null after a full-outer join means the doc did not match that
-    * leaf. */
+    * markers of ALL children carrying one (the rerank field may appear in
+    * several vector leaves, e.g. an OR of two VectorQuery on the same
+    * field) are OR-ed — a doc that matched ANY of the field's leaves
+    * carries its context in the iterator semantics. Null after a
+    * full-outer join means the doc did not match that leaf. */
   private def joinChildren(scored: Seq[DataFrame], joinType: String,
       comb: Combiner.Value, orMode: Boolean): DataFrame = {
     val renamed = scored.zipWithIndex.map { case (df, i) =>
@@ -302,8 +334,8 @@ object Searcher {
     val scores = scored.indices.map(i => col(s"score_$i"))
     val markCol = scored.indices
       .filter(i => renamed(i).columns.contains(s"vec_match_$i"))
-      .headOption.toSeq
-      .map(i => coalesce(col(s"vec_match_$i"), lit(false)).as("vec_match"))
+      .map(i => coalesce(col(s"vec_match_$i"), lit(false)))
+      .reduceOption(_ || _).toSeq.map(_.as("vec_match"))
     joined.select(col("doc_id") +: combine(comb, scores, orMode).as("score") +:
       markCol: _*)
   }

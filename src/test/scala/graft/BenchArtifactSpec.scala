@@ -65,10 +65,14 @@ class BenchArtifactSpec extends AnyFunSuite {
     val j = parse(Bench.headlineJson(total, best, "d", 1, 1.0, "", -1.0))
     assert(j.get("failed").size() == 1)
     assert(j.get("failed").get(0).asText() == "q_boom")
+    // a partial run's `value` is null, never a smaller total: a consumer
+    // diffing `value` alone cannot read a crash as a speedup
+    assert(j.get("value").isNull)
     // and the all-green shape carries an explicitly-empty list, so a
     // consumer can distinguish "no failures" from "field missing"
     val clean = parse(Bench.headlineJson(4.0, Seq("q_ok" -> 4.0), "d", 1, 1.0, "", -1.0))
     assert(clean.get("failed").size() == 0)
+    assert(math.abs(clean.get("value").asDouble() - 4.0) < 1e-9)
   }
 
   test("runs detail is valid JSON printed separately from the headline") {

@@ -136,6 +136,37 @@ class IndexSpec extends AnyFunSuite {
     termOnly.foreach(r => assert(r.getDouble(1) == 0.0))
   }
 
+  test("Or of two vector leaves on one field: docs matched by EITHER leaf rerank exactly") {
+    val idx = freshIndex(QuantizerKind.NONE)
+    // two narrow vector leaves on the SAME colbert field, probing different
+    // centroids: a doc matched only by the SECOND leaf still carries its
+    // context in the iterator semantics and must get the exact phase-2
+    // score, not the 0.0 of a missing-context doc (the old marker plumbing
+    // kept only the FIRST leaf's vec_match and zeroed the rest)
+    val narrow = SearchOptions(kTopCentroids = 1, nProbe = 1)
+    val aDocs = idx.search(1, query(7), 20, narrow.copy(secondPass = false))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // find a second query whose candidate set contains a doc leaf A misses
+    val qbId = (0L until numDocs.toLong).find { d =>
+      val bDocs = idx.search(1, query(d), 20, narrow.copy(secondPass = false))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      (bDocs -- aDocs).nonEmpty
+    }
+    assert(qbId.nonEmpty, "fixture should yield a leaf-B-only match")
+    val rows = idx.search(1, OrQuery(Seq(query(7), query(qbId.get))), 20, narrow)
+      .select("doc_id", "score").collect()
+    // every result doc matched a vector leaf of the rerank field, so every
+    // score must equal the exact MaxSim of the RERANK leaf's query (leaf A,
+    // the first) against that doc — none may collapse to the 0.0 sentinel
+    val exactA = bruteForce(query(7).queryTokens).toMap
+    val bOnly = rows.filter(r => !aDocs.contains(r.getLong(0)))
+    assert(bOnly.nonEmpty, "fixture should produce leaf-B-only result rows")
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - exactA(r.getLong(0))) < 1e-4,
+        s"doc ${r.getLong(0)} lost its context through the OR marker")
+    }
+  }
+
   test("Term-only and Or queries work without a vector node") {
     val idx = freshIndex(QuantizerKind.NONE)
     val evens = idx.search(1, TermQuery("cat", "even"), 20, exhaustive)
@@ -237,6 +268,43 @@ class IndexSpec extends AnyFunSuite {
       RangeQuery("created", t0.getTime.toDouble - 1, t0.getTime.toDouble + 1), 10)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(timeRange == Set(0L, 2L))
+  }
+
+  test("DATETIME schemas refuse a non-UTC session timezone at create/open") {
+    val schema = GSchema(Seq(GField.indexed("created", GDataType.DATETIME)))
+    val path = java.nio.file.Files.createTempDirectory("idx_tz").toString
+    IndexIVF.create(spark, path, schema) // UTC session (TestSpark pins it): ok
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e1 = intercept[IllegalArgumentException](
+        IndexIVF.create(spark,
+          java.nio.file.Files.createTempDirectory("idx_tz2").toString, schema))
+      assert(e1.getMessage.contains("timeZone"))
+      val e2 = intercept[IllegalArgumentException](IndexIVF.open(spark, path))
+      assert(e2.getMessage.contains("timeZone"))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // non-DATETIME schemas are timezone-agnostic and must not be gated
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try IndexIVF.create(spark,
+      java.nio.file.Files.createTempDirectory("idx_tz3").toString,
+      GSchema(Seq(GField.indexed("n", GDataType.INTEGER))))
+    finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  test("phase-2 rerank collect is byte-bounded at plan time (fat-config guard)") {
+    val idx = freshIndex(QuantizerKind.NONE)
+    spark.conf.set(graft.query.Searcher.MaxRerankBytesKey, "64")
+    try {
+      val e = intercept[IllegalArgumentException](
+        idx.search(1, query(3), k = 5, exhaustive).collect())
+      assert(e.getMessage.contains("quantized codec"),
+        s"guard message should name the remedies: ${e.getMessage}")
+    } finally spark.conf.unset(graft.query.Searcher.MaxRerankBytesKey)
+    // honest estimate: telling the guard the corpus' REAL document length
+    // (5 tokens here) admits the same search under a tight-but-true budget
+    spark.conf.set(graft.query.Searcher.AssumedDocTokensKey, tokensPerDoc.toString)
+    try assert(idx.search(1, query(3), k = 5, exhaustive).count() == 5)
+    finally spark.conf.unset(graft.query.Searcher.AssumedDocTokensKey)
   }
 
   test("Context-only TENSOR fields land in the context table (DocProcessor.cpp:72-101)") {
@@ -837,6 +905,33 @@ class IndexSpec extends AnyFunSuite {
     val got = idx.search(1, query(7), 5, exhaustive)
       .select("doc_id").collect().map(_.getLong(0))
     assert(got.head == 7L, "self-match ranks first after JSON ingest")
+  }
+
+  test("merge refuses an index trained with a different model (fingerprint guard)") {
+    import spark.implicits._
+    val a = freshIndex(QuantizerKind.NONE)
+    // same schema, independently trained on a DIFFERENT corpus -> different
+    // centroid matrices: unioning would silently mix centroid spaces (wrong
+    // scores, never a crash) — the guard must refuse loudly
+    val r2 = new scala.util.Random(7)
+    val otherDocs = (100L until 120L).map { i =>
+      Doc(i, Seq.fill(tokensPerDoc)(Seq.fill(dim)(r2.nextFloat() * 2f - 1f)), "x", 0L)
+    }.toDF()
+    val bPath = java.nio.file.Files.createTempDirectory("idx_mismatch").toString
+    val b = IndexIVF.create(spark, bPath, mkSchema(QuantizerKind.NONE))
+    b.train(otherDocs)
+    b.add(1, otherDocs)
+    val e = intercept[IllegalArgumentException](a.merge(bPath))
+    assert(e.getMessage.contains("different model"))
+    // and nothing was imported by the refused merge
+    assert(a.search(1, query(7), numDocs + 5, exhaustive)
+      .select("doc_id").collect().map(_.getLong(0)).forall(_ < 100L))
+    // the clone flow shares the model byte-for-byte and stays mergeable
+    // (the full clone-then-merge E2E is the "merge unions" test below)
+    val c = IndexIVF.copyTrained(a,
+      java.nio.file.Files.createTempDirectory("idx_cloneok").toString)
+    assert(IndexIVF.modelFingerprint(spark, a.path)
+      == IndexIVF.modelFingerprint(spark, c.path))
   }
 
   test("merge unions another index's contents (index.cpp:512-535)") {
