@@ -234,6 +234,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("session-window state is bounded by ACTIVE sessions across micro-batches, not history") {
+    import spark.implicits._
+    // 10 users x 3 widely-separated epochs = 30 sessions of history; the
+    // files arrive in event-time order across >= 3 micro-batches (one file
+    // per epoch, mod-time ordered). With a 1-minute watermark and
+    // day-separated epochs, the watermark closes each previous epoch's
+    // sessions as the next arrives, so the state store must only ever hold
+    // the sessions the watermark has not passed — at most two epochs' worth
+    // transiently (watermark lags one batch), NEVER the 30-session history.
+    // This measures the stateful-op memory claim instead of asserting it.
+    val users = 10
+    val epochs = Seq("2026-01-01 00:00:00", "2026-01-02 00:00:00",
+      "2026-01-03 00:00:00").map(java.sql.Timestamp.valueOf(_).getTime)
+    def epochDf(base: Long) = (0 until users).flatMap { u =>
+      (0 until 5).map(i => (u.toLong, base + i * 1000L))
+    }.toDF("user_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+    val dir = java.nio.file.Files.createTempDirectory("sess_state").toString
+    epochs.foreach { base =>
+      epochDf(base).coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100) // mod-time order == event-time order, second-granular
+    }
+    val stream = spark.readStream.schema(epochDf(epochs.head).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val agg = StreamingIngest.sessionWindows(stream,
+      gap = "1 minute", watermark = "1 minute")
+    val qn = s"stream_sess_state_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val stateBatches = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+    assert(stateBatches.size >= 3,
+      s"expected >= 3 micro-batches with state, got ${stateBatches.size}")
+    val totals = stateBatches.map(_.stateOperators.map(_.numRowsTotal).sum)
+    assert(totals.max <= 2L * users,
+      s"session state held ${totals.max} rows — more than the two-epoch " +
+        s"active bound (${2 * users}); history is ${3 * users} sessions")
+    // the watermark-closed sessions actually left state INTO the result
+    // (append mode only emits closed sessions)
+    assert(spark.table(qn).count() >= users.toLong,
+      "closed sessions were not emitted downstream")
+  }
+
   test("mapGroupsWithState per-user stats converge to the batch aggregate") {
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
     val expected = events

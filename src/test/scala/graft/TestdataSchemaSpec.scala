@@ -70,6 +70,31 @@ class TestdataSchemaSpec extends AnyFunSuite {
     assert(fields(graft.queries.Tables.t(spark, dir, "part"))("p_partkey") == LongType)
   }
 
+  test("sf0.1 (the bench scale) opens through the loaders with the same contract") {
+    // the bench reads sf0.1, which a PARTIAL regeneration could drift
+    // independently of the sf0.01 tables the rest of this suite pins;
+    // schema-only assertions through the same loaders keep this cheap
+    val d1 = "/root/testdata/sf0.1"
+    val e = fields(graft.queries.Tables.events(spark, d1))
+    assert(e("ts") == TimestampType, s"sf0.1 events.ts drifted: ${e("ts")}")
+    assert(e("event_id") == LongType && e("user_id") == LongType)
+    val emb = fields(graft.queries.Tables.t(spark, d1, "embeddings"))
+    assert(emb("embedding") == ArrayType(FloatType) && emb("vec_id") == LongType)
+    val doc = fields(graft.queries.Tables.t(spark, d1, "documents"))
+    assert(doc("doc_id") == LongType && doc("text") == StringType &&
+      doc("lang") == StringType && doc("source") == StringType &&
+      doc("n_chars") == LongType)
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach { t =>
+        val f = fields(graft.queries.Tables.t(spark, d1, t))
+        assert(f.nonEmpty, s"sf0.1 $t failed to open through the loader")
+      }
+    val li = fields(graft.queries.Tables.t(spark, d1, "lineitem"))
+    assert(li("l_quantity") == DoubleType &&
+      (li("l_shipdate") == TimestampNTZType || li("l_shipdate") == TimestampType),
+      s"sf0.1 lineitem drifted: quantity=${li("l_quantity")} shipdate=${li("l_shipdate")}")
+  }
+
   test("normalizeTs collapses NTZ and nanos-long inputs; passes normal through") {
     import spark.implicits._
     val normal = Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 03:04:05")))
