@@ -299,7 +299,12 @@ final class IndexIVF private (
           // training is the only driver-side ML step (index.cpp:290-307)
           val sample = sampledResiduals.collect()
             .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
-          val pe = ProductEncoder.train(sample, m = params.numSubquantizers)
+          // graft.pq.balanced=false keeps the classic contiguous subspace
+          // split (measurement hatch; default is the variance-balanced perm)
+          val balance = spark.conf.getOption("graft.pq.balanced")
+            .forall(_.toBoolean)
+          val pe = ProductEncoder.train(sample, m = params.numSubquantizers,
+            balance = balance)
           pe.save(p(s"_meta/${f.name}.pq.json"))
           pe
         }

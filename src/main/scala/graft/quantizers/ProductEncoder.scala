@@ -9,16 +9,27 @@ import graft.core.Json
   * the nearest (L2) codeword id per subspace (faiss PQ assigns by L2 even
   * under an IP index metric); decoding concatenates codewords.
   *
+  * `perm` is a dimension permutation applied before the subspace split:
+  * subspace s quantizes raw dims perm(s*dsub) .. perm((s+1)*dsub - 1).
+  * Training balances per-subspace variance through it (the OPQ-free
+  * "structured reordering" of Ge et al., CVPR'13 §4 — a permutation is the
+  * rotation restricted to axis swaps, so decode stays an exact inverse and
+  * codes remain plain bytes). Identity reproduces the classic PQ layout and
+  * is what `load` assumes when the saved JSON predates the field.
+  *
   * Only nbits=8 (byte codes, 256 codewords) is supported: code_size = m.
   */
 final case class ProductEncoder(
     codebooks: Array[Array[Array[Float]]], // (m, K, dsub)
-    dim: Int) extends Quantizer {
+    dim: Int,
+    perm: Array[Int]) extends Quantizer {
   val kind = "PRODUCT_ENCODER"
   val m: Int = codebooks.length
   val dsub: Int = dim / m
   val codeSize: Int = m
   require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+  require(perm.length == dim && perm.toSet == (0 until dim).toSet,
+    s"perm must be a permutation of 0 until $dim")
 
   def encode(vec: Array[Float]): Array[Byte] = {
     val code = new Array[Byte](m)
@@ -32,7 +43,7 @@ final case class ProductEncoder(
         var d = 0.0f
         var i = 0
         while (i < dsub) {
-          val diff = vec(s * dsub + i) - book(k)(i)
+          val diff = vec(perm(s * dsub + i)) - book(k)(i)
           d += diff * diff
           i += 1
         }
@@ -50,7 +61,8 @@ final case class ProductEncoder(
     var s = 0
     while (s < m) {
       val word = codebooks(s)(code(s) & 0xFF)
-      System.arraycopy(word, 0, out, s * dsub, dsub)
+      var i = 0
+      while (i < dsub) { out(perm(s * dsub + i)) = word(i); i += 1 }
       s += 1
     }
     out
@@ -58,44 +70,121 @@ final case class ProductEncoder(
 
   def save(path: String): Unit = Json.write(path, Map(
     "dim" -> dim,
+    "perm" -> perm.toSeq,
     "codebooks" -> codebooks.map(_.map(_.toSeq).toSeq).toSeq))
 }
 
 object ProductEncoder {
 
+  def identityPerm(dim: Int): Array[Int] = Array.tabulate(dim)(identity)
+
   /** Train per-subspace codebooks with Lloyd's k-means on a (small) sample —
     * the reference trains its PQ on a sqrt-subsample of residuals
     * (lintdb/index.cpp:260-307), which stays driver-sized even at large n;
-    * the big distributed jobs are coarse k-means and encoding, not this. */
+    * the big distributed jobs are coarse k-means and encoding, not this.
+    *
+    * `balance=true` (default) permutes dimensions so each subspace carries
+    * a near-equal share of the sample's per-dim variance before splitting —
+    * neutral on isotropic data (the 10k distractor corpus measures 1.0
+    * either way, ProfMain pq_quality) and strictly better on variance-skewed
+    * data (ProductEncoderSpec asserts the MSE win), at zero extra code
+    * bytes. `balance=false` keeps the classic contiguous split. */
   def train(sample: Array[Array[Float]], m: Int, nbits: Int = 8,
-      iters: Int = 25, seed: Long = 42L): ProductEncoder = {
+      iters: Int = 25, seed: Long = 42L, balance: Boolean = true): ProductEncoder = {
     require(nbits == 8, "only nbits=8 (byte codes) supported")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must be a multiple of m=$m")
     val dsub = dim / m
+    val perm = if (balance) balancedPerm(sample, m, dsub) else identityPerm(dim)
     val rnd = new scala.util.Random(seed)
     val books = Array.tabulate(m) { s =>
-      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      val sub = sample.map { v =>
+        val a = new Array[Float](dsub)
+        var i = 0
+        while (i < dsub) { a(i) = v(perm(s * dsub + i)); i += 1 }
+        a
+      }
       lloyd(sub, math.min(1 << nbits, sub.length), iters, rnd)
     }
-    ProductEncoder(books, dim)
+    ProductEncoder(books, dim, perm)
   }
 
-  /** plain Lloyd's: seeded sample init, mean update, dead centroids
-    * re-seeded from random points. */
-  private def lloyd(points: Array[Array[Float]], k: Int, iters: Int,
+  /** Deterministic variance-balanced dimension assignment: dims in
+    * descending sample-variance order go greedily to the open subspace
+    * (fewer than dsub dims so far) with the smallest accumulated variance
+    * — the classic LPT greedy for makespan balancing. Within a subspace
+    * dims are laid out in ascending raw order for a canonical layout. */
+  private[graft] def balancedPerm(sample: Array[Array[Float]], m: Int,
+      dsub: Int): Array[Int] = {
+    val dim = m * dsub
+    val n = sample.length
+    val mean = new Array[Double](dim)
+    sample.foreach { v => var i = 0; while (i < dim) { mean(i) += v(i); i += 1 } }
+    var i = 0
+    while (i < dim) { mean(i) /= n; i += 1 }
+    val varr = new Array[Double](dim)
+    sample.foreach { v =>
+      var j = 0
+      while (j < dim) { val d = v(j) - mean(j); varr(j) += d * d; j += 1 }
+    }
+    val order = (0 until dim).sortBy(d => (-varr(d), d))
+    val load = new Array[Double](m)
+    val members = Array.fill(m)(List.empty[Int])
+    order.foreach { d =>
+      var best = -1
+      var s = 0
+      while (s < m) {
+        if (members(s).length < dsub && (best < 0 || load(s) < load(best))) best = s
+        s += 1
+      }
+      members(best) ::= d
+      load(best) += varr(d)
+    }
+    members.flatMap(_.sorted)
+  }
+
+  /** Lloyd's with deterministic k-means++ seeding (Arthur & Vassilvitskii,
+    * SODA'07): each next center drawn D²-proportionally via the seeded rng —
+    * spreads the 256 codewords over the sample's modes instead of trusting a
+    * uniform draw; dead centroids re-seeded from random points. */
+  private[graft] def lloyd(points: Array[Array[Float]], k: Int, iters: Int,
       rnd: scala.util.Random): Array[Array[Float]] = {
     val dsub = points.head.length
-    val cents = rnd.shuffle(points.indices.toList).take(k)
-      .map(i => points(i).clone()).toArray
+    def dist2(a: Array[Float], b: Array[Float]): Float = {
+      var d = 0.0f; var i = 0
+      while (i < dsub) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val cents = new Array[Array[Float]](k)
+    cents(0) = points(rnd.nextInt(points.length)).clone()
+    val minD = points.map(p => dist2(p, cents(0)))
+    var c0 = 1
+    while (c0 < k) {
+      var total = 0.0
+      var p = 0
+      while (p < points.length) { total += minD(p); p += 1 }
+      var pick = 0
+      if (total <= 0) pick = rnd.nextInt(points.length)
+      else {
+        var r = rnd.nextDouble() * total
+        while (pick < points.length - 1 && r >= minD(pick)) { r -= minD(pick); pick += 1 }
+      }
+      cents(c0) = points(pick).clone()
+      p = 0
+      while (p < points.length) {
+        val d = dist2(points(p), cents(c0))
+        if (d < minD(p)) minD(p) = d
+        p += 1
+      }
+      c0 += 1
+    }
     val assign = new Array[Int](points.length)
     for (_ <- 0 until iters) {
       var p = 0
       while (p < points.length) {
         var best = 0; var bestDist = Float.MaxValue; var c = 0
         while (c < cents.length) {
-          var d = 0.0f; var i = 0
-          while (i < dsub) { val t = points(p)(i) - cents(c)(i); d += t * t; i += 1 }
+          val d = dist2(points(p), cents(c))
           if (d < bestDist) { bestDist = d; best = c }
           c += 1
         }
@@ -130,6 +219,10 @@ object ProductEncoder {
       _.asInstanceOf[Seq[Any]].map(
         _.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Number].floatValue()).toArray
       ).toArray).toArray
-    ProductEncoder(books, mp("dim").asInstanceOf[Number].intValue())
+    val dim = mp("dim").asInstanceOf[Number].intValue()
+    val perm = mp.get("perm")
+      .map(_.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Number].intValue()).toArray)
+      .getOrElse(identityPerm(dim))
+    ProductEncoder(books, dim, perm)
   }
 }

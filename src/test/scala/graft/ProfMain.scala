@@ -516,6 +516,31 @@ object ProfMain {
         }
         spark.conf.unset(BatchSearcher.RerankMultigetKey)
 
+      case "pq_quality" =>
+        // success@5 on the 10k near-dup distractor corpus per PQ variant:
+        // balanced (variance-balanced perm, the default) vs classic
+        // (contiguous split). Shares one spec instance so bruteTop1 and the
+        // corpus build once.
+        val rq = new RetrievalQualitySpec
+        val opts = graft.query.SearchOptions(kTopCentroids = 8, nProbe = 8)
+        args.drop(1).headOption.getOrElse("balanced,classic").split(",").foreach {
+          case v @ "balanced" =>
+            spark.conf.set("graft.pq.balanced", "true")
+            val s = time(s"pq success@5 [$v]")(
+              rq.successAt5(graft.core.QuantizerKind.PRODUCT_ENCODER, opts))
+            println(f"[prof] pq_quality $v%-10s success@5 = $s%.4f")
+          case v @ "classic" =>
+            spark.conf.set("graft.pq.balanced", "false")
+            val s = time(s"pq success@5 [$v]")(
+              rq.successAt5(graft.core.QuantizerKind.PRODUCT_ENCODER, opts))
+            println(f"[prof] pq_quality $v%-10s success@5 = $s%.4f")
+            spark.conf.set("graft.pq.balanced", "true")
+          case v @ "binarizer" =>
+            val s = time(s"success@5 [$v]")(
+              rq.successAt5(graft.core.QuantizerKind.BINARIZER, opts))
+            println(f"[prof] pq_quality $v%-10s success@5 = $s%.4f")
+          case other => sys.error(s"unknown pq_quality variant $other")
+        }
       case "jaccard" => profJaccard(spark, dir)
       case "jaccard2" => profJaccard2(spark, dir)
       case "scale" => profScale(spark)

@@ -59,9 +59,12 @@ class RetrievalQualitySpec extends AnyFunSuite {
   //
   // Thresholds (documented): NONE must agree with brute force on every
   // query under exhaustive probing (1.0 — it is the same arithmetic);
-  // BINARIZER (2-bit) >= 0.95 and PQ (8 subquantizers) >= 0.90 under
+  // BINARIZER (2-bit) >= 0.95 and PQ (8 subquantizers) >= 0.95 under
   // realistic nProbe=8/32 pruning, where codec loss must still keep the
-  // true doc in the top 5 among its own near-duplicates.
+  // true doc in the top 5 among its own near-duplicates. (The PQ bar was
+  // 0.90 through round 10; round 11 measured the actual value at 1.0 —
+  // both with the r10 encoder and the k-means++/balanced-perm one — so the
+  // codecs now share the same bar. ProfMain pq_quality re-measures.)
   // ------------------------------------------------------------------------
 
   val ddim = 32
@@ -155,9 +158,10 @@ class RetrievalQualitySpec extends AnyFunSuite {
     assert(s >= 0.95, s"binarizer success@5 = $s < 0.95")
   }
 
-  test("PRODUCT_ENCODER: success@5 >= 0.90 under near-dup distractors (nProbe=8)") {
+  test("PRODUCT_ENCODER: success@5 >= 0.95 under near-dup distractors (nProbe=8)") {
     val s = successAt5(QuantizerKind.PRODUCT_ENCODER,
       SearchOptions(kTopCentroids = 8, nProbe = 8))
-    assert(s >= 0.90, s"pq success@5 = $s < 0.90")
+    info(f"pq success@5 = $s%.4f")
+    assert(s >= 0.95, s"pq success@5 = $s < 0.95")
   }
 }
