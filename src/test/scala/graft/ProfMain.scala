@@ -542,6 +542,11 @@ object ProfMain {
           case other => sys.error(s"unknown pq_quality variant $other")
         }
       case "jaccard" => profJaccard(spark, dir)
+      case "jaccard_noaqe" =>
+        // attribution experiment only: how much of the cold-pipeline wall
+        // time is AQE exchange-materialization job boundaries vs compute
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        profJaccard(spark, dir)
       case "jaccard2" => profJaccard2(spark, dir)
       case "scale" => profScale(spark)
       case "batch" => profBatch(spark, dir)
