@@ -114,6 +114,14 @@ object TextPipeline {
     * top-K cut (100 would pass every token through and never test it). */
   private[graft] val VocabTopK = 20
 
+  /** q_bpe_train: number of merge rules the BPE trainer learns. Production
+    * tokenizers learn 30k-100k merges; 8 keeps the hash-checked oracle twin
+    * (one unrolled CTE block per merge) readable while exercising every
+    * moving part — the pair-count aggregation, the deterministic argmax
+    * tie-break, and the non-overlapping left-to-right merge apply — through
+    * several rounds of genuinely data-dependent rule selection. */
+  private[graft] val BpeMerges = 8
+
   /** Session-conf knobs for every cap / banding constant above, so a
     * 100 TB operator can re-tune per-corpus without a rebuild (same
     * pattern as `graft.index.maxTargetedPartitions`). Defaults are the
@@ -1955,6 +1963,109 @@ object TextPipeline {
             .over(Window.orderBy(col("tf").desc, col("tok").asc)).cast("long"))
           .select("rank", "tok", "tf", "df")
           .orderBy("rank")
+    },
+
+    // TA13 — BPE merge-rule TRAINING (Sennrich et al. 2016, Algorithm 1):
+    // learn [[BpeMerges]] byte-pair merges over the corpus, character-level
+    // start symbols, pair counts weighted by word frequency, argmax with a
+    // deterministic (count desc, lhs, rhs) tie-break, greedy non-overlapping
+    // left-to-right merge apply between rounds. Scale shape: the ONLY
+    // corpus-sized pass is the initial word-frequency aggregation (map-side
+    // hash agg on `word`); every merge round then operates on the
+    // DISTINCT-WORD table — vocabulary-sized, millions of rows at 100 TB,
+    // not corpus-sized — as one explode + hash agg, and the winning rule is
+    // a 1-row driver collect applied as a literal in a codegen'd
+    // higher-order `aggregate` (no UDF, no crossJoin). Each round persists
+    // its symbol table and drops the previous one so round N costs one
+    // vocabulary pass, not N. The oracle twin unrolls the same loop as
+    // [[BpeMerges]] CTE blocks sharing the trainer's exact tie-break and
+    // merge-apply (a VARCHAR list_reduce fold with a unit-separator
+    // accumulator).
+    sql("q_bpe_train", Seq("TA12", "TA13"), bpeOracle) { (s, dir) =>
+      import s.implicits._
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      val wc = docs(s, dir)
+        .select(explode(toks).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      var words = wc.select(
+        expr("transform(sequence(1, length(word)), k -> substring(word, k, 1))")
+          .as("syms"),
+        col("cnt")).persist(lvl)
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      try {
+        var step = 1
+        var exhausted = false
+        while (step <= BpeMerges && !exhausted) {
+          val best = words
+            .filter(size(col("syms")) >= 2)
+            .select(explode(expr(
+              "transform(sequence(0, size(syms) - 2), " +
+                "k -> struct(syms[k] AS lhs, syms[k + 1] AS rhs))")).as("p"),
+              col("cnt"))
+            .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+            .agg(sum(col("cnt")).as("total"))
+            .orderBy(col("total").desc, col("lhs"), col("rhs"))
+            .limit(1).collect()
+          if (best.isEmpty) exhausted = true
+          else {
+            val (bl, br, tot) =
+              (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+            merges += ((step.toLong, bl, br, tot))
+            val prev = words
+            // greedy left-to-right non-overlap: a symbol consumed as the
+            // rule's rhs can't also start the next merge, because the
+            // accumulator's last element becomes lhs||rhs != lhs
+            words = prev.select(
+              aggregate(
+                expr("slice(syms, 2, size(syms) - 1)"),
+                array(element_at(col("syms"), 1)),
+                (acc, x) => when(
+                  x === lit(br) && element_at(acc, -1) === lit(bl),
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(lit(bl + br))))
+                  .otherwise(concat(acc, array(x)))).as("syms"),
+              col("cnt")).persist(lvl)
+            words.count()
+            prev.unpersist(false)
+            step += 1
+          }
+        }
+      } finally words.unpersist(false)
+      merges.toSeq.toDF("step", "lhs", "rhs", "total").orderBy("step")
     }
   )
+
+  /** DuckDB twin of q_bpe_train: the merge loop unrolled as [[BpeMerges]]
+    * CTE blocks. The merge apply is a VARCHAR `list_reduce` fold using
+    * chr(30) (RS, outside the corpus alphabet) as the accumulator's token
+    * separator; the pair extraction, argmax tie-break, and non-overlap rule
+    * are byte-identical to the Spark trainer's. */
+  private def bpeOracle: String = {
+    val steps = (1 to BpeMerges).map { i =>
+      s"""p$i AS (SELECT unnest([syms[k] || chr(30) || syms[k+1]
+         |    for k in range(1, len(syms))]) AS pr, cnt
+         |  FROM w${i - 1} WHERE len(syms) >= 2),
+         |g$i AS (SELECT string_split(pr, chr(30))[1] AS lhs,
+         |    string_split(pr, chr(30))[2] AS rhs, sum(cnt)::BIGINT AS total
+         |  FROM p$i GROUP BY 1, 2),
+         |b$i AS (SELECT lhs, rhs, total FROM g$i
+         |  ORDER BY total DESC, lhs, rhs LIMIT 1),
+         |w$i AS (SELECT string_split(list_reduce(syms, (acc, x) -> CASE
+         |    WHEN x = b.rhs AND string_split(acc, chr(30))[-1] = b.lhs
+         |    THEN substr(acc, 1, len(acc) - len(b.lhs)) || b.lhs || b.rhs
+         |    ELSE acc || chr(30) || x END), chr(30)) AS syms, cnt
+         |  FROM w${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeMerges)
+      .map(i => s"SELECT $i::BIGINT AS step, lhs, rhs, total FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH wc AS (SELECT w AS word, count(*) AS cnt FROM
+       |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
+       |w0 AS (SELECT [substr(word, k, 1) for k in range(1, len(word)+1)] AS syms,
+       |  cnt FROM wc),
+       |$steps
+       |SELECT * FROM ($union) ORDER BY step""".stripMargin
+  }
 }

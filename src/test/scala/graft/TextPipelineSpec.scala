@@ -553,4 +553,54 @@ class TextPipelineSpec extends AnyFunSuite {
       brute.get(key).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-9))
     }
   }
+
+  test("distributed BPE trainer matches a single-node Sennrich reference") {
+    import graft.queries.TextPipeline
+    // independent in-memory reimplementation of Sennrich et al. 2016
+    // Algorithm 1 over the collected corpus (word-frequency table, greedy
+    // non-overlapping merge apply), same tie-break (count desc, lhs, rhs)
+    val words = scala.collection.mutable.Map.empty[List[String], Long]
+    spark.read.parquet(s"$sf/documents.parquet").select("text").collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.matches("^[a-z]+$"))
+      .foreach { w =>
+        val k = w.map(_.toString).toList
+        words(k) = words.getOrElse(k, 0L) + 1L
+      }
+    def applyMerge(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var rest = syms
+      while (rest.nonEmpty) {
+        rest match {
+          case a :: b :: t if a == l && b == r => out += (l + r); rest = t
+          case a :: t                          => out += a; rest = t
+          case Nil                             =>
+        }
+      }
+      out.toList
+    }
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (step <- 1 to TextPipeline.BpeMerges) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, cnt) =>
+        syms.zip(syms.tail).foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + cnt)
+      }
+      val ((bl, br), tot) = pairs.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.head
+      expect += ((step.toLong, bl, br, tot))
+      val merged = words.toSeq.map { case (syms, cnt) =>
+        applyMerge(syms, bl, br) -> cnt
+      }
+      words.clear()
+      merged.foreach { case (k, c) => words(k) = words.getOrElse(k, 0L) + c }
+    }
+    val got = run("q_bpe_train").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("total"))).toSeq
+      .sortBy(_._1)
+    assert(got == expect.toSeq)
+    // iterativeness: at least one learned rule consumes an earlier merge's
+    // output symbol (multi-char lhs or rhs), i.e. this is not just a
+    // one-shot bigram count
+    assert(got.exists(m => m._2.length > 1 || m._3.length > 1))
+  }
 }
