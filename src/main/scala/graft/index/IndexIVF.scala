@@ -121,6 +121,89 @@ final class IndexIVF private (
     nxt
   }
 
+  // ------------------------------------------------- write-ahead journal
+
+  /** Crash atomicity for MULTI-TABLE appends. The reference writes a doc's
+    * postings/context/docs/scalars rows in ONE RocksDB WriteBatch
+    * (lintdb/index.cpp add path), so a crash never exposes a half-added
+    * document. Here each table is a separate Spark job commit, so a crash
+    * (or a mid-write failure) between jobs would leave a TORN write — a doc
+    * with postings but no context, a merge with half its tables imported.
+    *
+    * The journal closes that window: every epoch-stamped append ([[add]],
+    * [[merge]], [[removeDeferred]]) writes `_meta/pending.json`
+    * `{op, epoch}` BEFORE its first table job and deletes it after the last
+    * one commits. Because every row such an operation writes carries that
+    * single fresh epoch literal, recovery is one targeted delete:
+    * [[vacuumEpoch]] drops all rows stamped with the torn epoch from every
+    * table (the same partition-targeted tmp+swap rewrite as [[compact]]),
+    * restoring exactly the pre-operation state. Recovery runs eagerly when
+    * the operation fails in-process, and at [[IndexIVF.open]] when a
+    * previous writer crashed (the journal entry is still on disk).
+    * Rewrite-style ops need no journal: [[remove]]/[[compact]]/
+    * [[compactFiles]] stay read-correct mid-crash — each directory swap is
+    * individually crash-safe ([[swapDir]]), and tombstones are only deleted
+    * after every rewrite lands, so an interrupted run resumes or re-runs
+    * idempotently. */
+  private def pendingPath: String = p("_meta/pending.json")
+
+  /** Run an epoch-stamped multi-table append under the journal: journal
+    * entry first, body, then clear; on ANY failure, eagerly vacuum the
+    * epoch's rows so the index returns to its pre-call state, then
+    * rethrow. */
+  private def journaled[A](op: String, epoch: Long)(body: => A): A = {
+    Json.write(pendingPath, Map("op" -> op, "epoch" -> epoch))
+    try {
+      val r = body
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(pendingPath))
+      r
+    } catch {
+      case e: Throwable =>
+        try {
+          vacuumEpoch(epoch)
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(pendingPath))
+        } catch { case r2: Throwable => e.addSuppressed(r2) }
+        throw e
+    }
+  }
+
+  /** Delete every row stamped with exactly `epoch` from every table
+    * (including tombstones — a torn [[removeDeferred]] is an epoch-stamped
+    * tombstone append). Targeted: only partitions containing such rows are
+    * rewritten, through the same crash-safe swap as [[compact]] — so a
+    * crash DURING recovery just leaves the journal entry for the next
+    * open to finish the job. */
+  private def vacuumEpoch(epoch: Long): Unit = {
+    val doomedRows = (df: DataFrame) =>
+      df.filter(coalesce(col("epoch"), lit(0L)) === epoch)
+    val survivorRows = (df: DataFrame) =>
+      df.filter(coalesce(col("epoch"), lit(0L)) =!= epoch)
+    (Seq("postings", "scalars", "context", "docs").map(t => t -> tableParts(t)) :+
+      ("tombstones" -> Seq("tenant"))).foreach { case (tbl, parts) =>
+      rewritePartitionsWhere(p(tbl), parts, doomedRows, survivorRows)
+    }
+  }
+
+  /** If a previous writer died mid-operation (journal entry present),
+    * vacuum the torn epoch and clear the journal. Returns the recovered
+    * (op, epoch) if recovery ran. Called by [[IndexIVF.open]]; public so
+    * an operator can also invoke it explicitly. */
+  def recoverPending(): Option[(String, Long)] = withWriteLock {
+    if (!Json.exists(pendingPath)) None
+    else {
+      val m = Json.read(pendingPath, classOf[Map[String, Any]])
+      val op = m.get("op").map(_.toString).getOrElse("unknown")
+      val epoch = m.get("epoch").collect { case n: Number => n.longValue() }
+        .getOrElse(throw new IllegalStateException(
+          s"$pendingPath exists but carries no epoch — manual inspection required"))
+      log.warn(s"index at $path has a torn '$op' write at epoch $epoch " +
+        "(previous writer died mid-operation); vacuuming its rows")
+      vacuumEpoch(epoch)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(pendingPath))
+      Some((op, epoch))
+    }
+  }
+
   /** Total read: the declared schema is supplied explicitly (the index
     * format is versioned — see [[IndexIVF.FormatVersion]]), which skips
     * per-read footer inference AND makes a table with no data files yet
@@ -499,7 +582,7 @@ final class IndexIVF private (
       writes += ("docs" -> (() => writeDocs(d)))
     }
 
-    try runConcurrently(writes.toSeq)
+    try journaled("add", epoch) { runConcurrently(writes.toSeq) }
     finally toUnpersist.foreach(_.unpersist())
   }
 
@@ -533,15 +616,31 @@ final class IndexIVF private (
     * strategies meet the read path in the single [[live]] funnel. */
   def remove(tenant: Long, ids: Seq[Long]): Unit = withWriteLock {
     import spark.implicits._
-    // a physical remove deletes the doc as of NOW: kill every epoch
+    // SAFETY TOMBSTONE FIRST (journaled): the physical rewrites below span
+    // four tables, and a crash between table swaps would otherwise expose a
+    // half-deleted doc (postings gone, stored fields still hydratable, or
+    // vice versa). Appending an epoch-stamped tombstone before touching any
+    // data makes every intermediate state read-correct — the victims are
+    // masked by [[live]] from this commit on, and a crash at any later
+    // point just leaves a pending tombstone the next compact() discharges.
+    // The append itself is all-or-nothing under the journal, and "kill
+    // rows with epoch <= E_now" equals the old kill-every-epoch semantics
+    // because no live row can carry a later epoch than the counter.
+    val epoch = nextEpoch()
+    journaled("remove", epoch) {
+      writeAppend(ids.toDF("doc_id").select(lit(tenant).as("tenant"),
+        col("doc_id"), lit(epoch).as("epoch")),
+        p("tombstones"), Seq("tenant"))
+    }
     val tombs = ids.toDF("t_doc")
       .select(lit(tenant).cast("long").as("t_tenant"), col("t_doc").cast("long"),
-        lit(Long.MaxValue).as("t_epoch"))
+        lit(epoch).as("t_epoch"))
     Seq("postings", "scalars", "context", "docs").foreach { tbl =>
       compactTable(p(tbl), tableParts(tbl), tombs)
     }
-    // a physical remove also discharges any pending tombstone for these ids:
-    // otherwise remove-then-re-add (and update(), which is exactly that)
+    // a physical remove also discharges any pending tombstone for these ids
+    // (the safety one above AND stale earlier ones): otherwise
+    // remove-then-re-add (and update(), which is exactly that)
     // would leave a stale tombstone that hides — and at the next compact()
     // destroys — the re-added rows
     if (hasTombstones) {
@@ -575,9 +674,11 @@ final class IndexIVF private (
   def removeDeferred(tenant: Long, ids: Seq[Long]): Unit = withWriteLock {
     import spark.implicits._
     val epoch = nextEpoch()
-    writeAppend(ids.toDF("doc_id").select(lit(tenant).as("tenant"), col("doc_id"),
-      lit(epoch).as("epoch")),
-      p("tombstones"), Seq("tenant"))
+    journaled("removeDeferred", epoch) {
+      writeAppend(ids.toDF("doc_id").select(lit(tenant).as("tenant"), col("doc_id"),
+        lit(epoch).as("epoch")),
+        p("tombstones"), Seq("tenant"))
+    }
   }
 
   /** Apply pending tombstones physically (partition rewrite per table) and
@@ -613,6 +714,25 @@ final class IndexIVF private (
     * compaction IO is O(affected partitions), not O(table). */
   private def compactTable(tablePath: String, parts: Seq[String],
       tombs: DataFrame): Unit = {
+    def cond(d: DataFrame) =
+      d("tenant").cast("long") === tombs("t_tenant") &&
+        d("doc_id").cast("long") === tombs("t_doc") &&
+        coalesce(d("epoch"), lit(0L)) <= tombs("t_epoch")
+    rewritePartitionsWhere(tablePath, parts,
+      doomed = df => df.join(tombs, cond(df), "left_semi"),
+      survivors = df => df.join(tombs, cond(df), "left_anti"))
+  }
+
+  /** Shared targeted-rewrite core (used by [[compactTable]] and
+    * [[vacuumEpoch]]): rewrite only the hive partitions that contain doomed
+    * rows — `doomed` restricts a table frame to the rows to delete,
+    * `survivors` to the rows to keep — or fall back to a whole-table
+    * rewrite past the partition-count guard. Every rewrite restores the
+    * table's within-file ordering and goes through the crash-safe
+    * [[swapDir]]. */
+  private def rewritePartitionsWhere(tablePath: String, parts: Seq[String],
+      doomed: DataFrame => DataFrame,
+      survivors: DataFrame => DataFrame): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tablePath), conf)
     val orig = new org.apache.hadoop.fs.Path(tablePath)
@@ -625,13 +745,9 @@ final class IndexIVF private (
       try Some(spark.read.schema(tableSchema(tblName)).parquet(tablePath))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     source.foreach { df =>
-      def cond(d: DataFrame) =
-        d("tenant").cast("long") === tombs("t_tenant") &&
-          d("doc_id").cast("long") === tombs("t_doc") &&
-          coalesce(d("epoch"), lit(0L)) <= tombs("t_epoch")
-      // partitions holding at least one tombstoned row (small driver set:
-      // bounded by the partition count, not the tombstone count)
-      val affected = df.join(tombs, cond(df), "left_semi")
+      // partitions holding at least one doomed row (small driver set:
+      // bounded by the partition count, not the doomed-row count)
+      val affected = doomed(df)
         .select(parts.map(col): _*).distinct().collect()
         .map { r =>
           parts.indices.map { i =>
@@ -669,8 +785,8 @@ final class IndexIVF private (
         // then swapped in per partition directory
         val inAffected = concat_ws("/", parts.map(c => concat(lit(s"$c="), col(c))): _*)
           .isin(affected.map(_.mkString("/")): _*)
-        val survivors = sorted(df.filter(inAffected).join(tombs, cond(df), "left_anti"))
-        survivors.write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
+        sorted(survivors(df.filter(inAffected)))
+          .write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
         affected.foreach { tuple =>
           val rel = tuple.mkString("/")
           // a partition whose every row was tombstoned has no tmp dir — the
@@ -685,7 +801,7 @@ final class IndexIVF private (
         // a bulk delete touching most of the table: the full rewrite IS the
         // right plan (and it avoids a pathological thousands-entry In-list
         // in the partition filter) — whole-table tmp + dir swap
-        sorted(df.join(tombs, cond(df), "left_anti"))
+        sorted(survivors(df))
           .write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
         swapDir(fs, src = tmp, dst = orig)
       }
@@ -871,7 +987,8 @@ final class IndexIVF private (
     // this index's tombstones (all pending local tombstones were just
     // compacted away above, so "newer than every local tombstone" is right)
     val epoch = nextEpoch()
-    Seq("postings", "scalars", "context", "docs").map(t => t -> tableParts(t)).foreach {
+    journaled("merge", epoch) {
+      Seq("postings", "scalars", "context", "docs").map(t => t -> tableParts(t)).foreach {
       case (tbl, parts) =>
         // only the read may fail benignly (no data files yet on the other
         // side); a failure during the append must propagate
@@ -911,6 +1028,7 @@ final class IndexIVF private (
             // instead of fanning multiple files into one doc_bucket dir
             writeContext(liveRows.drop("doc_bucket"))
         }
+      }
     }
   }
 
@@ -1301,6 +1419,9 @@ object IndexIVF {
         })
       }
     }
+    // a journal entry on disk means the previous writer died between table
+    // job commits — vacuum the torn epoch before handing out the handle
+    idx.recoverPending()
     idx
   }
 

@@ -1,0 +1,122 @@
+package graft
+
+import graft.core._
+import graft.index.IndexIVF
+import graft.query._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class JDoc(id: Long, colbert: Seq[Seq[Float]], cat: String, num: Long)
+
+/** Crash atomicity of multi-table writes (the write-ahead journal).
+  *
+  * The reference writes a doc's postings/context/docs/scalars rows in one
+  * RocksDB WriteBatch, so a crash never exposes a half-added document; here
+  * each table is its own Spark job commit, and `_meta/pending.json` +
+  * epoch vacuum restore the same all-or-nothing contract. These tests drive
+  * both recovery paths: at [[IndexIVF.open]] (previous writer died — the
+  * journal entry is still on disk) and eagerly in-process (a write job
+  * failed mid-add).
+  */
+class JournalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val dim = 8
+  val rnd = new scala.util.Random(7)
+
+  def tokens(): Seq[Seq[Float]] =
+    Seq.fill(3)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+
+  def mkDocs(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(i => JDoc(i, tokens(), if (i % 2 == 0) "even" else "odd", i)).toDF()
+  }
+
+  def mkIndex(): (IndexIVF, String) = {
+    val path = java.nio.file.Files.createTempDirectory("journal_idx").toString
+    val schema = GSchema(Seq(
+      GField.colbert("colbert", dim, numCentroids = 4,
+        quantization = QuantizerKind.NONE, numIterations = 2, nbits = 2),
+      GField(name = "cat", dataType = GDataType.TEXT.toString,
+        roles = Seq(FieldRole.Indexed.toString, FieldRole.Stored.toString)),
+      GField.indexed("num", GDataType.INTEGER)))
+    val idx = IndexIVF.create(spark, path, schema)
+    val base = mkDocs(0L until 8L)
+    idx.train(base)
+    idx.add(1, base)
+    (idx, path)
+  }
+
+  def epochOf(path: String): Long =
+    Json.read(s"$path/_meta/epoch.json", classOf[Map[String, Any]])("epoch")
+      .asInstanceOf[Number].longValue()
+
+  def allTableRows(idx: IndexIVF): Map[String, Long] = Map(
+    "postings" -> idx.postingsDf.count(),
+    "scalars" -> idx.scalarsDf.count(),
+    "context" -> idx.contextDf.count(),
+    "docs" -> idx.docsDf.count())
+
+  test("open() vacuums a torn multi-table add recorded in the journal") {
+    val (idx, path) = mkIndex()
+    val before = allTableRows(idx)
+    // a fully-committed second add plays the torn write: re-instating its
+    // journal entry afterwards is byte-identical on disk to a writer that
+    // died AFTER every table job committed but BEFORE clearing the journal
+    // (and any earlier die point just leaves a subset of these rows for the
+    // same vacuum). Recovery must remove every row of that epoch.
+    idx.add(1, mkDocs(100L until 104L))
+    val tornEpoch = epochOf(path)
+    assert(allTableRows(idx) != before, "second add visibly landed")
+    Json.write(s"$path/_meta/pending.json",
+      Map("op" -> "add", "epoch" -> tornEpoch))
+
+    val reopened = IndexIVF.open(spark, path)
+    assert(!Json.exists(s"$path/_meta/pending.json"), "journal cleared")
+    assert(allTableRows(reopened) == before,
+      "every table back to its pre-torn-write state")
+    // the vacuumed ids are gone from search results too
+    val hits = reopened.search(1,
+      TermQuery("num", 101L), k = 10, SearchOptions()).collect()
+    assert(hits.isEmpty, "torn doc is not searchable after recovery")
+    // and a fresh open with no journal entry is a no-op
+    assert(IndexIVF.open(spark, path).recoverPending().isEmpty)
+  }
+
+  test("a failed add() vacuums its own epoch eagerly and leaves no journal") {
+    val (idx, path) = mkIndex()
+    val before = allTableRows(idx)
+    val beforeEpoch = epochOf(path)
+    // one doc with a wrong-dim token: the encode UDF fails DURING the write
+    // jobs, after some lanes (docs/scalars) may already have committed
+    import spark.implicits._
+    val bad = Seq(
+      JDoc(200L, tokens(), "even", 200L),
+      JDoc(201L, Seq(Seq.fill(dim + 3)(0.1f)), "odd", 201L)).toDF()
+    val e = intercept[Exception] { idx.add(1, bad) }
+    assert(e.getMessage != null)
+    assert(!Json.exists(s"$path/_meta/pending.json"),
+      "journal cleared after eager recovery")
+    assert(allTableRows(idx) == before,
+      "every table back to its pre-failure state (partial lanes vacuumed)")
+    assert(epochOf(path) == beforeEpoch + 1, "epoch advanced (and burned)")
+    // the index stays fully writable and searchable after the rollback
+    idx.add(1, mkDocs(300L until 302L))
+    val hits = idx.search(1, TermQuery("num", 300L), k = 10, SearchOptions())
+      .collect()
+    assert(hits.map(_.getAs[Long]("doc_id")).toSeq == Seq(300L))
+  }
+
+  test("open() vacuums a torn removeDeferred (tombstone table journal)") {
+    val (idx, path) = mkIndex()
+    idx.removeDeferred(1, Seq(3L))
+    val tornEpoch = epochOf(path)
+    Json.write(s"$path/_meta/pending.json",
+      Map("op" -> "removeDeferred", "epoch" -> tornEpoch))
+    val reopened = IndexIVF.open(spark, path)
+    assert(!Json.exists(s"$path/_meta/pending.json"))
+    // the tombstone was vacuumed: doc 3 is still alive
+    val hits = reopened.search(1, TermQuery("num", 3L), k = 10, SearchOptions())
+      .collect()
+    assert(hits.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L))
+  }
+}
