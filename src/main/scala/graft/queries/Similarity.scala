@@ -334,6 +334,68 @@ object Similarity {
           .select("a_id", "b_id", "cos")
           .orderBy(col("cos").desc, col("a_id"), col("b_id"))
           .limit(20)
+    },
+
+    // TA14 — PCA second moments, the oracle twin: count, per-dim sums and
+    // upper-triangle sums of products over the embedding corpus, quantized
+    // to exact integers (round(term * 1e6) summed as BIGINT) so the
+    // cross-engine compare is order-independent and bit-exact — double
+    // sums would hash-differ on association order alone. Row layout:
+    // (0,0) = corpus count, (i,0) = sum of dim i, (i,j>=i) = sum of
+    // products. This twin materializes the d(d+1)/2 terms per row to be
+    // SQL-expressible; the production path is Pca.moments — one
+    // mapPartitions pass with primitive accumulators, no explode, no
+    // shuffle, driver state O(d^2) — and PcaSpec pins the two against
+    // each other. Scale shape of the twin itself: the broadcast (i,j)
+    // frame is metadata-sized and the product terms partial-aggregate
+    // map-side, so the only shuffle carries <= d^2 groups.
+    sql("q_embed_moments", Seq("TA14", "F2"),
+      """WITH ij AS (
+        |  SELECT i, j FROM range(1, 65) t(i), range(0, 65) u(j)
+        |  WHERE j = 0 OR j >= i
+        |  UNION ALL SELECT 0 AS i, 0 AS j),
+        |terms AS (
+        |  SELECT ij.i, ij.j,
+        |    CASE WHEN ij.i = 0 THEN 1.0
+        |         WHEN ij.j = 0 THEN e[ij.i]
+        |         ELSE e[ij.i] * e[ij.j] END AS term
+        |  FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings), ij)
+        |SELECT i, j, sum(round(term * 1000000)::BIGINT)::BIGINT AS q
+        |FROM terms GROUP BY i, j ORDER BY i, j""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val d = 64
+        val ijRows = (for {
+          i <- 1 to d
+          j <- 0 +: (i to d).toList
+        } yield (i.toLong, j.toLong)) :+ (0L, 0L)
+        val ij = broadcast(ijRows.toDF("i", "j"))
+        Tables.emb(s, dir).select(col("emb")).crossJoin(ij)
+          .select(col("i"), col("j"),
+            when(col("i") === 0, lit(1.0))
+              .when(col("j") === 0, element_at(col("emb"), col("i").cast("int")))
+              .otherwise(element_at(col("emb"), col("i").cast("int")) *
+                element_at(col("emb"), col("j").cast("int"))).as("term"))
+          .groupBy(col("i"), col("j"))
+          .agg(sum(round(col("term") * lit(1000000)).cast("long")).cast("long").as("q"))
+          .orderBy("i", "j")
+    },
+
+    // TA14 — PCA projection: fit top-8 components (Pca.moments one-pass +
+    // driver Jacobi on the 64x64 covariance, sign-canonical deterministic
+    // basis) and project every embedding — a broadcast k x d matrix and k
+    // dot products per row, no shuffle. Eigendecomposition is not
+    // SQL-expressible, so this is a rows-only entry; PcaSpec carries the
+    // semantics (orthonormal basis, AV = VΛ, per-component projected
+    // variance = eigenvalue, moments parity with the oracle twin above).
+    rowsOnly("q_pca_project", Seq("TA14", "Q1")) { (s, dir) =>
+      val e = Tables.emb(s, dir)
+      val model = graft.functions.Pca.fit(e, "emb", dim = 64, k = 8)
+      model.project(e, "emb", "pc")
+        .select(col("vec_id") +:
+          (0 until 8).map(k =>
+            round(element_at(col("pc"), k + 1), 4).as(s"pc$k")): _*)
+        .orderBy("vec_id")
     }
   )
 }
