@@ -180,6 +180,18 @@ object Pca {
   final case class PcaModel(mean: Array[Double], components: Array[Array[Double]],
       eigenvalues: Array[Double]) {
 
+    /** Whitened variant: components scaled by 1/sqrt(eigenvalue), so every
+      * projected coordinate has unit sample variance — the usual prep
+      * before isotropic quantizers (PQ subspaces assume comparable energy
+      * per dim; see ProductEncoder's variance-balancing permutation for
+      * the rotation-free sibling). Components with eigenvalue <= eps are
+      * left unscaled (a degenerate direction carries no signal to
+      * equalize, and 1/sqrt(~0) would explode noise). */
+    def whiten(eps: Double = 1e-12): PcaModel = copy(
+      components = components.zip(eigenvalues).map { case (row, ev) =>
+        if (ev > eps) { val s = 1.0 / math.sqrt(ev); row.map(_ * s) } else row
+      })
+
     /** Project `embCol` (array<double>) onto the components: one narrow
       * map (k dot products per row against a broadcast k x d matrix),
       * appending `outCol` as array<double> of length k. */

@@ -89,6 +89,19 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("whitened projection has unit variance per component") {
+    val k = 6
+    val model = Pca.fit(emb, "emb", dim, k).whiten()
+    val pcs = model.project(emb, "emb", "pc")
+      .select("pc").collect().map(_.getSeq[Double](0).toArray)
+    val n = pcs.length
+    for (c <- 0 until k) {
+      val mean = pcs.map(_(c)).sum / n
+      val svar = pcs.map(p => (p(c) - mean) * (p(c) - mean)).sum / (n - 1)
+      assert(math.abs(svar - 1.0) < 1e-6, s"component $c variance $svar")
+    }
+  }
+
   test("fit is bit-deterministic across runs") {
     val a = Pca.fit(emb, "emb", dim, 4)
     val b = Pca.fit(emb, "emb", dim, 4)
