@@ -208,6 +208,161 @@ object CoarseQuantizer {
     * behavior through faiss::Clustering (lintdb/quantizers/impl/kmeans.cpp). */
   val MaxPointsPerCentroid = 256
 
+  /** Two-level (grouped-centroid) assignment for the TRAINING iterations at
+    * production K. Exhaustive Lloyd's assignment is O(sample·K·dim) with
+    * sample ∝ K — QUADRATIC in K, the wall that turns corpus-scaled K
+    * (K ~ c·√N) into hours of train past K≈50k. The standard fix (Faiss
+    * IVF-on-IVF / hierarchical k-means): cluster the K centroids into
+    * G ≈ √K groups, score each point against the G group centers, then
+    * exactly against only the members of its top-`probes` groups —
+    * O(sample·(G + probes·K/G)·dim), ~K/(2√K·probes)-fold fewer flops.
+    * Assignment becomes approximate (a true nearest centroid in an
+    * unprobed group is missed); for TRAINING that only perturbs which mean
+    * a point contributes to — Lloyd's still converges, and
+    * TwoLevelTrainSpec measures the end-to-end objective parity. The FINAL
+    * model and every serving-path assignment (add's assignBlock, search
+    * planning) stay exhaustive and exact. Deterministic: group clustering
+    * is the seeded [[lloyd]], both scoring levels run the deterministic
+    * score kernels, and all selection ties break on the lower id. */
+  val TwoLevelMinKKey = "spark.graft.train.twoLevelMinK"
+  val TwoLevelMinKDefault = 8192
+  val TwoLevelProbesKey = "spark.graft.train.twoLevelProbes"
+  val TwoLevelProbesDefault = 8
+
+  /** Augment centroids with a trailing -‖c‖²/2 bias column so the IP score
+    * kernels compute the argmin-L2 score directly (see [[lloyd]]'s
+    * augmented-layout note). */
+  private def augmentedQ(cs: Array[Array[Float]]): CoarseQuantizer = {
+    val d = cs(0).length
+    new CoarseQuantizer(cs.map { ce =>
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += ce(i).toDouble * ce(i); i += 1 }
+      val a = java.util.Arrays.copyOf(ce, d + 1)
+      a(d) = (-s / 2).toFloat
+      a
+    })
+  }
+
+  /** Broadcast-able two-level assignment plan: augmented group-center
+    * scorer, per-group augmented member scorers, and the members' global
+    * centroid ids. Built once per Lloyd iteration on the driver (group
+    * clustering is [[lloyd]] over the K centroids — O(K·G·dim), seconds);
+    * the CoarseQuantizers' transposed kernels are @transient-lazy, so each
+    * executor materializes them once per broadcast. */
+  private[graft] final case class TwoLevelPlan(
+      groupQ: CoarseQuantizer,
+      memberQ: Array[CoarseQuantizer],
+      memberIds: Array[Array[Int]],
+      dim: Int,
+      probes: Int) extends Serializable with ChunkDecider {
+
+    def decideChunk(points: Array[Array[Float]]): Array[Int] = {
+      val m = points.length
+      if (m == 0) return Array.emptyIntArray
+      val d = dim
+      val da = d + 1
+      val g = memberIds.length
+      val flatAug = new Array[Float](m * da)
+      var p = 0
+      while (p < m) {
+        val v = points(p)
+        require(v.length == d, s"point has dim ${v.length}, expected $d")
+        System.arraycopy(v, 0, flatAug, p * da, d)
+        flatAug(p * da + d) = 1f
+        p += 1
+      }
+      val gScores = groupQ.scoreBlock(flatAug, m)
+      // top-`probes` groups per point (skipping member-less groups),
+      // deterministic: score desc, group id asc
+      val nProbe = math.min(probes, g)
+      val probed = new Array[Int](m * nProbe)
+      val buckets = Array.fill(g)(new scala.collection.mutable.ArrayBuffer[Int])
+      p = 0
+      while (p < m) {
+        val so = p * g
+        var taken = 0
+        val used = new Array[Boolean](g)
+        while (taken < nProbe) {
+          var best = -1
+          var bs = Float.NegativeInfinity
+          var c = 0
+          while (c < g) {
+            if (!used(c) && memberIds(c).length > 0 && gScores(so + c) > bs) {
+              bs = gScores(so + c); best = c
+            }
+            c += 1
+          }
+          if (best < 0) taken = nProbe // no more non-empty groups
+          else {
+            used(best) = true
+            probed(p * nProbe + taken) = best
+            buckets(best) += p
+            taken += 1
+          }
+        }
+        p += 1
+      }
+      val bestScore = Array.fill(m)(Float.NegativeInfinity)
+      val bestId = Array.fill(m)(Int.MaxValue)
+      var grp = 0
+      while (grp < g) {
+        val idxs = buckets(grp)
+        if (idxs.nonEmpty) {
+          val mm = idxs.length
+          val block = new Array[Float](mm * da)
+          var t = 0
+          while (t < mm) {
+            System.arraycopy(flatAug, idxs(t) * da, block, t * da, da)
+            t += 1
+          }
+          val ids = memberIds(grp)
+          val nc = ids.length
+          val sc = memberQ(grp).scoreBlock(block, mm)
+          t = 0
+          while (t < mm) {
+            val pi = idxs(t)
+            val so = t * nc
+            var c = 0
+            while (c < nc) {
+              val s = sc(so + c)
+              val cid = ids(c)
+              if (s > bestScore(pi) || (s == bestScore(pi) && cid < bestId(pi))) {
+                bestScore(pi) = s
+                bestId(pi) = cid
+              }
+              c += 1
+            }
+            t += 1
+          }
+        }
+        grp += 1
+      }
+      bestId
+    }
+  }
+
+  private[graft] object TwoLevelPlan {
+    def build(cents: Array[Array[Float]], probes: Int,
+        seed: Long): TwoLevelPlan = {
+      val k = cents.length
+      val dim = cents(0).length
+      val g = math.max(probes * 2, math.ceil(math.sqrt(k.toDouble)).toInt)
+      val centers = lloyd(cents, g, iters = 3, seed)
+      // exact membership of each centroid in its nearest group
+      val grp = new ExactL2Assigner(centers).decideChunk(cents)
+      val members = Array.fill(g)(new scala.collection.mutable.ArrayBuffer[Int])
+      var c = 0
+      while (c < k) { members(grp(c)) += c; c += 1 }
+      val memberIds = members.map(_.toArray)
+      val memberQ = memberIds.map { ids =>
+        if (ids.isEmpty) null
+        else augmentedQ(ids.map(cents))
+      }
+      TwoLevelPlan(augmentedQ(centers), memberQ, memberIds, dim, probes)
+    }
+  }
+
   /** Train k-means over a DataFrame with a `vec: array<float>` column of
     * token embeddings (reference train: lintdb/index.cpp:250-254).
     *
@@ -327,12 +482,29 @@ object CoarseQuantizer {
         pool = pool :+ pool(rnd.nextInt(pool.length)).map(x => x + rnd.nextFloat() * 1e-4f)
       var cents = pool.take(numCentroids)
 
+      // production-K assignment dispatch: past the knob, each training
+      // iteration assigns through the two-level grouped plan (O(G +
+      // probes·K/G) per point instead of O(K)) — see [[TwoLevelPlan]].
+      val twoLevelMinK = spark.conf
+        .get(TwoLevelMinKKey, TwoLevelMinKDefault.toString).toInt
+      val twoLevelProbes = spark.conf
+        .get(TwoLevelProbesKey, TwoLevelProbesDefault.toString).toInt
+      val useTwoLevel = numCentroids >= twoLevelMinK
+
       var it = 0
       while (it < numIterations) {
         val bc = sc.broadcast(cents)
+        val bcPlan =
+          if (useTwoLevel)
+            Some(sc.broadcast(
+              TwoLevelPlan.build(cents, twoLevelProbes, seed + 7919L * (it + 1))))
+          else None
         val dimL = dim
         val partials = sample.mapPartitionsWithIndex { (pid, rows) =>
-          val asg = new ExactL2Assigner(bc.value)
+          val asg: ChunkDecider = bcPlan match {
+            case Some(pb) => pb.value
+            case None => new ExactL2Assigner(bc.value)
+          }
           // sparse per-partition accumulators: slot dim holds the count, so
           // one primitive array per touched centroid (≤ min(K, rows here))
           val sums = new scala.collection.mutable.LongMap[Array[Double]]()
@@ -363,6 +535,7 @@ object CoarseQuantizer {
           acc
         }.collect()
         bc.destroy()
+        bcPlan.foreach(_.destroy())
         val byId = merged.toMap
         cents = Array.tabulate(numCentroids) { c =>
           byId.get(c) match {
@@ -496,7 +669,14 @@ object CoarseQuantizer {
     * per-point, so chunk boundaries and execution order never change them.
     * Constructed per use-site from a plain centroid matrix (on executors:
     * from a broadcast value) — the instance itself is never serialized. */
-  private[graft] final class ExactL2Assigner(cents: Array[Array[Float]]) {
+  /** Per-chunk point→centroid decision, shared by the exact assigner and
+    * the two-level training assigner. */
+  private[graft] trait ChunkDecider extends Serializable {
+    def decideChunk(points: Array[Array[Float]]): Array[Int]
+  }
+
+  private[graft] final class ExactL2Assigner(cents: Array[Array[Float]])
+      extends ChunkDecider {
     private val k = cents.length
     val dim: Int = cents(0).length
     val da: Int = dim + 1
