@@ -1132,6 +1132,55 @@ object TextPipeline {
           .orderBy("doc_id")
     },
 
+    // TA2 — bigram language-model fluency scoring: the CCNet/Gopher-style
+    // "perplexity filter" shape (train an n-gram LM on the corpus, score
+    // each document by how well its transitions fit) with the float
+    // hazards engineered OUT so the cross-engine oracle is hash-exact.
+    // Per bigram the add-one-smoothed conditional gets quantized by pure
+    // INTEGER arithmetic — ((c(w1,w2)+1) * 1e6) DIV (c(w1)+V) — and the
+    // per-doc sum of integers is order-independent, so no log, no double
+    // summation, no rounding-boundary risk (same discipline as
+    // q_embed_moments). A doc's q is a monotone fluency signal: high =
+    // transitions the corpus LM expects, low = word salad. Scale shape:
+    // the LM tables are vocabulary-sized aggregates (map-side partial hash
+    // agg); scoring is two hash joins keyed on token text — corpus-sized
+    // but shuffle-partitioned, with AQE skew-split handling the stopword
+    // hot keys; V is one scalar driver agg. Docs with < 2 tokens have no
+    // transitions and drop out (both engines).
+    sql("q_lm_score", Seq("TA2"),
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bp AS (SELECT doc_id,
+        |    unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS p
+        |  FROM t WHERE len(t) >= 2),
+        |b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bp),
+        |uni AS (SELECT w, count(*) AS cu
+        |  FROM (SELECT unnest(t) AS w FROM t) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+        |terms AS (SELECT b.doc_id,
+        |    ((bc.cb + 1) * 1000000) // (uni.cu + v.v) AS term
+        |  FROM b JOIN bc USING (w1, w2) JOIN uni ON b.w1 = uni.w CROSS JOIN v)
+        |SELECT doc_id, count(*)::BIGINT AS nb, sum(term)::BIGINT AS q
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        val t = docs(s, dir).select(col("doc_id"), toks.as("t"))
+        val big = t.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(t) - 2), " +
+              "i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val uni = t.select(explode(col("t")).as("w1"))
+          .groupBy("w1").agg(count(lit(1)).as("cu"))
+        val v = uni.count()
+        val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        big.join(bc, Seq("w1", "w2")).join(uni, Seq("w1"))
+          .select(col("doc_id"),
+            expr(s"((cb + 1) * 1000000) DIV (cu + ${v}L)").as("term"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nb"), sum(col("term")).as("q"))
+          .orderBy("doc_id")
+    },
+
     // TA1 — language id: stopword-marker scoring with a deterministic
     // argmax (en >= de >= es >= fr on ties).
     sql("q_lang_id", Seq("TA1"),
@@ -1983,65 +2032,113 @@ object TextPipeline {
     // accumulator).
     sql("q_bpe_train", Seq("TA12", "TA13"), bpeOracle) { (s, dir) =>
       import s.implicits._
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-      val wc = docs(s, dir)
-        .select(explode(toks).as("word"))
-        .filter(col("word").rlike("^[a-z]+$"))
+      bpeTrainRules(docs(s, dir)).toDF("step", "lhs", "rhs", "total")
+        .orderBy("step")
+    },
+
+    // TA13 — BPE ENCODE: segment the corpus with the trained merge rules.
+    // Training needs a driver round-trip per rule (the argmax is
+    // data-dependent), but APPLY does not: the learned rules become plan
+    // literals and all [[BpeMerges]] greedy folds compose into ONE
+    // vocabulary-sized select over the distinct-word table (no UDF, no
+    // per-rule materialization — Catalyst's CollapseProject keeps each
+    // fold its own Project because the higher-order `aggregate` is not
+    // duplicable-cheap). Unlike training, encode takes EVERY whitespace
+    // token — unseen symbols (digits, punctuation) just never match a
+    // rule and pass through character-level, exactly how a trained BPE
+    // tokenizer meets out-of-distribution text. Output is the encoded
+    // corpus' weighted piece-frequency table; the word→pieces dictionary
+    // (`encoded` below) is what a 100 TB pipeline would broadcast/join
+    // against the corpus to materialize token ids. Oracle: the same
+    // rule-CTE chain as q_bpe_train plus an unrolled per-rule
+    // list_reduce apply over the unfiltered word table.
+    sql("q_bpe_encode", Seq("TA12", "TA13"), bpeEncodeOracle) { (s, dir) =>
+      val d = docs(s, dir)
+      val rules = bpeTrainRules(d).map { case (_, l, r, _) => (l, r) }
+      val wa = d.select(explode(toks).as("word"))
+        .filter(length(col("word")) >= 1)
         .groupBy("word").agg(count(lit(1)).as("cnt"))
-      var words = wc.select(
+      val start = wa.select(col("cnt"),
         expr("transform(sequence(1, length(word)), k -> substring(word, k, 1))")
-          .as("syms"),
-        col("cnt")).persist(lvl)
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-      try {
-        var step = 1
-        var exhausted = false
-        while (step <= BpeMerges && !exhausted) {
-          val best = words
-            .filter(size(col("syms")) >= 2)
-            .select(explode(expr(
-              "transform(sequence(0, size(syms) - 2), " +
-                "k -> struct(syms[k] AS lhs, syms[k + 1] AS rhs))")).as("p"),
-              col("cnt"))
-            .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-            .agg(sum(col("cnt")).as("total"))
-            .orderBy(col("total").desc, col("lhs"), col("rhs"))
-            .limit(1).collect()
-          if (best.isEmpty) exhausted = true
-          else {
-            val (bl, br, tot) =
-              (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-            merges += ((step.toLong, bl, br, tot))
-            val prev = words
-            // greedy left-to-right non-overlap: a symbol consumed as the
-            // rule's rhs can't also start the next merge, because the
-            // accumulator's last element becomes lhs||rhs != lhs
-            words = prev.select(
-              aggregate(
-                expr("slice(syms, 2, size(syms) - 1)"),
-                array(element_at(col("syms"), 1)),
-                (acc, x) => when(
-                  x === lit(br) && element_at(acc, -1) === lit(bl),
-                  concat(slice(acc, lit(1), size(acc) - 1),
-                    array(lit(bl + br))))
-                  .otherwise(concat(acc, array(x)))).as("syms"),
-              col("cnt")).persist(lvl)
-            words.count()
-            prev.unpersist(false)
-            step += 1
-          }
-        }
-      } finally words.unpersist(false)
-      merges.toSeq.toDF("step", "lhs", "rhs", "total").orderBy("step")
+          .as("syms"))
+      val encoded = rules.foldLeft(start) { case (df, (l, r)) =>
+        df.select(col("cnt"), bpeMergeFold(col("syms"), l, r).as("syms"))
+      }
+      encoded.select(explode(col("syms")).as("piece"), col("cnt"))
+        .groupBy("piece").agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("piece"))
     }
   )
 
-  /** DuckDB twin of q_bpe_train: the merge loop unrolled as [[BpeMerges]]
-    * CTE blocks. The merge apply is a VARCHAR `list_reduce` fold using
-    * chr(30) (RS, outside the corpus alphabet) as the accumulator's token
-    * separator; the pair extraction, argmax tie-break, and non-overlap rule
-    * are byte-identical to the Spark trainer's. */
-  private def bpeOracle: String = {
+  /** One greedy left-to-right non-overlapping application of merge rule
+    * (bl, br) to a symbol array: a symbol consumed as the rule's rhs can't
+    * also start the next merge, because the accumulator's last element
+    * becomes lhs||rhs != lhs. Shared by the trainer's between-round apply
+    * and [[bpeEncodeOracle]]'s Spark twin so the semantics can't drift. */
+  private def bpeMergeFold(syms: Column, bl: String, br: String): Column =
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1),
+      array(element_at(syms, 1)),
+      (acc, x) => when(
+        x === lit(br) && element_at(acc, -1) === lit(bl),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(lit(bl + br))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The q_bpe_train merge-learning loop (Sennrich Algorithm 1); returns
+    * (step, lhs, rhs, total) in learned order. See the q_bpe_train entry
+    * for the scale shape; q_bpe_encode reuses the rules as plan literals. */
+  private[graft] def bpeTrainRules(d: DataFrame): Seq[(Long, String, String, Long)] = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val wc = d
+      .select(explode(toks).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var words = wc.select(
+      expr("transform(sequence(1, length(word)), k -> substring(word, k, 1))")
+        .as("syms"),
+      col("cnt")).persist(lvl)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    try {
+      var step = 1
+      var exhausted = false
+      while (step <= BpeMerges && !exhausted) {
+        val best = words
+          .filter(size(col("syms")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(syms) - 2), " +
+              "k -> struct(syms[k] AS lhs, syms[k + 1] AS rhs))")).as("p"),
+            col("cnt"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("cnt")).as("total"))
+          .orderBy(col("total").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (bl, br, tot) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((step.toLong, bl, br, tot))
+          val prev = words
+          words = prev.select(
+            bpeMergeFold(col("syms"), bl, br).as("syms"),
+            col("cnt")).persist(lvl)
+          words.count()
+          prev.unpersist(false)
+          step += 1
+        }
+      }
+    } finally words.unpersist(false)
+    merges.toSeq
+  }
+
+  /** Shared WITH blocks for the BPE oracles: the merge-learning loop
+    * unrolled as [[BpeMerges]] CTE blocks (pair counts p_i/g_i, the winning
+    * rule b_i, the merged word table w_i). The merge apply is a VARCHAR
+    * `list_reduce` fold using chr(30) (RS, outside the corpus alphabet) as
+    * the accumulator's token separator; the pair extraction, argmax
+    * tie-break, and non-overlap rule are byte-identical to the Spark
+    * trainer's. */
+  private def bpeRuleCtes: String = {
     val steps = (1 to BpeMerges).map { i =>
       s"""p$i AS (SELECT unnest([syms[k] || chr(30) || syms[k+1]
          |    for k in range(1, len(syms))]) AS pr, cnt
@@ -2057,15 +2154,44 @@ object TextPipeline {
          |    ELSE acc || chr(30) || x END), chr(30)) AS syms, cnt
          |  FROM w${i - 1}, b$i b)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to BpeMerges)
-      .map(i => s"SELECT $i::BIGINT AS step, lhs, rhs, total FROM b$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH wc AS (SELECT w AS word, count(*) AS cnt FROM
+    s"""wc AS (SELECT w AS word, count(*) AS cnt FROM
        |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
        |w0 AS (SELECT [substr(word, k, 1) for k in range(1, len(word)+1)] AS syms,
        |  cnt FROM wc),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  /** DuckDB twin of q_bpe_train: [[bpeRuleCtes]] + the learned-rule union. */
+  private def bpeOracle: String = {
+    val union = (1 to BpeMerges)
+      .map(i => s"SELECT $i::BIGINT AS step, lhs, rhs, total FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeRuleCtes
        |SELECT * FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  /** DuckDB twin of q_bpe_encode: [[bpeRuleCtes]] learns the rules, then an
+    * unrolled per-rule `list_reduce` chain (e0..e[[BpeMerges]]) applies them
+    * to the UNFILTERED word table and the final select aggregates weighted
+    * piece frequencies. */
+  private def bpeEncodeOracle: String = {
+    val applies = (1 to BpeMerges).map { i =>
+      s"""e$i AS (SELECT cnt, string_split(list_reduce(syms, (acc, x) -> CASE
+         |    WHEN x = b.rhs AND string_split(acc, chr(30))[-1] = b.lhs
+         |    THEN substr(acc, 1, len(acc) - len(b.lhs)) || b.lhs || b.rhs
+         |    ELSE acc || chr(30) || x END), chr(30)) AS syms
+         |  FROM e${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeRuleCtes,
+       |wa AS (SELECT w AS word, count(*) AS cnt FROM
+       |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 1 GROUP BY 1),
+       |e0 AS (SELECT cnt, [substr(word, k, 1) for k in range(1, len(word)+1)] AS syms
+       |  FROM wa),
+       |$applies
+       |SELECT piece, sum(cnt)::BIGINT AS n FROM
+       |  (SELECT unnest(syms) AS piece, cnt FROM e$BpeMerges)
+       |GROUP BY piece ORDER BY n DESC, piece""".stripMargin
   }
 }

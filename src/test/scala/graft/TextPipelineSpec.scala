@@ -603,4 +603,74 @@ class TextPipelineSpec extends AnyFunSuite {
     // one-shot bigram count
     assert(got.exists(m => m._2.length > 1 || m._3.length > 1))
   }
+
+  test("BPE encode matches a single-node apply of the learned rules") {
+    import graft.queries.TextPipeline
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    // reference rules via the distributed trainer (itself pinned against
+    // the independent Sennrich loop in the previous test)
+    val rules = TextPipeline.bpeTrainRules(
+      spark.read.parquet(s"$sf/documents.parquet"))
+      .map { case (_, l, r, _) => (l, r) }
+    def applyMerge(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var rest = syms
+      while (rest.nonEmpty) {
+        rest match {
+          case a :: b :: t if a == l && b == r => out += (l + r); rest = t
+          case a :: t                          => out += a; rest = t
+          case Nil                             =>
+        }
+      }
+      out.toList
+    }
+    val pieces = scala.collection.mutable.Map.empty[String, Long]
+    texts.flatMap(_.split(" ")).filter(_.nonEmpty).foreach { w =>
+      val segs = rules.foldLeft(w.map(_.toString).toList) {
+        case (s, (l, r)) => applyMerge(s, l, r)
+      }
+      segs.foreach(p => pieces(p) = pieces.getOrElse(p, 0L) + 1L)
+    }
+    val expect = pieces.toSeq.sortBy { case (p, n) => (-n, p) }
+    val got = run("q_bpe_encode").collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("n"))).toSeq
+    assert(got == expect)
+    // the encode genuinely merges: multi-char pieces exist, and unseen
+    // symbols (the trainer's [a-z]+ filter excluded them) pass through
+    // character-level rather than vanishing
+    assert(got.exists(_._1.length > 1))
+    val corpusChars = texts.flatMap(_.split(" ")).flatten.toSet
+    val nonAlpha = corpusChars.filterNot(c => c >= 'a' && c <= 'z')
+    nonAlpha.foreach { c =>
+      assert(got.exists(_._1.contains(c.toString)),
+        s"non-alpha symbol '$c' missing from the encoded pieces")
+    }
+  }
+
+  test("bigram LM score matches integer-exact brute force") {
+    val docRows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bc = scala.collection.mutable.Map.empty[(String, String), Long]
+    docRows.foreach { case (_, t) =>
+      t.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1L)
+      t.zip(t.tail).foreach(p => bc(p) = bc.getOrElse(p, 0L) + 1L)
+    }
+    val v = uni.size.toLong
+    val expect = docRows.filter(_._2.length >= 2).map { case (id, t) =>
+      val terms = t.zip(t.tail).map { case (w1, w2) =>
+        ((bc((w1, w2)) + 1L) * 1000000L) / (uni(w1) + v)
+      }
+      (id, terms.length.toLong, terms.sum)
+    }.sortBy(_._1).toSeq
+    val got = run("q_lm_score").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("nb"),
+        r.getAs[Long]("q"))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // the signal discriminates: per-doc mean transition scores differ
+    assert(got.map(t => t._3 / t._2).distinct.length > 1)
+  }
 }
