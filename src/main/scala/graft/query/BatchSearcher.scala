@@ -79,6 +79,20 @@ object BatchSearcher {
   private def maxPoolRows(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.get(MaxPoolRowsKey, (4L << 20).toString).toLong
 
+  /** Phase-1 join shape (session conf). `true` (default): the candidate
+    * (query_id, doc_id) set — batch x (corpus/K) x nProbe rows, corpus-
+    * independent under the IVF K ~ sqrt(N) discipline — is BROADCAST into
+    * the context scan, so the corpus' codes column crosses no exchange:
+    * the only corpus-sized work left in a batch is the columnar codes
+    * scan itself. The duplicate-add dedup that used to run as a
+    * corpus-wide pre-join Aggregate (a full shuffle of every doc's codes
+    * per batch, the scale-killer this knob removes) now runs AFTER the
+    * join, over candidate-sized rows. `false`: shuffle-join fallback for
+    * mega-batches whose candidate set outgrows a sane broadcast. */
+  val BroadcastCandidatesKey = "graft.batch.broadcastCandidates"
+  private def broadcastCandidates(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get(BroadcastCandidatesKey, "true").toBoolean
+
   /** @param queries one row per query: (query_id: long,
     *                tokens: array<array<float>>) */
   def searchBatch(idx: IndexIVF, tenant: Long, field: String, queries: DataFrame,
@@ -144,22 +158,28 @@ object BatchSearcher {
       .join(broadcast(probeDf), Seq("centroid"))
       .select(col("query_id"), col("doc_id")).distinct()
 
-    val ctx = idx.contextDf
-      .filter(col("tenant") === tenant && col("field") === fid)
-      .dropDuplicates("doc_id")
-      .select(col("doc_id"), col("doc_codes"), col("doc_residuals"))
-
     // phase-1: native codegen'd expression; all per-query matrices ride as
     // ONE stage-level plan constant keyed by query_id (no UDF boxing on the
     // (query x candidate) hot loop). Residuals optionally ride along — see
     // CarryResidualsKey for the measured trade.
     val carry = carryResiduals(spark) && opts.secondPass
+    // context enters UNdeduplicated: the duplicate-add dedup runs after the
+    // candidate join over candidate-sized rows (arbitrary winner, the same
+    // semantics the old corpus-wide pre-join dropDuplicates had), so the
+    // corpus' codes never cross an exchange — with the broadcast join the
+    // whole phase-1 is one scan-side stage (see BroadcastCandidatesKey)
+    val ctxAll = idx.contextDf
+      .filter(col("tenant") === tenant && col("field") === fid)
+      .select(col("doc_id") +: col("doc_codes") +:
+        (if (carry) Seq(col("doc_residuals")) else Nil): _*)
+    val candSide = if (broadcastCandidates(spark)) broadcast(candidates) else candidates
     val phase1Cols = Seq(col("query_id"), col("doc_id"),
       graft.functions.BatchCentroidScore(col("query_id"), col("doc_codes"),
         matrices, nc).as("score")) ++
       (if (carry) Seq(col("doc_codes"), col("doc_residuals")) else Nil)
-    val phase1 = candidates
-      .join(if (carry) ctx else ctx.select("doc_id", "doc_codes"), Seq("doc_id"))
+    val phase1 = ctxAll
+      .join(candSide, Seq("doc_id"))
+      .dropDuplicates("query_id", "doc_id")
       .select(phase1Cols: _*)
 
     val w = Window.partitionBy(col("query_id"))
@@ -234,10 +254,18 @@ object BatchSearcher {
             .select(col("query_id"), col("doc_id"),
               rerankUdf(col("query_id"), col("doc_codes"), col("doc_residuals")).as("score"))
         }
-      } else
-        pool.join(ctx, Seq("doc_id"))
+      } else {
+        // r10-shape measurement hatch: re-join the FULL context table
+        // (corpus-wide dedup shuffle included — the shape the multiget
+        // replaced; see RerankMultigetKey)
+        val ctxFull = idx.contextDf
+          .filter(col("tenant") === tenant && col("field") === fid)
+          .dropDuplicates("doc_id")
+          .select(col("doc_id"), col("doc_codes"), col("doc_residuals"))
+        pool.join(ctxFull, Seq("doc_id"))
           .select(col("query_id"), col("doc_id"),
             rerankUdf(col("query_id"), col("doc_codes"), col("doc_residuals")).as("score"))
+      }
 
     reranked.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")

@@ -513,12 +513,22 @@ object Searcher {
 
     // phase-1 reads doc_codes ONLY — the residual bytes (the index's
     // largest column) are never selected, so the columnar scan skips them
-    // entirely; phase-2 multigets them for the <= numSecondPass survivors
+    // entirely; phase-2 multigets them for the <= numSecondPass survivors.
+    // The candidate set (corpus/K x nProbe ids — corpus-independent under
+    // the IVF K ~ sqrt(N) discipline) broadcasts INTO the context scan and
+    // the duplicate-add dedup runs after the join over candidate-sized
+    // rows, so the corpus' codes column never crosses an exchange (the old
+    // shape pre-deduplicated the WHOLE context table — a corpus-sized
+    // shuffle per search)
     val ctx = idx.contextDf
       .filter(col("tenant") === tenant && col("field") === fid)
-      .dropDuplicates("doc_id")
       .select(col("doc_id"), col("doc_codes"))
-    val scored = candidates.join(ctx, Seq("doc_id"))
+    val candSide =
+      if (spark.conf.get(BatchSearcher.BroadcastCandidatesKey, "true").toBoolean)
+        broadcast(candidates)
+      else candidates
+    val scored = ctx.join(candSide, Seq("doc_id"))
+      .dropDuplicates("doc_id")
     scored.select(col("doc_id") +: scoreCol(col("doc_codes")).as("score") +:
       (if (mark) Seq(lit(true).as("vec_match")) else Seq.empty): _*)
   }

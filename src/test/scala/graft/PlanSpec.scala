@@ -293,6 +293,18 @@ class PlanSpec extends AnyFunSuite {
       assert(multiget,
         s"no batch plan multigets context with bucket + id pruning + broadcast pool:\n$all")
       assert(phase1Thin, s"batch phase-1 reads doc_residuals:\n$all")
+      // phase-1 join shape: the candidate set BROADCASTS into the context
+      // scan (BuildRight of a BroadcastHashJoin) and the corpus' codes
+      // column never crosses an exchange — a SortMerge/ShuffledHash join
+      // here would mean the whole context table shuffled per batch (the
+      // pre-r11 corpus-wide dedup shape)
+      val p1 = scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
+        .filter(p => p.contains("postings") && p.contains("context"))
+      assert(p1.nonEmpty, s"no phase-1 plan captured:\n$all")
+      assert(p1.exists(p => p.contains("BroadcastHashJoin") && p.contains("BuildRight")),
+        s"phase-1 candidate join is not a broadcast into the context scan:\n$all")
+      assert(p1.forall(p => !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")),
+        s"phase-1 shuffles the corpus context for the candidate join:\n$all")
     } finally spark.listenerManager.unregister(listener)
   }
 

@@ -515,6 +515,72 @@ object ProfMain {
             f"total ${ms / 212}%7.1f ms/query  $n rows")
         }
         spark.conf.unset(BatchSearcher.RerankMultigetKey)
+        // phase-1 join-shape A/B: broadcast candidates into the context
+        // scan (default) vs the shuffle-join fallback
+        Seq(true, false, true, false).zipWithIndex.foreach { case (bc, i) =>
+          spark.conf.set(BatchSearcher.BroadcastCandidatesKey, bc.toString)
+          val t0 = System.nanoTime()
+          val n = BatchSearcher.searchBatch(idxB, 1, "colbert", queriesB,
+            k = 10, optsB).count()
+          val ms = (System.nanoTime() - t0) / 1e6
+          println(f"[prof] batch 212 #$i bcastCands=$bc%5s ${ms / 1000}%7.2f s " +
+            f"total ${ms / 212}%7.1f ms/query  $n rows")
+        }
+        spark.conf.unset(BatchSearcher.BroadcastCandidatesKey)
+        // single-search latency + per-table files touched at THIS corpus
+        // shape (VERDICT r10 #4: is the bucket-blind thin context scan's
+        // listing/footer cost the next fixed cost at 10M docs?)
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        def searchFilesB(run: => Unit): Map[String, Long] = {
+          val qes = new java.util.concurrent.ConcurrentLinkedQueue[
+            org.apache.spark.sql.execution.QueryExecution]()
+          val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(f: String,
+                qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+              qes.add(qe); ()
+            }
+            override def onFailure(f: String,
+                qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+          }
+          spark.listenerManager.register(listener)
+          try { run; Thread.sleep(1500) } finally
+            spark.listenerManager.unregister(listener)
+          import scala.jdk.CollectionConverters._
+          qes.asScala.toVector.flatMap(_.executedPlan.collect {
+            case f: FileSourceScanExec =>
+              val root = f.relation.location.rootPaths.head.toString
+              root.split('/').last -> f.metrics("numFiles").value
+          }).groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sum }
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        var filesTouched: Map[String, Long] = Map.empty
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          filesTouched = searchFilesB {
+            idxB.search(1, VectorQuery("colbert", qPoolB(0)), k = 10, optsB)
+              .collect()
+          }
+          // searchFilesB sleeps 1.5 s for listener drain — time the search only
+          println(f"[prof] single search #$i ${(System.nanoTime() - t0) / 1e9 - 1.5}%7.2f s  " +
+            filesTouched.toSeq.sortBy(_._1)
+              .map { case (t, n) => s"$t=$n" }.mkString(", "))
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        // context-table layout at shape: directories/files the thin scan lists
+        def layoutB(tbl: String): (Long, Long) = {
+          val root = java.nio.file.Paths.get(pathB, tbl)
+          val walk = java.nio.file.Files.walk(root)
+          val all = try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toVector
+          } finally walk.close()
+          (all.count(p => p.getFileName.toString.contains("bucket=")),
+            all.count(_.getFileName.toString.endsWith(".parquet")))
+        }
+        Seq("postings", "context", "docs").foreach { t =>
+          val (dirs, files) = layoutB(t)
+          println(s"[prof] layout $t: $dirs bucket dirs, $files parquet files")
+        }
 
       case "pq_quality" =>
         // success@5 on the 10k near-dup distractor corpus per PQ variant:
