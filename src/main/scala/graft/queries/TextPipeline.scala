@@ -108,6 +108,13 @@ object TextPipeline {
     * Production sets this O(cluster cores); the oracle twin pins 8. */
   private[graft] val OrderShards = 8
 
+  /** q_bm25 query terms: one rare discriminative term plus two common ones
+    * (the realistic keyword-audit shape — the rare term dominates by idf). */
+  private[graft] val Bm25Terms = Seq("dup", "merge", "scan")
+
+  /** q_tfidf_terms: keywords kept per document. */
+  private[graft] val TfidfTopN = 3
+
   /** q_vocab_topk: vocabulary size for the tokenizer-vocab builder.
     * Production would be 30k-plus; 20 is BELOW the synthetic corpus'
     * 31-token vocabulary on purpose, so the oracle actually exercises the
@@ -2067,6 +2074,114 @@ object TextPipeline {
       encoded.select(explode(col("syms")).as("piece"), col("cnt"))
         .groupBy("piece").agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("piece"))
+    },
+
+    // TA14 — BM25 ranked keyword retrieval (Robertson & Walker '94,
+    // k1=1.2, b=0.75): the lexical-search half every retrieval deployment
+    // pairs with the vector index — and the tool a training-data pipeline
+    // uses to pull, audit, or decontaminate by keyword. Float hazards
+    // engineered OUT (the q_lm_score discipline): per (doc, term) the tf
+    // saturation is exact integer arithmetic with k1/b cleared to
+    // integers — multiplying num/den by 20*avgdl1000 turns
+    // tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) into
+    // (44*tf*avgdl1000*1e6) DIV (20*avgdl1000*tf + 6*avgdl1000 + 18000*dl)
+    // — and idf uses the quantized Robertson ODDS ((2N-2df+1)*1e6 DIV
+    // (2df+1)), monotone in the true log-idf per term, so ranking quality
+    // is BM25's while the cross-engine hash stays exact (a production
+    // deployment free of the oracle constraint would take the log and sum
+    // doubles). Scale shape: dl and per-term tf are ROW-LOCAL expressions
+    // over the token array (never an explode-and-reshuffle of the corpus);
+    // N/total-tokens/df collapse to one scalar-agg collect whose values
+    // enter pass 2 as plan literals; pass 2 is a zero-shuffle projection
+    // cut by TakeOrderedAndProject. The quantized magnitudes are
+    // corpus-size-INDEPENDENT (avgdl1000 ~ 1000*doclen, tf <= doclen), so
+    // the int64 arithmetic survives any N.
+    sql("q_bm25", Seq("TA14", "P1", "T1"), {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |d AS (SELECT doc_id, len(t) AS dl, t FROM t),
+        |s AS (SELECT count(*) AS n, sum(dl) AS tt FROM d),
+        |a AS (SELECT n, (1000 * tt) // n AS avgdl1000 FROM s),
+        |tf AS (SELECT doc_id, dl, tok, len(list_filter(t, x -> x = tok)) AS tf
+        |  FROM d CROSS JOIN (SELECT unnest([$terms]) AS tok)),
+        |df AS (SELECT tok, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY tok),
+        |term AS (SELECT doc_id,
+        |    (((2 * a.n - 2 * df.df + 1) * 1000000) // (2 * df.df + 1)) *
+        |    ((44 * tf.tf * a.avgdl1000 * 1000000)
+        |      // (20 * a.avgdl1000 * tf.tf + 6 * a.avgdl1000 + 18000 * tf.dl))
+        |    // 1000000 AS w
+        |  FROM tf JOIN df USING (tok) CROSS JOIN a WHERE tf.tf > 0)
+        |SELECT doc_id, sum(w)::BIGINT AS score_q FROM term GROUP BY doc_id
+        |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin
+    }) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), toks.as("t"))
+        .withColumn("dl", size(col("t")).cast("long"))
+      // pass 1: ONE scalar-agg job -> (N, avgdl1000, df per term) as literals
+      val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        size(filter(col("t"), x => x === t)).cast("long").as(s"tf_$i")
+      }
+      val withTf = d.select(col("doc_id") +: col("dl") +: tfCols: _*)
+      val statAggs = count(lit(1)).as("n") +: sum(col("dl")).as("tt") +:
+        Bm25Terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+      val stats = withTf.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+      val n = stats.getLong(0)
+      val avgdl1000 = 1000L * stats.getLong(1) / n
+      // pass 2: zero-shuffle row-local scoring with driver-known idf
+      // literals; top-k via orderBy+limit = TakeOrderedAndProject
+      val termCols = Bm25Terms.indices.map { i =>
+        val df = stats.getLong(2 + i)
+        val idfQ = (2L * n - 2L * df + 1L) * 1000000L / (2L * df + 1L)
+        when(col(s"tf_$i") > 0,
+          expr(s"($idfQ * ((44 * tf_$i * $avgdl1000 * 1000000) DIV " +
+            s"(20 * $avgdl1000 * tf_$i + 6 * $avgdl1000 + 18000 * dl))) " +
+            s"DIV 1000000")).otherwise(lit(0L))
+      }
+      withTf.select(col("doc_id"),
+          termCols.reduce(_ + _).as("score_q"))
+        .filter(col("score_q") > 0)
+        .orderBy(col("score_q").desc, col("doc_id")).limit(20)
+    },
+
+    // TA14b — per-document TF-IDF keyword extraction: the top
+    // [[TfidfTopN]] terms of every document by tf * idf with idf
+    // integer-quantized ((N * 1e6) DIV df — monotone in log(N/df) per
+    // term, hash-exact cross-engine) and a deterministic (weight desc,
+    // token asc) tie-break. The per-doc tag table a 100 TB pipeline joins
+    // back for topic bucketing, dedup explanations, or index-time keyword
+    // fields. Scale shape: df is a vocabulary-sized hash agg broadcast
+    // into the corpus-sized (doc, tok, tf) explode; the per-doc cut is a
+    // rank window on (doc_id) — Catalyst's InferWindowGroupLimit inserts a
+    // partial pre-shuffle group limit (the q_source_cap plan shape), so
+    // only <= TfidfTopN rows per doc reach the exchange, and N enters as a
+    // plan literal from the same scalar collect as q_bm25's stats.
+    sql("q_tfidf_terms", Seq("TA14"),
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM t),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |w AS (SELECT doc_id, tok, tf * ((n.n * 1000000) // df.df) AS w_q
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+        |r AS (SELECT doc_id, tok, w_q,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY w_q DESC, tok) AS rnk
+        |  FROM w)
+        |SELECT doc_id, rnk, tok, w_q FROM r WHERE rnk <= $TfidfTopN
+        |ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, dir).select(col("doc_id"), explode(toks).as("tok"))
+      val n = docs(s, dir).select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+      val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = t.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = tf.join(broadcast(df), Seq("tok"))
+        .select(col("doc_id"), col("tok"),
+          (col("tf") * expr(s"(${n}L * 1000000) DIV df")).as("w_q"))
+      w.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("w_q").desc, col("tok")))
+          .cast("long"))
+        .filter(col("rnk") <= TfidfTopN)
+        .select("doc_id", "rnk", "tok", "w_q")
+        .orderBy("doc_id", "rnk")
     }
   )
 

@@ -673,4 +673,70 @@ class TextPipelineSpec extends AnyFunSuite {
     // the signal discriminates: per-doc mean transition scores differ
     assert(got.map(t => t._3 / t._2).distinct.length > 1)
   }
+
+  test("BM25 matches integer-exact brute force and ranks the rare term first") {
+    import graft.queries.TextPipeline
+    val docRows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val n = docRows.length.toLong
+    val totTok = docRows.map(_._2.length.toLong).sum
+    val avgdl1000 = 1000L * totTok / n
+    val terms = TextPipeline.Bm25Terms
+    val dfm = terms.map(t => t -> docRows.count(_._2.contains(t)).toLong).toMap
+    val expect = docRows.flatMap { case (id, toks) =>
+      val dl = toks.length.toLong
+      val score = terms.map { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0L) 0L
+        else {
+          val idfQ = (2L * n - 2L * dfm(t) + 1L) * 1000000L / (2L * dfm(t) + 1L)
+          val tfnQ = (44L * tf * avgdl1000 * 1000000L) /
+            (20L * avgdl1000 * tf + 6L * avgdl1000 + 18000L * dl)
+          idfQ * tfnQ / 1000000L
+        }
+      }.sum
+      if (score > 0L) Some((id, score)) else None
+    }.sortBy { case (id, s) => (-s, id) }.take(20).toSeq
+    val got = run("q_bm25").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_q"))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+    // the rare term dominates: every doc containing it outranks every doc
+    // that only matched the common terms (idf gap >> tf saturation range)
+    val rare = terms.minBy(dfm)
+    val withRare = docRows.filter(_._2.contains(rare)).map(_._1).toSet
+    if (withRare.nonEmpty) {
+      val gotIds = got.map(_._1)
+      val lastRare = gotIds.lastIndexWhere(withRare.contains)
+      val firstCommon = gotIds.indexWhere(!withRare.contains(_))
+      assert(firstCommon == -1 || lastRare < firstCommon ||
+        withRare.size > 20,
+        s"rare-term docs should lead the ranking: $gotIds")
+    }
+  }
+
+  test("TF-IDF per-doc top terms match brute force with deterministic ties") {
+    import graft.queries.TextPipeline
+    val docRows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val n = docRows.length.toLong
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    docRows.foreach { case (_, t) =>
+      t.distinct.foreach(w => df(w) = df.getOrElse(w, 0L) + 1L)
+    }
+    val expect = docRows.flatMap { case (id, toks) =>
+      toks.groupBy(identity).map { case (w, g) =>
+        (w, g.length.toLong * (n * 1000000L / df(w)))
+      }.toSeq
+        .sortBy { case (w, wq) => (-wq, w) }.take(TextPipeline.TfidfTopN)
+        .zipWithIndex.map { case ((w, wq), i) => (id, i + 1L, w, wq) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = run("q_tfidf_terms").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk"),
+        r.getAs[String]("tok"), r.getAs[Long]("w_q"))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
 }
