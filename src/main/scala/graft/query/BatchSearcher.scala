@@ -79,16 +79,21 @@ object BatchSearcher {
   private def maxPoolRows(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.get(MaxPoolRowsKey, (4L << 20).toString).toLong
 
-  /** Phase-1 join shape (session conf). `true` (default): the candidate
-    * (query_id, doc_id) set — batch x (corpus/K) x nProbe rows, corpus-
-    * independent under the IVF K ~ sqrt(N) discipline — is BROADCAST into
-    * the context scan, so the corpus' codes column crosses no exchange:
-    * the only corpus-sized work left in a batch is the columnar codes
-    * scan itself. The duplicate-add dedup that used to run as a
-    * corpus-wide pre-join Aggregate (a full shuffle of every doc's codes
-    * per batch, the scale-killer this knob removes) now runs AFTER the
-    * join, over candidate-sized rows. `false`: shuffle-join fallback for
-    * mega-batches whose candidate set outgrows a sane broadcast. */
+  /** Phase-1 join shape (session conf). `true` (default): the batch's
+    * DISTINCT candidate doc_id set — bounded by the UNION of per-query
+    * candidate sets, 8 B/row — is BROADCAST into the context scan as a
+    * semi-join prune, so the corpus' codes column crosses no exchange
+    * (the only corpus-sized work left in a batch is the columnar codes
+    * scan itself); the (query_id, doc_id) pair assignment then joins the
+    * PRUNED, candidate-sized codes by shuffle. The duplicate-add dedup
+    * that used to run as a corpus-wide pre-join Aggregate (a full shuffle
+    * of every doc's codes per batch, the scale-killer this shape removes)
+    * runs on the pruned side. Broadcasting the distinct ids, not the
+    * pairs, matters at shape: 212 queries x 13k candidates at the
+    * 10M-doc/K=49152 profile is ~2.8M pairs (a >1 GiB driver collect that
+    * tripped maxResultSize when pairs were broadcast) vs ~1.3M distinct
+    * ids (~10 MiB). `false`: pure shuffle-join fallback for a batch whose
+    * candidate-id UNION approaches the corpus itself. */
   val BroadcastCandidatesKey = "graft.batch.broadcastCandidates"
   private def broadcastCandidates(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get(BroadcastCandidatesKey, "true").toBoolean
@@ -164,22 +169,31 @@ object BatchSearcher {
     // CarryResidualsKey for the measured trade.
     val carry = carryResiduals(spark) && opts.secondPass
     // context enters UNdeduplicated: the duplicate-add dedup runs after the
-    // candidate join over candidate-sized rows (arbitrary winner, the same
-    // semantics the old corpus-wide pre-join dropDuplicates had), so the
-    // corpus' codes never cross an exchange — with the broadcast join the
-    // whole phase-1 is one scan-side stage (see BroadcastCandidatesKey)
+    // broadcast semi-join prune over candidate-sized rows (arbitrary
+    // winner, the same semantics the old corpus-wide pre-join
+    // dropDuplicates had), so the corpus' codes never cross an exchange;
+    // the pair assignment join then runs over two candidate-sized sides
+    // (see BroadcastCandidatesKey for why the ids, not the pairs,
+    // broadcast)
     val ctxAll = idx.contextDf
       .filter(col("tenant") === tenant && col("field") === fid)
       .select(col("doc_id") +: col("doc_codes") +:
         (if (carry) Seq(col("doc_residuals")) else Nil): _*)
-    val candSide = if (broadcastCandidates(spark)) broadcast(candidates) else candidates
+    val ctxPruned =
+      if (broadcastCandidates(spark))
+        ctxAll.join(broadcast(candidates.select(col("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi")
+      else ctxAll
     val phase1Cols = Seq(col("query_id"), col("doc_id"),
       graft.functions.BatchCentroidScore(col("query_id"), col("doc_codes"),
         matrices, nc).as("score")) ++
       (if (carry) Seq(col("doc_codes"), col("doc_residuals")) else Nil)
-    val phase1 = ctxAll
-      .join(candSide, Seq("doc_id"))
-      .dropDuplicates("query_id", "doc_id")
+    // candidates is distinct (query_id, doc_id) and the pruned context is
+    // one row per doc_id after the dedup, so the pair join needs no
+    // further dedup
+    val phase1 = ctxPruned
+      .dropDuplicates("doc_id")
+      .join(candidates, Seq("doc_id"))
       .select(phase1Cols: _*)
 
     val w = Window.partitionBy(col("query_id"))

@@ -24,6 +24,10 @@ object ProfMain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // profiling harness runs with a large driver heap (SPARK_DRIVER_MEM);
+      // production-shape measurements legitimately collect >1 GiB (e.g.
+      // the A/B hatches that re-run deliberately-fat plan shapes)
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
