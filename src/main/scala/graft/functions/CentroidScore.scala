@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -10,18 +11,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * document's centroid codes (reference colbert_centroid_score,
   * lintdb/scoring/plaid.cpp:65-95) as a codegen'd Catalyst expression.
   *
-  * The per-query (numQueryTokens x numCentroids) score matrix is a plan
-  * constant attached via `addReferenceObj` — it ships once per stage with
-  * the task binary (same distribution cost as an explicit broadcast) and is
-  * read zero-copy per row. Replaces a Scala UDF on the hottest search path:
-  * no CatalystTypeConverters, no Seq[Long] materialization per candidate —
-  * the kernel reads the unsafe array data directly.
+  * Scores are computed LAZILY per (query token, doc code) pair as a
+  * sequential f32 inner product against the row-major centroid matrix,
+  * which ships as a REAL Spark broadcast — shipped to each executor once
+  * per index lifetime (it is cached on the IndexIVF handle and reused
+  * across queries and batches), never serialized into the task binary.
+  * The earlier design precomputed the full (numQueryTokens x numCentroids)
+  * score matrix on the driver and attached it as a plan constant via
+  * `addReferenceObj`; at production K that constant is K-proportional
+  * (786 KB/query at K=49152, and the batch twin shipped 212 x that =
+  * 159 MiB Java-deserialized per task — measured 4.1 s/query at the
+  * 10M-doc shape). The lazy dot moves the cost to the candidate rows:
+  * codes x nq x dim FLOPs per row, candidate-proportional and
+  * corpus/K-independent.
+  *
+  * Bit-parity: CoarseQuantizer.scoreBlock accumulates each centroid's
+  * score dim-ascending with one lane per centroid (no cross-lane
+  * reduction), i.e. exactly the op sequence of a sequential f32 dot —
+  * so the lazy dot reproduces the precomputed matrix entries bit-exactly
+  * (pinned by CentroidScoreSpec against Plaid.colbertCentroidScore over
+  * a scoreBlock matrix).
   */
 case class CentroidScore(
     child: Expression,
-    matrix: Array[Float],
+    queryFlat: Array[Float],
+    bcCentroids: Broadcast[Array[Float]],
     numQueryTokens: Int,
-    numCentroids: Int) extends UnaryExpression {
+    dim: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -35,14 +51,19 @@ case class CentroidScore(
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(codes: Any): Any =
-    CentroidScore.compute(codes.asInstanceOf[ArrayData], matrix,
-      numQueryTokens, numCentroids)
+    CentroidScore.computeDot(codes.asInstanceOf[ArrayData], queryFlat,
+      bcCentroids.value, numQueryTokens, dim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val matRef = ctx.addReferenceObj("centroidScoreMatrix", matrix, "float[]")
+    val qRef = ctx.addReferenceObj("centroidScoreQuery", queryFlat, "float[]")
+    val bcRef = ctx.addReferenceObj("centroidScoreBc", bcCentroids,
+      "org.apache.spark.broadcast.Broadcast")
+    // Broadcast.value() resolves to a cached lazy field after first touch —
+    // cheap enough per row, and keeps the generated class free of init-time
+    // state (mutable-state slots don't survive codegen splits cleanly)
     nullSafeCodeGen(ctx, ev, codes =>
-      s"${ev.value} = graft.functions.CentroidScore.compute(" +
-        s"$codes, $matRef, $numQueryTokens, $numCentroids);")
+      s"${ev.value} = graft.functions.CentroidScore.computeDot(" +
+        s"$codes, $qRef, (float[]) $bcRef.value(), $numQueryTokens, $dim);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CentroidScore =
@@ -52,13 +73,16 @@ case class CentroidScore(
 }
 
 /** Batch-search twin of [[CentroidScore]]: scores (query_id, doc_codes)
-  * pairs against a per-query matrix map attached as a plan constant — one
-  * expression serves the whole query batch with no UDF boxing. */
+  * pairs; the per-query token vectors ride in one small broadcast map
+  * (batch x nq x dim floats — shared with the phase-2 rerank UDF) and the
+  * centroid matrix in the per-index broadcast. Nothing K-proportional or
+  * batch-x-K-proportional ships with the plan. */
 case class BatchCentroidScore(
     left: Expression,
     right: Expression,
-    matrices: java.util.HashMap[java.lang.Long, (Array[Float], Int)],
-    numCentroids: Int)
+    bcQueries: Broadcast[Map[Long, Array[Float]]],
+    bcCentroids: Broadcast[Array[Float]],
+    dim: Int)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -74,14 +98,17 @@ case class BatchCentroidScore(
 
   override def nullSafeEval(qid: Any, codes: Any): Any =
     BatchCentroidScore.compute(qid.asInstanceOf[Long],
-      codes.asInstanceOf[ArrayData], matrices, numCentroids)
+      codes.asInstanceOf[ArrayData], bcQueries.value, bcCentroids.value, dim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val matRef = ctx.addReferenceObj("batchCentroidMatrices", matrices,
-      "java.util.HashMap")
+    val qRef = ctx.addReferenceObj("batchCentroidQueries", bcQueries,
+      "org.apache.spark.broadcast.Broadcast")
+    val bcRef = ctx.addReferenceObj("batchCentroidBc", bcCentroids,
+      "org.apache.spark.broadcast.Broadcast")
     nullSafeCodeGen(ctx, ev, (qid, codes) =>
       s"${ev.value} = graft.functions.BatchCentroidScore.compute(" +
-        s"$qid, $codes, $matRef, $numCentroids);")
+        s"$qid, $codes, (scala.collection.immutable.Map) $qRef.value(), " +
+        s"(float[]) $bcRef.value(), $dim);")
   }
 
   override protected def withNewChildrenInternal(
@@ -94,47 +121,52 @@ case class BatchCentroidScore(
 object BatchCentroidScore {
   import org.apache.spark.sql.graftbridge.Bridge
 
-  /** @param matrices qid -> (row-major nq x nc float matrix, nq) */
+  /** @param bcQueries qid -> row-major (nq x dim) flattened query tokens */
   def apply(qid: Column, codes: Column,
-      matrices: Map[Long, (Array[Float], Int)], nc: Int): Column = {
-    val jm = new java.util.HashMap[java.lang.Long, (Array[Float], Int)]()
-    matrices.foreach { case (k, v) => jm.put(k, v) }
+      bcQueries: Broadcast[Map[Long, Array[Float]]],
+      bcCentroids: Broadcast[Array[Float]], dim: Int): Column =
     Bridge.column(BatchCentroidScore(
-      Bridge.expression(qid), Bridge.expression(codes), jm, nc))
-  }
+      Bridge.expression(qid), Bridge.expression(codes), bcQueries, bcCentroids, dim))
 
-  def compute(qid: Long, codes: ArrayData,
-      mats: java.util.HashMap[java.lang.Long, (Array[Float], Int)], nc: Int): Double = {
-    val e = mats.get(qid)
-    require(e != null, s"no score matrix for query_id $qid")
-    CentroidScore.compute(codes, e._1, e._2, nc)
+  def compute(qid: Long, codes: ArrayData, queries: Map[Long, Array[Float]],
+      cent: Array[Float], dim: Int): Double = {
+    val q = queries.getOrElse(qid,
+      throw new IllegalArgumentException(s"no query tokens for query_id $qid"))
+    CentroidScore.computeDot(codes, q, cent, q.length / dim, dim)
   }
 }
 
 object CentroidScore {
   import org.apache.spark.sql.graftbridge.Bridge
 
-  def apply(codes: Column, matrix: Array[Float], nq: Int, nc: Int): Column =
-    Bridge.column(CentroidScore(Bridge.expression(codes), matrix, nq, nc))
+  def apply(codes: Column, queryFlat: Array[Float],
+      bcCentroids: Broadcast[Array[Float]], nq: Int, dim: Int): Column =
+    Bridge.column(CentroidScore(Bridge.expression(codes), queryFlat,
+      bcCentroids, nq, dim))
 
-  /** The kernel over raw ArrayData — results identical to
-    * Plaid.colbertCentroidScore; static + JIT-friendly so generated code
-    * stays a one-liner. The reference's unique-code set (plaid.cpp:75-87)
-    * is dropped here: per-token MAX is idempotent, so deduping repeated
-    * codes cannot change the result — it only trades a few redundant float
-    * compares for a per-row HashSet allocation and one boxed Long per code,
-    * which is the wrong trade on the per-candidate hot loop. */
-  def compute(codes: ArrayData, m: Array[Float], nq: Int, nc: Int): Double = {
+  /** The kernel over raw ArrayData — results bit-identical to
+    * Plaid.colbertCentroidScore over a CoarseQuantizer.scoreBlock matrix;
+    * static + JIT-friendly so generated code stays a one-liner. The
+    * reference's unique-code set (plaid.cpp:75-87) is dropped here:
+    * per-token MAX is idempotent, so deduping repeated codes cannot change
+    * the result — it only trades a few redundant dots for a per-row
+    * HashSet allocation and one boxed Long per code, which is the wrong
+    * trade on the per-candidate hot loop (typical docs repeat few codes). */
+  def computeDot(codes: ArrayData, q: Array[Float], cent: Array[Float],
+      nq: Int, dim: Int): Double = {
     val perToken = new Array[Float](nq)
     java.util.Arrays.fill(perToken, -9999.0f)
     val n = codes.numElements()
     var j = 0
     while (j < n) {
-      val base = codes.getLong(j).toInt
+      val base = codes.getLong(j).toInt * dim
       var k = 0
       while (k < nq) {
-        val s = m(k * nc + base)
-        if (s > perToken(k)) perToken(k) = s
+        val qo = k * dim
+        var acc = 0.0f
+        var i = 0
+        while (i < dim) { acc += q(qo + i) * cent(base + i); i += 1 }
+        if (acc > perToken(k)) perToken(k) = acc
         k += 1
       }
       j += 1

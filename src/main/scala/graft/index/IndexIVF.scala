@@ -67,6 +67,36 @@ final class IndexIVF private (
   var coarse: Map[String, CoarseQuantizer] = Map.empty
   var quantizers: Map[String, Quantizer] = Map.empty
 
+  /** Row-major (numCentroids x dim) centroid matrix as a REAL Spark
+    * broadcast, built lazily and cached per field for the lifetime of this
+    * handle (keyed by CoarseQuantizer identity, so a retrain that swaps
+    * [[coarse]] transparently rebuilds). Shipped to each executor ONCE and
+    * reused by every query and batch — the scoring expressions read it via
+    * the broadcast handle instead of a K-proportional plan constant, which
+    * at K=49152 cost a 159 MiB task binary deserialized per task (measured
+    * 4.1 s/query at the 10M-doc batch shape before this). */
+  @transient private lazy val centroidBcastCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (CoarseQuantizer, org.apache.spark.broadcast.Broadcast[Array[Float]])]()
+  def centroidBroadcast(field: String): org.apache.spark.broadcast.Broadcast[Array[Float]] = {
+    val cq = coarse.getOrElse(field,
+      throw new IllegalStateException(s"field $field is not trained"))
+    val cached = centroidBcastCache.get(field)
+    if (cached != null && (cached._1 eq cq)) cached._2
+    else {
+      val d = cq.dim
+      val flat = new Array[Float](cq.numCentroids * d)
+      var c = 0
+      while (c < cq.numCentroids) {
+        System.arraycopy(cq.centroids(c), 0, flat, c * d, d)
+        c += 1
+      }
+      val b = spark.sparkContext.broadcast(flat)
+      centroidBcastCache.put(field, (cq, b))
+      b
+    }
+  }
+
   import IndexIVF._
 
   private def p(name: String) = s"$path/$name"

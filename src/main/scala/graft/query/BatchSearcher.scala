@@ -25,18 +25,6 @@ object BatchSearcher {
     * partition-level centroid_bucket filter is always pushed). */
   val MaxCentroidInList = 256
 
-  /** Upper bound (bytes, session conf) on the batch's per-query score
-    * matrices, which ride the phase-1 stage as ONE task-serialized plan
-    * constant sized batch x numQueryTokens x numCentroids x 4B. Locally
-    * (16-64 centroids) that is KBs even at batch 1024; on a production
-    * index (65536 centroids, 32-token queries) it is ~8 MB per query, and
-    * an unsplit mega-batch would serialize gigabytes into every task
-    * binary. The guard converts that silent executor OOM into an explicit
-    * "split the batch" error at plan time. */
-  val MaxMatrixBytesKey = "graft.batch.maxMatrixBytes"
-  private def maxMatrixBytes(spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.get(MaxMatrixBytesKey, (512L << 20).toString).toLong
-
   /** Rerank-input shape (session conf). `false` (default): the phase-2 pool
     * is collected after the per-query window cut and the residuals come
     * from a SECOND, statically id-pruned context multiget (see
@@ -131,15 +119,17 @@ object BatchSearcher {
       probes.map(c => (qid, c))
     }.toSeq.toDF("query_id", "centroid")
 
-    val matrixBytes = plans.map { case (_, _, m, _) => m.length * 4L }.sum
-    require(matrixBytes <= maxMatrixBytes(spark),
-      s"batch score matrices would be $matrixBytes bytes as a plan constant " +
-        s"(limit ${maxMatrixBytes(spark)}; ${plans.length} queries x " +
-        s"$nc centroids): split the batch into smaller searchBatch calls " +
-        s"or raise $MaxMatrixBytesKey")
-    val matrices = plans.map { case (qid, toks, m, _) => qid -> ((m, toks.length)) }.toMap
+    // per-query token vectors ride in ONE small broadcast (batch x nq x dim
+    // floats, ~0.4 MiB for 212 queries) shared by the phase-1 scoring
+    // expression and the phase-2 rerank UDF; the centroid matrix rides in
+    // the per-index cached broadcast. The earlier design shipped the
+    // precomputed per-query (nq x numCentroids) score matrices as a plan
+    // constant — batch x K-proportional (159 MiB at 212 queries/K=49152),
+    // Java-deserialized per task, measured 4.1 s/query at the 10M-doc
+    // shape. Nothing K-proportional ships with the plan now.
     val bQueries = spark.sparkContext.broadcast(
       plans.map { case (qid, toks, _, _) => qid -> toks.flatten }.toMap)
+    val bcCent = idx.centroidBroadcast(field)
 
     // the UNION of all queries' probes is known at plan time: push it into
     // the scan as static bucket/centroid predicates (partition + row-group
@@ -163,8 +153,8 @@ object BatchSearcher {
       .join(broadcast(probeDf), Seq("centroid"))
       .select(col("query_id"), col("doc_id")).distinct()
 
-    // phase-1: native codegen'd expression; all per-query matrices ride as
-    // ONE stage-level plan constant keyed by query_id (no UDF boxing on the
+    // phase-1: native codegen'd expression scoring each (token, code) pair
+    // lazily against the broadcast centroid matrix (no UDF boxing on the
     // (query x candidate) hot loop). Residuals optionally ride along — see
     // CarryResidualsKey for the measured trade.
     val carry = carryResiduals(spark) && opts.secondPass
@@ -186,7 +176,7 @@ object BatchSearcher {
       else ctxAll
     val phase1Cols = Seq(col("query_id"), col("doc_id"),
       graft.functions.BatchCentroidScore(col("query_id"), col("doc_codes"),
-        matrices, nc).as("score")) ++
+        bQueries, bcCent, dim).as("score")) ++
       (if (carry) Seq(col("doc_codes"), col("doc_residuals")) else Nil)
     // candidates is distinct (query_id, doc_id) and the pruned context is
     // one row per doc_id after the dedup, so the pair join needs no

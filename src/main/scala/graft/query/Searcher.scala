@@ -489,18 +489,27 @@ object Searcher {
       throw new IllegalStateException(s"field ${v.field} is not trained"))
     val nc = cq.numCentroids
     val nq = v.queryTokens.length
+    val dim = cq.dim
     val (scoreMatrix, _) = queryPlan(idx, v, opts)
 
     val candidates = restricted(postingCandidates(idx, tenant, v, opts), restrict)
 
-    // phase-1 scoring: the PLAID path is a native codegen'd expression (the
-    // matrix rides as a stage-level plan constant — no UDF boxing on the
-    // hottest per-candidate loop); the CODES variant stays a UDF (broadcast
-    // thresholded per-centroid maxima)
+    // phase-1 scoring: the PLAID path is a native codegen'd expression —
+    // the query tokens (nq x dim, ~16 KB) ride as a plan constant, the
+    // centroid matrix via the per-index cached broadcast, and each
+    // (token, code) dot is computed lazily per candidate row (bit-identical
+    // to the old precomputed nq x nc matrix, whose plan-constant size grew
+    // with K — see CentroidScore's scaladoc); the CODES variant stays a UDF
+    // (broadcast thresholded per-centroid maxima)
     val scoreCol: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       opts.embeddingScoring match {
         case EmbeddingScoring.PLAID =>
-          codes => graft.functions.CentroidScore(codes, scoreMatrix, nq, nc)
+          val queryFlat = new Array[Float](nq * dim)
+          v.queryTokens.zipWithIndex.foreach { case (tok, i) =>
+            System.arraycopy(tok, 0, queryFlat, i * dim, dim)
+          }
+          val bcCent = idx.centroidBroadcast(v.field)
+          codes => graft.functions.CentroidScore(codes, queryFlat, bcCent, nq, dim)
         case EmbeddingScoring.CODES =>
           val maxByCentroid = Plaid.maxScoreByCentroid(
             Array.tabulate(nq * nc)(i => i % nc), scoreMatrix, nc)

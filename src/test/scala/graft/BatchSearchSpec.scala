@@ -56,14 +56,8 @@ class BatchSearchSpec extends AnyFunSuite {
       queryIds.foreach(qid => assert(carried(qid) == batch(qid),
         s"carry-residuals shape diverged for query $qid"))
     } finally spark.conf.unset(BatchSearcher.CarryResidualsKey)
-
-    // matrix plan-constant guard: an over-limit batch fails at plan time
-    // with a split-the-batch error, never serializing the payload into tasks
-    spark.conf.set(BatchSearcher.MaxMatrixBytesKey, "16")
-    try {
-      val e = intercept[IllegalArgumentException](
-        BatchSearcher.searchBatch(idx, 1, "colbert", queriesDf, k = 5, opts))
-      assert(e.getMessage.contains("split the batch"))
-    } finally spark.conf.unset(BatchSearcher.MaxMatrixBytesKey)
+    // (the old MaxMatrixBytes plan-constant guard is gone with the plan
+    // constant itself: phase-1 now reads the centroid matrix through the
+    // per-index broadcast, so nothing K-proportional ships with the plan)
   }
 }

@@ -1,27 +1,42 @@
 package graft
 
-import graft.functions.CentroidScore
+import graft.functions.{BatchCentroidScore, CentroidScore}
+import graft.quantizers.CoarseQuantizer
 import graft.scoring.Plaid
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The native phase-1 expression must be bit-identical to the Plaid kernel
-  * it replaced, and must run inside whole-stage codegen. */
+/** The native phase-1 expression computes each (token, code) dot lazily
+  * against the broadcast centroid matrix — it must be bit-identical to the
+  * Plaid kernel over a precomputed CoarseQuantizer.scoreBlock matrix (the
+  * plan-constant design it replaced), and must run inside whole-stage
+  * codegen. */
 class CentroidScoreSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   val rnd = new scala.util.Random(11L)
   val nq = 4
   val nc = 8
-  val matrix = Array.fill(nq * nc)(rnd.nextFloat() * 2 - 1)
+  val dim = 16
+  val centroids = Array.fill(nc)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+  val queryFlat = Array.fill(nq * dim)(rnd.nextFloat() * 2 - 1)
+  // the precomputed-matrix twin the lazy dot must reproduce bit-exactly
+  lazy val matrix = new CoarseQuantizer(centroids).scoreBlock(queryFlat, nq)
+  lazy val bcCent = {
+    val flat = new Array[Float](nc * dim)
+    centroids.zipWithIndex.foreach { case (c, i) =>
+      System.arraycopy(c, 0, flat, i * dim, dim)
+    }
+    spark.sparkContext.broadcast(flat)
+  }
 
-  test("expression matches Plaid.colbertCentroidScore on random code lists") {
+  test("lazy dot matches Plaid over a scoreBlock matrix on random code lists") {
     import spark.implicits._
     val rows = (0 until 200).map { i =>
       (i.toLong, Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(nc).toLong))
     }
     val df = rows.toDF("id", "codes")
-      .select(col("id"), CentroidScore(col("codes"), matrix, nq, nc).as("s"))
+      .select(col("id"), CentroidScore(col("codes"), queryFlat, bcCent, nq, dim).as("s"))
     val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     rows.foreach { case (id, codes) =>
       val expected = Plaid.colbertCentroidScore(codes.toArray, matrix, nq, nc).toDouble
@@ -29,11 +44,32 @@ class CentroidScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("batch expression routes each query_id to its own token vectors") {
+    import spark.implicits._
+    val q2 = Array.fill(2 * dim)(rnd.nextFloat() * 2 - 1) // nq=2 second query
+    val bq = spark.sparkContext.broadcast(Map(7L -> queryFlat, 8L -> q2))
+    val m2 = new CoarseQuantizer(centroids).scoreBlock(q2, 2)
+    val rows = (0 until 100).map { i =>
+      (if (i % 2 == 0) 7L else 8L,
+        Seq.fill(1 + rnd.nextInt(6))(rnd.nextInt(nc).toLong), i)
+    }
+    val df = rows.toDF("qid", "codes", "i")
+      .select(col("i"), col("qid"),
+        BatchCentroidScore(col("qid"), col("codes"), bq, bcCent, dim).as("s"))
+    val got = df.collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    rows.foreach { case (qid, codes, i) =>
+      val expected =
+        if (qid == 7L) Plaid.colbertCentroidScore(codes.toArray, matrix, nq, nc)
+        else Plaid.colbertCentroidScore(codes.toArray, m2, 2, nc)
+      assert(got(i) == expected.toDouble, s"row $i qid $qid")
+    }
+  }
+
   test("expression stays inside WholeStageCodegen") {
     // a range source (a local Seq constant-folds to LocalTableScan)
     val df = spark.range(100)
       .select(CentroidScore(
-        sequence(lit(0L), col("id") % (nc - 1)), matrix, nq, nc).as("s"))
+        sequence(lit(0L), col("id") % (nc - 1)), queryFlat, bcCent, nq, dim).as("s"))
     val plan = df.queryExecution.executedPlan.toString
     // the `*(n)` operator prefix marks WholeStageCodegen participation
     assert(plan.contains("*(1) Project [graft_centroid_score"), plan)
@@ -44,7 +80,7 @@ class CentroidScoreSpec extends AnyFunSuite {
     import spark.implicits._
     val df = Seq((1L, Option.empty[Seq[Long]]), (2L, Some(Seq(0L))))
       .toDF("id", "codes")
-      .select(col("id"), CentroidScore(col("codes"), matrix, nq, nc).as("s"))
+      .select(col("id"), CentroidScore(col("codes"), queryFlat, bcCent, nq, dim).as("s"))
     val rows = df.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(rows(1L) && !rows(2L))
   }
