@@ -50,20 +50,28 @@ case class CentroidScore(
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  // Broadcast.getValue() is a SYNCHRONIZED method (SoftReference
+  // memoization) — it must be resolved once per task/expression instance,
+  // never per row: 32 threads contending on the one broadcast monitor
+  // serialized the whole scoring stage (measured 387 s for a 2.8M-pair
+  // phase-1 at the 10M-doc shape before this was hoisted).
+  @transient private lazy val centLocal: Array[Float] = bcCentroids.value
+
   override def nullSafeEval(codes: Any): Any =
     CentroidScore.computeDot(codes.asInstanceOf[ArrayData], queryFlat,
-      bcCentroids.value, numQueryTokens, dim)
+      centLocal, numQueryTokens, dim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val qRef = ctx.addReferenceObj("centroidScoreQuery", queryFlat, "float[]")
     val bcRef = ctx.addReferenceObj("centroidScoreBc", bcCentroids,
       "org.apache.spark.broadcast.Broadcast")
-    // Broadcast.value() resolves to a cached lazy field after first touch —
-    // cheap enough per row, and keeps the generated class free of init-time
-    // state (mutable-state slots don't survive codegen splits cleanly)
+    // hoist the synchronized Broadcast.value() call into the generated
+    // class's init (once per task) — see centLocal
+    val centVar = ctx.addMutableState("float[]", "centroidMatrix",
+      v => s"$v = (float[]) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, codes =>
       s"${ev.value} = graft.functions.CentroidScore.computeDot(" +
-        s"$codes, $qRef, (float[]) $bcRef.value(), $numQueryTokens, $dim);")
+        s"$codes, $qRef, $centVar, $numQueryTokens, $dim);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CentroidScore =
@@ -96,19 +104,27 @@ case class BatchCentroidScore(
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  // per-task resolution of the synchronized Broadcast.getValue() — see
+  // CentroidScore.centLocal
+  @transient private lazy val queriesLocal: Map[Long, Array[Float]] = bcQueries.value
+  @transient private lazy val centLocal: Array[Float] = bcCentroids.value
+
   override def nullSafeEval(qid: Any, codes: Any): Any =
     BatchCentroidScore.compute(qid.asInstanceOf[Long],
-      codes.asInstanceOf[ArrayData], bcQueries.value, bcCentroids.value, dim)
+      codes.asInstanceOf[ArrayData], queriesLocal, centLocal, dim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val qRef = ctx.addReferenceObj("batchCentroidQueries", bcQueries,
       "org.apache.spark.broadcast.Broadcast")
     val bcRef = ctx.addReferenceObj("batchCentroidBc", bcCentroids,
       "org.apache.spark.broadcast.Broadcast")
+    val qVar = ctx.addMutableState("scala.collection.immutable.Map", "batchQueryVecs",
+      v => s"$v = (scala.collection.immutable.Map) $qRef.value();")
+    val centVar = ctx.addMutableState("float[]", "centroidMatrix",
+      v => s"$v = (float[]) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, (qid, codes) =>
       s"${ev.value} = graft.functions.BatchCentroidScore.compute(" +
-        s"$qid, $codes, (scala.collection.immutable.Map) $qRef.value(), " +
-        s"(float[]) $bcRef.value(), $dim);")
+        s"$qid, $codes, $qVar, $centVar, $dim);")
   }
 
   override protected def withNewChildrenInternal(

@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Grouped top-k as a bounded min-heap aggregate: per group, keep the k
+  * best (doc_id, score) entries under the total order (score desc, doc_id
+  * asc), deduplicating doc_id inside the heap.
+  *
+  * This is the scale shape for the batch phase-1 pool cut. The window
+  * (`row_number().over(partitionBy(query_id).orderBy(score desc, doc_id))`)
+  * it replaces SORTS every candidate row: at a high-fan-out probe profile
+  * (10M docs, K=49152, 2-iteration centroids) a 212-query batch produced
+  * ~1.0e9 candidate pairs, and the window path's full per-partition sorts
+  * spilled 73-81 GB per stage — wall time 387-480 s. The heap aggregate is
+  * one streaming pass: O(1) threshold reject for the overwhelming majority
+  * of rows, O(k) insert for the few that qualify, O(k^2) only at partial-
+  * heap merges (numPartitions x numQueries of them, all tiny). No sort, no
+  * spill, and the shuffle moves only numQueries x k partial heaps.
+  *
+  * Dedup semantics: candidates arrive once per (doc token x probed
+  * centroid) hit, i.e. the same (query, doc) repeats with an IDENTICAL
+  * score (the score is a pure function of the pair). The heap keeps at most
+  * one entry per doc_id: a duplicate whose twin is still in the heap is
+  * dropped on the O(k) membership scan; one whose twin was evicted fails
+  * the threshold test by the same total order that evicted the twin. The
+  * result is the exact top-k of the DISTINCT pair set — bit-identical to
+  * dropDuplicates + window + rank<=k — which lets the caller skip the
+  * corpus-scale pair `distinct()` entirely (its partial aggregate degraded
+  * to pass-through at 1e9 rows and spilled 73 GB).
+  *
+  * Returns array<struct<doc_id:long, score:double>> sorted by
+  * (score desc, doc_id asc) — explode to rows.
+  */
+case class TopKByScore(
+    docId: Expression,
+    score: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKHeap] {
+
+  require(k > 0, s"top-k needs k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(docId, score)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
+
+  override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
+    val d = docId.eval(input)
+    val s = score.eval(input)
+    // null doc/score rows cannot rank (the pool cut's inputs are inner-join
+    // products and never null; mirror the window's null-last behavior by
+    // dropping them)
+    if (d != null && s != null)
+      buf.insert(d.asInstanceOf[Long], s.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: TopKHeap, other: TopKHeap): TopKHeap = {
+    var i = 0
+    while (i < other.size) {
+      buf.insert(other.ids(i), other.scores(i))
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: TopKHeap): Any = {
+    val order = Array.range(0, buf.size).sortBy(i => (-buf.scores(i), buf.ids(i)))
+    new GenericArrayData(order.map { i =>
+      InternalRow(buf.ids(i), buf.scores(i))
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: TopKHeap): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.ids(i)); bb.putDouble(buf.scores(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val h = new TopKHeap(k)
+    var i = 0
+    while (i < n) { h.insert(bb.getLong, bb.getDouble); i += 1 }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(docId = newChildren(0), score = newChildren(1))
+
+  override def prettyName: String = "graft_topk_by_score"
+}
+
+object TopKByScore {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def apply(docId: Column, score: Column, k: Int): Column =
+    Bridge.column(TopKByScore(
+      Bridge.expression(docId), Bridge.expression(score), k)
+      .toAggregateExpression())
+}
+
+/** Flat-array min-heap of (doc_id, score) keeping the k LARGEST entries
+  * under (score, -doc_id) — the root is the WORST kept entry, evicted when
+  * a better candidate arrives. `better(a, b)` = a ranks above b in the
+  * final (score desc, doc_id asc) output order. */
+final class TopKHeap(val k: Int) {
+  val ids = new Array[Long](k)
+  val scores = new Array[Double](k)
+  var size = 0
+
+  @inline private def better(s1: Double, d1: Long, s2: Double, d2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && d1 < d2)
+
+  def insert(d: Long, s: Double): Unit = {
+    if (size == k && !better(s, d, scores(0), ids(0))) return // fails threshold
+    // O(k) membership scan — reached only by rows that would qualify
+    var i = 0
+    while (i < size) { if (ids(i) == d) return; i += 1 }
+    if (size < k) {
+      // sift up from the bottom
+      var c = size
+      ids(c) = d; scores(c) = s
+      size += 1
+      while (c > 0) {
+        val p = (c - 1) >> 1
+        if (better(scores(p), ids(p), scores(c), ids(c))) {
+          val ts = scores(p); val td = ids(p)
+          scores(p) = scores(c); ids(p) = ids(c)
+          scores(c) = ts; ids(c) = td
+          c = p
+        } else return
+      }
+    } else {
+      // replace root (the worst kept), sift down
+      ids(0) = d; scores(0) = s
+      var c = 0
+      while (true) {
+        val l = 2 * c + 1
+        val r = l + 1
+        var w = c
+        if (l < size && better(scores(w), ids(w), scores(l), ids(l))) w = l
+        if (r < size && better(scores(w), ids(w), scores(r), ids(r))) w = r
+        if (w == c) return
+        val ts = scores(w); val td = ids(w)
+        scores(w) = scores(c); ids(w) = ids(c)
+        scores(c) = ts; ids(c) = td
+        c = w
+      }
+    }
+  }
+}

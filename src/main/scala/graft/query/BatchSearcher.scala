@@ -86,6 +86,50 @@ object BatchSearcher {
   private def broadcastCandidates(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get(BroadcastCandidatesKey, "true").toBoolean
 
+  /** Pool-cut shape (session conf). `true` (default): the per-query
+    * numSecondPass cut is a bounded-heap aggregate ([[graft.functions
+    * .TopKByScore]]) — one streaming pass, no sort, no pair distinct;
+    * `false`: the window/row_number hatch (and the forced shape when
+    * residuals ride through the cut, which the heap cannot carry). */
+  val PoolHeapKey = "graft.batch.poolHeap"
+  private def poolHeap(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get(PoolHeapKey, "true").toBoolean
+
+  /** Row-count gate for broadcasting the deduplicated doc -> codes context
+    * relation into the phase-1 candidate stream. At 4 codes/doc a row is
+    * ~70 B in the hashed relation: the 16M default is ~1.1 GB on each
+    * executor — sized for the 8-16 GiB executors of a production cluster;
+    * above it phase-1 falls back to the semi-join + shuffle-join shape. */
+  val BroadcastContextMaxRowsKey = "graft.batch.broadcastContextMaxRows"
+  private def broadcastContextMaxRows(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get(BroadcastContextMaxRowsKey, (16L * 1000 * 1000).toString).toLong
+
+  /** Partition count for the round-robin spread of the pruned postings
+    * stream ahead of the map-side fan-out joins (0 disables). Default
+    * 8 x cores: fine enough that one hot centroid bucket cannot occupy a
+    * core for 8x the mean task time. */
+  val FanoutPartitionsKey = "graft.batch.fanoutPartitions"
+  private def fanoutPartitions(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get(FanoutPartitionsKey,
+      (spark.sparkContext.defaultParallelism * 8).toString).toInt
+
+  /** groupBy(query_id) -> bounded-heap top-nsp -> explode back to
+    * (query_id, doc_id, score) rows. Raises the ObjectHashAggregate
+    * sort-fallback threshold (default 128 KEYS) above any sane batch size:
+    * falling back would re-introduce the full candidate-stream sort the
+    * heap exists to avoid. Session-wide by necessity — the conf is read at
+    * execution, after this function returns its lazy plan. */
+  private def groupTopK(scored: DataFrame, nsp: Int): DataFrame = {
+    val spark = scored.sparkSession
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (spark.conf.get(key, "128").toInt < 65536) spark.conf.set(key, "65536")
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore(col("doc_id"), col("score"), nsp).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("e"))
+      .select(col("query_id"), col("e.doc_id").as("doc_id"),
+        col("e.score").as("score"))
+  }
+
   /** @param queries one row per query: (query_id: long,
     *                tokens: array<array<float>>) */
   def searchBatch(idx: IndexIVF, tenant: Long, field: String, queries: DataFrame,
@@ -149,47 +193,79 @@ object BatchSearcher {
       if (allProbes.length <= MaxCentroidInList)
         bucketPruned.filter(col("centroid").isin(allProbes: _*))
       else bucketPruned
-    val candidates = scanned
-      .join(broadcast(probeDf), Seq("centroid"))
-      .select(col("query_id"), col("doc_id")).distinct()
-
     // phase-1: native codegen'd expression scoring each (token, code) pair
     // lazily against the broadcast centroid matrix (no UDF boxing on the
     // (query x candidate) hot loop). Residuals optionally ride along — see
     // CarryResidualsKey for the measured trade.
     val carry = carryResiduals(spark) && opts.secondPass
-    // context enters UNdeduplicated: the duplicate-add dedup runs after the
-    // broadcast semi-join prune over candidate-sized rows (arbitrary
-    // winner, the same semantics the old corpus-wide pre-join
-    // dropDuplicates had), so the corpus' codes never cross an exchange;
-    // the pair assignment join then runs over two candidate-sized sides
-    // (see BroadcastCandidatesKey for why the ids, not the pairs,
-    // broadcast)
+    val scoreCol = graft.functions.BatchCentroidScore(col("query_id"),
+      col("doc_codes"), bQueries, bcCent, dim).as("score")
     val ctxAll = idx.contextDf
       .filter(col("tenant") === tenant && col("field") === fid)
       .select(col("doc_id") +: col("doc_codes") +:
         (if (carry) Seq(col("doc_residuals")) else Nil): _*)
-    val ctxPruned =
-      if (broadcastCandidates(spark))
-        ctxAll.join(broadcast(candidates.select(col("doc_id")).distinct()),
-          Seq("doc_id"), "left_semi")
-      else ctxAll
-    val phase1Cols = Seq(col("query_id"), col("doc_id"),
-      graft.functions.BatchCentroidScore(col("query_id"), col("doc_codes"),
-        bQueries, bcCent, dim).as("score")) ++
-      (if (carry) Seq(col("doc_codes"), col("doc_residuals")) else Nil)
-    // candidates is distinct (query_id, doc_id) and the pruned context is
-    // one row per doc_id after the dedup, so the pair join needs no
-    // further dedup
-    val phase1 = ctxPruned
-      .dropDuplicates("doc_id")
-      .join(candidates, Seq("doc_id"))
-      .select(phase1Cols: _*)
+
+    val heap = poolHeap(spark) && !carry
+    // the broadcast-context gate reads only parquet footer counts (no data
+    // pages) — one cheap metadata job per batch
+    val bcastCtx = heap &&
+      idx.contextDf.count() <= broadcastContextMaxRows(spark)
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    val pool = phase1.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= opts.numSecondPass).drop("rn")
+    val pool: DataFrame = if (bcastCtx) {
+      // MAP-SIDE phase-1 (the high-fan-out scale shape): probe map and the
+      // deduplicated doc -> codes relation both broadcast, so the
+      // (query, doc) candidate stream — which at a skewed probe profile
+      // reaches ~1e9 pairs for a 212-query batch (10M docs, K=49152) —
+      // flows scan -> BHJ -> BHJ -> score -> partial heap aggregate inside
+      // ONE stage with no shuffle, no sort, and no pair-level distinct
+      // (TopKByScore dedups doc_id inside the heap; see its scaladoc for
+      // why that is exactly distinct + window + rank<=nsp). The window
+      // path this replaces sorted the full candidate stream per partition
+      // and spilled 73-81 GB per stage at that shape (387-480 s; heap
+      // path measured far below). Only numQueries x nsp partial-heap rows
+      // cross the one remaining (tiny) shuffle.
+      // round-robin the THIN pruned postings first: hot centroids
+      // concentrate the join fan-out on the few scan splits holding them
+      // (observed: 8/32 cores busy on stragglers at the 10M shape), and
+      // with no shuffle downstream AQE cannot re-split. The exchange moves
+      // only (doc_id, centroid) rows — never the fanned-out pairs.
+      val fanParts = fanoutPartitions(spark)
+      val spread = if (fanParts > 0) scanned.repartition(fanParts) else scanned
+      val pairs = spread
+        .join(broadcast(probeDf), Seq("centroid"))
+        .select(col("query_id"), col("doc_id"))
+      val scored = pairs
+        .join(broadcast(ctxAll.dropDuplicates("doc_id")), Seq("doc_id"))
+        .select(col("query_id"), col("doc_id"), scoreCol)
+      groupTopK(scored, opts.numSecondPass)
+    } else {
+      // shuffle shape for a corpus whose thin context outgrows a sane
+      // broadcast: distinct pairs, semi-join prune of the context scan,
+      // pair join, then the heap cut (or the window when residuals must
+      // ride through the cut — the heap carries no payload columns)
+      val candidates = scanned
+        .join(broadcast(probeDf), Seq("centroid"))
+        .select(col("query_id"), col("doc_id")).distinct()
+      val ctxPruned =
+        if (broadcastCandidates(spark))
+          ctxAll.join(broadcast(candidates.select(col("doc_id")).distinct()),
+            Seq("doc_id"), "left_semi")
+        else ctxAll
+      val phase1Cols = Seq(col("query_id"), col("doc_id"), scoreCol) ++
+        (if (carry) Seq(col("doc_codes"), col("doc_residuals")) else Nil)
+      // candidates is distinct (query_id, doc_id) and the pruned context is
+      // one row per doc_id after the dedup, so the pair join needs no
+      // further dedup
+      val phase1 = ctxPruned
+        .dropDuplicates("doc_id")
+        .join(candidates, Seq("doc_id"))
+        .select(phase1Cols: _*)
+      if (heap) groupTopK(phase1, opts.numSecondPass)
+      else phase1.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= opts.numSecondPass).drop("rn")
+    }
 
     val bq = spark.sparkContext.broadcast(idx.quantizers(field))
     val rerankUdf = udf { (qid: Long, codes: Seq[Long], residuals: Array[Byte]) =>

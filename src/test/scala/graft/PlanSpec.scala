@@ -305,6 +305,16 @@ class PlanSpec extends AnyFunSuite {
         s"phase-1 candidate join is not a broadcast into the context scan:\n$all")
       assert(p1.forall(p => !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")),
         s"phase-1 shuffles the corpus context for the candidate join:\n$all")
+      // pool cut shape: the per-query numSecondPass cut is the bounded-heap
+      // aggregate (ObjectHashAggregate over graft_topk_by_score) — a Window
+      // in the phase-1 plan would mean the full candidate stream is sorted
+      // (the 73-81 GB/stage spill shape at the 10M-doc high-fan-out profile)
+      assert(p1.exists(p => p.contains("ObjectHashAggregate") &&
+        p.contains("graft_topk_by_score")),
+        s"phase-1 pool cut is not the bounded-heap aggregate:\n$all")
+      assert(p1.forall(p => !p.contains("RunningWindowFunction") &&
+        !p.contains("Window [row_number")),
+        s"phase-1 pool cut fell back to a full window sort:\n$all")
     } finally spark.listenerManager.unregister(listener)
   }
 

@@ -23,7 +23,9 @@ object ProfMain {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      // GRAFT_PROF_UI=1 exposes the UI/REST API on :4040 for live stage
+      // attribution of a long profiling phase
+      .config("spark.ui.enabled", sys.env.getOrElse("GRAFT_PROF_UI", "0") == "1")
       // profiling harness runs with a large driver heap (SPARK_DRIVER_MEM);
       // production-shape measurements legitimately collect >1 GiB (e.g.
       // the A/B hatches that re-run deliberately-fat plan shapes)
@@ -584,6 +586,73 @@ object ProfMain {
         Seq("postings", "context", "docs").foreach { t =>
           val (dirs, files) = layoutB(t)
           println(s"[prof] layout $t: $dirs bucket dirs, $files parquet files")
+        }
+
+      case "batch_phase" =>
+        // phase attribution at a production shape on the batch_scale index
+        // (must already exist — run batch_scale first): where does a
+        // 212-query batch spend its wall time? Isolates (a) the thin
+        // codes-only context scan, (b) the residual column full scan,
+        // (c) the pool-shaped id-IN residual multiget, (d) phase-1-only
+        // batch (secondPass=false), (e) the full batch. args: [nDocs] [K]
+        import graft.query._
+        import spark.implicits._
+        val dimP = 128
+        val nDocsP = args.lift(1).map(_.toInt).getOrElse(10000000); val tpdP = 4
+        val kP = args.lift(2).map(_.toInt).getOrElse(49152)
+        val pathP = s"/root/repo/target/prof_batch_scale_${nDocsP}_$kP"
+        require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(pathP, "_prof_ready")),
+          s"run batch_scale $nDocsP $kP first to build the index")
+        val idxP = graft.index.IndexIVF.open(spark, pathP)
+        val fidP = idxP.mapper.id("colbert")
+        val tokensExprP = expr(
+          s"""transform(sequence(0, ${tpdP - 1}), t ->
+             |  transform(sequence(0, ${dimP - 1}), d ->
+             |    cast(pmod(xxhash64(id, t, d), 2000) / 1000.0 - 1.0 as float)))"""
+            .stripMargin)
+        val qPoolP = spark.range(nDocsP.toLong).select(col("id"),
+          tokensExprP.as("colbert")).filter(col("id") < 212).orderBy("id").collect()
+          .map(_.getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("colbert")
+            .map(_.toArray).toArray)
+        val queriesP = qPoolP.zipWithIndex
+          .map { case (toks, i) => (i.toLong, toks.map(_.toSeq).toSeq) }.toSeq
+          .toDF("query_id", "tokens")
+        val optsP = SearchOptions(kTopCentroids = 4, nProbe = 32, numSecondPass = 64)
+        BatchSearcher.searchBatch(idxP, 1, "colbert",
+          queriesP.limit(8), k = 10, optsP).count()
+        val ctxP = idxP.contextDf
+          .filter(col("tenant") === 1 && col("field") === fidP)
+        (1 to 2).foreach { i =>
+          time(s"codes-only context scan #$i")(
+            ctxP.agg(sum(size(col("doc_codes")))).collect())
+        }
+        (1 to 2).foreach { i =>
+          time(s"residual-column full scan #$i")(
+            ctxP.agg(sum(length(col("doc_residuals")))).collect())
+        }
+        // pool-shaped multiget mimic: 212 x 64 ids strided over the corpus
+        // (the window cut's survivors are score-selected, i.e. effectively
+        // random over doc ids — strided is the same density)
+        val nIds = 212 * optsP.numSecondPass
+        val idsP = Array.tabulate(nIds)(i =>
+          (i.toLong * (nDocsP.toLong / nIds)) % nDocsP)
+        val bucketsP = idsP.map(graft.index.IndexIVF.docBucketOf).distinct.toSeq
+        (1 to 2).foreach { i =>
+          time(s"id-IN residual multiget ($nIds ids) #$i")(
+            ctxP.filter(col("doc_bucket").isin(bucketsP: _*) &&
+                col("doc_id").isInCollection(idsP.toSeq))
+              .agg(sum(length(col("doc_residuals")))).collect())
+        }
+        (1 to 2).foreach { i =>
+          time(s"batch212 phase-1 only (secondPass=false) #$i")(
+            BatchSearcher.searchBatch(idxP, 1, "colbert", queriesP,
+              k = 10, optsP.copy(secondPass = false)).count())
+        }
+        (1 to 2).foreach { i =>
+          time(s"batch212 full #$i")(
+            BatchSearcher.searchBatch(idxP, 1, "colbert", queriesP,
+              k = 10, optsP).count())
         }
 
       case "pq_quality" =>

@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.{TopKByScore, TopKHeap}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bounded-heap grouped top-k must equal dropDuplicates + window +
+  * rank<=k under the (score desc, doc_id asc) total order — the pool-cut
+  * shape it replaces — including duplicate rows and score ties. */
+class TopKByScoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("heap == distinct+window+rank cut on random data with dups and ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    // scores drawn from a small set to force ties; each (q, d) pair
+    // repeated 1-3 times (same score — a pure function of the pair)
+    val pairs = for {
+      q <- 0 until 17
+      d <- 0 until 300
+      if rnd.nextBoolean()
+    } yield (q.toLong, d.toLong, (d * 31 % 13).toDouble / 7.0)
+    val rows = pairs.flatMap { p => Seq.fill(1 + rnd.nextInt(3))(p) }
+    val shuffled = rnd.shuffle(rows)
+    val df = shuffled.toDF("query_id", "doc_id", "score")
+      .repartition(7, col("doc_id")) // dups split across partitions
+
+    val k = 25
+    val got = df.groupBy(col("query_id"))
+      .agg(TopKByScore(col("doc_id"), col("score"), k).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("e"))
+      .select(col("query_id"), col("e.doc_id").as("doc_id"),
+        col("e.score").as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val expected = df.dropDuplicates("query_id", "doc_id")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    assert(got.sorted.toSeq == expected.sorted.toSeq)
+    // per-group output is ordered (score desc, doc_id asc)
+    got.groupBy(_._1).foreach { case (_, g) =>
+      val s = g.map(t => (-t._3, t._2)).toSeq
+      assert(s == s.sorted)
+    }
+  }
+
+  test("heap keeps at most one entry per doc and is arrival-order-insensitive") {
+    val entries = Seq((5L, 1.0), (6L, 2.0), (5L, 1.0), (7L, 2.0), (8L, 0.5),
+      (9L, 2.0), (6L, 2.0), (10L, 3.0))
+    val perms = Seq(entries, entries.reverse,
+      new scala.util.Random(3L).shuffle(entries))
+    val results = perms.map { es =>
+      val h = new TopKHeap(3)
+      es.foreach { case (d, s) => h.insert(d, s) }
+      (0 until h.size).map(i => (h.ids(i), h.scores(i))).sortBy(t => (-t._2, t._1))
+    }
+    // top-3 of distinct set {(5,1),(6,2),(7,2),(8,.5),(9,2),(10,3)} under
+    // (score desc, id asc) = (10,3),(6,2),(7,2)
+    results.foreach(r => assert(r == Seq((10L, 3.0), (6L, 2.0), (7L, 2.0))))
+  }
+
+  test("groups smaller than k return all their distinct docs") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 0.5), (1L, 2L, 0.5), (1L, 3L, 0.1)).toDF("query_id", "doc_id", "score")
+    val got = df.groupBy(col("query_id"))
+      .agg(TopKByScore(col("doc_id"), col("score"), 10).as("t"))
+      .select(explode(col("t")).as("e")).select(col("e.doc_id")).as[Long]
+      .collect().toSeq
+    assert(got == Seq(2L, 3L))
+  }
+}
