@@ -62,6 +62,10 @@ object Similarity {
   private def queryVec(s: SparkSession, dir: String): DataFrame =
     Tables.emb(s, dir).filter(col("vec_id") === 0).select(col("emb").as("qe"))
 
+  /** Per-leg depth of the hybrid fusion's rank cut. Declared BEFORE defs:
+    * the oracle SQL strings interpolate it eagerly at object init. */
+  private[graft] val HybridLegN = 50
+
   val defs: Seq[QueryDef] = Seq(
     // A8/F2 — brute-force exact inner-product top-k (the rerank kernel and
     // the ANN correctness baseline).
@@ -396,6 +400,59 @@ object Similarity {
           (0 until 8).map(k =>
             round(element_at(col("pc"), k + 1), 4).as(s"pc$k")): _*)
         .orderBy("vec_id")
+    },
+
+    // TA14/F2/T1 — hybrid retrieval via reciprocal-rank fusion (Cormack,
+    // Clarke & Buettcher SIGIR'09: score = sum over legs of 1/(60+rank)):
+    // the standard way a deployment combines the BM25 lexical leg with the
+    // dense vector leg when their raw scores are incomparable. Both legs
+    // reuse this library's own rankings — TextPipeline.bm25Scored for the
+    // keyword leg (so lexical scoring can't drift between q_bm25 and the
+    // fusion) and the q_cosine_topk formula for the vector leg — and the
+    // fused score is integer-quantized (1e6 DIV (60+rank), exact int64 on
+    // both engines) with a missing leg contributing 0 (its rank is beyond
+    // the cut). Scale shape: each leg is a corpus-sized scan cut to LegN
+    // rows by orderBy+limit (TakeOrderedAndProject — bounded partial
+    // top-k per split, never a global sort); the rank windows and the
+    // full-outer fusion join then run on two <= LegN-row frames, so the
+    // single-partition WindowExec the plan shows touches 50 rows, not the
+    // corpus, at any corpus size.
+    sql("q_hybrid_rrf", Seq("TA14", "F2", "T1", "J2"),
+      s"""WITH ${graft.queries.TextPipeline.bm25OracleCte},
+        |kw AS (SELECT doc_id, r FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY score_q DESC, doc_id) AS r
+        |    FROM bm) WHERE r <= $HybridLegN),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+        |cos AS (SELECT vec_id, round(list_inner_product(emb, qe) /
+        |      (sqrt(list_inner_product(emb, emb)) * sqrt(list_inner_product(qe, qe))), 4) AS c
+        |    FROM e, q WHERE vec_id <> 0),
+        |vec AS (SELECT doc_id, r FROM (
+        |    SELECT vec_id AS doc_id, row_number() OVER (ORDER BY c DESC, vec_id) AS r
+        |    FROM cos) WHERE r <= $HybridLegN)
+        |SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+        |  coalesce(1000000 // (60 + kw.r), 0) +
+        |  coalesce(1000000 // (60 + vec.r), 0) AS rrf_q
+        |FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+        |ORDER BY rrf_q DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val kwRanked = graft.queries.TextPipeline.bm25Scored(s, dir)
+        .orderBy(col("score_q").desc, col("doc_id")).limit(HybridLegN)
+        .withColumn("r_kw", row_number().over(
+          Window.orderBy(col("score_q").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r_kw"))
+      val vecRanked = Tables.emb(s, dir).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(queryVec(s, dir)))
+        .select(col("vec_id"), round(cosine(col("emb"), col("qe")), 4).as("c"))
+        .orderBy(col("c").desc, col("vec_id")).limit(HybridLegN)
+        .withColumn("r_vec", row_number().over(
+          Window.orderBy(col("c").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("r_vec"))
+      kwRanked.join(vecRanked, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(expr("1000000 DIV (60 + r_kw)"), lit(0L)) +
+            coalesce(expr("1000000 DIV (60 + r_vec)"), lit(0L))).as("rrf_q"))
+        .orderBy(col("rrf_q").desc, col("doc_id")).limit(20)
     }
   )
 }

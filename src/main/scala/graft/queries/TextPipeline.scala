@@ -2096,50 +2096,12 @@ object TextPipeline {
     // cut by TakeOrderedAndProject. The quantized magnitudes are
     // corpus-size-INDEPENDENT (avgdl1000 ~ 1000*doclen, tf <= doclen), so
     // the int64 arithmetic survives any N.
-    sql("q_bm25", Seq("TA14", "P1", "T1"), {
-      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |d AS (SELECT doc_id, len(t) AS dl, t FROM t),
-        |s AS (SELECT count(*) AS n, sum(dl) AS tt FROM d),
-        |a AS (SELECT n, (1000 * tt) // n AS avgdl1000 FROM s),
-        |tf AS (SELECT doc_id, dl, tok, len(list_filter(t, x -> x = tok)) AS tf
-        |  FROM d CROSS JOIN (SELECT unnest([$terms]) AS tok)),
-        |df AS (SELECT tok, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY tok),
-        |term AS (SELECT doc_id,
-        |    (((2 * a.n - 2 * df.df + 1) * 1000000) // (2 * df.df + 1)) *
-        |    ((44 * tf.tf * a.avgdl1000 * 1000000)
-        |      // (20 * a.avgdl1000 * tf.tf + 6 * a.avgdl1000 + 18000 * tf.dl))
-        |    // 1000000 AS w
-        |  FROM tf JOIN df USING (tok) CROSS JOIN a WHERE tf.tf > 0)
-        |SELECT doc_id, sum(w)::BIGINT AS score_q FROM term GROUP BY doc_id
+    sql("q_bm25", Seq("TA14", "P1", "T1"),
+      s"""WITH $bm25OracleCte
+        |SELECT doc_id, score_q FROM bm
         |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin
-    }) { (s, dir) =>
-      val d = docs(s, dir).select(col("doc_id"), toks.as("t"))
-        .withColumn("dl", size(col("t")).cast("long"))
-      // pass 1: ONE scalar-agg job -> (N, avgdl1000, df per term) as literals
-      val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        size(filter(col("t"), x => x === t)).cast("long").as(s"tf_$i")
-      }
-      val withTf = d.select(col("doc_id") +: col("dl") +: tfCols: _*)
-      val statAggs = count(lit(1)).as("n") +: sum(col("dl")).as("tt") +:
-        Bm25Terms.indices.map(i =>
-          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
-      val stats = withTf.agg(statAggs.head, statAggs.tail: _*).collect()(0)
-      val n = stats.getLong(0)
-      val avgdl1000 = 1000L * stats.getLong(1) / n
-      // pass 2: zero-shuffle row-local scoring with driver-known idf
-      // literals; top-k via orderBy+limit = TakeOrderedAndProject
-      val termCols = Bm25Terms.indices.map { i =>
-        val df = stats.getLong(2 + i)
-        val idfQ = (2L * n - 2L * df + 1L) * 1000000L / (2L * df + 1L)
-        when(col(s"tf_$i") > 0,
-          expr(s"($idfQ * ((44 * tf_$i * $avgdl1000 * 1000000) DIV " +
-            s"(20 * $avgdl1000 * tf_$i + 6 * $avgdl1000 + 18000 * dl))) " +
-            s"DIV 1000000")).otherwise(lit(0L))
-      }
-      withTf.select(col("doc_id"),
-          termCols.reduce(_ + _).as("score_q"))
-        .filter(col("score_q") > 0)
+    ) { (s, dir) =>
+      bm25Scored(s, dir)
         .orderBy(col("score_q").desc, col("doc_id")).limit(20)
     },
 
@@ -2184,6 +2146,60 @@ object TextPipeline {
         .orderBy("doc_id", "rnk")
     }
   )
+
+  /** DuckDB twin of [[bm25Scored]]: the CTE chain ending in
+    * `bm(doc_id, score_q)` — the integer-quantized BM25 scores for
+    * [[Bm25Terms]]. Shared by the q_bm25 and q_hybrid_rrf oracles. */
+  private[graft] def bm25OracleCte: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |d AS (SELECT doc_id, len(t) AS dl, t FROM t),
+      |s AS (SELECT count(*) AS n, sum(dl) AS tt FROM d),
+      |a AS (SELECT n, (1000 * tt) // n AS avgdl1000 FROM s),
+      |tf AS (SELECT doc_id, dl, tok, len(list_filter(t, x -> x = tok)) AS tf
+      |  FROM d CROSS JOIN (SELECT unnest([$terms]) AS tok)),
+      |df AS (SELECT tok, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY tok),
+      |term AS (SELECT doc_id,
+      |    (((2 * a.n - 2 * df.df + 1) * 1000000) // (2 * df.df + 1)) *
+      |    ((44 * tf.tf * a.avgdl1000 * 1000000)
+      |      // (20 * a.avgdl1000 * tf.tf + 6 * a.avgdl1000 + 18000 * tf.dl))
+      |    // 1000000 AS w
+      |  FROM tf JOIN df USING (tok) CROSS JOIN a WHERE tf.tf > 0),
+      |bm AS (SELECT doc_id, sum(w)::BIGINT AS score_q FROM term GROUP BY doc_id)"""
+      .stripMargin
+  }
+
+  /** BM25-scored corpus for the fixed query [[Bm25Terms]] — (doc_id,
+    * score_q) with score_q > 0, the integer-quantized scoring documented at
+    * q_bm25. Shared by q_bm25's top-20 cut and q_hybrid_rrf's keyword leg
+    * so the lexical scoring cannot drift between them. Pass 1 is ONE
+    * scalar-agg collect ((N, avgdl, df per term) enter pass 2 as plan
+    * literals); pass 2 is a zero-shuffle row-local projection. */
+  private[graft] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), toks.as("t"))
+      .withColumn("dl", size(col("t")).cast("long"))
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("t"), x => x === t)).cast("long").as(s"tf_$i")
+    }
+    val withTf = d.select(col("doc_id") +: col("dl") +: tfCols: _*)
+    val statAggs = count(lit(1)).as("n") +: sum(col("dl")).as("tt") +:
+      Bm25Terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val n = stats.getLong(0)
+    val avgdl1000 = 1000L * stats.getLong(1) / n
+    val termCols = Bm25Terms.indices.map { i =>
+      val df = stats.getLong(2 + i)
+      val idfQ = (2L * n - 2L * df + 1L) * 1000000L / (2L * df + 1L)
+      when(col(s"tf_$i") > 0,
+        expr(s"($idfQ * ((44 * tf_$i * $avgdl1000 * 1000000) DIV " +
+          s"(20 * $avgdl1000 * tf_$i + 6 * $avgdl1000 + 18000 * dl))) " +
+          s"DIV 1000000")).otherwise(lit(0L))
+    }
+    withTf.select(col("doc_id"),
+        termCols.reduce(_ + _).as("score_q"))
+      .filter(col("score_q") > 0)
+  }
 
   /** One greedy left-to-right non-overlapping application of merge rule
     * (bl, br) to a symbol array: a symbol consumed as the rule's rhs can't
