@@ -66,6 +66,49 @@ object Similarity {
     * the oracle SQL strings interpolate it eagerly at object init. */
   private[graft] val HybridLegN = 50
 
+  /** MMR re-ranking: candidate-pool depth, picks, and lambda=0.7 as the
+    * integer pair (7, 3) — mmr = 7*rel - 3*maxsim in the x10 domain.
+    * Declared before defs (oracle strings interpolate eagerly). */
+  private[graft] val MmrPoolN = 50
+  private[graft] val MmrK = 10
+
+  /** DuckDB oracle for q_mmr_rerank: the greedy selection unrolled into
+    * one CTE pair per step (the q_bpe_train discipline — a sequential
+    * algorithm is still hash-checkable if each step is SQL). */
+  private def mmrOracle: String = {
+    val cos = (a: String, b: String) =>
+      s"CAST(floor(round(list_inner_product($a, $b) / " +
+        s"(sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))" +
+        s", 4) * 10000 + 0.5) AS BIGINT)"
+    // every step CTE is MATERIALIZED: p_n references sel_{n-1} twice and
+    // sel_n a third time, so inlined CTEs would expand the plan ~3^k-fold
+    // and the optimizer never returns — materialization makes each of the
+    // k steps one tiny (<= pool-row) scan
+    val steps = (2 to MmrK).map { n =>
+      s"""p$n AS MATERIALIZED (SELECT c.id AS id FROM cand c
+        |  WHERE c.id NOT IN (SELECT id FROM sel${n - 1})
+        |  ORDER BY 7 * c.rel - 3 * coalesce((SELECT max(s.s) FROM sim s
+        |    WHERE s.a = c.id AND s.b IN (SELECT id FROM sel${n - 1})), 0)
+        |    DESC, c.id LIMIT 1),
+        |sel$n AS MATERIALIZED (SELECT * FROM sel${n - 1}
+        |  UNION ALL SELECT id, CAST($n AS BIGINT) AS rnk FROM p$n)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+      |cosq AS (SELECT vec_id AS id, emb, ${cos("emb", "qe")} AS rel
+      |  FROM e, q WHERE vec_id <> 0),
+      |cand AS MATERIALIZED (SELECT id, emb, rel FROM cosq
+      |  ORDER BY rel DESC, id LIMIT $MmrPoolN),
+      |sim AS MATERIALIZED (SELECT a.id AS a, b.id AS b,
+      |  ${cos("a.emb", "b.emb")} AS s
+      |  FROM cand a JOIN cand b ON a.id <> b.id),
+      |p1 AS (SELECT id FROM cand ORDER BY rel DESC, id LIMIT 1),
+      |sel1 AS MATERIALIZED (SELECT id, CAST(1 AS BIGINT) AS rnk FROM p1),
+      |$steps
+      |SELECT rnk, id AS doc_id FROM sel$MmrK ORDER BY rnk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // A8/F2 — brute-force exact inner-product top-k (the rerank kernel and
     // the ANN correctness baseline).
@@ -453,6 +496,60 @@ object Similarity {
           (coalesce(expr("1000000 DIV (60 + r_kw)"), lit(0L)) +
             coalesce(expr("1000000 DIV (60 + r_vec)"), lit(0L))).as("rrf_q"))
         .orderBy(col("rrf_q").desc, col("doc_id")).limit(20)
+    },
+
+    // T2/F1 — MMR diversified re-ranking (Carbonell & Goldstein '98):
+    // greedy top-[[MmrK]] selection maximizing lambda*relevance -
+    // (1-lambda)*max-similarity-to-already-selected, lambda=0.7 — how a
+    // training-data pipeline draws a DIVERSE sample from a similarity
+    // neighborhood (dedup-aware retrieval, eval-set picking, few-shot
+    // exemplar selection). All scoring in the quantized-int domain
+    // (scores x10000, lambda as the pair 7/3 in the x10 domain) so the
+    // greedy argmax — where a 1-ulp drift would cascade into a different
+    // SELECTION, not just a different score — is bit-stable cross-engine.
+    // Scale shape: the corpus-sized work is only the relevance leg's
+    // TakeOrderedAndProject cut to [[MmrPoolN]]; the pool's pairwise sims
+    // are a broadcast self-join producing pool^2 rows, and the inherently
+    // sequential greedy loop runs driver-local over the collected <= pool
+    // + pool^2 rows (the same bounded-collect class as the phase-2
+    // rerank; pool=50 -> 2.5k rows). The oracle unrolls the 10 greedy
+    // steps into CTE pairs (the q_bpe_train discipline).
+    sql("q_mmr_rerank", Seq("T2", "F1", "F2"), mmrOracle) { (s, dir) =>
+      val cand = Tables.emb(s, dir).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(queryVec(s, dir)))
+        .select(col("vec_id").as("id"), col("emb"),
+          floor(round(cosine(col("emb"), col("qe")), 4) * 10000 + 0.5)
+            .cast("long").as("rel"))
+        .orderBy(col("rel").desc, col("id")).limit(MmrPoolN)
+      val c2 = cand.select(col("id").as("b_id"), col("emb").as("b_emb"))
+      val sims = cand.select(col("id").as("a_id"), col("emb").as("a_emb"))
+        .join(broadcast(c2), col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          floor(round(cosine(col("a_emb"), col("b_emb")), 4) * 10000 + 0.5)
+            .cast("long").as("s"))
+      val rels = cand.select(col("id"), col("rel")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val simMap = sims.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val relMap = rels.toMap
+      val selected = scala.collection.mutable.ArrayBuffer[Long]()
+      val remaining = scala.collection.mutable.LinkedHashSet(rels.map(_._1): _*)
+      while (selected.length < MmrK && remaining.nonEmpty) {
+        // argmax of 7*rel - 3*maxsim, lowest id on ties — identical to the
+        // oracle's ORDER BY ... DESC, c.id LIMIT 1
+        val pick = remaining.toSeq.map { id =>
+          val maxSim =
+            if (selected.isEmpty) 0L
+            else selected.map(sel => simMap.getOrElse((id, sel), 0L)).max
+          (id, 7L * relMap(id) - 3L * maxSim)
+        }.maxBy { case (id, sc) => (sc, -id) }._1
+        selected += pick
+        remaining -= pick
+      }
+      import s.implicits._
+      selected.toSeq.zipWithIndex
+        .map { case (id, i) => ((i + 1).toLong, id) }.toDF("rnk", "doc_id")
+        .orderBy("rnk")
     }
   )
 }
