@@ -113,6 +113,12 @@ object BatchSearcher {
     spark.conf.get(FanoutPartitionsKey,
       (spark.sparkContext.defaultParallelism * 8).toString).toInt
 
+  /** Thin postings rows per fan-out task: the adaptive width divides the
+    * postings footer count by this before capping at [[FanoutPartitionsKey]],
+    * so small indexes never pay a wide exchange just to spread skew that
+    * cannot exceed one task's worth of work. */
+  private val FanoutRowsPerTask = 65536L
+
   /** groupBy(query_id) -> bounded-heap top-nsp -> explode back to
     * (query_id, doc_id, score) rows. Raises the ObjectHashAggregate
     * sort-fallback threshold (default 128 KEYS) above any sane batch size:
@@ -230,9 +236,19 @@ object BatchSearcher {
       // concentrate the join fan-out on the few scan splits holding them
       // (observed: 8/32 cores busy on stragglers at the 10M shape), and
       // with no shuffle downstream AQE cannot re-split. The exchange moves
-      // only (doc_id, centroid) rows — never the fanned-out pairs.
-      val fanParts = fanoutPartitions(spark)
-      val spread = if (fanParts > 0) scanned.repartition(fanParts) else scanned
+      // only (doc_id, centroid) rows — never the fanned-out pairs. The
+      // width adapts to the postings volume (footer-count metadata job,
+      // like the broadcast gate above): ~64k thin rows per task keeps task
+      // overhead amortized, and a small index skips the exchange entirely
+      // — fanning a few-thousand-row scan across 8 x cores tasks only adds
+      // fixed scheduling cost (measured ~2x ms/query on the sf0.1 toy
+      // batch-212 harness) while skew cannot dominate a sub-task's work.
+      val fanCap = fanoutPartitions(spark)
+      val fanParts =
+        if (fanCap <= 0) 0
+        else math.min(fanCap.toLong,
+          (idx.postingsDf.count() + FanoutRowsPerTask - 1) / FanoutRowsPerTask).toInt
+      val spread = if (fanParts > 1) scanned.repartition(fanParts) else scanned
       val pairs = spread
         .join(broadcast(probeDf), Seq("centroid"))
         .select(col("query_id"), col("doc_id"))
