@@ -35,7 +35,7 @@ object SparkEntry {
       "q_pack_sequences", "q_pii_redact", "q_train_order", "q_vocab_topk",
       "q_curriculum_order", "q_bpe_train", "q_bpe_encode", "q_lm_score",
       "q_embed_moments", "q_pca_project", "q_bm25", "q_tfidf_terms",
-      "q_hybrid_rrf", "q_mmr_rerank"))
+      "q_hybrid_rrf", "q_mmr_rerank", "q_sample_weighted"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Two-phase IVF vector search — the reference's core query shape. */

@@ -108,6 +108,9 @@ object TextPipeline {
     * Production sets this O(cluster cores); the oracle twin pins 8. */
   private[graft] val OrderShards = 8
 
+  /** q_sample_weighted: sample size for the weighted priority draw. */
+  private[graft] val WeightedSampleN = 100
+
   /** q_bm25 query terms: one rare discriminative term plus two common ones
     * (the realistic keyword-audit shape — the rare term dominates by idf). */
   private[graft] val Bm25Terms = Seq("dup", "merge", "scan")
@@ -296,6 +299,27 @@ object TextPipeline {
         .over(Window.partitionBy(col("shard")).orderBy(col("oh"), col(idCol)))
         .cast("long"))
       .drop("oh")
+  }
+
+  /** Deterministic weighted priority sampling (Duffield, Lund & Thorup,
+    * "Priority sampling", 2007): each row draws a uniform u from the md5 of
+    * (seed, id) — the split/order/mix construction already hash-proven
+    * cross-engine — and gets priority key u div w; the n SMALLEST keys are
+    * the sample (equivalently the n largest w/u priorities), so a row's
+    * inclusion odds scale with its weight while the draw stays a pure
+    * function of (seed, id): re-runs, retries, and both engines agree
+    * bit-for-bit, with NO float pow/log (u^(1/w) a la Efraimidis-Spirakis
+    * would not hash-match across engines). Scale shape: one zero-shuffle
+    * corpus pass cut by TakeOrderedAndProject (per-partition heaps of n) —
+    * the 100 TB plan is a scan. */
+  def weightedSample(df: DataFrame, weightExpr: String, n: Int,
+      idCol: String = "doc_id", seed: String = "wsamp"): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    df.withColumn("weight", expr(weightExpr).cast("long"))
+      .withColumn("skey",
+        expr(s"cast(conv(substring(md5(concat('$seed', cast($idCol as string))), 1, 15), 16, 10) as bigint) div weight"))
+      .select(col(idCol), col("weight"), col("skey"))
+      .orderBy(col("skey"), col(idCol)).limit(n)
   }
 
   /** q_curriculum_order: difficulty-tier width (docs bucket by
@@ -1972,6 +1996,24 @@ object TextPipeline {
         trainOrder(docs(s, dir))
           .select(col("doc_id"), col("shard"), col("pos"))
           .orderBy("shard", "pos")
+    },
+
+    // TA11b — weighted priority sampling (see [[weightedSample]]): draw
+    // [[WeightedSampleN]] docs with inclusion odds scaling with document
+    // length (weight = n_chars + 1) — how a pipeline draws a
+    // size-proportional audit/eval sample without a corpus shuffle. The
+    // twin re-derives the same md5 draw and integer-division keys in SQL,
+    // so the SELECTION (not just the count) is pinned cross-engine.
+    sql("q_sample_weighted", Seq("TA11"),
+      s"""WITH k AS (SELECT doc_id, n_chars + 1 AS weight,
+        |  ('0x' || substr(md5('wsamp' || doc_id::VARCHAR), 1, 15))::BIGINT
+        |    // (n_chars + 1) AS skey
+        |  FROM documents)
+        |SELECT doc_id, weight, skey FROM k
+        |ORDER BY skey, doc_id LIMIT $WeightedSampleN""".stripMargin) {
+      (s, dir) =>
+        weightedSample(docs(s, dir), "n_chars + 1", WeightedSampleN)
+          .orderBy("skey", "doc_id")
     },
 
     // TA13 — curriculum (easy-to-hard) training order: per-row integer

@@ -739,4 +739,28 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.nonEmpty)
   }
+
+  test("weighted sample: independent md5 parity, and weight drives inclusion odds") {
+    import graft.queries.TextPipeline
+    import spark.implicits._
+    // two weight classes over 2000 ids: 1000 heavy (w=1000) vs 1000 light
+    // (w=1) — a 100-draw must be dominated by the heavy class (each heavy
+    // key is ~1000x smaller in expectation)
+    val df = (1L to 2000L).map(i => (i, if (i <= 1000) 1000L else 1L))
+      .toDF("doc_id", "w")
+    val got = TextPipeline.weightedSample(df, "w", 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 100)
+    val heavy = got.count(_._1 <= 1000)
+    assert(heavy >= 95, s"heavy class should dominate the draw, got $heavy/100")
+    // independent brute force: same md5 -> first-15-hex -> div-weight keys
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = (1L to 2000L).map { i =>
+      val h = md.digest(s"wsamp$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val w = if (i <= 1000) 1000L else 1L
+      (i, w, java.lang.Long.parseLong(h.take(15), 16) / w)
+    }.sortBy { case (id, _, k) => (k, id) }.take(100)
+    assert(got.toSeq == expect.toSeq)
+  }
 }
