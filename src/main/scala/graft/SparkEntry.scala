@@ -35,7 +35,10 @@ object SparkEntry {
       "q_pack_sequences", "q_pii_redact", "q_train_order", "q_vocab_topk",
       "q_curriculum_order", "q_bpe_train", "q_bpe_encode", "q_lm_score",
       "q_embed_moments", "q_pca_project", "q_bm25", "q_tfidf_terms",
-      "q_hybrid_rrf", "q_mmr_rerank", "q_sample_weighted"))
+      "q_hybrid_rrf", "q_mmr_rerank", "q_sample_weighted",
+      "q_stratified_sample", "q_decontaminate_fuzzy",
+      "q_decontaminate_fuzzy_md5", "q_prf_expand", "q_snippet",
+      "q_engine_search_sq8", "q_engine_search_sq8_oracle"))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Two-phase IVF vector search — the reference's core query shape. */

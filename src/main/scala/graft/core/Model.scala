@@ -26,8 +26,11 @@ object FieldRole extends Enumeration {
 }
 
 object QuantizerKind extends Enumeration {
-  /** reference: lintdb/quantizers/Quantizer.h (QuantizerType). */
-  val NONE, BINARIZER, PRODUCT_ENCODER = Value
+  /** reference: lintdb/quantizers/Quantizer.h (QuantizerType). SQ8 is a
+    * graft extension beyond the reference's codec set — the faiss
+    * ScalarQuantizer QT_8bit design (public knowledge): 4x smaller than
+    * NONE at near-lossless quality, between BINARIZER (16x) and NONE. */
+  val NONE, BINARIZER, PRODUCT_ENCODER, SQ8 = Value
 }
 
 /** reference: lintdb/schema/Schema.h:15-23. */

@@ -75,7 +75,11 @@ case class TopKByScore(
   }
 
   override def eval(buf: TopKHeap): Any = {
-    val order = Array.range(0, buf.size).sortBy(i => (-buf.scores(i), buf.ids(i)))
+    // sort with the heap's OWN total order (NaN-first descending, like
+    // Spark's window sort) — Scala's tuple ordering on -score would flip
+    // NaN to last and break the claimed window bit-parity
+    val order = Array.range(0, buf.size).sortWith((a, b) =>
+      buf.ranksBefore(buf.scores(a), buf.ids(a), buf.scores(b), buf.ids(b)))
     new GenericArrayData(order.map { i =>
       InternalRow(buf.ids(i), buf.scores(i))
     }.toArray[Any])
@@ -127,8 +131,19 @@ final class TopKHeap(val k: Int) {
   val scores = new Array[Double](k)
   var size = 0
 
+  /** Spark's double total order, descending: `==` first (so -0.0 ties 0.0,
+    * exactly SQLOrderingUtil.compareDoubles), then java.lang.Double.compare
+    * (so NaN ranks above every double, as Spark's `score desc` sort places
+    * it) — a NaN candidate is kept and ordered first, bit-matching the
+    * window hatch instead of being silently dropped by a `>` comparison
+    * that is never true for NaN. */
+  @inline def ranksBefore(s1: Double, d1: Long, s2: Double, d2: Long): Boolean = {
+    val c = if (s1 == s2) 0 else java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && d1 < d2)
+  }
+
   @inline private def better(s1: Double, d1: Long, s2: Double, d2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && d1 < d2)
+    ranksBefore(s1, d1, s2, d2)
 
   def insert(d: Long, s: Double): Unit = {
     if (size == k && !better(s, d, scores(0), ids(0))) return // fails threshold

@@ -2,7 +2,7 @@ package graft.index
 
 import graft.core._
 import graft.query.{QueryNode, SearchOptions}
-import graft.quantizers.{Binarizer, CoarseQuantizer, IdentityQuantizer, ProductEncoder, Quantizer}
+import graft.quantizers.{Binarizer, CoarseQuantizer, IdentityQuantizer, ProductEncoder, Quantizer, ScalarQuantizer8}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -375,6 +375,7 @@ final class IndexIVF private (
           preset match {
             case b: Binarizer => b.save(p(s"_meta/${f.name}.binarizer.json"))
             case pe: ProductEncoder => pe.save(p(s"_meta/${f.name}.pq.json"))
+            case sq: ScalarQuantizer8 => sq.save(p(s"_meta/${f.name}.sq8.json"))
             case _ =>
           }
           preset
@@ -407,6 +408,43 @@ final class IndexIVF private (
           val b = Binarizer.train(sums.map(s => (s / cnt).toFloat), params.nbits)
           b.save(p(s"_meta/${f.name}.binarizer.json"))
           b
+        case QuantizerKind.SQ8 =>
+          // per-dim (min, max) over the residual sample, distributed —
+          // the same two-dim-length-vector reduction shape as the
+          // binarizer's average-residual treeAggregate
+          val dim = params.dimensions
+          require(dim > 0, s"${f.name}: dimensions required to train SQ8")
+          val fieldName = f.name
+          val init = (Array.fill(dim)(Float.PositiveInfinity),
+            Array.fill(dim)(Float.NegativeInfinity), 0L)
+          val (mins, maxs, cnt) = sampledResiduals.select(col("r")).rdd
+            .treeAggregate(init)(
+              { case ((lo, hi, n), row) =>
+                val r = row.getAs[scala.collection.Seq[Float]](0)
+                if (r.length != dim) throw new IllegalArgumentException(
+                  s"$fieldName: token vector has length ${r.length}, schema dimensions=$dim")
+                var i = 0
+                while (i < dim) {
+                  val v = r(i)
+                  if (v < lo(i)) lo(i) = v
+                  if (v > hi(i)) hi(i) = v
+                  i += 1
+                }
+                (lo, hi, n + 1)
+              },
+              { case ((la, ha, na), (lb, hb, nb)) =>
+                var i = 0
+                while (i < dim) {
+                  if (lb(i) < la(i)) la(i) = lb(i)
+                  if (hb(i) > ha(i)) ha(i) = hb(i)
+                  i += 1
+                }
+                (la, ha, na + nb)
+              })
+          require(cnt > 0, s"${f.name}: no residuals to train SQ8 on")
+          val sq = ScalarQuantizer8.train(mins, maxs)
+          sq.save(p(s"_meta/${f.name}.sq8.json"))
+          sq
         case QuantizerKind.PRODUCT_ENCODER =>
           // the sqrt-subsample is driver-sized by construction; PQ codebook
           // training is the only driver-side ML step (index.cpp:290-307)
@@ -1441,10 +1479,13 @@ object IndexIVF {
         idx.coarse += f.name -> CoarseQuantizer.load(cPath)
         val bPath = s"$path/_meta/${f.name}.binarizer.json"
         val pqPath = s"$path/_meta/${f.name}.pq.json"
+        val sqPath = s"$path/_meta/${f.name}.sq8.json"
         idx.quantizers += f.name -> (f.parameters.quantizerKind match {
           case QuantizerKind.BINARIZER if Json.exists(bPath) => Binarizer.load(bPath)
           case QuantizerKind.PRODUCT_ENCODER if Json.exists(pqPath) =>
             ProductEncoder.load(pqPath)
+          case QuantizerKind.SQ8 if Json.exists(sqPath) =>
+            ScalarQuantizer8.load(sqPath)
           case _ => IdentityQuantizer(f.parameters.dimensions)
         })
       }
@@ -1466,6 +1507,7 @@ object IndexIVF {
       other.quantizers.get(f).foreach {
         case b: Binarizer => b.save(s"$newPath/_meta/$f.binarizer.json")
         case pe: ProductEncoder => pe.save(s"$newPath/_meta/$f.pq.json")
+        case sq: ScalarQuantizer8 => sq.save(s"$newPath/_meta/$f.sq8.json")
         case _ =>
       }
     }
@@ -1507,7 +1549,7 @@ object IndexIVF {
     * stored `_meta` artifacts (so it cannot drift from what [[open]] loads):
     * the canonicalized field name->id mapping plus a SHA-256 over every
     * per-field model file (`<field>.centroids.json`, `.binarizer.json`,
-    * `.pq.json`) in file-name order. Used by [[IndexIVF.merge]] to refuse
+    * `.pq.json`, `.sq8.json`) in file-name order. Used by [[IndexIVF.merge]] to refuse
     * unioning indexes whose centroid spaces / codecs differ. An untrained
     * index (or a scalar-only schema) fingerprints to just its mapping, so
     * scalar-only merges stay keyed on the field mapping alone. */
@@ -1524,7 +1566,7 @@ object IndexIVF {
       .filter { f =>
         val n = f.getName
         n.endsWith(".centroids.json") || n.endsWith(".binarizer.json") ||
-          n.endsWith(".pq.json")
+          n.endsWith(".pq.json") || n.endsWith(".sq8.json")
       }
       .sortBy(_.getName)
       .foreach { f =>

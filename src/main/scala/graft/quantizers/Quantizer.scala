@@ -119,6 +119,84 @@ final case class Binarizer(
     "dim" -> dim))
 }
 
+/** 8-bit per-dimension scalar codec — the faiss ScalarQuantizer QT_8bit
+  * design (public knowledge; a graft extension beyond the reference's
+  * codec set). Per-dim trained affine range [min_i, min_i + 255*scale_i]:
+  *
+  *  - encode: q_i = clamp(floor((v_i - min_i) / scale_i + 0.5), 0, 255),
+  *    ONE byte per dimension (codeSize = dim, 4x smaller than identity);
+  *  - decode: min_i + q_i * scale_i (max reconstruction error scale_i/2).
+  *
+  * All arithmetic is f32 in a FIXED op order (sub, div, add, floor; then
+  * mul, add), so decode(encode(v)) is bit-reproducible cross-engine — the
+  * engine oracle twin re-derives exactly this chain in DuckDB FLOAT with
+  * dyadic preset ranges. A constant dimension (max == min) trains
+  * scale = 1 so every value encodes to 0 and decodes to min exactly. */
+final case class ScalarQuantizer8(
+    mins: Array[Float],
+    scales: Array[Float],
+    dim: Int) extends Quantizer {
+  require(mins.length == dim && scales.length == dim,
+    s"per-dim arrays must have length $dim")
+  require(scales.forall(_ > 0f), "scales must be positive")
+  val kind = "SQ8"
+  val codeSize: Int = dim
+
+  def encode(vec: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte](dim)
+    var i = 0
+    while (i < dim) {
+      val x = (vec(i) - mins(i)) / scales(i) + 0.5f
+      val q = math.floor(x.toDouble).toInt // f32 -> double promotion is exact
+      out(i) = (if (q < 0) 0 else if (q > 255) 255 else q).toByte
+      i += 1
+    }
+    out
+  }
+
+  def decode(code: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      out(i) = mins(i) + (code(i) & 0xFF).toFloat * scales(i)
+      i += 1
+    }
+    out
+  }
+
+  def save(path: String): Unit = Json.write(path, Map(
+    "mins" -> mins.toSeq,
+    "scales" -> scales.toSeq,
+    "dim" -> dim))
+}
+
+object ScalarQuantizer8 {
+
+  /** Train from per-dimension (min, max) over the residual sample (the
+    * distributed job reduces to two dim-length vectors — same shape as the
+    * binarizer's average-residual reduction). */
+  def train(mins: Array[Float], maxs: Array[Float]): ScalarQuantizer8 = {
+    val dim = mins.length
+    require(maxs.length == dim, "min/max length mismatch")
+    val scales = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      val range = maxs(i) - mins(i)
+      scales(i) = if (range > 0f) range / 255f else 1f
+      i += 1
+    }
+    ScalarQuantizer8(mins.clone(), scales, dim)
+  }
+
+  def load(path: String): ScalarQuantizer8 = {
+    val m = Json.read(path, classOf[Map[String, Any]])
+    def floats(k: String) = m(k).asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Number].floatValue()).toArray
+    ScalarQuantizer8(floats("mins"), floats("scales"),
+      m("dim").asInstanceOf[Number].intValue())
+  }
+}
+
 object Binarizer {
 
   /** Train from the per-dimension average residual vector (the distributed

@@ -86,6 +86,8 @@ object EngineQueries {
     idx.coarse = Map("colbert" -> new graft.quantizers.CoarseQuantizer(cents))
     if (quant == QuantizerKind.BINARIZER)
       idx.quantizers += "colbert" -> OracleBinarizer
+    if (quant == QuantizerKind.SQ8)
+      idx.quantizers += "colbert" -> OracleSq8
     idx.train(docs) // presets kept, models saved (S4 skip-path)
     idx.add(tenant = 1, docs)
     // re-open from disk: the oracle run also covers S2/S9 (schema + centroid
@@ -148,6 +150,17 @@ object EngineQueries {
     bucketWeights = Array(-0.375f, -0.125f, 0.125f, 0.375f),
     avgResidual = 0.0f, nbits = 2, dim = 64)
 
+  /** Preset deterministic SQ8 codec for the hash-checked SQ8 lifecycle
+    * (q_engine_search_sq8_oracle), installed instead of min/max training
+    * the same way [[OracleBinarizer]] presets the 2-bit codec: range
+    * [-0.5, 0.5) with DYADIC scale 2^-8 per dim, so every encode
+    * intermediate ((v+0.5)*256 + 0.5 <= 384.5) and every decoded value
+    * (-0.5 + q/256) is exact in f32 — the SQL twin reproduces the
+    * identical sub/div/add/floor/clamp then mul/add chain in DuckDB FLOAT
+    * and the decoded arrays agree bit-for-bit. */
+  private[queries] val OracleSq8 = graft.quantizers.ScalarQuantizer8(
+    Array.fill(64)(-0.5f), Array.fill(64)(0.00390625f), 64)
+
   /** Generated DuckDB twin of the FIXED-centroid engine search
     * (q_engine_search_oracle, and with `binarized`
     * q_engine_search_binarized_oracle): every stage of the two-phase PLAID
@@ -163,23 +176,38 @@ object EngineQueries {
     * f32 constants, so the norm/divide/dot chain stays bit-deterministic.
     * f32 values can never land exactly on a 1e-4 rounding half-boundary
     * (0.00005 is not dyadic), so the final round(…,4) agrees too. */
-  private def singleEngineOracleSql(binarized: Boolean): String = {
+  private def singleEngineOracleSql(codec: String): String = {
     val dim = 64
     def ip(a: String, b: String): String =
       (1 to dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
-    // with the binarizer in the loop, phase-2 sees decode(encode(v)) =
-    // bucketWeights[bucketize(v)] per dimension — the CASE ladder below,
-    // with every literal dyadic (exact f32)
-    val decCte = if (binarized)
-      """dec AS (SELECT vec_id, label, list_transform(embedding,
-        |    x -> CASE WHEN x < (-0.25)::FLOAT THEN (-0.375)::FLOAT
-        |              WHEN x < (0.0)::FLOAT THEN (-0.125)::FLOAT
-        |              WHEN x < (0.25)::FLOAT THEN (0.125)::FLOAT
-        |              ELSE (0.375)::FLOAT END) AS embedding
-        |  FROM embeddings),
-        |""".stripMargin
-    else ""
-    val docTokens = if (binarized) "dec" else "embeddings"
+    // with a codec in the loop, phase-2 sees decode(encode(v)) per
+    // dimension — for the 2-bit binarizer the CASE ladder (bucketize ->
+    // weight), for SQ8 the affine quantize -> clamp -> dequantize chain;
+    // every literal is dyadic, so each is exact f32 in both engines
+    val decCte = codec match {
+      case "binarizer" =>
+        """dec AS (SELECT vec_id, label, list_transform(embedding,
+          |    x -> CASE WHEN x < (-0.25)::FLOAT THEN (-0.375)::FLOAT
+          |              WHEN x < (0.0)::FLOAT THEN (-0.125)::FLOAT
+          |              WHEN x < (0.25)::FLOAT THEN (0.125)::FLOAT
+          |              ELSE (0.375)::FLOAT END) AS embedding
+          |  FROM embeddings),
+          |""".stripMargin
+      case "sq8" =>
+        // [[OracleSq8]]'s exact op chain: q = clamp(floor((x - min)/scale
+        // + 0.5)); back to min + q*scale. scale = 2^-8 and min = -1/2 are
+        // dyadic, so (x+0.5), the /2^-8 scaling, the +0.5, and every
+        // decoded value -0.5 + q/256 are exact f32 — floor/clamp are
+        // exact on integers <= 384 in any float width
+        """dec AS (SELECT vec_id, label, list_transform(embedding,
+          |    x -> ((-0.5)::FLOAT + LEAST(255, GREATEST(0, floor(
+          |        (x - (-0.5)::FLOAT) / (0.00390625)::FLOAT + (0.5)::FLOAT
+          |      )))::FLOAT * (0.00390625)::FLOAT)) AS embedding
+          |  FROM embeddings),
+          |""".stripMargin
+      case _ => ""
+    }
+    val docTokens = if (codec == "none") "embeddings" else "dec"
     val normChain = ip("e.embedding", "e.embedding")
     // Plaid.scoreByResiduals: doc token normalized in place (f32 divide,
     // zero-norm rows pass through), then f32 dot with the raw query token
@@ -235,8 +263,9 @@ object EngineQueries {
        |WHERE r.rn <= 5 ORDER BY score DESC, doc_id""".stripMargin
   }
 
-  private[queries] lazy val engineOracleSql: String = singleEngineOracleSql(binarized = false)
-  private[queries] lazy val binarizedEngineOracleSql: String = singleEngineOracleSql(binarized = true)
+  private[queries] lazy val engineOracleSql: String = singleEngineOracleSql("none")
+  private[queries] lazy val binarizedEngineOracleSql: String = singleEngineOracleSql("binarizer")
+  private[queries] lazy val sq8EngineOracleSql: String = singleEngineOracleSql("sq8")
 
   /** Generated DuckDB twin of the FIXED-centroid BATCH search
     * (q_engine_batch_search_oracle): [[engineOracleSql]]'s two-phase PLAID
@@ -315,6 +344,13 @@ object EngineQueries {
     rowsOnly("q_engine_search_binarized", Seq("Q4", "S4", "S5", "J3", "A5", "A8")) {
       (s, dir) => buildAndSearch(s, dir, QuantizerKind.BINARIZER)
     },
+    // Same with the SQ8 scalar codec (trained per-dim min/max) — the
+    // middle point of the codec family: 4x smaller than identity at
+    // near-lossless quality (RetrievalQualitySpec bars it at the
+    // binarizer's >= 0.95).
+    rowsOnly("q_engine_search_sq8", Seq("Q6", "S4", "S5", "J3", "A5", "A8")) {
+      (s, dir) => buildAndSearch(s, dir, QuantizerKind.SQ8)
+    },
     // The composed engine product path, HASH-CHECKED: same create -> train
     // (preset model) -> add -> open -> search lifecycle as q_engine_search,
     // but the coarse model is 16 fixed data-derived centroids instead of
@@ -349,6 +385,28 @@ object EngineQueries {
       binarizedEngineOracleSql) {
       (s, dir) => withoutAqe(s) {
         val (idx, path) = buildIndexFixed(s, dir, QuantizerKind.BINARIZER)
+        val query = queryTokens(s, dir, maxVecId = 4)
+        val res = idx.search(1, VectorQuery("colbert", query), k = 5,
+          SearchOptions(kTopCentroids = 4, nProbe = 8, numSecondPass = 6))
+        materializeAndClean(s, res, path)
+          .select(col("doc_id"), col("n_vecs"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+      }
+    },
+    // The SQ8 product path, HASH-CHECKED end to end: the same
+    // fixed-centroid lifecycle with the deterministic preset [[OracleSq8]]
+    // in the loop — byte-per-dim encode at add, affine dequantize +
+    // normalize + exact MaxSim at rerank — reproduced by the SQL twin's
+    // quantize -> clamp -> dequantize chain (all-dyadic presets, so the
+    // decoded arrays agree bit-for-bit). Complements the rows-only
+    // q_engine_search_sq8 (trained min/max) by pinning the codec
+    // COMPOSITION, not just its kernels (CodecPropertySpec) or quality
+    // (RetrievalQualitySpec).
+    sql("q_engine_search_sq8_oracle",
+      Seq("Q6", "Q8", "S1", "S2", "S4", "S5", "S9", "J3", "A5", "A8"),
+      sq8EngineOracleSql) {
+      (s, dir) => withoutAqe(s) {
+        val (idx, path) = buildIndexFixed(s, dir, QuantizerKind.SQ8)
         val query = queryTokens(s, dir, maxVecId = 4)
         val res = idx.search(1, VectorQuery("colbert", query), k = 5,
           SearchOptions(kTopCentroids = 4, nProbe = 8, numSecondPass = 6))

@@ -71,6 +71,15 @@ object TextPipeline {
   /** Per-source document cap for q_source_cap (domain-cap pipeline rule). */
   private[graft] val SourceCap = 20
 
+  /** q_decontaminate_fuzzy: bench-set stand-in modulus. DENSER than the
+    * exact-decon stand-in ([[DeconBenchMod]] = 31) on purpose: near-dup
+    * pairs straddling a 1-in-31 split are so rare at the test scale
+    * (2 pairs at sf0.01) that the fuzzy matcher would go un-exercised; at
+    * 1-in-7 the split crosses ~9 near-dup pairs, so banding, the
+    * cross-join, the exact verify, and the best-match cut all carry
+    * signal. A production caller passes a REAL eval corpus either way. */
+  private[graft] val DeconFuzzyBenchMod = 7
+
 
   /** Fixed-point scale for q_lang_mix sampling rates (mils). */
   private[graft] val MixScale = 1000
@@ -111,12 +120,31 @@ object TextPipeline {
   /** q_sample_weighted: sample size for the weighted priority draw. */
   private[graft] val WeightedSampleN = 100
 
+  /** q_stratified_sample: docs kept per stratum (language). */
+  private[graft] val StratifiedPerKey = 40
+
   /** q_bm25 query terms: one rare discriminative term plus two common ones
     * (the realistic keyword-audit shape — the rare term dominates by idf). */
   private[graft] val Bm25Terms = Seq("dup", "merge", "scan")
 
   /** q_tfidf_terms: keywords kept per document. */
   private[graft] val TfidfTopN = 3
+
+  /** q_snippet knobs: how many top BM25 docs get a snippet, and the
+    * snippet window width in tokens.
+    * NOTE: must precede the `queries` Seq (oracle SQL generated at Seq
+    * construction). */
+  private[graft] val SnippetDocs = 10
+  private[graft] val SnippetWin = 8
+
+  /** q_prf_expand knobs: feedback depth (docs), expansion width (terms),
+    * and the fixed-point weight scale (original terms carry weight
+    * [[PrfWeightScale]]; expansion terms are normalized to <= it).
+    * NOTE: must precede the `queries` Seq in initialization order — the
+    * oracle SQL is generated from these at Seq construction. */
+  private[graft] val PrfFbDocs = 10
+  private[graft] val PrfExpTerms = 5
+  private[graft] val PrfWeightScale = 1000L
 
   /** q_vocab_topk: vocabulary size for the tokenizer-vocab builder.
     * Production would be 30k-plus; 20 is BELOW the synthetic corpus'
@@ -315,11 +343,44 @@ object TextPipeline {
   def weightedSample(df: DataFrame, weightExpr: String, n: Int,
       idCol: String = "doc_id", seed: String = "wsamp"): DataFrame = {
     require(n > 0, s"sample size must be positive, got $n")
-    df.withColumn("weight", expr(weightExpr).cast("long"))
+    // a weight <= 0 or null would make skey null (non-ANSI integer div),
+    // and nulls sort FIRST ascending — the invalid rows would silently
+    // claim the head of the sample. Refuse loudly per row instead.
+    val w = expr(weightExpr).cast("long")
+    df.withColumn("weight",
+        when(w.isNotNull && w > 0, w).otherwise(raise_error(concat(
+          lit(s"weightedSample: weight `$weightExpr` must be > 0, got "),
+          coalesce(w.cast("string"), lit("null"))))))
       .withColumn("skey",
         expr(s"cast(conv(substring(md5(concat('$seed', cast($idCol as string))), 1, 15), 16, 10) as bigint) div weight"))
       .select(col(idCol), col("weight"), col("skey"))
       .orderBy(col("skey"), col(idCol)).limit(n)
+  }
+
+  /** Deterministic stratified sampling: a fixed-size per-stratum draw
+    * (`n` rows per distinct `keyCol` value) under the same seeded md5
+    * order as [[trainOrder]] — the "equal representation per language /
+    * source / difficulty tier" eval- and probe-set primitive (vs
+    * [[weightedSample]]'s corpus-global weighted draw and q_lang_mix's
+    * RATE-based rebalancing, this pins an exact per-stratum COUNT). Pure
+    * function of (seed, id): re-runs and both engines agree bit-for-bit.
+    * Scale shape: ONE hash exchange on the stratum key; the per-stratum
+    * rank is a window Catalyst rewrites with a partial pre-shuffle group
+    * limit (InferWindowGroupLimit, the q_source_cap plan shape), so each
+    * map task forwards <= n rows per stratum — the exchange moves
+    * O(tasks x strata x n), never the corpus, and a 5-language 100 TB
+    * corpus costs ~tasks x 5 x n narrow rows, not a skewed full sort. */
+  def stratifiedSample(df: DataFrame, keyCol: String, n: Int,
+      idCol: String = "doc_id", seed: String = "strat"): DataFrame = {
+    require(n > 0, s"per-stratum sample size must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val oh = md5(concat(lit(seed), col(idCol).cast("string")))
+    df.select(col(keyCol), col(idCol), oh.as("oh"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col(keyCol)).orderBy(col("oh"), col(idCol)))
+        .cast("long"))
+      .filter(col("pos") <= n)
+      .select(col(keyCol), col("pos"), col(idCol))
   }
 
   /** q_curriculum_order: difficulty-tier width (docs bucket by
@@ -1763,6 +1824,100 @@ object TextPipeline {
           .orderBy("doc_id")
     },
 
+    // D7b — FUZZY benchmark decontamination: flag training documents that
+    // are NEAR-duplicates (shingle Jaccard >= 0.5) of a benchmark doc —
+    // the screen that catches paraphrased / lightly-edited eval leakage
+    // the exact 8-gram probe (D7) misses. Production path: the
+    // [[crossCorpusNearDups]] MinHash+LSH cross-corpus matcher (xxhash64,
+    // banded, capped — the q_dedup_minhash scale shape with the self-join
+    // replaced by an incoming x bench band join; the bench side's
+    // signature/band frames are corpus-only and reused across ingest
+    // batches via DfCache). No SQL oracle here (DuckDB lacks xxhash64);
+    // the md5 twin below hash-checks the identical pipeline shape.
+    rowsOnly("q_decontaminate_fuzzy", Seq("D7", "D2")) { (s, dir) =>
+      val d = docs(s, dir)
+      crossCorpusNearDups(s,
+        d.filter(col("doc_id") % DeconFuzzyBenchMod =!= 0),
+        d.filter(col("doc_id") % DeconFuzzyBenchMod === 0),
+        cacheKey = s"decon_fuzzy#$dir")
+        .orderBy("in_id")
+    },
+
+    // D7b-oracle — the SAME cross-corpus near-dup screen built on md5
+    // (bit-shared with DuckDB), hash-checked end to end: signatures,
+    // banding, the incoming x bench candidate join, the exact-Jaccard
+    // verify, and the best-match-per-incoming-doc cut. The signature /
+    // shingle tables are CACHE-SHARED with q_dedup_minhash_md5 (same
+    // DfCache keys), so within a session the md5 shingling runs once for
+    // the pair of them. Both the SQL and the Spark side are GENERATED
+    // from MinhashBands/MinhashRows.
+    sql("q_decontaminate_fuzzy_md5", Seq("D7", "D2"),
+      ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM t, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |sig AS (SELECT doc_id, """.stripMargin +
+        (0 until MinhashSigN).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ") +
+        ", list(s) AS st FROM sh GROUP BY doc_id),\nbands AS (" +
+        (0 until MinhashBands).map(b =>
+          s"SELECT doc_id, $b AS band, md5(${
+            (0 until MinhashRows).map(r => s"h${MinhashRows * b + r}").mkString(" || ")
+          }) AS bucket FROM sig")
+          .mkString(" UNION ALL ") + "),\n" +
+        s"""cand AS (SELECT DISTINCT x.doc_id AS in_id, y.doc_id AS ex_id
+        |          FROM bands x JOIN bands y
+        |          ON x.band = y.band AND x.bucket = y.bucket
+        |          WHERE x.doc_id % $DeconFuzzyBenchMod <> 0
+        |            AND y.doc_id % $DeconFuzzyBenchMod = 0),
+        |j AS (SELECT in_id, ex_id,
+        |        len(list_intersect(sa.st, sb.st)) * 1.0 /
+        |        (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))) AS jr
+        |      FROM cand JOIN sig sa ON sa.doc_id = in_id JOIN sig sb ON sb.doc_id = ex_id),
+        |r AS (SELECT in_id, ex_id, jr,
+        |        row_number() OVER (PARTITION BY in_id ORDER BY jr DESC, ex_id) AS rk
+        |      FROM j WHERE jr >= 0.5)
+        |SELECT in_id, ex_id AS dup_of, floor(jr * 10000 + 0.5) / 10000 AS jaccard
+        |FROM r WHERE rk = 1 ORDER BY in_id""".stripMargin)) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val sh = DfCache.getOrBuild(s, s"minhash_md5_sh#$dir")(shingles(docs(s, dir)))
+        val sigCols = (0 until MinhashSigN).map(i =>
+          min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+        val sigs = DfCache.getOrBuild(s, s"minhash_md5_sigs:${MinhashBands}x$MinhashRows#$dir") {
+          sh.groupBy(col("doc_id"))
+            .agg(sigCols.head, sigCols.tail :+ count(lit(1)).as("cnt"): _*)
+        }
+        val bands = sigs.select(col("doc_id"),
+          posexplode(array((0 until MinhashBands).map(b =>
+            md5(concat((0 until MinhashRows).map(r => col(s"h${MinhashRows * b + r}")): _*))): _*))
+            .as(Seq("band", "bucket")))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+              && col("x.doc_id") % DeconFuzzyBenchMod =!= 0
+              && col("y.doc_id") % DeconFuzzyBenchMod === 0)
+          .select(col("x.doc_id").as("in_id"), col("y.doc_id").as("ex_id"))
+          .distinct()
+        val common = cand
+          .join(sh.select(col("doc_id").as("in_id"), col("s")), Seq("in_id"))
+          .join(sh.select(col("doc_id").as("ex_id"), col("s")), Seq("ex_id", "s"))
+          .groupBy(col("in_id"), col("ex_id")).agg(count(lit(1)).as("common"))
+        val cnts = sigs.select(col("doc_id"), col("cnt"))
+        common
+          .join(cnts.select(col("doc_id").as("in_id"), col("cnt").as("ci")), Seq("in_id"))
+          .join(cnts.select(col("doc_id").as("ex_id"), col("cnt").as("ce")), Seq("ex_id"))
+          .select(col("in_id"), col("ex_id"),
+            (col("common") * lit(1.0) / (col("ci") + col("ce") - col("common")))
+              .as("jr"))
+          .filter(col("jr") >= 0.5)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("in_id"))
+              .orderBy(col("jr").desc, col("ex_id"))))
+          .filter(col("rk") === 1)
+          .select(col("in_id"), col("ex_id").as("dup_of"),
+            QueryDef.floorRound(col("jr"), 4).as("jaccard"))
+          .orderBy("in_id")
+    },
+
     // TA7 — per-source document cap (the per-domain cap rule of web-corpus
     // pipelines: no single domain may dominate the corpus): emit the kept
     // set — the top-SourceCap docs per source by the deterministic keeper
@@ -2016,6 +2171,24 @@ object TextPipeline {
           .orderBy("skey", "doc_id")
     },
 
+    // TA11c — deterministic stratified sampling (see [[stratifiedSample]]):
+    // exactly [[StratifiedPerKey]] docs per language under the seeded md5
+    // order — the balanced eval/probe-set draw. The twin re-derives the
+    // draw and the per-stratum rank in SQL, so the per-language SELECTION
+    // is pinned cross-engine; the plan is the q_source_cap
+    // WindowGroupLimit shape (<= n rows per stratum cross the exchange).
+    sql("q_stratified_sample", Seq("TA11"),
+      s"""WITH h AS (SELECT lang, doc_id,
+        |    md5('strat' || doc_id::VARCHAR) AS oh FROM documents),
+        |r AS (SELECT lang, doc_id, oh,
+        |    row_number() OVER (PARTITION BY lang ORDER BY oh, doc_id) AS pos
+        |  FROM h)
+        |SELECT lang, pos, doc_id FROM r WHERE pos <= $StratifiedPerKey
+        |ORDER BY lang, pos""".stripMargin) { (s, dir) =>
+      stratifiedSample(docs(s, dir), "lang", StratifiedPerKey)
+        .orderBy("lang", "pos")
+    },
+
     // TA13 — curriculum (easy-to-hard) training order: per-row integer
     // difficulty tiers (n_chars div width, capped — NO quantile pass, no
     // ntile's single-partition window) + the trainOrder md5 draw within
@@ -2087,12 +2260,13 @@ object TextPipeline {
 
     // TA13 — BPE ENCODE: segment the corpus with the trained merge rules.
     // Training needs a driver round-trip per rule (the argmax is
-    // data-dependent), but APPLY does not: the learned rules become plan
-    // literals and all [[BpeMerges]] greedy folds compose into ONE
-    // vocabulary-sized select over the distinct-word table (no UDF, no
-    // per-rule materialization — Catalyst's CollapseProject keeps each
-    // fold its own Project because the higher-order `aggregate` is not
-    // duplicable-cheap). Unlike training, encode takes EVERY whitespace
+    // data-dependent), but APPLY does not: the learned rules become ONE
+    // plan-literal struct array and [[bpeApplyRules]] folds the whole rule
+    // sequence inside a SINGLE `aggregate` expression over the
+    // distinct-word table (no UDF, no per-rule materialization, and no
+    // per-rule Project chain — see bpeApplyRules for the 3^rules
+    // CollapseProject blow-up the chained form suffered).
+    // Unlike training, encode takes EVERY whitespace
     // token — unseen symbols (digits, punctuation) just never match a
     // rule and pass through character-level, exactly how a trained BPE
     // tokenizer meets out-of-distribution text. Output is the encoded
@@ -2110,9 +2284,8 @@ object TextPipeline {
       val start = wa.select(col("cnt"),
         expr("transform(sequence(1, length(word)), k -> substring(word, k, 1))")
           .as("syms"))
-      val encoded = rules.foldLeft(start) { case (df, (l, r)) =>
-        df.select(col("cnt"), bpeMergeFold(col("syms"), l, r).as("syms"))
-      }
+      val encoded = start.select(col("cnt"),
+        bpeApplyRules(col("syms"), rules).as("syms"))
       encoded.select(explode(col("syms")).as("piece"), col("cnt"))
         .groupBy("piece").agg(sum(col("cnt")).as("n"))
         .orderBy(col("n").desc, col("piece"))
@@ -2126,18 +2299,22 @@ object TextPipeline {
     // saturation is exact integer arithmetic with k1/b cleared to
     // integers — multiplying num/den by 20*avgdl1000 turns
     // tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) into
-    // (44*tf*avgdl1000*1e6) DIV (20*avgdl1000*tf + 6*avgdl1000 + 18000*dl)
-    // — and idf uses the quantized Robertson ODDS ((2N-2df+1)*1e6 DIV
-    // (2df+1)), monotone in the true log-idf per term, so ranking quality
-    // is BM25's while the cross-engine hash stays exact (a production
-    // deployment free of the oracle constraint would take the log and sum
-    // doubles). Scale shape: dl and per-term tf are ROW-LOCAL expressions
-    // over the token array (never an explode-and-reshuffle of the corpus);
-    // N/total-tokens/df collapse to one scalar-agg collect whose values
-    // enter pass 2 as plan literals; pass 2 is a zero-shuffle projection
-    // cut by TakeOrderedAndProject. The quantized magnitudes are
-    // corpus-size-INDEPENDENT (avgdl1000 ~ 1000*doclen, tf <= doclen), so
-    // the int64 arithmetic survives any N.
+    // (44*tf*avgdl1000*1e3) DIV (20*avgdl1000*tf + 6*avgdl1000 + 18000*dl)
+    // (range 0..2200) — and idf uses the quantized Robertson ODDS
+    // ((2N-2df+1)*1e3 DIV (2df+1)), monotone in the true log-idf per term,
+    // so ranking quality is BM25's while the cross-engine hash stays exact
+    // (a production deployment free of the oracle constraint would take
+    // the log and sum doubles). Scale shape: dl and per-term tf are
+    // ROW-LOCAL expressions over the token array (never an
+    // explode-and-reshuffle of the corpus); N/total-tokens/df collapse to
+    // one scalar-agg collect whose values enter pass 2 as plan literals;
+    // pass 2 is a zero-shuffle projection cut by TakeOrderedAndProject.
+    // Int64 range: the idf leg IS N-proportional (idfQ <= ~667*N for a
+    // df=1 term), so the per-term product is bounded by ~1.5e6*N — in
+    // range to N ~ 6e12 docs — and the saturation numerator needs
+    // tf*avgdl <= ~2e11; BOTH bounds are require()-guarded at the driver
+    // from the same stats collect (Spark's non-ANSI wrap would otherwise
+    // corrupt rankings silently).
     sql("q_bm25", Seq("TA14", "P1", "T1"),
       s"""WITH $bm25OracleCte
         |SELECT doc_id, score_q FROM bm
@@ -2149,9 +2326,10 @@ object TextPipeline {
 
     // TA14b — per-document TF-IDF keyword extraction: the top
     // [[TfidfTopN]] terms of every document by tf * idf with idf
-    // integer-quantized ((N * 1e6) DIV df — monotone in log(N/df) per
-    // term, hash-exact cross-engine) and a deterministic (weight desc,
-    // token asc) tie-break. The per-doc tag table a 100 TB pipeline joins
+    // integer-quantized ((N * 1e3) DIV df — monotone in log(N/df) per
+    // term, hash-exact cross-engine; kept at 1e3 so tf * idfQ stays in
+    // int64 past N=1e10 docs for any tf <= ~9e5/N-per-1e10) and a
+    // deterministic (weight desc, token asc) tie-break. The per-doc tag table a 100 TB pipeline joins
     // back for topic bucketing, dedup explanations, or index-time keyword
     // fields. Scale shape: df is a vocabulary-sized hash agg broadcast
     // into the corpus-sized (doc, tok, tf) explode; the per-doc cut is a
@@ -2164,7 +2342,7 @@ object TextPipeline {
         |n AS (SELECT count(DISTINCT doc_id) AS n FROM t),
         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-        |w AS (SELECT doc_id, tok, tf * ((n.n * 1000000) // df.df) AS w_q
+        |w AS (SELECT doc_id, tok, tf * ((n.n * 1000) // df.df) AS w_q
         |  FROM tf JOIN df USING (tok) CROSS JOIN n),
         |r AS (SELECT doc_id, tok, w_q,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY w_q DESC, tok) AS rnk
@@ -2179,13 +2357,100 @@ object TextPipeline {
         .groupBy("tok").agg(count(lit(1)).as("df"))
       val w = tf.join(broadcast(df), Seq("tok"))
         .select(col("doc_id"), col("tok"),
-          (col("tf") * expr(s"(${n}L * 1000000) DIV df")).as("w_q"))
+          (col("tf") * expr(s"(${n}L * 1000) DIV df")).as("w_q"))
       w.withColumn("rnk", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("w_q").desc, col("tok")))
           .cast("long"))
         .filter(col("rnk") <= TfidfTopN)
         .select("doc_id", "rnk", "tok", "w_q")
         .orderBy("doc_id", "rnk")
+    },
+
+    // TA14c — pseudo-relevance-feedback query expansion (RM-style, the
+    // Rocchio/RM1 shape of Lavrenko & Croft '01): retrieve the BM25
+    // top-[[PrfFbDocs]] feedback docs, mine them for the
+    // [[PrfExpTerms]] highest-weight non-query terms (w(t) = sum over
+    // feedback docs of length-normalized tf, integer mils — the RM1
+    // P(t|d) estimate without float division), then RE-retrieve with the
+    // expanded weighted query (originals at weight 1000, expansion terms
+    // normalized to <= 1000) — the recall-widening second pass a
+    // keyword-audit / decontamination-by-topic pipeline runs when the
+    // literal terms under-retrieve. Every stage is integer-quantized so
+    // the twin pins the expanded RANKING cross-engine, feedback-set and
+    // expansion-term selection included. Scale shape: leg 1 is q_bm25's
+    // (two scalar collects + zero-shuffle projection + TakeOrdered cut);
+    // term mining runs on the 10 collected feedback DOC IDS only (a
+    // broadcast-sized explode); leg 2 is the same zero-shuffle row-local
+    // scoring with 8 plan-literal terms. Nothing corpus-sized shuffles.
+    sql("q_prf_expand", Seq("TA14", "P1", "T1"), prfOracleSql) { (s, dir) =>
+      val fb = bm25Scored(s, dir)
+        .orderBy(col("score_q").desc, col("doc_id")).limit(PrfFbDocs)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val fbToks = docs(s, dir).filter(col("doc_id").isin(fb: _*))
+        .select(col("doc_id"), size(toks).cast("long").as("dl"),
+          explode(toks).as("tok"))
+      val expTerms = fbToks
+        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+        .filter(!col("tok").isin(Bm25Terms: _*))
+        .groupBy("tok").agg(sum(expr("(tf * 1000000) DIV dl")).as("w"))
+        .orderBy(col("w").desc, col("tok")).limit(PrfExpTerms)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      require(expTerms.nonEmpty,
+        "PRF found no expansion terms in the feedback docs")
+      val maxW = expTerms.map(_._2).max
+      // a term whose normalized weight floors to 0 contributes nothing in
+      // the oracle's x0 product — dropping it here is score-identical
+      val expanded = Bm25Terms.map(_ -> PrfWeightScale) ++
+        expTerms.map { case (t, w) => t -> (w * PrfWeightScale / maxW) }
+          .filter(_._2 > 0)
+      bm25WeightedScored(s, dir, expanded)
+        .orderBy(col("score_q").desc, col("doc_id")).limit(20)
+    },
+
+    // TA14d — snippet / highlight extraction: for each BM25
+    // top-[[SnippetDocs]] doc, the best [[SnippetWin]]-token window by
+    // query-term hit count (earliest window on ties) plus the rendered
+    // snippet text — the result-presentation half of a lexical search
+    // deployment, and the "show me WHY this doc matched" audit tool of a
+    // keyword-screen pipeline. Pure row-local array work over the top
+    // docs only: per-window hit counts via transform(sequence)/filter,
+    // argmax via array_max + array_position (first match = earliest
+    // window, deterministic), snippet via slice + concat_ws — no UDF, no
+    // shuffle beyond the driver-collected top-doc id list entering as
+    // plan literals. The twin re-derives windows, argmax, and the
+    // rendered TEXT in SQL, so the hash pins the actual snippets.
+    sql("q_snippet", Seq("TA14", "P3"), {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH $bm25OracleCte,
+        |fb AS (SELECT doc_id FROM bm ORDER BY score_q DESC, doc_id LIMIT $SnippetDocs),
+        |w AS (SELECT d.doc_id, d.t, d.dl FROM d JOIN fb USING (doc_id)),
+        |h AS (SELECT doc_id, t,
+        |    [len(list_filter(t[st:st+${SnippetWin - 1}],
+        |         x -> list_contains([$terms], x)))
+        |     for st in range(1, greatest(dl - ${SnippetWin - 1}, 1) + 1)] AS hc
+        |  FROM w),
+        |b AS (SELECT doc_id, t, list_max(hc) AS n_hits,
+        |    list_position(hc, list_max(hc)) AS start FROM h)
+        |SELECT doc_id, start::BIGINT AS start, n_hits::BIGINT AS n_hits,
+        |  array_to_string(t[start:start+${SnippetWin - 1}], ' ') AS snippet
+        |FROM b ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val top = bm25Scored(s, dir)
+        .orderBy(col("score_q").desc, col("doc_id")).limit(SnippetDocs)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val w = docs(s, dir).filter(col("doc_id").isin(top: _*))
+        .select(col("doc_id"), toks.as("t"))
+        .withColumn("dl", size(col("t")))
+      w.withColumn("hc", expr(
+          s"transform(sequence(1, greatest(dl - ${SnippetWin - 1}, 1)), " +
+            s"st -> size(filter(slice(t, st, $SnippetWin), " +
+            s"x -> x IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")}))))"))
+        .withColumn("n_hits", array_max(col("hc")).cast("long"))
+        .withColumn("start", array_position(col("hc"), array_max(col("hc"))))
+        .select(col("doc_id"), col("start"), col("n_hits"),
+          concat_ws(" ", slice(col("t"), col("start").cast("int"), lit(SnippetWin)))
+            .as("snippet"))
+        .orderBy("doc_id")
     }
   )
 
@@ -2202,13 +2467,48 @@ object TextPipeline {
       |  FROM d CROSS JOIN (SELECT unnest([$terms]) AS tok)),
       |df AS (SELECT tok, count(*) FILTER (tf > 0) AS df FROM tf GROUP BY tok),
       |term AS (SELECT doc_id,
-      |    (((2 * a.n - 2 * df.df + 1) * 1000000) // (2 * df.df + 1)) *
-      |    ((44 * tf.tf * a.avgdl1000 * 1000000)
+      |    (((2 * a.n - 2 * df.df + 1) * 1000) // (2 * df.df + 1)) *
+      |    ((44 * tf.tf * a.avgdl1000 * 1000)
       |      // (20 * a.avgdl1000 * tf.tf + 6 * a.avgdl1000 + 18000 * tf.dl))
-      |    // 1000000 AS w
+      |    AS w
       |  FROM tf JOIN df USING (tok) CROSS JOIN a WHERE tf.tf > 0),
       |bm AS (SELECT doc_id, sum(w)::BIGINT AS score_q FROM term GROUP BY doc_id)"""
       .stripMargin
+  }
+
+  /** Quantized Robertson-odds idf: ((2N - 2df + 1) * 1e3) DIV (2df + 1) —
+    * N-proportional (<= ~667*N at df=1), which is why [[bm25RangeGuards]]
+    * bounds it rather than claiming corpus-size independence. */
+  private[graft] def bm25IdfQ(n: Long, df: Long): Long =
+    (2L * n - 2L * df + 1L) * 1000L / (2L * df + 1L)
+
+  /** Int64-range guards for the quantized BM25 arithmetic, checked LOUDLY
+    * at the driver from the pass-1 stats collect (zero per-row cost;
+    * Spark's non-ANSI int64 would wrap silently into wrong rankings while
+    * the DuckDB oracle throws). Whenever these pass, EVERY intermediate of
+    * the per-row expression fits int64 — pinned by Bm25RangeSpec's BigInt
+    * sweep over the guard boundary:
+    *  - saturation numerator 44000 * tf * avgdl1000 with tf <= maxDl —
+    *    trips only past tf*avgdl ~ 2e11 (a ~100-GB-token doc pathology);
+    *  - per-term product idfQ * satQ with satQ <= 2200 (the quotient's
+    *    ceiling 44000/20), summed over the query terms — idfQ <= ~667*N,
+    *    so the score stays in int64 to N ~ 6e12 docs;
+    *  - idfQ's own numerator (2N + 1) * 1000.
+    */
+  private[graft] def bm25RangeGuards(n: Long, avgdl1000: Long, maxDl: Long,
+      dfs: Seq[Long]): Unit = {
+    require(BigInt(2L) * n * 1000L + 1000L <= Long.MaxValue,
+      s"BM25 int64 range exceeded: N=$n overflows the idf numerator")
+    require(BigInt(44000L) * maxDl * avgdl1000 <= Long.MaxValue,
+      s"BM25 int64 range exceeded: max(dl)=$maxDl x avgdl1000=$avgdl1000 " +
+        "overflows the tf-saturation numerator; split or truncate outlier " +
+        "documents before scoring")
+    dfs.foreach { df =>
+      val idfQ = bm25IdfQ(n, df)
+      require(BigInt(idfQ) * 2200L * dfs.length <= Long.MaxValue,
+        s"BM25 int64 range exceeded: idfQ=$idfQ at N=$n docs overflows " +
+          "the per-term product; reduce idf quantization")
+    }
   }
 
   /** BM25-scored corpus for the fixed query [[Bm25Terms]] — (doc_id,
@@ -2225,22 +2525,98 @@ object TextPipeline {
     }
     val withTf = d.select(col("doc_id") +: col("dl") +: tfCols: _*)
     val statAggs = count(lit(1)).as("n") +: sum(col("dl")).as("tt") +:
+      max(col("dl")).as("maxdl") +:
       Bm25Terms.indices.map(i =>
         sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
     val stats = withTf.agg(statAggs.head, statAggs.tail: _*).collect()(0)
     val n = stats.getLong(0)
     val avgdl1000 = 1000L * stats.getLong(1) / n
+    val maxDl = stats.getLong(2)
+    val dfs = Bm25Terms.indices.map(i => stats.getLong(3 + i))
+    bm25RangeGuards(n, avgdl1000, maxDl, dfs)
     val termCols = Bm25Terms.indices.map { i =>
-      val df = stats.getLong(2 + i)
-      val idfQ = (2L * n - 2L * df + 1L) * 1000000L / (2L * df + 1L)
+      val df = dfs(i)
+      val idfQ = bm25IdfQ(n, df)
       when(col(s"tf_$i") > 0,
-        expr(s"($idfQ * ((44 * tf_$i * $avgdl1000 * 1000000) DIV " +
-          s"(20 * $avgdl1000 * tf_$i + 6 * $avgdl1000 + 18000 * dl))) " +
-          s"DIV 1000000")).otherwise(lit(0L))
+        expr(s"$idfQ * ((44 * tf_$i * $avgdl1000 * 1000) DIV " +
+          s"(20 * $avgdl1000 * tf_$i + 6 * $avgdl1000 + 18000 * dl))"))
+        .otherwise(lit(0L))
     }
     withTf.select(col("doc_id"),
         termCols.reduce(_ + _).as("score_q"))
       .filter(col("score_q") > 0)
+  }
+
+  /** Weighted BM25 re-scoring for an expanded query: per (doc, term)
+    * contribution = ((idfQ * satQ) DIV 1000) * wt with wt <= 1000, so the
+    * summed score stays inside exactly the [[bm25RangeGuards]] envelope
+    * (contribution <= idfQ * 2200). Same two-pass shape as [[bm25Scored]]:
+    * one scalar-agg stats collect (N, avgdl, per-term df enter as plan
+    * literals), then a zero-shuffle row-local projection. */
+  private[graft] def bm25WeightedScored(s: SparkSession, dir: String,
+      terms: Seq[(String, Long)]): DataFrame = {
+    require(terms.nonEmpty, "weighted BM25 needs at least one term")
+    require(terms.forall { case (_, w) => w > 0 && w <= PrfWeightScale },
+      s"term weights must be in 1..$PrfWeightScale: $terms")
+    val d = docs(s, dir).select(col("doc_id"), toks.as("t"))
+      .withColumn("dl", size(col("t")).cast("long"))
+    val tfCols = terms.zipWithIndex.map { case ((t, _), i) =>
+      size(filter(col("t"), x => x === t)).cast("long").as(s"tf_$i")
+    }
+    val withTf = d.select(col("doc_id") +: col("dl") +: tfCols: _*)
+    val statAggs = count(lit(1)).as("n") +: sum(col("dl")).as("tt") +:
+      max(col("dl")).as("maxdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+    val n = stats.getLong(0)
+    val avgdl1000 = 1000L * stats.getLong(1) / n
+    val maxDl = stats.getLong(2)
+    val dfs = terms.indices.map(i => stats.getLong(3 + i))
+    bm25RangeGuards(n, avgdl1000, maxDl, dfs)
+    val termCols = terms.zipWithIndex.map { case ((_, wt), i) =>
+      val idfQ = bm25IdfQ(n, dfs(i))
+      when(col(s"tf_$i") > 0,
+        expr(s"(($idfQ * ((44 * tf_$i * $avgdl1000 * 1000) DIV " +
+          s"(20 * $avgdl1000 * tf_$i + 6 * $avgdl1000 + 18000 * dl))) " +
+          s"DIV 1000) * $wt")).otherwise(lit(0L))
+    }
+    withTf.select(col("doc_id"), termCols.reduce(_ + _).as("score_q"))
+      .filter(col("score_q") > 0)
+  }
+
+  /** DuckDB twin of the q_prf_expand pipeline (see the query entry for the
+    * semantics): feedback top-[[PrfFbDocs]] from the shared
+    * [[bm25OracleCte]] chain, RM-style expansion-term weights, then the
+    * weighted re-scoring — every stage integer-quantized so the final
+    * RANKING (not just scores) is pinned cross-engine. */
+  private[graft] def prfOracleSql: String = {
+    val orig = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH $bm25OracleCte,
+      |fb AS (SELECT doc_id FROM bm ORDER BY score_q DESC, doc_id LIMIT $PrfFbDocs),
+      |ft AS (SELECT d.doc_id, d.dl, unnest(d.t) AS tok FROM d JOIN fb USING (doc_id)),
+      |ftf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM ft GROUP BY doc_id, dl, tok),
+      |ew AS (SELECT tok, sum((tf * 1000000) // dl)::BIGINT AS w FROM ftf
+      |       WHERE tok NOT IN ($orig) GROUP BY tok
+      |       ORDER BY w DESC, tok LIMIT $PrfExpTerms),
+      |mx AS (SELECT max(w) AS mw FROM ew),
+      |t2 AS (SELECT tok, $PrfWeightScale::BIGINT AS wt
+      |         FROM (SELECT unnest([$orig]) AS tok)
+      |       UNION ALL
+      |       SELECT tok, (w * $PrfWeightScale) // mw AS wt FROM ew CROSS JOIN mx),
+      |tf2 AS (SELECT d.doc_id, d.dl, t2.tok, t2.wt,
+      |          len(list_filter(d.t, x -> x = t2.tok)) AS tf
+      |        FROM d CROSS JOIN t2),
+      |df2 AS (SELECT tok, count(*) FILTER (tf > 0) AS df FROM tf2 GROUP BY tok),
+      |term2 AS (SELECT doc_id,
+      |    (((((2 * a.n - 2 * df2.df + 1) * 1000) // (2 * df2.df + 1)) *
+      |      ((44 * tf2.tf * a.avgdl1000 * 1000)
+      |        // (20 * a.avgdl1000 * tf2.tf + 6 * a.avgdl1000 + 18000 * tf2.dl)))
+      |     // 1000) * tf2.wt AS w
+      |  FROM tf2 JOIN df2 USING (tok) CROSS JOIN a WHERE tf2.tf > 0),
+      |bm2 AS (SELECT doc_id, sum(w)::BIGINT AS score_q FROM term2 GROUP BY doc_id)
+      |SELECT doc_id, score_q FROM bm2 WHERE score_q > 0
+      |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin
   }
 
   /** One greedy left-to-right non-overlapping application of merge rule
@@ -2249,14 +2625,41 @@ object TextPipeline {
     * becomes lhs||rhs != lhs. Shared by the trainer's between-round apply
     * and [[bpeEncodeOracle]]'s Spark twin so the semantics can't drift. */
   private def bpeMergeFold(syms: Column, bl: String, br: String): Column =
+    bpeMergeFoldC(syms, lit(bl), lit(br))
+
+  /** Column-literal generalization of the greedy merge fold so it can sit
+    * INSIDE a lambda (see [[bpeApplyRules]]). `syms`/`bl`/`br` may be
+    * lambda variables — referenced O(1) times each, never inlined. */
+  private def bpeMergeFoldC(syms: Column, bl: Column, br: Column): Column =
     aggregate(
       slice(syms, lit(2), size(syms) - 1),
       array(element_at(syms, 1)),
       (acc, x) => when(
-        x === lit(br) && element_at(acc, -1) === lit(bl),
+        x === br && element_at(acc, -1) === bl,
         concat(slice(acc, lit(1), size(acc) - 1),
-          array(lit(bl + br))))
+          array(concat(bl, br))))
         .otherwise(concat(acc, array(x))))
+
+  /** ALL learned merge rules applied in order as ONE expression: an
+    * `aggregate` over the rule list (a tiny plan-literal array of
+    * (lhs, rhs) structs) whose accumulator is the evolving symbol array,
+    * with [[bpeMergeFoldC]] as the step. The round-11 formulation chained
+    * one Project per rule, each referencing its input `syms` three times
+    * (slice/size/element_at) — CollapseProject inlined the previous fold
+    * into every reference, so the collapsed tree grew ~3^rules-fold
+    * (6561x at 8 rules) and a 31-word vocabulary took MINUTES of
+    * per-row interpreted eval (9.5 min in the round-12 Verify). Here the
+    * accumulator is a lambda VARIABLE — O(1) references, tree size
+    * O(rules), evaluation O(rules x wordlen^2) — and the same encode runs
+    * in milliseconds. Semantics are bit-identical (BpeSpec pins parity
+    * with the per-rule fold chain). */
+  private[graft] def bpeApplyRules(syms: Column, rules: Seq[(String, String)]): Column =
+    if (rules.isEmpty) syms
+    else aggregate(
+      array(rules.map { case (l, r) =>
+        struct(lit(l).as("l"), lit(r).as("r")) }: _*),
+      syms,
+      (acc, rule) => bpeMergeFoldC(acc, rule.getField("l"), rule.getField("r")))
 
   /** The q_bpe_train merge-learning loop (Sennrich Algorithm 1); returns
     * (step, lhs, rhs, total) in learned order. See the q_bpe_train entry

@@ -136,7 +136,19 @@ object BatchSearcher {
         col("e.score").as("score"))
   }
 
-  /** @param queries one row per query: (query_id: long,
+  /** Session-conf side effect (documented, deliberate): when the heap
+    * pool cut is active, this RAISES
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` to 65536
+    * for the WHOLE session if it is below — the conf is read at execution
+    * time, after this function has returned its lazy plan, so it cannot be
+    * scoped to the returned frame. A lower threshold would make the
+    * top-k ObjectHashAggregate fall back to sort-based past 128 query
+    * keys, re-introducing the full candidate-stream sort the heap exists
+    * to avoid. Other ObjectHashAggregates in the session will also hold up
+    * to 65536 keys in memory before spilling; callers who care should
+    * save/restore the conf around their action.
+    *
+    * @param queries one row per query: (query_id: long,
     *                tokens: array<array<float>>) */
   def searchBatch(idx: IndexIVF, tenant: Long, field: String, queries: DataFrame,
       k: Int, opts: SearchOptions = SearchOptions()): DataFrame = {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.quantizers.{Binarizer, IdentityQuantizer, ProductEncoder}
+import graft.quantizers.{Binarizer, IdentityQuantizer, ProductEncoder, ScalarQuantizer8}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Property tests for the pure codec kernels — the port of the reference's
@@ -21,6 +21,49 @@ class CodecPropertySpec extends AnyFunSuite {
       val q = IdentityQuantizer(v.length)
       assert(q.decode(q.encode(v)).toSeq == v.toSeq)
     }
+  }
+
+  test("sq8 reconstruction error <= scale/2 inside the trained range, clamped outside") {
+    (1 to 100).foreach { _ =>
+      val dim = dims(rnd.nextInt(dims.length))
+      val sample = Array.fill(16)(vec(dim))
+      val mins = Array.tabulate(dim)(i => sample.map(_(i)).min)
+      val maxs = Array.tabulate(dim)(i => sample.map(_(i)).max)
+      val q = ScalarQuantizer8.train(mins, maxs)
+      assert(q.codeSize == dim)
+      sample.foreach { v =>
+        val d = q.decode(q.encode(v))
+        v.indices.foreach { i =>
+          assert(math.abs(d(i) - v(i)) <= q.scales(i) * 0.5f + 1e-6f,
+            s"dim $i: ${v(i)} -> ${d(i)}, scale ${q.scales(i)}")
+        }
+      }
+      // out-of-range values clamp to the range ends
+      val lo = q.decode(q.encode(Array.fill(dim)(-100f)))
+      val hi = q.decode(q.encode(Array.fill(dim)(100f)))
+      lo.indices.foreach { i =>
+        assert(lo(i) == q.mins(i))
+        assert(hi(i) == q.mins(i) + 255f * q.scales(i))
+      }
+    }
+  }
+
+  test("sq8 re-encode of a decoded vector is idempotent; constant dims are exact") {
+    (1 to 100).foreach { _ =>
+      val dim = dims(rnd.nextInt(dims.length))
+      val sample = Array.fill(8)(vec(dim))
+      val mins = Array.tabulate(dim)(i => sample.map(_(i)).min)
+      val maxs = Array.tabulate(dim)(i => sample.map(_(i)).max)
+      val q = ScalarQuantizer8.train(mins, maxs)
+      val v = sample(rnd.nextInt(sample.length))
+      val c1 = q.encode(v)
+      assert(q.encode(q.decode(c1)).toSeq == c1.toSeq)
+    }
+    // a constant dimension trains scale 1 and round-trips exactly
+    val q = ScalarQuantizer8.train(Array(0.25f, -1f), Array(0.25f, 1f))
+    assert(q.scales(0) == 1f)
+    val d = q.decode(q.encode(Array(0.25f, 0.33f)))
+    assert(d(0) == 0.25f)
   }
 
   test("binarizer decode reconstructs each value's bucket weight") {

@@ -35,7 +35,8 @@ class RetrievalQualitySpec extends AnyFunSuite {
     (idx, queries)
   }
 
-  for (quant <- Seq(QuantizerKind.NONE, QuantizerKind.BINARIZER, QuantizerKind.PRODUCT_ENCODER))
+  for (quant <- Seq(QuantizerKind.NONE, QuantizerKind.BINARIZER,
+    QuantizerKind.PRODUCT_ENCODER, QuantizerKind.SQ8))
     test(s"$quant: success@3 == 1.0 for label self-retrieval") {
       val (idx, queries) = buildIndex(quant)
       val opts = SearchOptions(kTopCentroids = 8, nProbe = 16)
@@ -163,5 +164,15 @@ class RetrievalQualitySpec extends AnyFunSuite {
       SearchOptions(kTopCentroids = 8, nProbe = 8))
     info(f"pq success@5 = $s%.4f")
     assert(s >= 0.95, s"pq success@5 = $s < 0.95")
+  }
+
+  test("SQ8: success@5 >= 0.95 under near-dup distractors (nProbe=8)") {
+    // 8 bits/dim is near-lossless (max per-dim error = range/512), so the
+    // scalar codec must clear the same bar as the 2-bit binarizer at 4x
+    // the bytes of PQ — the middle point of the codec family
+    val s = successAt5(QuantizerKind.SQ8,
+      SearchOptions(kTopCentroids = 8, nProbe = 8))
+    info(f"sq8 success@5 = $s%.4f")
+    assert(s >= 0.95, s"sq8 success@5 = $s < 0.95")
   }
 }

@@ -105,6 +105,26 @@ class ScaleSpec extends AnyFunSuite {
       "stop-phrase/dup-cluster shingles above ShingleDfCap must be dropped and logged")
   }
 
+  test("cross-corpus fuzzy decon: linear growth, per-side bucket caps fire") {
+    import org.apache.spark.sql.functions.col
+    // bench split = id % 7 (the q_decontaminate_fuzzy shape): the corpus'
+    // even/odd near-dup siblings straddle the split ~2/7 of the time, so
+    // flagged rows grow linearly with the corpus; the exact-dup clusters
+    // (150 identical texts) exceed BucketCap on BOTH sides and must be
+    // dropped by the per-side caps, not quadratically joined
+    def run(dir: String): (Long, Double) = timed {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      TextPipeline.crossCorpusNearDups(spark,
+        d.filter(col("doc_id") % 7 =!= 0),
+        d.filter(col("doc_id") % 7 === 0)).count()
+    }
+    val (rows1, t1) = run(dir1)
+    val (rowsN, tN) = run(dirN)
+    checkRatios("fuzzy-decon", rows1, t1, rowsN, tN, 6, 14)
+    assert(TextPipeline.droppedHotKeys("crossCorpus") > 0,
+      "the per-side LSH bucket caps must fire on the exact-dup clusters")
+  }
+
   test("simhash dedup: linear result growth; wider bands cut candidate volume") {
     val (rows1, t1) = timed(SparkEntry.queries("q_dedup_simhash")(spark, dir1).count())
     val (rowsN, tN) = timed(SparkEntry.queries("q_dedup_simhash")(spark, dirN).count())

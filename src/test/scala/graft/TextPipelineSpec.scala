@@ -690,10 +690,10 @@ class TextPipelineSpec extends AnyFunSuite {
         val tf = toks.count(_ == t).toLong
         if (tf == 0L) 0L
         else {
-          val idfQ = (2L * n - 2L * dfm(t) + 1L) * 1000000L / (2L * dfm(t) + 1L)
-          val tfnQ = (44L * tf * avgdl1000 * 1000000L) /
+          val idfQ = (2L * n - 2L * dfm(t) + 1L) * 1000L / (2L * dfm(t) + 1L)
+          val tfnQ = (44L * tf * avgdl1000 * 1000L) /
             (20L * avgdl1000 * tf + 6L * avgdl1000 + 18000L * dl)
-          idfQ * tfnQ / 1000000L
+          idfQ * tfnQ
         }
       }.sum
       if (score > 0L) Some((id, score)) else None
@@ -716,6 +716,51 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("BM25 range guards: pass implies every intermediate fits int64; pathological shapes refuse loudly") {
+    import graft.queries.TextPipeline.{bm25IdfQ, bm25RangeGuards}
+    val max = BigInt(Long.MaxValue)
+    // sweep the guard boundary: shapes a 100 TB corpus could plausibly
+    // reach (N to 1e12 docs, avgdl to 1e6 tokens, outlier docs to 1e8
+    // tokens). For every combination the guards ACCEPT, verify by BigInt
+    // that the worst-case per-row evaluation (tf = dl = maxDl, rarest
+    // df = 1) never leaves int64 at any intermediate.
+    val ns = Seq(1L, 1000L, 10_000_000L, 10_000_000_000L, 1_000_000_000_000L)
+    val avgs = Seq(1000L, 100_000L, 1_000_000_000L) // avgdl1000 = 1000*avgdl
+    val maxDls = Seq(10L, 100_000L, 100_000_000L)
+    for (n <- ns; avgdl1000 <- avgs; maxDl <- maxDls) {
+      val dfs = Seq(1L, math.max(1L, n / 2), n)
+      val accepted =
+        try { bm25RangeGuards(n, avgdl1000, maxDl, dfs); true }
+        catch { case _: IllegalArgumentException => false }
+      if (accepted) {
+        val tf = maxDl; val dl = maxDl
+        val satNum = BigInt(44L) * tf * avgdl1000 * 1000L
+        val satDen = BigInt(20L) * avgdl1000 * tf + BigInt(6L) * avgdl1000 +
+          BigInt(18000L) * dl
+        assert(satNum <= max && satDen <= max, s"sat at n=$n avg=$avgdl1000")
+        val satQ = satNum / satDen
+        assert(satQ <= 2200, "saturation quotient ceiling")
+        dfs.foreach { df =>
+          val idfQ = BigInt(bm25IdfQ(n, df))
+          assert((BigInt(2L) * n - 2L * df + 1L) * 1000L <= max)
+          assert(idfQ * satQ <= max, s"term product at n=$n df=$df")
+          assert(idfQ * satQ * dfs.length <= max, "summed score")
+        }
+      }
+    }
+    // the advisor's concrete failure shapes now refuse instead of wrapping:
+    // ~6M+ docs was the OLD 1e6-quantization overflow point — now fine
+    bm25RangeGuards(10_000_000L, 1000_000L, 100_000L, Seq(1L, 5L, 100L))
+    // a doc with tf*avgdl past ~2e11 overflows the saturation numerator
+    intercept[IllegalArgumentException] {
+      bm25RangeGuards(1000L, 1_000_000_000L, 1_000_000_000L, Seq(1L))
+    }
+    // absurd N overflows the guarded idf leg
+    intercept[IllegalArgumentException] {
+      bm25RangeGuards(Long.MaxValue / 1000L, 1000L, 10L, Seq(1L))
+    }
+  }
+
   test("TF-IDF per-doc top terms match brute force with deterministic ties") {
     import graft.queries.TextPipeline
     val docRows = spark.read.parquet(s"$sf/documents.parquet")
@@ -728,7 +773,7 @@ class TextPipelineSpec extends AnyFunSuite {
     }
     val expect = docRows.flatMap { case (id, toks) =>
       toks.groupBy(identity).map { case (w, g) =>
-        (w, g.length.toLong * (n * 1000000L / df(w)))
+        (w, g.length.toLong * (n * 1000L / df(w)))
       }.toSeq
         .sortBy { case (w, wq) => (-wq, w) }.take(TextPipeline.TfidfTopN)
         .zipWithIndex.map { case ((w, wq), i) => (id, i + 1L, w, wq) }
@@ -762,5 +807,123 @@ class TextPipelineSpec extends AnyFunSuite {
       (i, w, java.lang.Long.parseLong(h.take(15), 16) / w)
     }.sortBy { case (id, _, k) => (k, id) }.take(100)
     assert(got.toSeq == expect.toSeq)
+  }
+
+  test("cross-corpus near-dup screen flags edited and exact bench copies, not unrelated docs") {
+    import graft.queries.TextPipeline
+    import spark.implicits._
+    val words = ('a' to 'z').map(_.toString)
+    val base = words.take(20).mkString(" ")              // 20 tokens, 18 shingles
+    val edited = (words.take(19) :+ "zz").mkString(" ")  // last token changed
+    val ex = Seq((100L, base), (101L, words.reverse.take(20).mkString(" ")))
+      .toDF("doc_id", "text")
+    val in = Seq(
+      (1L, edited),                        // near-dup of 100: j = 17/19
+      (2L, words.map(w => w + w).take(20).mkString(" ")), // unrelated
+      (3L, base)                           // exact copy of 100
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.crossCorpusNearDups(spark, in, ex)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 3L), s"flagged: ${got.toSeq}")
+    assert(got.forall(_._2 == 100L))
+    assert(got.find(_._1 == 1L).get._3 ==
+      math.floor(17.0 / 19.0 * 10000 + 0.5) / 10000)
+    assert(got.find(_._1 == 3L).get._3 == 1.0)
+  }
+
+  test("stratified sample: exact per-stratum counts, md5-draw parity, group-limit plan") {
+    import graft.queries.TextPipeline
+    import spark.implicits._
+    val df = (1L to 900L).map(i => (i, s"L${i % 3}")).toDF("doc_id", "lang")
+    val n = 10
+    val got = TextPipeline.stratifiedSample(df, "lang", n)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exactly n per stratum, positions 1..n
+    got.groupBy(_._1).foreach { case (lang, g) =>
+      assert(g.length == n, s"$lang: ${g.length}")
+      assert(g.map(_._2).sorted.toSeq == (1L to n).toSeq)
+    }
+    // independent brute force of the seeded draw
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = (1L to 900L).map { i =>
+      val h = md.digest(s"strat$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (s"L${i % 3}", h, i)
+    }.groupBy(_._1).toSeq.flatMap { case (lang, g) =>
+      g.sortBy(t => (t._2, t._3)).take(n).zipWithIndex
+        .map { case ((_, _, id), p) => (lang, p + 1L, id) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == expect)
+    // the pre-shuffle group limit fires: only <= n rows per stratum per
+    // map task reach the exchange (the q_source_cap 100 TB shape)
+    val plan = TextPipeline.stratifiedSample(df, "lang", n)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
+  test("PRF expansion: deterministic, weights bounded, expansion widens or reorders recall") {
+    import graft.queries.TextPipeline
+    val run2 = (1 to 2).map { _ =>
+      run("q_prf_expand").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_q"))).toSeq
+    }
+    assert(run2(0) == run2(1), "PRF must be a pure function of the corpus")
+    val got = run2(0)
+    assert(got.nonEmpty && got.length <= 20)
+    assert(got.forall(_._2 > 0))
+    // ordered (score desc, doc_id asc)
+    val key = got.map(t => (-t._2, t._1))
+    assert(key == key.sorted)
+    // the expanded query must actually differ from the plain BM25 ranking
+    // in membership or order (expansion terms carry weight by construction)
+    val plain = run("q_bm25").collect()
+      .map(r => r.getAs[Long]("doc_id")).toSeq
+    assert(got.map(_._1) != plain, "expansion changed nothing — suspicious")
+  }
+
+  test("snippet extraction: earliest max-hit window, rendered text, bm25 top docs") {
+    import graft.queries.TextPipeline
+    val win = TextPipeline.SnippetWin
+    val terms = TextPipeline.Bm25Terms.toSet
+    val got = run("q_snippet").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start"),
+        r.getAs[Long]("n_hits"), r.getAs[String]("snippet"))).toSeq
+    // snippets cover exactly the bm25 top-SnippetDocs docs
+    val bmTop = run("q_bm25").collect().map(_.getAs[Long]("doc_id"))
+      .take(TextPipeline.SnippetDocs).toSet
+    assert(got.map(_._1).toSet == bmTop)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    got.foreach { case (id, start, hits, snippet) =>
+      val t = toks(id)
+      val starts = 1 to math.max(t.length - win + 1, 1)
+      val hc = starts.map(s0 => t.slice(s0 - 1, s0 - 1 + win).count(terms))
+      val best = hc.max
+      assert(hits == best, s"doc $id: hits $hits != $best")
+      assert(start == hc.indexOf(best) + 1, s"doc $id: not the earliest argmax")
+      assert(snippet == t.slice(start.toInt - 1, start.toInt - 1 + win).mkString(" "))
+      assert(hits >= 1, "a bm25 top doc must contain a query term")
+    }
+  }
+
+  test("weighted sample refuses zero, negative, and null weights loudly") {
+    import graft.queries.TextPipeline
+    import spark.implicits._
+    // a 0 weight used to produce a null skey (non-ANSI div) that sorted
+    // FIRST and silently headed the sample — now it must throw
+    for (bad <- Seq(0L, -5L)) {
+      val df = Seq((1L, 10L), (2L, bad), (3L, 7L)).toDF("doc_id", "w")
+      val e = intercept[Exception] {
+        TextPipeline.weightedSample(df, "w", 2).collect()
+      }
+      assert(e.getMessage.contains("must be > 0"), s"weight=$bad: $e")
+    }
+    val withNull = Seq((1L, Some(10L)), (2L, None), (3L, Some(7L)))
+      .toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      TextPipeline.weightedSample(withNull, "w", 2).collect()
+    }
+    assert(e.getMessage.contains("must be > 0"), e.getMessage)
   }
 }

@@ -49,6 +49,40 @@ class TopKByScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN scores rank first, matching Spark's descending window sort") {
+    import spark.implicits._
+    // Spark's `score desc` total order places NaN ABOVE every double; the
+    // heap must keep and order a NaN candidate identically (a naive `>`
+    // comparison is never true for NaN and would silently drop it)
+    val rows = Seq(
+      (1L, 10L, 3.5), (1L, 11L, Double.NaN), (1L, 12L, 9.0),
+      (1L, 13L, Double.NaN), (1L, 14L, Double.PositiveInfinity),
+      (1L, 15L, -0.0), (1L, 16L, 0.0), (1L, 17L, 1.0),
+      (2L, 20L, Double.NaN), (2L, 21L, 1.0))
+    val df = rows.toDF("query_id", "doc_id", "score").repartition(3)
+    val k = 5
+    val got = df.groupBy(col("query_id"))
+      .agg(TopKByScore(col("doc_id"), col("score"), k).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("e"))
+      .select(col("query_id"), col("e.doc_id").as("doc_id"),
+        col("e.score").as("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def key(t: (Long, Long, Double)) =
+      (t._1, t._2, java.lang.Double.doubleToLongBits(t._3))
+    assert(got.sortBy(key).toSeq.map(t => (t._1, t._2, t._3.isNaN)) ==
+      expected.sortBy(key).toSeq.map(t => (t._1, t._2, t._3.isNaN)))
+    // NaN docs lead each group, ordered by doc_id among themselves
+    val g1 = got.filter(_._1 == 1L).map(_._2).toSeq
+    assert(g1.take(2) == Seq(11L, 13L), s"NaN first: $g1")
+    assert(g1(2) == 14L, "then +Inf")
+  }
+
   test("heap keeps at most one entry per doc and is arrival-order-insensitive") {
     val entries = Seq((5L, 1.0), (6L, 2.0), (5L, 1.0), (7L, 2.0), (8L, 0.5),
       (9L, 2.0), (6L, 2.0), (10L, 3.0))
