@@ -88,6 +88,8 @@ object EngineQueries {
       idx.quantizers += "colbert" -> OracleBinarizer
     if (quant == QuantizerKind.SQ8)
       idx.quantizers += "colbert" -> OracleSq8
+    if (quant == QuantizerKind.PRODUCT_ENCODER)
+      idx.quantizers += "colbert" -> OraclePq
     idx.train(docs) // presets kept, models saved (S4 skip-path)
     idx.add(tenant = 1, docs)
     // re-open from disk: the oracle run also covers S2/S9 (schema + centroid
@@ -161,6 +163,23 @@ object EngineQueries {
   private[queries] val OracleSq8 = graft.quantizers.ScalarQuantizer8(
     Array.fill(64)(-0.5f), Array.fill(64)(0.00390625f), 64)
 
+  /** Preset deterministic PQ codec for the hash-checked PQ lifecycle
+    * (q_engine_search_pq_oracle), installed instead of k-means codebook
+    * training: 8 subspaces x 4 codewords x 8 dims, identity perm, every
+    * codeword value dyadic (+-0.375/0.125 with an (s+k+i)-parity sign for
+    * cross-dim diversity) — so the per-subspace L2 argmin distance chains
+    * (left-associated f32 sums of squared diffs, ties -> lowest codeword)
+    * and the decoded arrays are reproduced bit-for-bit by the SQL twin. */
+  private[queries] val OraclePq: graft.quantizers.ProductEncoder = {
+    val m = 8; val dsub = 8
+    val weights = Array(-0.375f, -0.125f, 0.125f, 0.375f)
+    val books = Array.tabulate(m, weights.length, dsub) { (s, k, i) =>
+      if ((s + k + i) % 2 == 0) weights(k) else -weights(k)
+    }
+    graft.quantizers.ProductEncoder(books, 64,
+      graft.quantizers.ProductEncoder.identityPerm(64))
+  }
+
   /** Generated DuckDB twin of the FIXED-centroid engine search
     * (q_engine_search_oracle, and with `binarized`
     * q_engine_search_binarized_oracle): every stage of the two-phase PLAID
@@ -205,6 +224,42 @@ object EngineQueries {
           |      )))::FLOAT * (0.00390625)::FLOAT)) AS embedding
           |  FROM embeddings),
           |""".stripMargin
+      case "pq" =>
+        // [[OraclePq]]'s exact chains: per subspace s, the L2 distance to
+        // each of the 4 codewords as a left-associated f32 sum of squared
+        // diffs (the Scala loop's accumulation order), argmin via
+        // list_position(d, list_min(d)) — FIRST index, matching the
+        // strict `<` earliest-min tie rule — then decode as per-dim CASE
+        // over the dyadic codeword values
+        val m = 8; val dsub = 8
+        def cw(s: Int, k: Int, i: Int): String =
+          s"(${OraclePq.codebooks(s)(k)(i)})::FLOAT"
+        val dLists = (0 until m).map { s =>
+          val chains = (0 until 4).map { k =>
+            (0 until dsub).map { i =>
+              val idx = s * dsub + i + 1
+              s"((e.embedding[$idx] - ${cw(s, k, i)}) * " +
+                s"(e.embedding[$idx] - ${cw(s, k, i)}))"
+            }.mkString(" + ")
+          }
+          s"[${chains.mkString(",\n        ")}] AS d$s"
+        }.mkString(",\n      ")
+        val ks = (0 until m)
+          .map(s => s"list_position(d$s, list_min(d$s)) AS k$s").mkString(", ")
+        val dims = (0 until 64).map { idx0 =>
+          val s = idx0 / dsub; val i = idx0 % dsub
+          val cases = (0 until 4)
+            .map(k => s"WHEN ${k + 1} THEN ${cw(s, k, i)}").mkString(" ")
+          s"CASE k$s $cases END"
+        }.mkString(",\n        ")
+        s"""pqd AS (SELECT vec_id, label,
+           |      $dLists
+           |  FROM embeddings e),
+           |pqc AS (SELECT vec_id, label, $ks FROM pqd),
+           |dec AS (SELECT vec_id, label, [
+           |        $dims
+           |      ] AS embedding FROM pqc),
+           |""".stripMargin
       case _ => ""
     }
     val docTokens = if (codec == "none") "embeddings" else "dec"
@@ -266,6 +321,7 @@ object EngineQueries {
   private[queries] lazy val engineOracleSql: String = singleEngineOracleSql("none")
   private[queries] lazy val binarizedEngineOracleSql: String = singleEngineOracleSql("binarizer")
   private[queries] lazy val sq8EngineOracleSql: String = singleEngineOracleSql("sq8")
+  private[queries] lazy val pqEngineOracleSql: String = singleEngineOracleSql("pq")
 
   /** Generated DuckDB twin of the FIXED-centroid BATCH search
     * (q_engine_batch_search_oracle): [[engineOracleSql]]'s two-phase PLAID
@@ -351,6 +407,10 @@ object EngineQueries {
     rowsOnly("q_engine_search_sq8", Seq("Q6", "S4", "S5", "J3", "A5", "A8")) {
       (s, dir) => buildAndSearch(s, dir, QuantizerKind.SQ8)
     },
+    // Same with the PQ codec (trained per-subspace k-means codebooks, Q5).
+    rowsOnly("q_engine_search_pq", Seq("Q5", "S4", "S5", "J3", "A5", "A8")) {
+      (s, dir) => buildAndSearch(s, dir, QuantizerKind.PRODUCT_ENCODER)
+    },
     // The composed engine product path, HASH-CHECKED: same create -> train
     // (preset model) -> add -> open -> search lifecycle as q_engine_search,
     // but the coarse model is 16 fixed data-derived centroids instead of
@@ -407,6 +467,28 @@ object EngineQueries {
       sq8EngineOracleSql) {
       (s, dir) => withoutAqe(s) {
         val (idx, path) = buildIndexFixed(s, dir, QuantizerKind.SQ8)
+        val query = queryTokens(s, dir, maxVecId = 4)
+        val res = idx.search(1, VectorQuery("colbert", query), k = 5,
+          SearchOptions(kTopCentroids = 4, nProbe = 8, numSecondPass = 6))
+        materializeAndClean(s, res, path)
+          .select(col("doc_id"), col("n_vecs"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+      }
+    },
+    // The PQ product path, HASH-CHECKED end to end (Q5): the same
+    // fixed-centroid lifecycle with the deterministic preset [[OraclePq]]
+    // in the loop — per-subspace L2-argmin encode at add, byte codes,
+    // codebook-lookup decode + normalize + exact MaxSim at rerank —
+    // reproduced by the SQL twin's distance-chain argmin + CASE decode
+    // (all-dyadic codebooks, first-min tie rule shared). Completes the
+    // codec family: every shipped codec (NONE, BINARIZER, SQ8, PQ) now
+    // has its full lifecycle pinned by a DuckDB hash, not just kernel
+    // specs and quality bars.
+    sql("q_engine_search_pq_oracle",
+      Seq("Q5", "Q8", "S1", "S2", "S4", "S5", "S9", "J3", "A5", "A8"),
+      pqEngineOracleSql) {
+      (s, dir) => withoutAqe(s) {
+        val (idx, path) = buildIndexFixed(s, dir, QuantizerKind.PRODUCT_ENCODER)
         val query = queryTokens(s, dir, maxVecId = 4)
         val res = idx.search(1, VectorQuery("colbert", query), k = 5,
           SearchOptions(kTopCentroids = 4, nProbe = 8, numSecondPass = 6))
