@@ -67,6 +67,18 @@ final class IndexIVF private (
   var coarse: Map[String, CoarseQuantizer] = Map.empty
   var quantizers: Map[String, Quantizer] = Map.empty
 
+  /** Set by [[IndexIVF.openAt]]: this handle is a read-only SNAPSHOT — all
+    * table reads see only rows written at epoch <= this, with only
+    * tombstones up to it applied; every mutator refuses. None = writable. */
+  private[index] var snapshotEpoch: Option[Long] = None
+
+  /** The snapshot ceiling of this handle, if it is one. */
+  def snapshot: Option[Long] = snapshotEpoch
+
+  private def requireWritable(): Unit = require(snapshotEpoch.isEmpty,
+    s"index handle is a read-only snapshot at epoch ${snapshotEpoch.getOrElse(0L)}; " +
+      "IndexIVF.open() a writable handle instead")
+
   /** Row-major (numCentroids x dim) centroid matrix as a REAL Spark
     * broadcast, built lazily and cached per field for the lifetime of this
     * handle (keyed by CoarseQuantizer identity, so a retrain that swaps
@@ -123,8 +135,10 @@ final class IndexIVF private (
     fs.makeQualified(hp).toString
   }
 
-  private def withWriteLock[A](f: => A): A =
+  private def withWriteLock[A](f: => A): A = {
+    requireWritable()
     IndexIVF.writeLocks.computeIfAbsent(lockKey, _ => new Object).synchronized(f)
+  }
 
   // ------------------------------------------------------------ write epoch
 
@@ -137,7 +151,7 @@ final class IndexIVF private (
     * design has on the bulk-delete path. The reference's synchronous deletes
     * via the mapping CF (RocksdbInvertedList.cpp:22-95) never had the
     * window; this restores the same RMW safety for the deferred path. */
-  private def currentEpoch(): Long = {
+  def currentEpoch(): Long = {
     val ep = p("_meta/epoch.json")
     if (!Json.exists(ep)) 0L
     else Json.read(ep, classOf[Map[String, Any]])
@@ -259,11 +273,29 @@ final class IndexIVF private (
     case other => throw new IllegalArgumentException(s"unknown table $other")
   }
 
-  def postingsDf: DataFrame = live(readTable("postings", IndexIVF.postingsSchema))
-  def scalarsDf: DataFrame = live(readTable("scalars", IndexIVF.scalarsSchema))
-  def contextDf: DataFrame = live(readTable("context", IndexIVF.contextSchema))
-  def docsDf: DataFrame = live(readTable("docs", IndexIVF.docsSchema(schema)))
-  def tombstonesDf: DataFrame = readTable("tombstones", IndexIVF.tombstonesSchema)
+  /** Epoch-ceiling filter for snapshot handles: rows appended after the
+    * snapshot epoch are invisible (pre-epoch files coalesce to 0 = always
+    * visible). Identity on writable handles — no plan change. */
+  private def snap(df: DataFrame): DataFrame = snapshotEpoch match {
+    case Some(e) => df.filter(coalesce(col("epoch"), lit(0L)) <= e)
+    case None => df
+  }
+
+  def postingsDf: DataFrame = live(snap(readTable("postings", IndexIVF.postingsSchema)))
+  def scalarsDf: DataFrame = live(snap(readTable("scalars", IndexIVF.scalarsSchema)))
+  def contextDf: DataFrame = live(snap(readTable("context", IndexIVF.contextSchema)))
+  def docsDf: DataFrame = live(snap(readTable("docs", IndexIVF.docsSchema(schema))))
+
+  /** On a snapshot handle, tombstones AFTER the ceiling don't exist yet
+    * (an epoch-less tombstone predates the epoch machinery and is visible
+    * in every snapshot). */
+  def tombstonesDf: DataFrame = {
+    val t = readTable("tombstones", IndexIVF.tombstonesSchema)
+    snapshotEpoch match {
+      case Some(e) => t.filter(col("epoch").isNull || col("epoch") <= e)
+      case None => t
+    }
+  }
 
   /** Does a tombstones table exist on disk right now? A filesystem metadata
     * probe (no Spark job) per plan build — microseconds locally, one RPC on
@@ -319,6 +351,7 @@ final class IndexIVF private (
     * [[IndexIVF.copyTrained]]) keeps it and trains only the residual codec —
     * the clone-from-trained flow of lintdb/index.cpp:76-90. */
   def train(docs: DataFrame): Unit = {
+    requireWritable()
     schema.tensorFields.foreach { f =>
       val params = f.parameters
       require(params.numCentroids > 0, s"${f.name}: numCentroids required to train")
@@ -1468,7 +1501,7 @@ object IndexIVF {
 
   /** Open an existing index (read-only use is just "don't call mutators";
     * reference: lintdb/index.cpp:40-58). */
-  def open(spark: SparkSession, path: String): IndexIVF = {
+  private def load(spark: SparkSession, path: String): IndexIVF = {
     checkVersion(path)
     val schema = Json.read(s"$path/_meta/schema.json", classOf[GSchema])
     requireUtcForDatetime(spark, schema)
@@ -1490,9 +1523,40 @@ object IndexIVF {
         })
       }
     }
+    idx
+  }
+
+  def open(spark: SparkSession, path: String): IndexIVF = {
+    val idx = load(spark, path)
     // a journal entry on disk means the previous writer died between table
     // job commits — vacuum the torn epoch before handing out the handle
     idx.recoverPending()
+    idx
+  }
+
+  /** Open a read-only SNAPSHOT of an existing index as of `epoch`: every
+    * read (and every search through the handle) sees exactly the rows
+    * committed by writes with epoch <= `epoch`, with only the tombstones
+    * up to it applied — the reproduce-a-past-run / audit primitive an
+    * epoch-stamped table layout gets nearly for free. Mutators refuse
+    * loudly.
+    *
+    * Validity caveats (documented, not hidden): [[compact]] and the
+    * synchronous [[remove]] physically rewrite history, so a snapshot is
+    * only faithful back to the last such rewrite; models (centroids /
+    * codecs) are loaded at their CURRENT state — retraining is not
+    * versioned. A pending crash journal refuses the snapshot (open a
+    * writable handle once to recover, then re-snapshot): recovery mutates
+    * disk, which a read-only handle must not do. */
+  def openAt(spark: SparkSession, path: String, epoch: Long): IndexIVF = {
+    val idx = load(spark, path)
+    require(!Json.exists(s"$path/_meta/pending.json"),
+      s"index at $path has a torn write pending recovery; IndexIVF.open() " +
+        "a writable handle first, then snapshot")
+    val cur = idx.currentEpoch()
+    require(epoch >= 0 && epoch <= cur,
+      s"snapshot epoch $epoch out of range [0, $cur]")
+    idx.snapshotEpoch = Some(epoch)
     idx
   }
 

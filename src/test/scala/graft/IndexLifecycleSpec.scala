@@ -120,12 +120,66 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(visible(reopened, 2) == Set(3L, 5L, 7L), "tenant-2 fixture was disturbed")
   }
 
-  test("tensor-schema walk: postings/context/docs stay model-consistent under the delete lifecycle") {
-    // the epoch machinery is most dangerous on the TENSOR tables (postings
-    // is the 100 TB table compact() rewrites targeted partitions of) — a
-    // shorter randomized walk over a trained colbert index, with the
-    // visible-set probe reading postings, context AND docs and requiring
-    // them to agree with the model after every op
+  test("epoch snapshots: openAt sees each historical visible set; snapshot handles refuse writes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dim = 8
+    val rnd = new scala.util.Random(12L)
+    val corpus = (0L until 6L).map(i =>
+      i -> Seq.fill(3)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))).toMap
+    def docsOf(ids: Seq[Long]) = corpus.filter(kv => ids.contains(kv._1)).toSeq
+      .sortBy(_._1).map { case (i, t) => Doc(i, t, s"c$i", i % 2) }.toDF()
+    val path = java.nio.file.Files.createTempDirectory("idx_snapshot").toString
+    val idx = IndexIVF.create(spark, path,
+      GSchema(Seq(GField.colbert("colbert", dim, numCentroids = 2, numIterations = 2),
+        GField(name = "cat", dataType = GDataType.TEXT.toString,
+          roles = Seq(FieldRole.Indexed.toString, FieldRole.Stored.toString)),
+        GField.indexed("num", GDataType.INTEGER))))
+    idx.train(docsOf(corpus.keys.toSeq))
+    idx.add(1, docsOf(Seq(0L, 1L, 2L))); val e1 = idx.currentEpoch()
+    idx.add(1, docsOf(Seq(3L, 4L, 5L))); val e2 = idx.currentEpoch()
+    idx.removeDeferred(1, Seq(0L, 1L)); val e3 = idx.currentEpoch()
+    def vis(h: IndexIVF): Set[Long] =
+      h.docsDf.filter(col("tenant") === 1).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val s1 = IndexIVF.openAt(spark, path, e1)
+    val s2 = IndexIVF.openAt(spark, path, e2)
+    val s3 = IndexIVF.openAt(spark, path, e3)
+    assert(vis(s1) == Set(0L, 1L, 2L), s"at e1: ${vis(s1)}")
+    assert(vis(s2) == Set(0L, 1L, 2L, 3L, 4L, 5L), s"at e2: ${vis(s2)}")
+    assert(vis(s3) == Set(2L, 3L, 4L, 5L), s"at e3: ${vis(s3)}")
+    assert(vis(IndexIVF.open(spark, path)) == Set(2L, 3L, 4L, 5L))
+    // postings/context agree with docs inside a snapshot
+    val pVis = s1.postingsDf.filter(col("tenant") === 1)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(pVis == Set(0L, 1L, 2L), s"postings at e1: $pVis")
+    // a search through the snapshot retrieves a doc that is deleted NOW
+    val q = corpus(0L).map(_.toArray).toArray
+    val hit = s1.search(1, graft.query.VectorQuery("colbert", q), k = 3,
+      graft.query.SearchOptions(kTopCentroids = 2, nProbe = 2))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(hit.contains(0L), s"snapshot search should see doc 0: ${hit.toSeq}")
+    // snapshot handles refuse every mutator
+    intercept[IllegalArgumentException](s1.add(1, docsOf(Seq(5L))))
+    intercept[IllegalArgumentException](s1.removeDeferred(1, Seq(2L)))
+    intercept[IllegalArgumentException](s1.compact())
+    intercept[IllegalArgumentException](s1.train(docsOf(Seq(2L))))
+    // out-of-range epochs refuse
+    intercept[IllegalArgumentException](IndexIVF.openAt(spark, path, e3 + 10))
+    // snapshots are unaffected by writes made after they were taken
+    idx.add(1, docsOf(Seq(0L)))
+    assert(vis(s3) == Set(2L, 3L, 4L, 5L), "existing snapshot must not drift")
+  }
+
+  // the epoch machinery is most dangerous on the TENSOR tables (postings
+  // is the 100 TB table compact() rewrites targeted partitions of) — a
+  // shorter randomized walk over a trained colbert index, with the
+  // visible-set probe reading postings, context AND docs and requiring
+  // them to agree with the model after every op. Parameterized by codec:
+  // the residual encode/decode sits inside add/update/compact, so a codec
+  // bug in the MUTATION flows (not just search) surfaces here.
+  for (quant <- Seq(QuantizerKind.NONE, QuantizerKind.SQ8))
+  test(s"tensor-schema walk ($quant): postings/context/docs stay model-consistent under the delete lifecycle") {
     import spark.implicits._
     val dim = 8
     val rnd = new scala.util.Random(8L)
@@ -135,7 +189,8 @@ class IndexLifecycleSpec extends AnyFunSuite {
       .sortBy(_._1).map { case (i, t) => Doc(i, t, s"c$i", i % 2) }.toDF()
     val path = java.nio.file.Files.createTempDirectory("idx_lifecycle_t").toString
     val idx = IndexIVF.create(spark, path,
-      GSchema(Seq(GField.colbert("colbert", dim, numCentroids = 4, numIterations = 3),
+      GSchema(Seq(GField.colbert("colbert", dim, numCentroids = 4, numIterations = 3,
+        quantization = quant),
         GField(name = "cat", dataType = GDataType.TEXT.toString,
           roles = Seq(FieldRole.Indexed.toString, FieldRole.Stored.toString)),
         GField.indexed("num", GDataType.INTEGER))))
