@@ -72,6 +72,57 @@ object Similarity {
   private[graft] val MmrPoolN = 50
   private[graft] val MmrK = 10
 
+  /** Preset deterministic PCA model for the hash-checked projection twin
+    * (q_pca_project_oracle) — the PQ/SQ8 "dyadic preset" discipline applied
+    * to PCA. Every model value is exactly representable in binary floating
+    * point, so both engines compute bit-identical doubles given the same
+    * left-assoc evaluation order:
+    *  - components: rows 1..8 of the 64x64 Sylvester Hadamard matrix
+    *    (H[i][j] = (-1)^popcount(i AND j)) scaled by 1/8 = 0.125 — an exact
+    *    dyadic orthonormal basis (row norm = sqrt(64)/8 = 1), the same
+    *    family of structured rotations OPQ/LSH pipelines use;
+    *  - mean: dyadic multiples of 1/8 in [-0.5, 0.375];
+    *  - eigenvalues: 4^-(k mod 3), whose whitening scale 1/sqrt = 2^(k mod 3)
+    *    is an exact power of two, so the whitened coefficients stay dyadic
+    *    ({±0.125, ±0.25, ±0.5}) and every coefficient multiply is EXACT
+    *    (power-of-two scaling never rounds). The only rounding ops are the
+    *    per-dim centering subtraction and the running sum — identical IEEE
+    *    ops in identical order on both engines. */
+  private[graft] val PcaDim = 64
+  private[graft] val PcaK = 8
+  private def hadamardSign(i: Int, j: Int): Int =
+    if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1 else -1
+  private def pcaPresetMean(j: Int): Double = ((j % 8) - 4) / 8.0
+  private def pcaPresetScale(k: Int): Int = 1 << (k % 3)
+  private[graft] def pcaPresetModel: graft.functions.Pca.PcaModel =
+    graft.functions.Pca.PcaModel(
+      mean = Array.tabulate(PcaDim)(pcaPresetMean),
+      components = Array.tabulate(PcaK, PcaDim)((k, j) =>
+        hadamardSign(k + 1, j) * 0.125),
+      eigenvalues = Array.tabulate(PcaK)(k => math.pow(4.0, -(k % 3))))
+
+  /** DuckDB oracle for q_pca_project_oracle: the whitened projection
+    * re-derived term-by-term. Each component k is a literal 64-term sum
+    * `c_kj * (e[j] - m_j)` in ascending-j left-assoc order — the exact
+    * operation sequence [[graft.functions.Pca.PcaModel.project]]'s inner
+    * loop performs — quantized with the floorRound discipline
+    * (floor(x*1e6 + 0.5), deterministic for identical input doubles,
+    * unlike round()'s engine-split half handling). */
+  private def pcaOracle: String = {
+    val comps = (0 until PcaK).map { k =>
+      val terms = (0 until PcaDim).map { j =>
+        val c = hadamardSign(k + 1, j) * 0.125 * pcaPresetScale(k)
+        val m = pcaPresetMean(j)
+        s"($c * (e[${j + 1}] - ($m)))"
+      }.mkString(" + ")
+      s"CAST(floor(($terms) * 1000000 + 0.5) AS BIGINT) AS pc${k}_q"
+    }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+      |SELECT vec_id,
+      |  $comps
+      |FROM e ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB oracle for q_mmr_rerank: the greedy selection unrolled into
     * one CTE pair per step (the q_bpe_train discipline — a sequential
     * algorithm is still hash-checkable if each step is SQL). */
@@ -442,6 +493,29 @@ object Similarity {
         .select(col("vec_id") +:
           (0 until 8).map(k =>
             round(element_at(col("pc"), k + 1), 4).as(s"pc$k")): _*)
+        .orderBy("vec_id")
+    },
+
+    // TA14/Q1 — PCA projection under a PRESET deterministic model, the
+    // hash-checked twin of q_pca_project above: the trained path's one
+    // unverifiable stage is the Jacobi eigensolve, so this entry skips
+    // training and drives the SAME production compose — PcaModel.whiten()
+    // (per-component 1/sqrt(eigenvalue) scaling) then PcaModel.project()
+    // (broadcast k x d matrix, k dot products per row, no shuffle) — with
+    // the dyadic scaled-Hadamard model of [[pcaPresetModel]], whose every
+    // coefficient multiply is exact in IEEE binary. DuckDB re-derives the
+    // whitened projection term-by-term in the identical ascending-j
+    // left-assoc order, so center -> project -> whiten -> quantize goes
+    // under the hash. PcaSpec continues to pin the trained path
+    // (orthonormality, AV=VΛ, projected variance == eigenvalue, moments
+    // parity with q_embed_moments).
+    sql("q_pca_project_oracle", Seq("TA14", "Q1"), pcaOracle) { (s, dir) =>
+      val proj = pcaPresetModel.whiten()
+        .project(Tables.emb(s, dir), "emb", "pc")
+      proj.select(col("vec_id") +:
+        (0 until PcaK).map(k =>
+          floor(element_at(col("pc"), k + 1) * lit(1e6) + lit(0.5))
+            .cast("long").as(s"pc${k}_q")): _*)
         .orderBy("vec_id")
     },
 

@@ -102,6 +102,24 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("preset Hadamard model (q_pca_project_oracle twin) is orthonormal " +
+      "and its whitened coefficients are exact dyadics") {
+    val m = graft.queries.Similarity.pcaPresetModel
+    for (i <- m.components.indices; j <- m.components.indices) {
+      val dot = m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(dot == want, s"preset v$i . v$j = $dot") // exact, not approx:
+      // dyadic entries make the Gram matrix exactly the identity
+    }
+    val w = m.whiten()
+    w.components.flatten.foreach { c =>
+      // every whitened coefficient must be a power-of-two multiple of 0.125
+      // so coefficient multiplies in BOTH engines are exact (the oracle's
+      // bit-parity argument rests on this)
+      assert(Set(0.125, 0.25, 0.5).contains(math.abs(c)), s"coefficient $c")
+    }
+  }
+
   test("fit is bit-deterministic across runs") {
     val a = Pca.fit(emb, "emb", dim, 4)
     val b = Pca.fit(emb, "emb", dim, 4)
