@@ -158,6 +158,29 @@ final class IndexIVF private (
       .get("epoch").collect { case n: Number => n.longValue() }.getOrElse(0L)
   }
 
+  /** Oldest epoch [[IndexIVF.openAt]] can faithfully reproduce, persisted
+    * in `_meta/floor.json` (0 when never raised). The synchronous [[remove]]
+    * and [[compact]] physically REWRITE history — victim rows leave the
+    * disk rather than being tombstone-masked — so a snapshot below the
+    * rewrite's epoch would silently serve partial data; both raise the
+    * floor and [[IndexIVF.openAt]] refuses epochs under it instead of
+    * relying on a scaladoc caveat. Retraining does NOT raise it: models are
+    * epoch-stamped into `_meta/history/<epoch>/` at save ([[train]]) and
+    * openAt loads the newest stamp <= its snapshot epoch, so old snapshots
+    * keep scoring with the model that was in effect when they were live. */
+  def historyFloor(): Long = {
+    val f = p("_meta/floor.json")
+    if (!Json.exists(f)) 0L
+    else Json.read(f, classOf[Map[String, Any]])
+      .get("floor").collect { case n: Number => n.longValue() }.getOrElse(0L)
+  }
+
+  /** Raise (never lower) the snapshot-validity floor — call under the
+    * write lock, AFTER the physical rewrite it records has committed. */
+  private def raiseHistoryFloor(epoch: Long): Unit =
+    if (epoch > historyFloor())
+      Json.write(p("_meta/floor.json"), Map("floor" -> epoch))
+
   /** Advance and persist the epoch counter (call under the write lock). */
   private def nextEpoch(): Long = {
     val nxt = currentEpoch() + 1L
@@ -350,8 +373,17 @@ final class IndexIVF private (
     * A field whose coarse quantizer is already present (via
     * [[IndexIVF.copyTrained]]) keeps it and trains only the residual codec —
     * the clone-from-trained flow of lintdb/index.cpp:76-90. */
-  def train(docs: DataFrame): Unit = {
+  def train(docs: DataFrame): Unit = withWriteLock {
     requireWritable()
+    // one model epoch per train() call: every model file this call saves is
+    // ALSO stamped into _meta/history/<epoch>/ so a later openAt() can load
+    // the model that was in effect at its snapshot epoch (a retrain between
+    // snapshots must not silently change a snapshot's scores)
+    val modelEpoch = nextEpoch()
+    def saveStamped(fileName: String)(save: String => Unit): Unit = {
+      save(p(s"_meta/$fileName"))
+      save(p(s"_meta/history/$modelEpoch/$fileName"))
+    }
     schema.tensorFields.foreach { f =>
       val params = f.parameters
       require(params.numCentroids > 0, s"${f.name}: numCentroids required to train")
@@ -361,7 +393,7 @@ final class IndexIVF private (
         coarse += f.name -> fresh
         fresh
       })
-      cq.save(p(s"_meta/${f.name}.centroids.json"))
+      saveStamped(s"${f.name}.centroids.json")(cq.save)
 
       // sqrt-subsample above 1e5 embeddings (index.cpp:260-280); residuals
       // computed executor-side against broadcast centroids. Assignment runs
@@ -406,9 +438,9 @@ final class IndexIVF private (
       val quant: Quantizer = quantizers.get(f.name) match {
         case Some(preset) =>
           preset match {
-            case b: Binarizer => b.save(p(s"_meta/${f.name}.binarizer.json"))
-            case pe: ProductEncoder => pe.save(p(s"_meta/${f.name}.pq.json"))
-            case sq: ScalarQuantizer8 => sq.save(p(s"_meta/${f.name}.sq8.json"))
+            case b: Binarizer => saveStamped(s"${f.name}.binarizer.json")(b.save)
+            case pe: ProductEncoder => saveStamped(s"${f.name}.pq.json")(pe.save)
+            case sq: ScalarQuantizer8 => saveStamped(s"${f.name}.sq8.json")(sq.save)
             case _ =>
           }
           preset
@@ -439,7 +471,7 @@ final class IndexIVF private (
               })
           require(cnt > 0, s"${f.name}: no residuals to train the binarizer on")
           val b = Binarizer.train(sums.map(s => (s / cnt).toFloat), params.nbits)
-          b.save(p(s"_meta/${f.name}.binarizer.json"))
+          saveStamped(s"${f.name}.binarizer.json")(b.save)
           b
         case QuantizerKind.SQ8 =>
           // per-dim (min, max) over the residual sample, distributed —
@@ -476,7 +508,7 @@ final class IndexIVF private (
               })
           require(cnt > 0, s"${f.name}: no residuals to train SQ8 on")
           val sq = ScalarQuantizer8.train(mins, maxs)
-          sq.save(p(s"_meta/${f.name}.sq8.json"))
+          saveStamped(s"${f.name}.sq8.json")(sq.save)
           sq
         case QuantizerKind.PRODUCT_ENCODER =>
           // the sqrt-subsample is driver-sized by construction; PQ codebook
@@ -489,7 +521,7 @@ final class IndexIVF private (
             .forall(_.toBoolean)
           val pe = ProductEncoder.train(sample, m = params.numSubquantizers,
             balance = balance)
-          pe.save(p(s"_meta/${f.name}.pq.json"))
+          saveStamped(s"${f.name}.pq.json")(pe.save)
           pe
         }
       }
@@ -759,6 +791,9 @@ final class IndexIVF private (
         fs.delete(new org.apache.hadoop.fs.Path(p("tombstones")), true)
       }
     }
+    // the victims' rows are now physically gone: snapshots below this epoch
+    // can no longer be reproduced, so refuse them from here on
+    raiseHistoryFloor(epoch)
   }
 
   /** Deferred delete — the 100 TB path: append the ids to a tombstone table
@@ -803,6 +838,10 @@ final class IndexIVF private (
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(p("tombstones")), spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(p("tombstones")), true)
+    // tombstone-masked history is now physically applied: a snapshot taken
+    // between a removeDeferred and this compact would resurrect rows that
+    // no longer exist, so every epoch below the counter is now invalid
+    raiseHistoryFloor(currentEpoch())
   }
 
   /** Targeted compaction of one table: only hive partitions that actually
@@ -1499,26 +1538,66 @@ object IndexIVF {
     new IndexIVF(spark, path, schema)
   }
 
+  /** Epochs that have a stamped copy of `fileName` under
+    * `<path>/_meta/history/` (written by [[IndexIVF.train]]'s saveStamped). */
+  private def modelHistoryEpochs(path: String, fileName: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val h = java.nio.file.Paths.get(s"$path/_meta/history")
+    if (!java.nio.file.Files.isDirectory(h)) Nil
+    else {
+      val s = java.nio.file.Files.list(h)
+      try s.iterator().asScala.flatMap { d =>
+        d.getFileName.toString.toLongOption
+          .filter(_ => java.nio.file.Files.exists(d.resolve(fileName)))
+      }.toList
+      finally s.close()
+    }
+  }
+
   /** Open an existing index (read-only use is just "don't call mutators";
-    * reference: lintdb/index.cpp:40-58). */
-  private def load(spark: SparkSession, path: String): IndexIVF = {
+    * reference: lintdb/index.cpp:40-58). `modelEpoch` selects WHICH saved
+    * model generation to load: None = the current files (`_meta/<f>.*.json`,
+    * the plain-open path), Some(e) = the newest epoch-stamped copy in
+    * `_meta/history/` with stamp <= e — the model that was in effect at
+    * snapshot epoch e, so [[openAt]] scores with it even after a retrain.
+    * A model that exists ONLY unstamped predates model versioning and
+    * cannot prove which generation epoch e saw — refused loudly. A model
+    * whose stamps are all > e means the field was untrained at e (its rows,
+    * if any, are after e too): loaded as untrained, which is the faithful
+    * state. */
+  private def load(spark: SparkSession, path: String,
+      modelEpoch: Option[Long] = None): IndexIVF = {
     checkVersion(path)
     val schema = Json.read(s"$path/_meta/schema.json", classOf[GSchema])
     requireUtcForDatetime(spark, schema)
     val idx = new IndexIVF(spark, path, schema)
+    def resolve(fileName: String): Option[String] = modelEpoch match {
+      case None => Some(s"$path/_meta/$fileName").filter(Json.exists)
+      case Some(e) =>
+        val stamps = modelHistoryEpochs(path, fileName)
+        stamps.filter(_ <= e).maxOption match {
+          case Some(se) => Some(s"$path/_meta/history/$se/$fileName")
+          case None =>
+            require(stamps.nonEmpty || !Json.exists(s"$path/_meta/$fileName"),
+              s"index at $path has an unstamped model $fileName (saved " +
+                "before model versioning): a snapshot cannot prove which " +
+                "model generation its epoch saw — retrain (or re-save via " +
+                "train()) once to stamp the current model, then re-snapshot")
+            None
+        }
+    }
     schema.tensorFields.foreach { f =>
-      val cPath = s"$path/_meta/${f.name}.centroids.json"
-      if (Json.exists(cPath)) {
+      resolve(s"${f.name}.centroids.json").foreach { cPath =>
         idx.coarse += f.name -> CoarseQuantizer.load(cPath)
-        val bPath = s"$path/_meta/${f.name}.binarizer.json"
-        val pqPath = s"$path/_meta/${f.name}.pq.json"
-        val sqPath = s"$path/_meta/${f.name}.sq8.json"
+        val bPath = resolve(s"${f.name}.binarizer.json")
+        val pqPath = resolve(s"${f.name}.pq.json")
+        val sqPath = resolve(s"${f.name}.sq8.json")
         idx.quantizers += f.name -> (f.parameters.quantizerKind match {
-          case QuantizerKind.BINARIZER if Json.exists(bPath) => Binarizer.load(bPath)
-          case QuantizerKind.PRODUCT_ENCODER if Json.exists(pqPath) =>
-            ProductEncoder.load(pqPath)
-          case QuantizerKind.SQ8 if Json.exists(sqPath) =>
-            ScalarQuantizer8.load(sqPath)
+          case QuantizerKind.BINARIZER if bPath.isDefined => Binarizer.load(bPath.get)
+          case QuantizerKind.PRODUCT_ENCODER if pqPath.isDefined =>
+            ProductEncoder.load(pqPath.get)
+          case QuantizerKind.SQ8 if sqPath.isDefined =>
+            ScalarQuantizer8.load(sqPath.get)
           case _ => IdentityQuantizer(f.parameters.dimensions)
         })
       }
@@ -1541,21 +1620,29 @@ object IndexIVF {
     * epoch-stamped table layout gets nearly for free. Mutators refuse
     * loudly.
     *
-    * Validity caveats (documented, not hidden): [[compact]] and the
-    * synchronous [[remove]] physically rewrite history, so a snapshot is
-    * only faithful back to the last such rewrite; models (centroids /
-    * codecs) are loaded at their CURRENT state — retraining is not
-    * versioned. A pending crash journal refuses the snapshot (open a
-    * writable handle once to recover, then re-snapshot): recovery mutates
-    * disk, which a read-only handle must not do. */
+    * Fidelity is ENFORCED, not caveated: [[compact]] and the synchronous
+    * [[remove]] physically rewrite history, so they raise the persisted
+    * [[IndexIVF.historyFloor]] and epochs below it are refused here rather
+    * than silently serving partial data. Models (centroids / codecs) are
+    * epoch-stamped at save — this loads the generation in effect AT the
+    * snapshot epoch, so a retrain between snapshots cannot change a
+    * snapshot's scores (see [[load]] for the unstamped-legacy refusal). A
+    * pending crash journal refuses the snapshot (open a writable handle
+    * once to recover, then re-snapshot): recovery mutates disk, which a
+    * read-only handle must not do. */
   def openAt(spark: SparkSession, path: String, epoch: Long): IndexIVF = {
-    val idx = load(spark, path)
     require(!Json.exists(s"$path/_meta/pending.json"),
       s"index at $path has a torn write pending recovery; IndexIVF.open() " +
         "a writable handle first, then snapshot")
+    val idx = load(spark, path, modelEpoch = Some(epoch))
     val cur = idx.currentEpoch()
     require(epoch >= 0 && epoch <= cur,
       s"snapshot epoch $epoch out of range [0, $cur]")
+    val floor = idx.historyFloor()
+    require(epoch >= floor,
+      s"snapshot epoch $epoch predates the history floor $floor: a " +
+        "remove()/compact() physically rewrote history up to that epoch, " +
+        "so older snapshots can no longer be reproduced")
     idx.snapshotEpoch = Some(epoch)
     idx
   }
@@ -1566,12 +1653,18 @@ object IndexIVF {
     val idx = create(other.spark, newPath, other.schema)
     idx.coarse = other.coarse
     idx.quantizers = other.quantizers
+    // stamped at epoch 0: the cloned models are in effect from the new
+    // index's very first epoch, so any snapshot of it can resolve them
+    def saveBoth(fileName: String)(save: String => Unit): Unit = {
+      save(s"$newPath/_meta/$fileName")
+      save(s"$newPath/_meta/history/0/$fileName")
+    }
     other.coarse.keys.foreach { f =>
-      other.coarse(f).save(s"$newPath/_meta/$f.centroids.json")
+      saveBoth(s"$f.centroids.json")(other.coarse(f).save)
       other.quantizers.get(f).foreach {
-        case b: Binarizer => b.save(s"$newPath/_meta/$f.binarizer.json")
-        case pe: ProductEncoder => pe.save(s"$newPath/_meta/$f.pq.json")
-        case sq: ScalarQuantizer8 => sq.save(s"$newPath/_meta/$f.sq8.json")
+        case b: Binarizer => saveBoth(s"$f.binarizer.json")(b.save)
+        case pe: ProductEncoder => saveBoth(s"$f.pq.json")(pe.save)
+        case sq: ScalarQuantizer8 => saveBoth(s"$f.sq8.json")(sq.save)
         case _ =>
       }
     }

@@ -58,14 +58,20 @@ object BatchSearcher {
   private def rerankMultiget(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get(RerankMultigetKey, "true").toBoolean
 
-  /** Upper bound on the phase-2 pool collect, batch x numSecondPass rows
-    * of (query_id, doc_id) pairs on the driver (~16 B each). The default
-    * (4M rows, ~64 MB) is far above any sane serving batch; the guard
-    * converts a pathological batch x numSecondPass product into an
-    * explicit "split the batch" error before anything is collected. */
-  val MaxPoolRowsKey = "graft.batch.maxPoolRows"
-  private def maxPoolRows(spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.get(MaxPoolRowsKey, (4L << 20).toString).toLong
+  /** Upper bound IN BYTES on the phase-2 pool collect: batch x
+    * numSecondPass pairs of (query_id, doc_id) at [[PoolPairBytes]] each.
+    * Byte-denominated like the rerank guard (`graft.rerank
+    * .maxCollectBytes`) so every driver-collect bound in the engine is in
+    * the unit the driver heap actually runs out of; the default (64 MiB ==
+    * 4M pairs, the old row default) is far above any sane serving batch.
+    * The guard converts a pathological batch x numSecondPass product into
+    * an explicit "split the batch" error before anything is collected. */
+  val MaxPoolBytesKey = "graft.batch.maxPoolBytes"
+  private def maxPoolBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get(MaxPoolBytesKey, (64L << 20).toString).toLong
+
+  /** Driver bytes per collected pool pair: two longs. */
+  val PoolPairBytes = 16L
 
   /** Phase-1 join shape (session conf). `true` (default): the batch's
     * DISTINCT candidate doc_id set — bounded by the UNION of per-query
@@ -95,14 +101,53 @@ object BatchSearcher {
   private def poolHeap(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get(PoolHeapKey, "true").toBoolean
 
-  /** Row-count gate for broadcasting the deduplicated doc -> codes context
-    * relation into the phase-1 candidate stream. At 4 codes/doc a row is
-    * ~70 B in the hashed relation: the 16M default is ~1.1 GB on each
-    * executor — sized for the 8-16 GiB executors of a production cluster;
-    * above it phase-1 falls back to the semi-join + shuffle-join shape. */
-  val BroadcastContextMaxRowsKey = "graft.batch.broadcastContextMaxRows"
-  private def broadcastContextMaxRows(spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.get(BroadcastContextMaxRowsKey, (16L * 1000 * 1000).toString).toLong
+  /** BYTE gate for broadcasting the deduplicated doc -> codes context
+    * relation into the phase-1 candidate stream — 1 GiB default, sized for
+    * the 8-16 GiB executors of a production cluster (the old 16M-ROW gate
+    * was ~1.1 GB only at 4 codes/doc; a 512-token ColBERT corpus is 64x
+    * fatter per row, and a row budget would have sailed a ~66 GiB relation
+    * onto every executor). Above the gate phase-1 falls back to the
+    * semi-join + shuffle-join shape. Bytes are MEASURED, not assumed — see
+    * [[measuredContextBytes]] for the size scan and its caching. */
+  val BroadcastContextMaxBytesKey = "graft.batch.broadcastContextMaxBytes"
+  private def broadcastContextMaxBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get(BroadcastContextMaxBytesKey, (1L << 30).toString).toLong
+
+  /** Measured hashed-relation bytes of the broadcastable doc -> codes
+    * relation: one column-pruned `sum(8 + 8*size(doc_codes) + 48)`
+    * aggregate (doc_id + int64 codes + per-row hashed-relation overhead —
+    * the same accounting the writeContext size gate applies to its codes
+    * term), cached per (index path, tenant, field) and invalidated by the
+    * footer row count. The count is the same metadata-only job the old row
+    * gate ran per batch, so steady-state serving pays exactly what it used
+    * to (count + map lookup); the one size scan per (index, count) reads
+    * only array lengths of the column phase-1 is about to scan anyway.
+    * Staleness bound: a mutation that changes row WIDTHS without changing
+    * the row count (an update() replacing docs with same-count, longer
+    * ones) serves one batch on the previous measure — a sizing heuristic
+    * miss of at most that mutation's delta, never a correctness issue. */
+  private val ctxBytesCache =
+    scala.collection.concurrent.TrieMap[(String, Long, Int, Long), Long]()
+  private def measuredContextBytes(idx: IndexIVF, ctx: DataFrame,
+      tenant: Long, fid: Int, rows: Long): Long =
+    ctxBytesCache.getOrElseUpdate((idx.path, tenant, fid, rows),
+      if (rows == 0L) 0L
+      else ctx.select(coalesce(
+          sum(lit(8L) + size(col("doc_codes")).cast("long") * 8L + lit(48L)),
+          lit(0L)))
+        .first().getLong(0))
+
+  /** Measured broadcastable-relation bytes for (tenant, field) — exactly
+    * the left side of the [[BroadcastContextMaxBytesKey]] gate compare
+    * (exposed so specs and capacity planning can read what the gate saw). */
+  private[graft] def contextRelationBytes(idx: IndexIVF, tenant: Long,
+      field: String): Long = {
+    val fid = idx.mapper.id(field)
+    val thin = idx.contextDf
+      .filter(col("tenant") === tenant && col("field") === fid)
+      .select(col("doc_id"), col("doc_codes"))
+    measuredContextBytes(idx, thin, tenant, fid, thin.count())
+  }
 
   /** Partition count for the round-robin spread of the pruned postings
     * stream ahead of the map-side fan-out joins (0 disables). Default
@@ -224,10 +269,11 @@ object BatchSearcher {
         (if (carry) Seq(col("doc_residuals")) else Nil): _*)
 
     val heap = poolHeap(spark) && !carry
-    // the broadcast-context gate reads only parquet footer counts (no data
-    // pages) — one cheap metadata job per batch
+    // broadcast-context gate: the count is footer-only metadata (tenant +
+    // field are partition columns, so even the listing is pruned); the
+    // measured-bytes lookup is cached against it — see measuredContextBytes
     val bcastCtx = heap &&
-      idx.contextDf.count() <= broadcastContextMaxRows(spark)
+      contextRelationBytes(idx, tenant, field) <= broadcastContextMaxBytes(spark)
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -320,11 +366,13 @@ object BatchSearcher {
         // pairs — the bound is known at plan time, so guard BEFORE the
         // collect (same style as the matrix plan-constant guard above)
         val poolBound = plans.length.toLong * opts.numSecondPass
-        require(poolBound <= maxPoolRows(spark),
-          s"phase-2 pool would be up to $poolBound rows on the driver " +
-            s"(${plans.length} queries x numSecondPass=${opts.numSecondPass}, " +
-            s"limit ${maxPoolRows(spark)}): split the batch into smaller " +
-            s"searchBatch calls, lower numSecondPass, or raise $MaxPoolRowsKey")
+        val poolBytes = poolBound * PoolPairBytes
+        require(poolBytes <= maxPoolBytes(spark),
+          s"phase-2 pool would collect ~$poolBytes bytes on the driver " +
+            s"(${plans.length} queries x numSecondPass=${opts.numSecondPass} " +
+            s"x $PoolPairBytes B/pair, limit ${maxPoolBytes(spark)}): split " +
+            s"the batch into smaller searchBatch calls, lower " +
+            s"numSecondPass, or raise $MaxPoolBytesKey")
         val poolRows = pool.select(col("query_id"), col("doc_id")).collect()
         if (poolRows.isEmpty)
           spark.createDataFrame(

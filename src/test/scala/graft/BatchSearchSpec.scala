@@ -60,4 +60,53 @@ class BatchSearchSpec extends AnyFunSuite {
     // constant itself: phase-1 now reads the centroid matrix through the
     // per-index broadcast, so nothing K-proportional ships with the plan)
   }
+
+  test("byte-denominated gates: fat rows trip the broadcast-context gate " +
+      "where a row budget would pass, and the pool guard refuses in bytes") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(9)
+    // FAT rows: 6 docs x 96 tokens each — any sane ROW gate (the old
+    // default was 16M rows) sails through, but the measured relation is
+    // ~6 x (8 + 96*8 + 48) ≈ 4.9 KB
+    val corpus = (0L until 6L).map { i =>
+      i -> Seq.fill(96)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }.toMap
+    val path = java.nio.file.Files.createTempDirectory("idx_bytegate").toString
+    val idx = IndexIVF.create(spark, path, GSchema(Seq(
+      GField.colbert("colbert", dim, numCentroids = 4, numIterations = 2))))
+    val docs = corpus.toSeq.sortBy(_._1).map { case (i, t) => Doc(i, t, "x", 0L) }
+      .toDF().select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("colbert"))
+    idx.train(docs)
+    idx.add(1, docs)
+
+    val measured = BatchSearcher.contextRelationBytes(idx, 1, "colbert")
+    assert(measured > 4000L && measured < 20000L,
+      s"measured relation bytes $measured outside the fat-row envelope")
+
+    val opts = SearchOptions(kTopCentroids = 2, nProbe = 4)
+    val queriesDf = Seq(1L, 4L).map(qid => (qid, corpus(qid)))
+      .toDF("query_id", "tokens")
+    def run(): Map[Long, Seq[(Long, Double)]] =
+      BatchSearcher.searchBatch(idx, 1, "colbert", queriesDf, k = 3, opts)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    val unrestricted = run()
+
+    // cap BELOW the measured bytes (but far above the row count): the gate
+    // must fall back to the shuffle shape and still return identical rows
+    spark.conf.set(BatchSearcher.BroadcastContextMaxBytesKey, "1024")
+    try assert(run() == unrestricted,
+      "shuffle-shape fallback under the byte gate diverged")
+    finally spark.conf.unset(BatchSearcher.BroadcastContextMaxBytesKey)
+
+    // pool guard: 2 queries x 1024 numSecondPass x 16 B = 32 KiB — a
+    // 1 KiB budget must refuse BEFORE collecting, in bytes
+    spark.conf.set(BatchSearcher.MaxPoolBytesKey, "1024")
+    try {
+      val e = intercept[IllegalArgumentException](run())
+      assert(e.getMessage.contains("bytes"), e.getMessage)
+    } finally spark.conf.unset(BatchSearcher.MaxPoolBytesKey)
+  }
 }

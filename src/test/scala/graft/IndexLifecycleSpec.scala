@@ -171,6 +171,85 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(vis(s3) == Set(2L, 3L, 4L, 5L), "existing snapshot must not drift")
   }
 
+  test("model versioning: openAt scores with the model in effect at its " +
+      "epoch after a retrain; remove/compact raise the history floor") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(77L)
+    val corpus = (0L until 8L).map(i =>
+      i -> Seq.fill(3)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))).toMap
+    def docsOf(ids: Seq[Long]) = corpus.filter(kv => ids.contains(kv._1)).toSeq
+      .sortBy(_._1).map { case (i, t) => Doc(i, t, s"c$i", i % 2) }.toDF()
+    val path = java.nio.file.Files.createTempDirectory("idx_modelver").toString
+    // BINARIZER on purpose: its phase-2 reconstruction depends on the codec
+    // MODEL, so a snapshot silently scoring with a retrained model would
+    // change scores — the exact regression this pins
+    val idx = IndexIVF.create(spark, path,
+      GSchema(Seq(GField.colbert("colbert", dim, numCentroids = 2,
+        numIterations = 2, quantization = QuantizerKind.BINARIZER),
+        GField(name = "cat", dataType = GDataType.TEXT.toString,
+          roles = Seq(FieldRole.Indexed.toString, FieldRole.Stored.toString)),
+        GField.indexed("num", GDataType.INTEGER))))
+    idx.train(docsOf(Seq(0L, 1L, 2L, 3L)))
+    idx.add(1, docsOf(Seq(0L, 1L, 2L, 3L)))
+    val e1 = idx.currentEpoch()
+    val q = corpus(0L).map(_.toArray).toArray
+    def ranking(h: IndexIVF): Seq[(Long, Double)] =
+      h.search(1, graft.query.VectorQuery("colbert", q), k = 4,
+        graft.query.SearchOptions(kTopCentroids = 2, nProbe = 2))
+        .select("doc_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val r1 = ranking(IndexIVF.openAt(spark, path, e1))
+
+    // RETRAIN: fresh centroids + binarizer from a DIFFERENT doc subset on a
+    // freshly opened handle (train() keeps models already present in
+    // memory, so a retrain is exactly "clear and train again")
+    val idx2 = IndexIVF.open(spark, path)
+    idx2.coarse = Map.empty; idx2.quantizers = Map.empty
+    idx2.train(docsOf(Seq(4L, 5L, 6L, 7L)))
+    idx2.add(1, docsOf(Seq(4L, 5L)))
+
+    // the snapshot at e1 must return the ORIGINAL ranking bit-for-bit —
+    // model files are epoch-stamped, and openAt resolves the newest stamp
+    // <= its epoch, not the current (retrained) files
+    val s1 = IndexIVF.openAt(spark, path, e1)
+    assert(ranking(s1) == r1,
+      "snapshot ranking drifted after retrain: openAt must load the model " +
+        "generation in effect at its epoch")
+    // sanity that the pin is not vacuous: the CURRENT handle decodes doc
+    // 0's (original-codec) codes with the retrained model and scores it
+    // differently
+    val curScore0 = ranking(idx2).toMap.get(0L)
+    val oldScore0 = r1.toMap.get(0L)
+    assert(curScore0.isDefined && oldScore0.isDefined && curScore0 != oldScore0,
+      s"retrain did not change doc 0's score ($curScore0 vs $oldScore0): " +
+        "the model-version pin would be vacuous")
+
+    // remove() physically rewrites history: the floor rises to its epoch
+    // and every older snapshot refuses instead of serving partial data
+    idx2.remove(1, Seq(3L))
+    val eRemove = idx2.currentEpoch()
+    assert(idx2.historyFloor() == eRemove, "remove must raise the floor")
+    intercept[IllegalArgumentException](IndexIVF.openAt(spark, path, e1))
+    intercept[IllegalArgumentException](IndexIVF.openAt(spark, path, eRemove - 1))
+    assert(ranking(IndexIVF.openAt(spark, path, eRemove)).nonEmpty,
+      "snapshots at/after the floor must still open")
+
+    // compact() after a deferred delete applies tombstones physically: the
+    // floor rises to the counter (a snapshot between the removeDeferred
+    // and the compact would resurrect physically-deleted rows)
+    idx2.removeDeferred(1, Seq(2L))
+    val eDeferred = idx2.currentEpoch()
+    assert(IndexIVF.openAt(spark, path, eRemove).snapshot.isDefined,
+      "pre-compact: epoch eRemove is still reproducible (tombstone-masked)")
+    idx2.compact()
+    assert(idx2.historyFloor() == idx2.currentEpoch(),
+      "compact must raise the floor to the counter")
+    intercept[IllegalArgumentException](IndexIVF.openAt(spark, path, eRemove))
+    intercept[IllegalArgumentException](IndexIVF.openAt(spark, path, eDeferred - 1))
+    assert(ranking(IndexIVF.openAt(spark, path, idx2.currentEpoch())).nonEmpty)
+  }
+
   // the epoch machinery is most dangerous on the TENSOR tables (postings
   // is the 100 TB table compact() rewrites targeted partitions of) — a
   // shorter randomized walk over a trained colbert index, with the
