@@ -34,7 +34,8 @@ object SparkEntry {
       "q_corpus_select_full", "q_doc_chunk", "q_span_dedup", "q_seq_pack",
       "q_pack_sequences", "q_pii_redact", "q_train_order", "q_vocab_topk",
       "q_curriculum_order", "q_bpe_train", "q_bpe_encode", "q_lm_score",
-      "q_embed_moments", "q_pca_project", "q_bm25", "q_tfidf_terms",
+      "q_embed_moments", "q_pca_project", "q_pca_project_oracle",
+      "q_bm25", "q_tfidf_terms",
       "q_hybrid_rrf", "q_mmr_rerank", "q_sample_weighted",
       "q_stratified_sample", "q_decontaminate_fuzzy",
       "q_decontaminate_fuzzy_md5", "q_prf_expand", "q_snippet",

@@ -364,23 +364,43 @@ object TextPipeline {
     * [[weightedSample]]'s corpus-global weighted draw and q_lang_mix's
     * RATE-based rebalancing, this pins an exact per-stratum COUNT). Pure
     * function of (seed, id): re-runs and both engines agree bit-for-bit.
+    *
+    * A stratum with FEWER than `n` rows yields all of them — the draw is
+    * "up to n per stratum", so a balanced eval set can silently
+    * under-represent a rare language/tier. Callers that need the exact
+    * count pass `strict = true`: any present stratum short of `n` rows
+    * then refuses loudly at execution (a stratum with ZERO rows has no
+    * value in `keyCol` at all and is undetectable by construction — pin
+    * the expected stratum list caller-side if absence matters).
+    *
     * Scale shape: ONE hash exchange on the stratum key; the per-stratum
     * rank is a window Catalyst rewrites with a partial pre-shuffle group
     * limit (InferWindowGroupLimit, the q_source_cap plan shape), so each
     * map task forwards <= n rows per stratum — the exchange moves
     * O(tasks x strata x n), never the corpus, and a 5-language 100 TB
-    * corpus costs ~tasks x 5 x n narrow rows, not a skewed full sort. */
+    * corpus costs ~tasks x 5 x n narrow rows, not a skewed full sort. The
+    * strict check windows over the ALREADY-capped frame (<= strata x n
+    * rows), so it never touches the draw's plan shape. */
   def stratifiedSample(df: DataFrame, keyCol: String, n: Int,
-      idCol: String = "doc_id", seed: String = "strat"): DataFrame = {
+      idCol: String = "doc_id", seed: String = "strat",
+      strict: Boolean = false): DataFrame = {
     require(n > 0, s"per-stratum sample size must be positive, got $n")
     import org.apache.spark.sql.expressions.Window
     val oh = md5(concat(lit(seed), col(idCol).cast("string")))
-    df.select(col(keyCol), col(idCol), oh.as("oh"))
+    val capped = df.select(col(keyCol), col(idCol), oh.as("oh"))
       .withColumn("pos", row_number()
         .over(Window.partitionBy(col(keyCol)).orderBy(col("oh"), col(idCol)))
         .cast("long"))
       .filter(col("pos") <= n)
-      .select(col(keyCol), col("pos"), col(idCol))
+    if (!strict) capped.select(col(keyCol), col("pos"), col(idCol))
+    else capped
+      .withColumn("stratum_rows",
+        max(col("pos")).over(Window.partitionBy(col(keyCol))))
+      .select(col(keyCol), col("pos"),
+        when(col("stratum_rows") >= n, col(idCol)).otherwise(raise_error(concat(
+          lit("stratifiedSample(strict): stratum "), col(keyCol).cast("string"),
+          lit(" has only "), col("stratum_rows").cast("string"),
+          lit(s" rows, fewer than the requested n=$n")))).as(idCol))
   }
 
   /** q_curriculum_order: difficulty-tier width (docs bucket by
@@ -434,14 +454,20 @@ object TextPipeline {
       scala.collection.concurrent.TrieMap[org.apache.spark.SparkContext, Boolean]()
 
     /** A counting pass-through for the hot-key frame's key column. The
-      * accumulator collects the KEYS (bounded: the hot set rides a
-      * broadcast by design) and the log reports the DISTINCT count, so
-      * re-materialization of an uncached plan branch or a retried task
-      * can't inflate the number — and ONE accumulator is reused per
-      * (context, label), so a long-lived session repeatedly building dedup
-      * plans registers O(labels) accumulators, not O(invocations) (distinct
-      * semantics make reuse across invocations exact: same corpus, same hot
-      * keys). Entries of stopped contexts are purged on the next job end. */
+      * accumulator collects a 64-bit xxhash of each KEY (bounded: the hot
+      * set rides a broadcast by design) and the log reports the DISTINCT
+      * count, so re-materialization of an uncached plan branch or a
+      * retried task can't inflate the number — and ONE accumulator is
+      * reused per (context, label), so a long-lived session repeatedly
+      * building dedup plans registers O(labels) accumulators, not
+      * O(invocations) (distinct semantics make reuse across invocations
+      * exact: same corpus, same hot keys). Hashing makes the tick
+      * TYPE-AGNOSTIC — the production paths' long buckets and the DuckDB
+      * twins' md5 string buckets ride the same shared band/cap code — at
+      * the cost of a vanishing (~n²/2⁶⁴) distinct-undercount in the LOG
+      * LINE only. The ticked column itself passes through untouched (the
+      * tick is a `when`-predicate side effect, not a cast). Entries of
+      * stopped contexts are purged on the next job end. */
     def tick(s: SparkSession, label: String): Column => Column = {
       val sc = s.sparkContext
       val (a, _) = regs.computeIfAbsent((sc, label), _ =>
@@ -465,8 +491,17 @@ object TextPipeline {
           }
         })
       }
-      val u = udf { (k: Long) => a.add(k); k }
-      c => u(c)
+      // asNondeterministic is LOAD-BEARING: the when(...) form is nullable,
+      // and with a deterministic UDF InferFiltersFromConstraints derives an
+      // isnotnull filter CONTAINING the UDF from the downstream join key
+      // and pushes it to the hot frame's SOURCE — the tick then fires once
+      // per corpus band row instead of once per hot key (measured: 6621
+      // spurious ticks on a corpus whose true hot count is 0).
+      // Nondeterministic expressions are excluded from constraint
+      // inference, so the tick evaluates exactly where it is written: in
+      // the projection over the filtered hot frame.
+      val u = udf { (k: Long) => a.add(k); true }.asNondeterministic()
+      c => when(u(xxhash64(c)), c)
     }
 
     /** Max distinct dropped-key count across live accumulators whose label
@@ -549,17 +584,19 @@ object TextPipeline {
   }
 
   /** (doc_id, band, bucket) rows over a MinHash signature frame — one row
-    * per doc x band, bucket = xxhash64 of that band's `rows` signature
-    * mins, hot buckets above `bucketCap` dropped per band (+ DropLog under
-    * `dropLabel`). Shared by the within-corpus self-join
-    * ([[minhashCandidates]]) and the cross-corpus join
-    * ([[crossCorpusNearDups]]), where each corpus gets its own capped band
-    * frame. */
+    * per doc x band, bucket = `bandHash` of that band's `rows` signature
+    * mins (xxhash64 on the production path; the md5 twin passes
+    * md5-of-concat so DuckDB can reproduce it), hot buckets above
+    * `bucketCap` dropped per band (+ DropLog under `dropLabel`). Shared by
+    * the within-corpus self-join ([[minhashCandidates]]) and the
+    * cross-corpus join ([[crossCorpusNearDups]]), where each corpus gets
+    * its own capped band frame. */
   private def bandRows(s: SparkSession, sigs: DataFrame, bands: Int,
-      rows: Int, bucketCap: Int, dropLabel: String): DataFrame = {
+      rows: Int, bucketCap: Int, dropLabel: String,
+      bandHash: Seq[Column] => Column = xxhash64(_: _*)): DataFrame = {
     val b = sigs.select(col("doc_id"),
       posexplode(array((0 until bands).map(i =>
-        xxhash64((0 until rows).map(r => col(s"h${rows * i + r}")): _*)): _*))
+        bandHash((0 until rows).map(r => col(s"h${rows * i + r}")))): _*))
         .as(Seq("band", "bucket")))
     val hotB = b.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bc")).filter(col("bc") > bucketCap)
@@ -612,14 +649,36 @@ object TextPipeline {
     val sigsEx = if (cacheKey.isEmpty) minhashSigs(arrsEx, bands * rows)
       else DfCache.getOrBuild(s, s"cross_ex_sigs:${bands}x$rows#$cacheKey")(
         minhashSigs(arrsEx, bands * rows))
-    val bIn = bandRows(s, sigsIn, bands, rows, bucketCap, "crossCorpus incoming")
-    val bEx = bandRows(s, sigsEx, bands, rows, bucketCap, "crossCorpus existing")
+    crossCorpusNearDupsCore(s, sigsIn, sigsEx,
+      explodedShingles(arrsIn), explodedShingles(arrsEx),
+      bands, rows, bucketCap)
+  }
+
+  /** Hash-family-parameterized core of [[crossCorpusNearDups]]: everything
+    * downstream of the per-corpus signature/shingle frames — per-side
+    * banding with independent hot-bucket caps, the incoming x existing
+    * candidate join, the exact-Jaccard verify over the exploded shingle
+    * frames, and the best-match-per-incoming-doc cut — is ONE code path
+    * shared by the production xxhash64 pipeline and its md5 DuckDB twin
+    * (`q_decontaminate_fuzzy_md5`), so the hash-checked twin and the
+    * production path cannot drift. `sigs*`: (doc_id, h0..h{bands*rows-1},
+    * cnt) with cnt = the doc's DISTINCT shingle count; `sh*`: exploded
+    * (doc_id, sh) distinct shingles; `bandHash` folds one band's `rows`
+    * signature mins into a bucket value. */
+  private[graft] def crossCorpusNearDupsCore(s: SparkSession,
+      sigsIn: DataFrame, sigsEx: DataFrame, shInRaw: DataFrame,
+      shExRaw: DataFrame, bands: Int, rows: Int, bucketCap: Int,
+      bandHash: Seq[Column] => Column = xxhash64(_: _*)): DataFrame = {
+    val bIn = bandRows(s, sigsIn, bands, rows, bucketCap,
+      "crossCorpus incoming", bandHash)
+    val bEx = bandRows(s, sigsEx, bands, rows, bucketCap,
+      "crossCorpus existing", bandHash)
     val cand = bIn.as("x").join(bEx.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(col("x.doc_id").as("in_id"), col("y.doc_id").as("ex_id"))
       .distinct()
-    val shIn = explodedShingles(arrsIn).select(col("doc_id").as("in_id"), col("sh"))
-    val shEx = explodedShingles(arrsEx).select(col("doc_id").as("ex_id"), col("sh"))
+    val shIn = shInRaw.toDF("in_id", "sh")
+    val shEx = shExRaw.toDF("ex_id", "sh")
     val common = cand.join(shIn, Seq("in_id")).join(shEx, Seq("ex_id", "sh"))
       .groupBy(col("in_id"), col("ex_id")).agg(count(lit(1)).as("common"))
     val scored = common
@@ -1845,12 +1904,16 @@ object TextPipeline {
 
     // D7b-oracle — the SAME cross-corpus near-dup screen built on md5
     // (bit-shared with DuckDB), hash-checked end to end: signatures,
-    // banding, the incoming x bench candidate join, the exact-Jaccard
-    // verify, and the best-match-per-incoming-doc cut. The signature /
-    // shingle tables are CACHE-SHARED with q_dedup_minhash_md5 (same
-    // DfCache keys), so within a session the md5 shingling runs once for
-    // the pair of them. Both the SQL and the Spark side are GENERATED
-    // from MinhashBands/MinhashRows.
+    // banding (incl. the per-side hot-bucket caps), the incoming x bench
+    // candidate join, the exact-Jaccard verify, and the
+    // best-match-per-incoming-doc cut. Everything downstream of the md5
+    // signature/shingle frames runs through [[crossCorpusNearDupsCore]] —
+    // the IDENTICAL code path the production xxhash64 matcher uses, with
+    // only the hash family swapped (ADVICE r12: the twin can no longer
+    // drift from the path it checks). The signature / shingle tables are
+    // CACHE-SHARED with q_dedup_minhash_md5 (same DfCache keys), so within
+    // a session the md5 shingling runs once for the pair of them. Both the
+    // SQL and the Spark side are GENERATED from MinhashBands/MinhashRows.
     sql("q_decontaminate_fuzzy_md5", Seq("D7", "D2"),
       ("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |           WHERE len(string_split(text, ' ')) >= 3),
@@ -1864,11 +1927,19 @@ object TextPipeline {
             (0 until MinhashRows).map(r => s"h${MinhashRows * b + r}").mkString(" || ")
           }) AS bucket FROM sig")
           .mkString(" UNION ALL ") + "),\n" +
-        s"""cand AS (SELECT DISTINCT x.doc_id AS in_id, y.doc_id AS ex_id
-        |          FROM bands x JOIN bands y
+        s"""bi AS (SELECT * FROM bands WHERE doc_id % $DeconFuzzyBenchMod <> 0),
+        |be AS (SELECT * FROM bands WHERE doc_id % $DeconFuzzyBenchMod = 0),
+        |hi AS (SELECT band, bucket FROM bi GROUP BY band, bucket
+        |       HAVING count(*) > $BucketCap),
+        |he AS (SELECT band, bucket FROM be GROUP BY band, bucket
+        |       HAVING count(*) > $BucketCap),
+        |cand AS (SELECT DISTINCT x.doc_id AS in_id, y.doc_id AS ex_id
+        |          FROM bi x JOIN be y
         |          ON x.band = y.band AND x.bucket = y.bucket
-        |          WHERE x.doc_id % $DeconFuzzyBenchMod <> 0
-        |            AND y.doc_id % $DeconFuzzyBenchMod = 0),
+        |          WHERE NOT EXISTS (SELECT 1 FROM hi
+        |                  WHERE hi.band = x.band AND hi.bucket = x.bucket)
+        |            AND NOT EXISTS (SELECT 1 FROM he
+        |                  WHERE he.band = y.band AND he.bucket = y.bucket)),
         |j AS (SELECT in_id, ex_id,
         |        len(list_intersect(sa.st, sb.st)) * 1.0 /
         |        (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))) AS jr
@@ -1879,7 +1950,6 @@ object TextPipeline {
         |SELECT in_id, ex_id AS dup_of, floor(jr * 10000 + 0.5) / 10000 AS jaccard
         |FROM r WHERE rk = 1 ORDER BY in_id""".stripMargin)) {
       (s, dir) =>
-        import org.apache.spark.sql.expressions.Window
         val sh = DfCache.getOrBuild(s, s"minhash_md5_sh#$dir")(shingles(docs(s, dir)))
         val sigCols = (0 until MinhashSigN).map(i =>
           min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
@@ -1887,34 +1957,13 @@ object TextPipeline {
           sh.groupBy(col("doc_id"))
             .agg(sigCols.head, sigCols.tail :+ count(lit(1)).as("cnt"): _*)
         }
-        val bands = sigs.select(col("doc_id"),
-          posexplode(array((0 until MinhashBands).map(b =>
-            md5(concat((0 until MinhashRows).map(r => col(s"h${MinhashRows * b + r}")): _*))): _*))
-            .as(Seq("band", "bucket")))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
-              && col("x.doc_id") % DeconFuzzyBenchMod =!= 0
-              && col("y.doc_id") % DeconFuzzyBenchMod === 0)
-          .select(col("x.doc_id").as("in_id"), col("y.doc_id").as("ex_id"))
-          .distinct()
-        val common = cand
-          .join(sh.select(col("doc_id").as("in_id"), col("s")), Seq("in_id"))
-          .join(sh.select(col("doc_id").as("ex_id"), col("s")), Seq("ex_id", "s"))
-          .groupBy(col("in_id"), col("ex_id")).agg(count(lit(1)).as("common"))
-        val cnts = sigs.select(col("doc_id"), col("cnt"))
-        common
-          .join(cnts.select(col("doc_id").as("in_id"), col("cnt").as("ci")), Seq("in_id"))
-          .join(cnts.select(col("doc_id").as("ex_id"), col("cnt").as("ce")), Seq("ex_id"))
-          .select(col("in_id"), col("ex_id"),
-            (col("common") * lit(1.0) / (col("ci") + col("ce") - col("common")))
-              .as("jr"))
-          .filter(col("jr") >= 0.5)
-          .withColumn("rk", row_number().over(
-            Window.partitionBy(col("in_id"))
-              .orderBy(col("jr").desc, col("ex_id"))))
-          .filter(col("rk") === 1)
-          .select(col("in_id"), col("ex_id").as("dup_of"),
-            QueryDef.floorRound(col("jr"), 4).as("jaccard"))
+        val in = col("doc_id") % DeconFuzzyBenchMod =!= 0
+        crossCorpusNearDupsCore(s,
+          sigsIn = sigs.filter(in), sigsEx = sigs.filter(!in),
+          shInRaw = sh.filter(in).select(col("doc_id"), col("s")),
+          shExRaw = sh.filter(!in).select(col("doc_id"), col("s")),
+          bands = MinhashBands, rows = MinhashRows, bucketCap = BucketCap,
+          bandHash = cols => md5(concat(cols: _*)))
           .orderBy("in_id")
     },
 

@@ -130,6 +130,124 @@ object StreamingIngest {
     * bigger broadcast. */
   val DeconBenchMaxShingles: Int = 10 * 1000 * 1000
 
+  /** Streaming FUZZY decontamination guard — the cross-corpus near-dup
+    * screen ([[graft.queries.TextPipeline.crossCorpusNearDups]]) applied at
+    * INGEST time: drop any incoming document whose 3-word-shingle Jaccard
+    * with some benchmark document is >= `minJaccard` — the screen that
+    * catches paraphrased / lightly-edited eval leakage the exact-8-gram
+    * guard ([[decontaminatedStream]]) misses, BEFORE the doc ever reaches
+    * the corpus.
+    *
+    * Verdicts are the batch matcher's, restructured for a stream: the
+    * benchmark side is metadata-sized by construction (eval suites), so
+    * its banded-MinHash index — (band, bucket) -> bench doc ids, with the
+    * batch path's hot-bucket cap applied per band — and its per-doc sorted
+    * shingle-hash sets ride ONE broadcast, and the whole screen becomes a
+    * stateless per-row probe: the incoming doc's shingles, signature mins,
+    * and band buckets are computed row-locally by the SAME kernels as the
+    * batch path (TextHash.hashedShingles3 / minhashSigs + the xxhash64
+    * band fold), candidates come from <= `bands` broadcast-map lookups,
+    * and the exact-Jaccard verify is a sorted-merge intersection against
+    * each candidate's bench set (identical double arithmetic to the batch
+    * verify, so verdicts cannot diverge). Zero streaming state, no
+    * shuffle, no stream-side aggregation at any rate. The batch path's
+    * INCOMING-side hot-bucket cap has no streaming analogue and needs
+    * none: it guards the candidate JOIN's fan-out, and the probe does
+    * bounded work per row regardless of how many incoming docs share a
+    * bucket. Docs shorter than 3 tokens have no shingles and always pass
+    * (the batch matcher never flags them either). Broadcast lifecycle: as
+    * with [[decontaminatedStream]], construct once per benchmark-set
+    * version — the caller owns the returned plan's broadcast. */
+  def fuzzyDecontaminatedStream(stream: DataFrame, textCol: String,
+      benchDocs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    withFuzzyVerdict(stream, textCol, benchDocs, minJaccard)
+      .filter(col("_fuzzy").isNull).drop("_fuzzy")
+
+  /** The flagged complement of [[fuzzyDecontaminatedStream]] — one row per
+    * DROPPED incoming doc with its best benchmark match `(dup_of,
+    * jaccard)`, the same (max Jaccard, min ex_id tiebreak, floor-rounded)
+    * verdict the batch matcher emits — for audit sinks and the
+    * batch/stream equality spec. */
+  def fuzzyDeconMatches(stream: DataFrame, textCol: String,
+      benchDocs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    withFuzzyVerdict(stream, textCol, benchDocs, minJaccard)
+      .filter(col("_fuzzy").isNotNull)
+      .select(col("doc_id").as("in_id"), col("_fuzzy._1").as("dup_of"),
+        graft.queries.QueryDef.floorRound(col("_fuzzy._2"), 4).as("jaccard"))
+
+  private def withFuzzyVerdict(stream: DataFrame, textCol: String,
+      benchDocs: DataFrame, minJaccard: Double): DataFrame = {
+    import graft.queries.TextPipeline
+    val bands = TextPipeline.MinhashBands
+    val rows = TextPipeline.MinhashRows
+    val bucketCap = TextPipeline.BucketCap
+    val n = bands * rows
+    // bench-side build (batch frames, driver-collected once): sorted
+    // shingle-hash set per bench doc + the capped band index
+    val arrsEx = TextPipeline.shingleArrays(benchDocs)
+    val exSets: Map[Long, Array[Long]] = arrsEx
+      .select(col("doc_id"), col("shs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray.sorted).toMap
+    require(exSets.valuesIterator.map(_.length.toLong).sum <= DeconBenchMaxShingles,
+      s"benchmark corpus exceeds $DeconBenchMaxShingles total shingles: a set " +
+        "this large should not ride a broadcast — pre-filter the benchmark " +
+        "suites or screen in batch with crossCorpusNearDups")
+    val sigsEx = TextPipeline.minhashSigs(arrsEx, n)
+    val bandIndex: Map[(Int, Long), Array[Long]] = sigsEx
+      .select(col("doc_id"), posexplode(array((0 until bands).map(i =>
+        xxhash64((0 until rows).map(r => col(s"h${rows * i + r}")): _*)): _*))
+        .as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      // the batch matcher's bench-side hot-bucket cap, applied at build
+      .filter(size(col("ids")) <= bucketCap)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        r.getSeq[Long](2).toArray.sorted).toMap
+    val sc = stream.sparkSession.sparkContext
+    val bcSets = sc.broadcast(exSets)
+    val bcBands = sc.broadcast(bandIndex)
+    val probe = udf { (shs: Seq[Long], buckets: Seq[Long]) =>
+      if (shs == null) None
+      else {
+        val idx = bcBands.value
+        val sets = bcSets.value
+        val cands = scala.collection.mutable.SortedSet[Long]()
+        var b = 0
+        while (b < buckets.length) {
+          idx.get((b, buckets(b))).foreach(ids => ids.foreach(cands += _))
+          b += 1
+        }
+        // shs is already distinct (hashedShingles3) — sort for the merges
+        val mine = shs.toArray
+        java.util.Arrays.sort(mine)
+        var bestJ = -1.0
+        var bestId = Long.MaxValue
+        cands.foreach { ex =>
+          val other = sets(ex)
+          var i = 0; var j = 0; var common = 0
+          while (i < mine.length && j < other.length) {
+            if (mine(i) == other(j)) { common += 1; i += 1; j += 1 }
+            else if (mine(i) < other(j)) i += 1
+            else j += 1
+          }
+          val jac = common.toDouble / (mine.length + other.length - common)
+          // candidates walk ex_id ascending, so strict > implements the
+          // batch path's min-ex_id tiebreak
+          if (jac >= minJaccard && jac > bestJ) { bestJ = jac; bestId = ex }
+        }
+        if (bestJ < 0) None else Some((bestId, bestJ))
+      }
+    }
+    val hs = graft.functions.TextHash.minhashSigs(n)(col("_shs"))
+    stream
+      .withColumn("_shs", graft.functions.TextHash.hashedShingles3(col(textCol)))
+      .withColumn("_hs", hs)
+      .withColumn("_fuzzy", probe(col("_shs"), array((0 until bands).map(i =>
+        xxhash64((0 until rows).map(r => col("_hs")(rows * i + r)): _*)): _*)))
+      .drop("_shs", "_hs")
+  }
+
   /** Per-(source, event-time-window) admission cap — the streaming twin of
     * batch q_source_cap, applied at INGEST time: a crawler burst or one
     * domain flooding the feed is cut off at `cap` docs per source per

@@ -10,19 +10,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class AnalyticsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("q_distinct_hll tracks the exact distinct count within 3x rsd") {
-    val dir = "/root/testdata/sf0.01"
-    val approx = SparkEntry.queries("q_distinct_hll")(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = SparkEntry.queries("q_distinct_agg")(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (g, ex) =>
-      val ap = approx(g)
-      val relErr = math.abs(ap - ex).toDouble / ex
-      // rsd=0.02 is the HLL++ standard deviation; 3 sigma is a stable bound
-      assert(relErr <= 0.06,
-        s"group $g: approx $ap vs exact $ex (relErr $relErr > 0.06)")
+  test("q_distinct_hll tracks the exact distinct count within 3x rsd " +
+      "at every testdata scale factor") {
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val dir = s"/root/testdata/$sf"
+      val approx = SparkEntry.queries("q_distinct_hll")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = SparkEntry.queries("q_distinct_agg")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(approx.keySet == exact.keySet, s"$sf: group sets diverge")
+      exact.foreach { case (g, ex) =>
+        val ap = approx(g)
+        val relErr = math.abs(ap - ex).toDouble / ex
+        // rsd=0.02 is the HLL++ standard deviation; 3 sigma is a stable bound
+        assert(relErr <= 0.06,
+          s"$sf group $g: approx $ap vs exact $ex (relErr $relErr > 0.06)")
+      }
     }
   }
 }

@@ -457,14 +457,26 @@ object ProfMain {
         // driver-known bucket-grouped multiget) on ONE production-shaped
         // index, built once at a FIXED path and reused by later
         // invocations — the build (~6 min at 1M docs) would otherwise
-        // swamp every measurement session. args: [nDocs] [K].
+        // swamp every measurement session. args: [nDocs] [K] [codec]
+        // (codec in none|sq8|pq|binarizer; default none — the r11 campaign
+        // shape. A real codec shrinks the byte-bound context scans /
+        // broadcast 4-32x, VERDICT r12 #4).
         import graft.core._
         import graft.query._
         import spark.implicits._
         val dimB = 128
         val nDocsB = args.lift(1).map(_.toInt).getOrElse(1000000); val tpdB = 4
         val kB = args.lift(2).map(_.toInt).getOrElse(16384)
-        val pathB = s"/root/repo/target/prof_batch_scale_${nDocsB}_$kB"
+        val codecB = args.lift(3).getOrElse("none").toLowerCase match {
+          case "none" => QuantizerKind.NONE
+          case "sq8" => QuantizerKind.SQ8
+          case "pq" => QuantizerKind.PRODUCT_ENCODER
+          case "binarizer" => QuantizerKind.BINARIZER
+          case other => sys.error(s"unknown codec $other")
+        }
+        val codecSuffix =
+          if (codecB == QuantizerKind.NONE) "" else s"_${args(3).toLowerCase}"
+        val pathB = s"/root/repo/target/prof_batch_scale_${nDocsB}_$kB$codecSuffix"
         val tokensExprB = expr(
           s"""transform(sequence(0, ${tpdB - 1}), t ->
              |  transform(sequence(0, ${dimB - 1}), d ->
@@ -491,7 +503,7 @@ object ProfMain {
             }
             val schema = GSchema(Seq(
               GField.colbert("colbert", dimensions = dimB,
-                numCentroids = kB, quantization = QuantizerKind.NONE,
+                numCentroids = kB, quantization = codecB,
                 numIterations = 2, nbits = 2),
               GField(name = "n_chars", dataType = GDataType.INTEGER.toString,
                 roles = Seq(FieldRole.Indexed.toString, FieldRole.Stored.toString))))
@@ -594,13 +606,16 @@ object ProfMain {
         // 212-query batch spend its wall time? Isolates (a) the thin
         // codes-only context scan, (b) the residual column full scan,
         // (c) the pool-shaped id-IN residual multiget, (d) phase-1-only
-        // batch (secondPass=false), (e) the full batch. args: [nDocs] [K]
+        // batch (secondPass=false), (e) the full batch.
+        // args: [nDocs] [K] [codec]
         import graft.query._
         import spark.implicits._
         val dimP = 128
         val nDocsP = args.lift(1).map(_.toInt).getOrElse(10000000); val tpdP = 4
         val kP = args.lift(2).map(_.toInt).getOrElse(49152)
-        val pathP = s"/root/repo/target/prof_batch_scale_${nDocsP}_$kP"
+        val codecSuffixP = args.lift(3).map(c => s"_${c.toLowerCase}")
+          .filter(_ != "_none").getOrElse("")
+        val pathP = s"/root/repo/target/prof_batch_scale_${nDocsP}_$kP$codecSuffixP"
         require(java.nio.file.Files.exists(
           java.nio.file.Paths.get(pathP, "_prof_ready")),
           s"run batch_scale $nDocsP $kP first to build the index")

@@ -212,6 +212,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(got2 >= got, "a looser threshold can only admit more docs")
   }
 
+  test("streaming fuzzy decontamination matches the batch cross-corpus matcher") {
+    import spark.implicits._
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val mod = graft.queries.TextPipeline.DeconFuzzyBenchMod
+    val bench = docs.filter(col("doc_id") % mod === 0)
+    // incoming = the non-bench corpus PLUS two synthetic light edits of
+    // bench docs (guaranteed flags, so the equality below is never vacuous)
+    val edits = bench.orderBy("doc_id").limit(2).collect().zipWithIndex.map {
+      case (r, i) =>
+        val t = r.getString(1).split(" ")
+        (1000000L + i, (t.dropRight(1) :+ "zzedit").mkString(" "))
+    }.toSeq.toDF("doc_id", "text")
+    val incoming = docs.filter(col("doc_id") % mod =!= 0).union(edits)
+    // ground truth from the PRODUCTION batch matcher itself
+    val expected = graft.queries.TextPipeline
+      .crossCorpusNearDups(spark, incoming, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.exists(_._1 >= 1000000L),
+      "synthetic edits must be flagged or the equality check is vacuous")
+
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy_decon_stream").toString
+    incoming.repartition(4).write.mode("overwrite").parquet(dir)
+    def stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val qn = s"fuzzy_decon_${System.nanoTime()}"
+    val q = StreamingIngest.fuzzyDeconMatches(stream, "text", bench)
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table(qn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"stream flags diverged from batch: only-stream=${got -- expected}, " +
+        s"only-batch=${expected -- got}")
+
+    // and the admitted stream is exactly the unflagged complement
+    val qn2 = s"fuzzy_decon_clean_${System.nanoTime()}"
+    val q2 = StreamingIngest.fuzzyDecontaminatedStream(stream, "text", bench)
+      .writeStream.outputMode("append").format("memory").queryName(qn2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val admitted = spark.table(qn2).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val all = incoming.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == all -- expected.map(_._1),
+      "admitted set must be the exact unflagged complement")
+  }
+
   test("session windows run identically in batch and as a stream") {
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
     // batch ground truth from the SAME function (watermark is a no-op there)

@@ -861,6 +861,28 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("stratified sample strict: a stratum short of n refuses loudly; " +
+      "full strata pass unchanged") {
+    import graft.queries.TextPipeline
+    import spark.implicits._
+    // L0 has 300 rows, L9 has only 4 — an "up to n" draw under-represents
+    // it silently; strict must refuse at execution instead
+    val df = ((1L to 300L).map(i => (i, "L0")) ++
+      (1000L to 1003L).map(i => (i, "L9"))).toDF("doc_id", "lang")
+    val strictOk = TextPipeline.stratifiedSample(df, "lang", 4, strict = true)
+      .collect()
+    assert(strictOk.length == 8, "n=4 fits both strata: strict must pass")
+    val e = intercept[Exception] {
+      TextPipeline.stratifiedSample(df, "lang", 10, strict = true).collect()
+    }
+    assert(e.getMessage.contains("L9") && e.getMessage.contains("4"),
+      s"error must name the short stratum and its size: ${e.getMessage}")
+    // non-strict keeps the documented "up to n" contract
+    val lax = TextPipeline.stratifiedSample(df, "lang", 10)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(lax.count(_._1 == "L0") == 10 && lax.count(_._1 == "L9") == 4)
+  }
+
   test("PRF expansion: deterministic, weights bounded, expansion widens or reorders recall") {
     import graft.queries.TextPipeline
     val run2 = (1 to 2).map { _ =>
