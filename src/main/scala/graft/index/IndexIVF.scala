@@ -619,7 +619,26 @@ final class IndexIVF private (
             col("enc._1").as("doc_codes"), col("enc._2").as("doc_residuals"),
             lit(epoch).as("epoch"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        writes += ("context" -> (() => writeContext(ctx)))
+        // ONE probe job feeds BOTH size gates (and doubles as the persist
+        // materializer): context bytes priced exactly as writeContext's
+        // internal probe, plus the EXACT postings row count (sum of per-doc
+        // distinct code counts). The 10M-doc SQ8 build proved the optimizer
+        // can under-measure the exploded postings frame >3x, routing a
+        // 39M-row write through the single-task small-add path — measured
+        // rows x SmallAddPostingRowBytes replaces the estimate. Scala lazy
+        // val is synchronized, so whichever concurrent write runs first
+        // pays the probe exactly once.
+        lazy val probe: (Long, Long) = {
+          val r = ctx.select(
+            coalesce(sum(coalesce(octet_length(col("doc_residuals")), lit(0)).cast("long") +
+              coalesce(size(col("doc_codes")), lit(0)).cast("long") * 8L + 64L), lit(0L)),
+            coalesce(sum(coalesce(size(array_distinct(col("doc_codes"))), lit(0))
+              .cast("long")), lit(0L)))
+            .first()
+          (r.getLong(0), r.getLong(1))
+        }
+        writes += ("context" -> (() => writeContext(ctx,
+          measuredBytes = Some(probe._1))))
         // one posting row per doc x centroid (DocEncoder.cpp:71-104 groups
         // token codes per centroid; the posting payload itself is empty for
         // Colbert fields — codes live in context). Both writes read the
@@ -629,7 +648,8 @@ final class IndexIVF private (
         writes += ("postings" -> (() => writePostings(
           ctx.select(col("tenant"), col("field"),
             explode(array_distinct(col("doc_codes"))).as("centroid"), col("doc_id"),
-            col("epoch")))))
+            col("epoch")),
+          measuredBytes = Some(BigInt(probe._2) * IndexIVF.SmallAddPostingRowBytes))))
         toUnpersist += ctx
       } else {
         // Indexed-only tensor field: postings only, no context table. The
@@ -1224,11 +1244,12 @@ final class IndexIVF private (
     * its own partition-cols-only sort, which is not guaranteed stable and
     * can destroy the secondary order inside each directory. */
   private def sizeGatedPlacement(rows: DataFrame, parts: Seq[String],
-      sortKeys: Seq[String]): DataFrame = {
+      sortKeys: Seq[String], measuredBytes: Option[BigInt] = None): DataFrame = {
     val splitBytes = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
     val maxBytes = spark.conf.getOption(SmallAddMaxBytesKey).map(BigInt(_))
       .getOrElse(BigInt(splitBytes) * SmallAddPartitions)
-    if (rows.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes) {
+    if (measuredBytes.getOrElse(
+        rows.queryExecution.optimizedPlan.stats.sizeInBytes) <= maxBytes) {
       // the size estimate is heuristic without CBO (a selective filter or
       // join can be badly underestimated) — a free execution-time backstop
       // counts the rows that actually flowed through the single task and
@@ -1247,10 +1268,20 @@ final class IndexIVF private (
         .sortWithinPartitions(sortKeys.map(col): _*)
   }
 
-  private def writePostings(rows: DataFrame): Unit = {
+  /** `measuredBytes`, when the caller can supply it cheaply, replaces the
+    * optimizer's size estimate in the small-vs-bulk gate — the 10M-doc SQ8
+    * build proved heuristic stats can under-measure the exploded postings
+    * frame >3x (the residual-pruned projection over the cached ctx is
+    * priced by schema byte defaults), routing a 39M-row write through the
+    * single sorted task the runtime clamp then only WARNS about. The
+    * indexed-only tensor branch has no cheap measure (its source is the
+    * raw input frame, and probing would run the assign UDF twice) and
+    * keeps the stats gate + clamp. */
+  private def writePostings(rows: DataFrame,
+      measuredBytes: Option[BigInt] = None): Unit = {
     val withBucket = rows.withColumn("centroid_bucket", centroidBucket(col("centroid")))
     val placed = sizeGatedPlacement(withBucket, postingsParts,
-      Seq("tenant", "field", "centroid_bucket", "centroid"))
+      Seq("tenant", "field", "centroid_bucket", "centroid"), measuredBytes)
     writeAppend(placed, p("postings"), postingsParts)
   }
 
@@ -1272,12 +1303,13 @@ final class IndexIVF private (
     * writing more than a split loses more to serial parquet encode than
     * micro-file fan-out would cost — trickle/micro-batch appends stay well
     * under it and keep the one-sorted-task placement. */
-  private def writeContext(rows: DataFrame): Unit = {
+  private def writeContext(rows: DataFrame,
+      measuredBytes: Option[Long] = None): Unit = {
     val withBucket = rows.withColumn("doc_bucket", docBucket(col("doc_id")))
-    val measured = rows.select(
+    val measured = measuredBytes.getOrElse(rows.select(
       coalesce(sum(coalesce(octet_length(col("doc_residuals")), lit(0)).cast("long") +
         coalesce(size(col("doc_codes")), lit(0)).cast("long") * 8L + 64L), lit(0L)))
-      .first().getLong(0)
+      .first().getLong(0))
     val smallMax = spark.conf.getOption(SmallAddMaxBytesKey).map(BigInt(_))
       .getOrElse(BigInt(math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)))
     val sortCols = tableSort("context").map(col)
@@ -1415,6 +1447,12 @@ object IndexIVF {
     * (tenant, field, centroid, doc_id, epoch) ≈ the 4-split byte budget. */
   private[graft] val SmallAddMaxRowsKey = "graft.index.smallAddMaxRows"
   private[graft] val SmallAddMaxRowsDefault = 16L * 1000 * 1000
+
+  /** Bytes one postings row is priced at when a MEASURED row count feeds
+    * the small-add gate — 32 B keeps the byte gate and the row clamp
+    * aligned (16M rows x 32 B == the 4-split default byte budget, per the
+    * [[SmallAddMaxRowsKey]] calibration note). */
+  private[graft] val SmallAddPostingRowBytes = 32L
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[IndexIVF])
 

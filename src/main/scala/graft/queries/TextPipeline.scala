@@ -739,11 +739,12 @@ object TextPipeline {
     common
       .join(n.as("na"), col("a_id") === col("na.doc_id"))
       .join(n.as("nb"), col("b_id") === col("nb.doc_id"))
-      .select(col("a_id"), col("b_id"),
+      .select(col("a_id"), col("b_id"), col("common"),
+        col("na.c").as("a_n"), col("nb.c").as("b_n"),
         (col("common") * lit(1.0) / (col("na.c") + col("nb.c") - col("common")))
           .as("jaccard_raw"))
-      .select(col("a_id"), col("b_id"), col("jaccard_raw"),
-        QueryDef.floorRound(col("jaccard_raw"), 4).as("jaccard"))
+      .select(col("a_id"), col("b_id"), col("common"), col("a_n"), col("b_n"),
+        col("jaccard_raw"), QueryDef.floorRound(col("jaccard_raw"), 4).as("jaccard"))
   }
 
   /** The simhash band frame: one (doc_id, simhash, band, bucket) row per
@@ -1140,6 +1141,47 @@ object TextPipeline {
         jaccardPairs(s, docs(s, dir), dfCap = Knobs.shingleDfCap(s), cacheKey = dir)
           .filter(col("jaccard_raw") >= 0.8)
           .select("a_id", "b_id", "jaccard")
+          .orderBy("a_id", "b_id")
+    },
+
+    // D4b — CONTAINMENT near-dup: asymmetric overlap |A∩B| / min(|A|,|B|)
+    // >= 0.9 — the screen that catches a document EMBEDDED inside a larger
+    // one (a quoted article inside a page, a doc re-crawled with boilerplate
+    // bolted on), which symmetric Jaccard structurally misses: a 100-shingle
+    // doc fully contained in a 1000-shingle doc has containment 1.0 but
+    // Jaccard 0.1, far under any dedup threshold. Standard companion measure
+    // in web-dedup pipelines (Broder's containment, 'On the resemblance and
+    // containment of documents', 1997). Same df-capped inverted-index plan
+    // and cached tables as q_neardup_jaccard — within a session the pair
+    // generation runs ONCE for the two of them (shared DfCache keys), so
+    // the marginal cost of the second verdict is one filter/projection.
+    // Emits both measures per flagged pair; jaccard shows why containment
+    // was needed (most flagged pairs sit far below the 0.8 jaccard bar).
+    sql("q_containment", Seq("D4"),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM t, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |dfc AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc ON sh.s = dfc.s
+        |        WHERE dfc.df <= $ShingleDfCap),
+        |n AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY 1),
+        |p AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS common
+        |      FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |  floor(common * 1.0 / least(na.c, nb.c) * 10000 + 0.5) / 10000 AS containment,
+        |  floor(common * 1.0 / (na.c + nb.c - common) * 10000 + 0.5) / 10000 AS jaccard
+        |FROM p JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |WHERE common * 1.0 / least(na.c, nb.c) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin) {
+      (s, dir) =>
+        jaccardPairs(s, docs(s, dir), dfCap = Knobs.shingleDfCap(s), cacheKey = dir)
+          .withColumn("containment_raw",
+            col("common") * lit(1.0) / least(col("a_n"), col("b_n")))
+          .filter(col("containment_raw") >= 0.9)
+          .select(col("a_id"), col("b_id"),
+            QueryDef.floorRound(col("containment_raw"), 4).as("containment"),
+            col("jaccard"))
           .orderBy("a_id", "b_id")
     },
 

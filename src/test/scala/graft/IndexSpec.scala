@@ -396,6 +396,54 @@ class IndexSpec extends AnyFunSuite {
     assert(rows > 0, "small-add observe metric never reached the listener")
   }
 
+  test("postings small-add gate is MEASURED rows, not optimizer stats, at " +
+      "a 1-byte boundary") {
+    // regression for the 10M-doc SQ8 build: optimizer stats under-measured
+    // the exploded postings frame >3x and routed a 39M-row write through
+    // the single sorted task. The gate now prices the probe's EXACT row
+    // count at SmallAddPostingRowBytes — pin the boundary: gate == rows*32
+    // stays single-task (and the clamp hook reports the exact count), gate
+    // == rows*32 - 1 must go bulk (no single-task observation at all). No
+    // stats estimate lands exactly on that boundary, so a revert to the
+    // estimate fails one of the two halves. Colbert-only schema: docs and
+    // scalars writes observe through the same sizeGatedPlacement, so any
+    // other field would race the hook.
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("idx_postgate").toString
+    val idx = IndexIVF.create(spark, path, GSchema(Seq(
+      GField.colbert("colbert", dim, numCentroids = 8,
+        quantization = QuantizerKind.NONE, numIterations = 4, nbits = 2))))
+    val docsOnly = corpus.toSeq.sortBy(_._1)
+      .map { case (i, toks) => (i, toks) }.toDF("id", "colbert")
+    idx.train(docsOnly)
+    IndexIVF.lastSmallAddRows.set(-1L)
+    idx.add(tenant = 3, docsOnly) // default gate: small path, exact count out
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (IndexIVF.lastSmallAddRows.get() < 0 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    val rows = IndexIVF.lastSmallAddRows.get()
+    assert(rows > 0, "baseline add never reported through the clamp hook")
+    val gate = rows * IndexIVF.SmallAddPostingRowBytes
+
+    IndexIVF.lastSmallAddRows.set(-1L)
+    spark.conf.set(IndexIVF.SmallAddMaxBytesKey, gate.toString)
+    try {
+      idx.add(tenant = 4, docsOnly) // rows*32 <= gate: single-task, same count
+      val d2 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (IndexIVF.lastSmallAddRows.get() < 0 && System.nanoTime() < d2)
+        Thread.sleep(50)
+      assert(IndexIVF.lastSmallAddRows.get() == rows,
+        s"probe count drifted: ${IndexIVF.lastSmallAddRows.get()} vs $rows")
+
+      IndexIVF.lastSmallAddRows.set(-1L)
+      spark.conf.set(IndexIVF.SmallAddMaxBytesKey, (gate - 1).toString)
+      idx.add(tenant = 5, docsOnly) // rows*32 > gate: bulk path, no observation
+      Thread.sleep(1500) // listener bus drain window
+      assert(IndexIVF.lastSmallAddRows.get() == -1L,
+        "bulk-path add must not run the single-task observed write")
+    } finally spark.conf.unset(IndexIVF.SmallAddMaxBytesKey)
+  }
+
   test("compact() rewrites only partitions containing tombstoned rows (targeted)") {
     val idx = freshIndex(QuantizerKind.NONE)
     idx.add(tenant = 2, docsDf)

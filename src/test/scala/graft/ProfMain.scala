@@ -545,6 +545,13 @@ object ProfMain {
             f"total ${ms / 212}%7.1f ms/query  $n rows")
         }
         spark.conf.unset(BatchSearcher.BroadcastCandidatesKey)
+        // quality at shape (VERDICT r12 stretch #7): query i IS doc i's
+        // token set, so "doc i in the top-5" is the natural qrel — the
+        // first success@5 number at the 10M scale, per codec
+        val hits5 = BatchSearcher.searchBatch(idxB, 1, "colbert", queriesB,
+          k = 5, optsB).filter(col("query_id") === col("doc_id")).count()
+        println(f"[prof] success@5 self-retrieval (212 queries, codec=${codecB}): " +
+          f"${hits5.toDouble / 212}%.4f")
         // single-search latency + per-table files touched at THIS corpus
         // shape (VERDICT r10 #4: is the bucket-blind thin context scan's
         // listing/footer cost the next fixed cost at 10M docs?)

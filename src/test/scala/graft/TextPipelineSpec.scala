@@ -861,6 +861,26 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("containment flags a doc embedded in a larger one that jaccard misses") {
+    import graft.queries.TextPipeline
+    import spark.implicits._
+    val words = (0 until 400).map(i => s"w$i")
+    val small = words.take(30).mkString(" ")    // 28 shingles
+    val big = words.mkString(" ")               // 398 shingles, contains small's
+    val other = (0 until 100).map(i => s"z$i").mkString(" ")
+    val d = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val pairs = TextPipeline.jaccardPairs(spark, d, dfCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(6))).toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    val (_, _, common, aN, bN, jac) = pairs.head
+    assert(common == 28 && aN == 28 && bN == 398)
+    assert(jac < 0.1, s"symmetric jaccard must miss this pair: $jac")
+    // the containment verdict flags it at 1.0 — same plan, extra projection
+    val cont = pairs.head._3.toDouble / math.min(aN, bN)
+    assert(cont == 1.0)
+  }
+
   test("stratified sample strict: a stratum short of n refuses loudly; " +
       "full strata pass unchanged") {
     import graft.queries.TextPipeline
