@@ -94,6 +94,12 @@ object TextPipeline {
     * the synthetic corpus' docs are short, so spans must be too). */
   private[graft] val SpanTokens = 16
 
+  /** q_decontaminate_chunked: synthetic chunk id = doc_id * scale +
+    * chunk_idx, parent recoverable as id div scale. 100k bounds docs at
+    * ~4.8M tokens (ChunkStride windows) and ids at Long.MaxValue/1e5 —
+    * callers beyond either re-key first. */
+  private[graft] val ChunkIdScale = 100000L
+
   /** q_seq_pack: training-sequence length for the concatenate-and-cut
     * packing manifest, and the doc_id range width of its prefix-sum
     * buckets (docs per bucket; bucket totals are the metadata-sized
@@ -696,6 +702,40 @@ object TextPipeline {
       .filter(col("rk") === 1)
       .select(col("in_id"), col("ex_id").as("dup_of"),
         QueryDef.floorRound(col("jaccard_raw"), 4).as("jaccard"))
+  }
+
+  /** The corpus re-keyed at CHUNK granularity: one (synthetic id, text) row
+    * per [[ChunkTokens]]-token window at [[ChunkStride]] (the q_doc_chunk
+    * windows), synthetic id = doc_id * scale + chunk_idx so the parent is
+    * `id div scale`. Row-local explode — no shuffle at any corpus size;
+    * the chunk count per doc is ~n_tokens / stride. */
+  private def chunkedDocs(d: DataFrame, scale: Long): DataFrame = {
+    val nChunks = lit(1) +
+      expr(s"(greatest(0, size(split(text, ' ')) - $ChunkTokens) " +
+        s"+ ${ChunkStride - 1}) div $ChunkStride")
+    d.select(col("doc_id"), toks.as("t"),
+        sequence(lit(0), (nChunks - 1).cast("int")).as("idx"))
+      .select(col("doc_id"), col("t"), explode(col("idx")).as("chunk_idx"))
+      .select((col("doc_id") * scale + col("chunk_idx")).as("doc_id"),
+        array_join(slice(col("t"), col("chunk_idx") * ChunkStride + 1,
+          lit(ChunkTokens)), " ").as("text"))
+  }
+
+  /** Parent rollup for chunk-granularity match frames: map the synthetic
+    * chunk ids of (in_id, dup_of, jaccard) back to parent doc ids and keep
+    * ONE best row per incoming parent (max rounded jaccard, min dup_of on
+    * ties) — rounded-jaccard ordering on BOTH engines so the twin can't
+    * diverge on a sub-round tie. */
+  private def bestMatchPerParent(chunkMatches: DataFrame, scale: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    chunkMatches
+      .select(expr(s"in_id div $scale").as("in_id"),
+        expr(s"dup_of div $scale").as("dup_of"), col("jaccard"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("in_id"))
+          .orderBy(col("jaccard").desc, col("dup_of"))))
+      .filter(col("rk") === 1)
+      .select("in_id", "dup_of", "jaccard")
   }
 
   /** candidate pairs sharing >= 1 shingle, with exact Jaccard over the
@@ -2007,6 +2047,100 @@ object TextPipeline {
           bands = MinhashBands, rows = MinhashRows, bucketCap = BucketCap,
           bandHash = cols => md5(concat(cols: _*)))
           .orderBy("in_id")
+    },
+
+    // D7c — CHUNKED fuzzy decontamination: the screen for benchmark text
+    // QUOTED INSIDE a larger page. Whole-doc fuzzy (D7b) structurally
+    // misses it — a lightly-edited eval question inside a long article has
+    // tiny whole-doc Jaccard — and the exact 8-gram probe (D7) misses it
+    // the moment the quote is edited. Production decon pipelines screen at
+    // CHUNK granularity for exactly this reason: both corpora are re-keyed
+    // into the q_doc_chunk 64-token/stride-48 windows (row-local explode,
+    // no shuffle), the SAME banded-minhash cross-corpus core runs at chunk
+    // granularity, and chunk verdicts roll up to one best (dup_of,
+    // jaccard) row per flagged incoming PARENT doc. Scale shape: chunk
+    // count is ~tokens/48 — linear — and everything downstream inherits
+    // q_dedup_minhash's banding + per-side caps at chunk granularity.
+    rowsOnly("q_decontaminate_chunked", Seq("D7", "D2", "TA9")) { (s, dir) =>
+      val d = docs(s, dir)
+      bestMatchPerParent(
+        crossCorpusNearDups(s,
+          chunkedDocs(d.filter(col("doc_id") % DeconFuzzyBenchMod =!= 0), ChunkIdScale),
+          chunkedDocs(d.filter(col("doc_id") % DeconFuzzyBenchMod === 0), ChunkIdScale),
+          cacheKey = s"decon_chunked#$dir"),
+        ChunkIdScale).orderBy("in_id")
+    },
+
+    // D7c-oracle — the chunked screen on md5, end-to-end hash-checked
+    // through the SAME crossCorpusNearDupsCore + bestMatchPerParent code
+    // path (only the hash family differs): chunking, signatures, banding
+    // with per-side caps, the chunk-level candidate/verify/best-match cut,
+    // and the parent rollup are all reproduced term-for-term in DuckDB.
+    sql("q_decontaminate_chunked_md5", Seq("D7", "D2", "TA9"),
+      (s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ch AS (SELECT doc_id * $ChunkIdScale + i AS cid,
+        |         t[i*$ChunkStride+1 : i*$ChunkStride+$ChunkTokens] AS ct
+        |       FROM t0, UNNEST(range(0,
+        |         1 + (greatest(0, len(t) - $ChunkTokens) + ${ChunkStride - 1})
+        |               // $ChunkStride)) AS u(i)),
+        |t AS (SELECT cid AS doc_id, ct AS t FROM ch WHERE len(ct) >= 3),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |       FROM t, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |sig AS (SELECT doc_id, """.stripMargin +
+        (0 until MinhashSigN).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ") +
+        ", list(s) AS st FROM sh GROUP BY doc_id),\nbands AS (" +
+        (0 until MinhashBands).map(b =>
+          s"SELECT doc_id, $b AS band, md5(${
+            (0 until MinhashRows).map(r => s"h${MinhashRows * b + r}").mkString(" || ")
+          }) AS bucket FROM sig")
+          .mkString(" UNION ALL ") + "),\n" +
+        s"""bi AS (SELECT * FROM bands
+        |        WHERE (doc_id // $ChunkIdScale) % $DeconFuzzyBenchMod <> 0),
+        |be AS (SELECT * FROM bands
+        |        WHERE (doc_id // $ChunkIdScale) % $DeconFuzzyBenchMod = 0),
+        |hi AS (SELECT band, bucket FROM bi GROUP BY band, bucket
+        |       HAVING count(*) > $BucketCap),
+        |he AS (SELECT band, bucket FROM be GROUP BY band, bucket
+        |       HAVING count(*) > $BucketCap),
+        |cand AS (SELECT DISTINCT x.doc_id AS in_id, y.doc_id AS ex_id
+        |          FROM bi x JOIN be y
+        |          ON x.band = y.band AND x.bucket = y.bucket
+        |          WHERE NOT EXISTS (SELECT 1 FROM hi
+        |                  WHERE hi.band = x.band AND hi.bucket = x.bucket)
+        |            AND NOT EXISTS (SELECT 1 FROM he
+        |                  WHERE he.band = y.band AND he.bucket = y.bucket)),
+        |j AS (SELECT in_id, ex_id,
+        |        len(list_intersect(sa.st, sb.st)) * 1.0 /
+        |        (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st))) AS jr
+        |      FROM cand JOIN sig sa ON sa.doc_id = in_id JOIN sig sb ON sb.doc_id = ex_id),
+        |r AS (SELECT in_id, ex_id, jr,
+        |        row_number() OVER (PARTITION BY in_id ORDER BY jr DESC, ex_id) AS rk
+        |      FROM j WHERE jr >= 0.5),
+        |pr AS (SELECT in_id // $ChunkIdScale AS in_id, ex_id // $ChunkIdScale AS dup_of,
+        |         floor(jr * 10000 + 0.5) / 10000 AS jaccard FROM r WHERE rk = 1),
+        |r2 AS (SELECT in_id, dup_of, jaccard,
+        |         row_number() OVER (PARTITION BY in_id
+        |           ORDER BY jaccard DESC, dup_of) AS rk2 FROM pr)
+        |SELECT in_id, dup_of, jaccard FROM r2 WHERE rk2 = 1
+        |ORDER BY in_id""".stripMargin)) {
+      (s, dir) =>
+        val chunks = chunkedDocs(docs(s, dir), ChunkIdScale)
+        val sh = DfCache.getOrBuild(s, s"chunk_md5_sh#$dir")(shingles(chunks))
+        val sigCols = (0 until MinhashSigN).map(i =>
+          min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+        val sigs = DfCache.getOrBuild(s, s"chunk_md5_sigs#$dir") {
+          sh.groupBy(col("doc_id"))
+            .agg(sigCols.head, sigCols.tail :+ count(lit(1)).as("cnt"): _*)
+        }
+        val in = expr(s"(doc_id div $ChunkIdScale) % $DeconFuzzyBenchMod") =!= 0
+        bestMatchPerParent(
+          crossCorpusNearDupsCore(s,
+            sigsIn = sigs.filter(in), sigsEx = sigs.filter(!in),
+            shInRaw = sh.filter(in).select(col("doc_id"), col("s")),
+            shExRaw = sh.filter(!in).select(col("doc_id"), col("s")),
+            bands = MinhashBands, rows = MinhashRows, bucketCap = BucketCap,
+            bandHash = cols => md5(concat(cols: _*))),
+          ChunkIdScale).orderBy("in_id")
     },
 
     // TA7 — per-source document cap (the per-domain cap rule of web-corpus

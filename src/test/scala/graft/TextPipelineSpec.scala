@@ -861,6 +861,34 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("chunked fuzzy decon flags an edited benchmark doc quoted inside a " +
+      "long page that whole-doc fuzzy misses") {
+    import spark.implicits._
+    // bench doc 0 (0 % 7 == 0): a 40-token "eval question". Incoming page
+    // 1: 96 filler tokens, then the quote with ONE token edited, then more
+    // filler — placed at a chunk-stride offset so one 64-token window
+    // captures it whole. Whole-doc jaccard ~ 0.12 (blind); the capturing
+    // chunk's jaccard ~ 35/65 ~ 0.54 (flagged).
+    val quote = (0 until 40).map(i => s"q$i")
+    val edited = quote.dropRight(1) :+ "EDITED"
+    val page = ((0 until 96).map(i => s"f$i") ++ edited ++
+      (0 until 160).map(i => s"g$i")).mkString(" ")
+    val d = Seq((0L, quote.mkString(" ")), (1L, page),
+      (8L, (0 until 50).map(i => s"z$i").mkString(" "))) // another incoming, unrelated
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("chunk_decon").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val whole = SparkEntry.queries("q_decontaminate_fuzzy")(spark, dir).collect()
+    assert(whole.isEmpty,
+      s"whole-doc fuzzy should be structurally blind here: ${whole.toSeq}")
+    val chunked = SparkEntry.queries("q_decontaminate_chunked")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(chunked.map(c => (c._1, c._2)).toSeq == Seq((1L, 0L)),
+      s"chunked screen must flag page 1 against bench 0: ${chunked.toSeq}")
+    assert(chunked.head._3 >= 0.5 && chunked.head._3 < 0.7, chunked.head._3)
+  }
+
   test("containment flags a doc embedded in a larger one that jaccard misses") {
     import graft.queries.TextPipeline
     import spark.implicits._
