@@ -1,0 +1,80 @@
+package graft.functions;
+
+import jdk.incubator.vector.FloatVector;
+import jdk.incubator.vector.VectorOperators;
+import jdk.incubator.vector.VectorMask;
+import jdk.incubator.vector.VectorSpecies;
+
+/**
+ * SIMD per-candidate centroid-score micro-kernel for the phase-1 serving
+ * path (the CentroidScore / BatchCentroidScore expressions): updates the
+ * per-query-token running MAX of {@code dot(q_token, centroid[code])} for
+ * one doc code, vectorizing ACROSS QUERY TOKENS.
+ *
+ * <p>Bit-parity contract (the same one {@link graft.quantizers.AssignKernel}
+ * holds): each token's accumulator lives in a SINGLE lane and accumulates
+ * dim-ascending — the identical op sequence to the scalar loop in
+ * {@code CentroidScore.computeDot} — and {@code add(mul)} is used instead of
+ * fma because the scalar path rounds the product before adding. The max
+ * update uses an explicit GT compare + blend, NOT vector max: the scalar
+ * path's {@code if (acc > perToken[k])} keeps the old value when acc is NaN,
+ * and {@code FloatVector.max} (Math.max semantics) would propagate NaN.
+ *
+ * <p>Query layout is dim-major ("transposed": {@code qt[i*nq + k]} = dim i
+ * of token k) so one register holds dim i of {@code S.length()} ADJACENT
+ * tokens; the transpose is done once per task per query, never per row.
+ * Tokens beyond the lane bound take the scalar tail — at nq below one
+ * vector width the kernel degrades to exactly the scalar loop, so narrow
+ * profiling shapes lose nothing while real ColBERT widths (nq 32+, 2-4
+ * vectors per dim step) cut the dominant phase-1 per-pair cost.
+ */
+public final class ScoreKernel {
+
+    private static final VectorSpecies<Float> S = FloatVector.SPECIES_PREFERRED;
+
+    private ScoreKernel() {}
+
+    /** Lane count of the preferred species — the dispatch threshold: below
+     * one full vector of tokens the body is empty and the scalar twin in
+     * CentroidScore.computeDotT wins (measured 0.6-0.8x at nq=4 through
+     * the reflective call; 5.2-5.6x at nq=32). */
+    public static int lanes() {
+        return S.length();
+    }
+
+    /** perToken[k] = max(perToken[k], sum_i qt[i*nq+k] * cent[base+i]). */
+    public static void maxDotInto(float[] qt, int nq, float[] cent, int base,
+            int d, float[] perToken) {
+        int bound = S.loopBound(nq);
+        for (int c = 0; c < bound; c += S.length()) {
+            FloatVector acc = FloatVector.zero(S);
+            for (int i = 0; i < d; i++) {
+                FloatVector qv = FloatVector.fromArray(S, qt, i * nq + c);
+                acc = acc.add(qv.mul(cent[base + i]));
+            }
+            FloatVector cur = FloatVector.fromArray(S, perToken, c);
+            VectorMask<Float> gt = acc.compare(VectorOperators.GT, cur);
+            cur.blend(acc, gt).intoArray(perToken, c);
+        }
+        for (int k = bound; k < nq; k++) {
+            float a = 0f;
+            for (int i = 0; i < d; i++) a += qt[i * nq + k] * cent[base + i];
+            if (a > perToken[k]) perToken[k] = a;
+        }
+    }
+
+    /** One candidate row: approximate MaxSim of dim-major query tokens
+     * against the codes' centroids — sum over tokens of the running max
+     * {@link #maxDotInto} maintains. Resolved reflectively (one call per
+     * candidate ROW) by {@code CentroidScore.computeDotT}; the scalar twin
+     * lives there with the identical accumulation order. */
+    public static double scoreCodesT(long[] codes, float[] qt, int nq,
+            float[] cent, int d) {
+        float[] perToken = new float[nq];
+        java.util.Arrays.fill(perToken, -9999.0f);
+        for (long code : codes) maxDotInto(qt, nq, cent, (int) code * d, d, perToken);
+        float s = 0f;
+        for (int k = 0; k < nq; k++) s += perToken[k];
+        return (double) s;
+    }
+}

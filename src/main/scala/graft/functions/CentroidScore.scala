@@ -56,22 +56,28 @@ case class CentroidScore(
   // serialized the whole scoring stage (measured 387 s for a 2.8M-pair
   // phase-1 at the 10M-doc shape before this was hoisted).
   @transient private lazy val centLocal: Array[Float] = bcCentroids.value
+  // dim-major query for the token-lane SIMD kernel — once per task
+  @transient private lazy val qtLocal: Array[Float] =
+    CentroidScore.transposeQuery(queryFlat, dim)
 
   override def nullSafeEval(codes: Any): Any =
-    CentroidScore.computeDot(codes.asInstanceOf[ArrayData], queryFlat,
-      centLocal, numQueryTokens, dim)
+    CentroidScore.computeDotAuto(codes.asInstanceOf[ArrayData], queryFlat,
+      qtLocal, centLocal, numQueryTokens, dim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val qRef = ctx.addReferenceObj("centroidScoreQuery", queryFlat, "float[]")
     val bcRef = ctx.addReferenceObj("centroidScoreBc", bcCentroids,
       "org.apache.spark.broadcast.Broadcast")
     // hoist the synchronized Broadcast.value() call into the generated
-    // class's init (once per task) — see centLocal
+    // class's init (once per task) — see centLocal; the query transpose
+    // rides the same once-per-task init
     val centVar = ctx.addMutableState("float[]", "centroidMatrix",
       v => s"$v = (float[]) $bcRef.value();")
+    val qtVar = ctx.addMutableState("float[]", "centroidQueryT",
+      v => s"$v = graft.functions.CentroidScore.transposeQuery($qRef, $dim);")
     nullSafeCodeGen(ctx, ev, codes =>
-      s"${ev.value} = graft.functions.CentroidScore.computeDot(" +
-        s"$codes, $qRef, $centVar, $numQueryTokens, $dim);")
+      s"${ev.value} = graft.functions.CentroidScore.computeDotAuto(" +
+        s"$codes, $qRef, $qtVar, $centVar, $numQueryTokens, $dim);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CentroidScore =
@@ -105,13 +111,18 @@ case class BatchCentroidScore(
   override def nullIntolerant: Boolean = true
 
   // per-task resolution of the synchronized Broadcast.getValue() — see
-  // CentroidScore.centLocal
+  // CentroidScore.centLocal; the queries additionally transpose to
+  // dim-major once per task for the token-lane SIMD kernel (the broadcast
+  // itself stays token-major: the phase-2 rerank UDF shares it, and the
+  // width dispatch needs both layouts)
   @transient private lazy val queriesLocal: Map[Long, Array[Float]] = bcQueries.value
+  @transient private lazy val queriesTLocal: Map[Long, Array[Float]] =
+    BatchCentroidScore.transposeAll(queriesLocal, dim)
   @transient private lazy val centLocal: Array[Float] = bcCentroids.value
 
   override def nullSafeEval(qid: Any, codes: Any): Any =
     BatchCentroidScore.compute(qid.asInstanceOf[Long],
-      codes.asInstanceOf[ArrayData], queriesLocal, centLocal, dim)
+      codes.asInstanceOf[ArrayData], queriesLocal, queriesTLocal, centLocal, dim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val qRef = ctx.addReferenceObj("batchCentroidQueries", bcQueries,
@@ -120,11 +131,13 @@ case class BatchCentroidScore(
       "org.apache.spark.broadcast.Broadcast")
     val qVar = ctx.addMutableState("scala.collection.immutable.Map", "batchQueryVecs",
       v => s"$v = (scala.collection.immutable.Map) $qRef.value();")
+    val qtVar = ctx.addMutableState("scala.collection.immutable.Map", "batchQueryVecsT",
+      v => s"$v = graft.functions.BatchCentroidScore.transposeAll($qVar, $dim);")
     val centVar = ctx.addMutableState("float[]", "centroidMatrix",
       v => s"$v = (float[]) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, (qid, codes) =>
       s"${ev.value} = graft.functions.BatchCentroidScore.compute(" +
-        s"$qid, $codes, $qVar, $centVar, $dim);")
+        s"$qid, $codes, $qVar, $qtVar, $centVar, $dim);")
   }
 
   override protected def withNewChildrenInternal(
@@ -144,12 +157,20 @@ object BatchCentroidScore {
     Bridge.column(BatchCentroidScore(
       Bridge.expression(qid), Bridge.expression(codes), bcQueries, bcCentroids, dim))
 
+  /** `queries` is token-major, `queriesT` its dim-major twin (see
+    * [[transposeAll]]) — [[CentroidScore.computeDotAuto]] width-dispatches
+    * between them per query. */
   def compute(qid: Long, codes: ArrayData, queries: Map[Long, Array[Float]],
-      cent: Array[Float], dim: Int): Double = {
+      queriesT: Map[Long, Array[Float]], cent: Array[Float], dim: Int): Double = {
     val q = queries.getOrElse(qid,
       throw new IllegalArgumentException(s"no query tokens for query_id $qid"))
-    CentroidScore.computeDot(codes, q, cent, q.length / dim, dim)
+    CentroidScore.computeDotAuto(codes, q, queriesT(qid), cent, q.length / dim, dim)
   }
+
+  /** Transpose every query to dim-major once per task — called from the
+    * generated code's init and the interpreted lazy val alike. */
+  def transposeAll(qs: Map[Long, Array[Float]], dim: Int): Map[Long, Array[Float]] =
+    qs.map { case (k, v) => k -> CentroidScore.transposeQuery(v, dim) }
 }
 
 object CentroidScore {
@@ -159,6 +180,90 @@ object CentroidScore {
       bcCentroids: Broadcast[Array[Float]], nq: Int, dim: Int): Column =
     Bridge.column(CentroidScore(Bridge.expression(codes), queryFlat,
       bcCentroids, nq, dim))
+
+  /** Row-major (nq x dim) query tokens -> dim-major (dim x nq): one SIMD
+    * register then holds dim i of adjacent tokens ([[ScoreKernel]]). Done
+    * once per task per query, never per candidate row. */
+  def transposeQuery(q: Array[Float], dim: Int): Array[Float] = {
+    val nq = q.length / dim
+    val qt = new Array[Float](q.length)
+    var k = 0
+    while (k < nq) {
+      var i = 0
+      while (i < dim) { qt(i * nq + k) = q(k * dim + i); i += 1 }
+      k += 1
+    }
+    qt
+  }
+
+  /** [[ScoreKernel.scoreCodesT]] (+ the species lane count, the dispatch
+    * threshold) resolved once by reflection under the same incubator-module
+    * probe as [[graft.quantizers.CoarseQuantizer]]'s kernels — the scalar
+    * twin below takes over when the module is absent. One boxed reflective
+    * call per candidate ROW (the kernel loops the row's codes internally)
+    * — noise next to the nq x codes x dim FLOPs it vectorizes. */
+  private lazy val simdScoreCodes: Option[(java.lang.reflect.Method, Int)] =
+    try {
+      Class.forName("jdk.incubator.vector.FloatVector")
+      val k = Class.forName("graft.functions.ScoreKernel")
+      Some((k.getMethod("scoreCodesT",
+        classOf[Array[Long]], classOf[Array[Float]], classOf[Int],
+        classOf[Array[Float]], classOf[Int]),
+        k.getMethod("lanes").invoke(null).asInstanceOf[Int]))
+    } catch { case _: Throwable => None }
+
+  /** The serving hot path of both scoring expressions: WIDTH-DISPATCHED
+    * between [[computeDot]] (token-major scalar — narrow queries) and the
+    * token-lane SIMD kernel over the transposed query ([[computeDotT]]).
+    * Bit-identical either way (CentroidScoreSpec). The gate is one full
+    * vector of tokens: below it the SIMD body is empty and the reflective
+    * call + strided layout only cost (measured 0.5-0.75x at nq=4-8 on a
+    * 16-lane host); at or past it the kernel measured 4.7-5.9x (nq=16)
+    * and 5.3-5.8x (nq=32) on the dominant phase-1 per-pair cost (ProfMain
+    * score_kernel, dim=128). */
+  def computeDotAuto(codes: ArrayData, q: Array[Float], qt: Array[Float],
+      cent: Array[Float], nq: Int, dim: Int): Double = simdScoreCodes match {
+    case Some((m, lanes)) if nq >= lanes =>
+      m.invoke(null, codes.toLongArray(), qt, Int.box(nq), cent, Int.box(dim))
+        .asInstanceOf[Double]
+    case _ => computeDot(codes, q, cent, nq, dim)
+  }
+
+  /** [[computeDot]] over a TRANSPOSED (dim-major) query: the SIMD kernel
+    * whenever the incubator module is present (NO width gate here — the
+    * parity spec drives the vector body and its tails directly at every
+    * width), the strided scalar twin otherwise. Vector lanes run ACROSS
+    * query tokens with each token's accumulation dim-ascending in one
+    * lane, so results are bit-identical to [[computeDot]] at any vector
+    * width, including the NaN-keeps-old-max edge the scalar `>` compare
+    * implies. Production callers use [[computeDotAuto]]. */
+  def computeDotT(codes: ArrayData, qt: Array[Float], cent: Array[Float],
+      nq: Int, dim: Int): Double = simdScoreCodes match {
+    case Some((m, _)) =>
+      m.invoke(null, codes.toLongArray(), qt, Int.box(nq), cent, Int.box(dim))
+        .asInstanceOf[Double]
+    case _ =>
+      val perToken = new Array[Float](nq)
+      java.util.Arrays.fill(perToken, -9999.0f)
+      val n = codes.numElements()
+      var j = 0
+      while (j < n) {
+        val base = codes.getLong(j).toInt * dim
+        var k = 0
+        while (k < nq) {
+          var acc = 0.0f
+          var i = 0
+          while (i < dim) { acc += qt(i * nq + k) * cent(base + i); i += 1 }
+          if (acc > perToken(k)) perToken(k) = acc
+          k += 1
+        }
+        j += 1
+      }
+      var score = 0.0f
+      var k = 0
+      while (k < nq) { score += perToken(k); k += 1 }
+      score.toDouble
+  }
 
   /** The kernel over raw ArrayData — results bit-identical to
     * Plaid.colbertCentroidScore over a CoarseQuantizer.scoreBlock matrix;

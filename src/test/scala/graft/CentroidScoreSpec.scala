@@ -44,6 +44,39 @@ class CentroidScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("SIMD token-lane kernel (computeDotT) is bit-identical to computeDot " +
+      "across widths, tails, and NaN") {
+    // nq sweeps below one vector width (pure scalar tail), exactly at, and
+    // past it (vector body + tail); the NaN case pins the blend-not-max
+    // choice: a NaN dot must KEEP the running max, as the scalar `>` does
+    val r2 = new scala.util.Random(23L)
+    for (nqv <- Seq(1, 3, 4, 8, 16, 17, 32, 33); dimv <- Seq(4, 128)) {
+      val ncv = 16
+      val cent = Array.fill(ncv * dimv)(r2.nextFloat() * 2 - 1)
+      val q = Array.fill(nqv * dimv)(r2.nextFloat() * 2 - 1)
+      val codes = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill(5)(r2.nextInt(ncv).toLong))
+      val old = CentroidScore.computeDot(codes, q, cent, nqv, dimv)
+      val neu = CentroidScore.computeDotT(codes,
+        CentroidScore.transposeQuery(q, dimv), cent, nqv, dimv)
+      assert(java.lang.Double.doubleToRawLongBits(old) ==
+        java.lang.Double.doubleToRawLongBits(neu),
+        s"nq=$nqv dim=$dimv: $old vs $neu")
+    }
+    // NaN in one query token's dims: both paths must agree bit-for-bit
+    val dimn = 8; val nqn = 9; val ncn = 4
+    val cent = Array.fill(ncn * dimn)(1f)
+    val q = Array.fill(nqn * dimn)(1f)
+    q(3 * dimn + 2) = Float.NaN // token 3 produces NaN dots
+    val codes = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(0L, 1L, 2L))
+    val old = CentroidScore.computeDot(codes, q, cent, nqn, dimn)
+    val neu = CentroidScore.computeDotT(codes,
+      CentroidScore.transposeQuery(q, dimn), cent, nqn, dimn)
+    assert(java.lang.Double.doubleToRawLongBits(old) ==
+      java.lang.Double.doubleToRawLongBits(neu), s"NaN case: $old vs $neu")
+  }
+
   test("batch expression routes each query_id to its own token vectors") {
     import spark.implicits._
     val q2 = Array.fill(2 * dim)(rnd.nextFloat() * 2 - 1) // nq=2 second query

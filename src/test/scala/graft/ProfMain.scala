@@ -702,6 +702,42 @@ object ProfMain {
             println(f"[prof] pq_quality $v%-10s success@5 = $s%.4f")
           case other => sys.error(s"unknown pq_quality variant $other")
         }
+      case "score_kernel" =>
+        // phase-1 per-candidate kernel A/B at REAL ColBERT width (nq=32,
+        // dim=128) and at the narrow profiling shape (nq=4): scalar
+        // computeDot vs the token-lane SIMD computeDotT (bit-identical,
+        // CentroidScoreSpec). args: [rows]
+        import graft.functions.CentroidScore
+        val rows = args.lift(1).map(_.toInt).getOrElse(200000)
+        val rndS = new scala.util.Random(5)
+        val dimS = 128; val ncS = 1024
+        val cent = Array.fill(ncS * dimS)(rndS.nextFloat() * 2 - 1)
+        Seq(4, 8, 16, 32).foreach { nqS =>
+          val q = Array.fill(nqS * dimS)(rndS.nextFloat() * 2 - 1)
+          val qt = CentroidScore.transposeQuery(q, dimS)
+          val codeRows = Array.fill(rows)(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              Array.fill(4)(rndS.nextInt(ncS).toLong)))
+          // warmup both (C2 + vector species resolution)
+          (0 until 20000).foreach { i =>
+            CentroidScore.computeDot(codeRows(i % rows), q, cent, nqS, dimS)
+            CentroidScore.computeDotT(codeRows(i % rows), qt, cent, nqS, dimS)
+          }
+          (1 to 3).foreach { rep =>
+            var s1 = 0.0; var s2 = 0.0
+            val t0 = System.nanoTime()
+            var i = 0
+            while (i < rows) { s1 += CentroidScore.computeDot(codeRows(i), q, cent, nqS, dimS); i += 1 }
+            val t1 = System.nanoTime()
+            i = 0
+            while (i < rows) { s2 += CentroidScore.computeDotT(codeRows(i), qt, cent, nqS, dimS); i += 1 }
+            val t2 = System.nanoTime()
+            require(s1 == s2, s"kernels diverged: $s1 vs $s2")
+            println(f"[prof] nq=$nqS #$rep scalar ${(t1 - t0) / 1e3 / rows}%6.3f us/row  " +
+              f"simd ${(t2 - t1) / 1e3 / rows}%6.3f us/row  " +
+              f"speedup ${(t1 - t0).toDouble / (t2 - t1)}%5.2f x")
+          }
+        }
       case "jaccard" => profJaccard(spark, dir)
       case "jaccard_noaqe" =>
         // attribution experiment only: how much of the cold-pipeline wall
