@@ -83,6 +83,24 @@ class IndexSpec extends AnyFunSuite {
     assert(got.head._1 == 7L)
   }
 
+  test("NONE: a WIDE query (nq past the SIMD lane gate) matches brute force " +
+      "end to end") {
+    // 5 docs' tokens concatenated = 25 query tokens — past any preferred
+    // species width (16 lanes on AVX-512), so the e2e search exercises the
+    // computeDotAuto SIMD branch, not just the parity spec's direct calls
+    val wide = (0L until 5L).flatMap(d => corpus(d)).map(_.toArray).toArray
+    assert(wide.length >= 16)
+    val idx = freshIndex(QuantizerKind.NONE)
+    val got = idx.search(1, VectorQuery("colbert", wide), k = 5, exhaustive)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val expected = bruteForce(wide).take(5)
+    assert(got.map(_._1).toSeq == expected.map(_._1))
+    got.zip(expected).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-4, s"score mismatch: $g vs $e")
+    }
+  }
+
   test("BINARIZER: self-match still ranks first through the lossy codec") {
     val idx = freshIndex(QuantizerKind.BINARIZER)
     val got = idx.search(1, query(7), k = 5, exhaustive)
