@@ -176,10 +176,45 @@ final class IndexIVF private (
   }
 
   /** Raise (never lower) the snapshot-validity floor — call under the
-    * write lock, AFTER the physical rewrite it records has committed. */
+    * write lock, AFTER the physical rewrite it records has committed.
+    * Raising the floor also vacuums the model-history stamps no snapshot
+    * can reach anymore — without it a nightly-retrained long-lived index
+    * accretes one full model copy (25 MB at K=49152 x d=128 f32) per
+    * retrain forever. */
   private def raiseHistoryFloor(epoch: Long): Unit =
-    if (epoch > historyFloor())
+    if (epoch > historyFloor()) {
       Json.write(p("_meta/floor.json"), Map("floor" -> epoch))
+      vacuumModelHistory(epoch)
+    }
+
+  /** Delete `_meta/history/<e>/` stamp dirs that are unreachable under
+    * `floor`: [[IndexIVF.openAt]] refuses epochs < floor and resolves the
+    * NEWEST stamp <= its epoch, so every stamp strictly below the newest
+    * stamp <= floor can never be loaded again. That newest one is KEPT —
+    * it still serves snapshots in [floor, next stamp). Safe per-file
+    * because every [[train]] stamps ALL model files of ALL tensor fields
+    * into one epoch dir (saveStamped), so stamp dirs are uniform. */
+  private def vacuumModelHistory(floor: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val h = java.nio.file.Paths.get(p("_meta/history"))
+    if (java.nio.file.Files.isDirectory(h)) {
+      val epochs = {
+        val s = java.nio.file.Files.list(h)
+        try s.iterator().asScala
+          .flatMap(_.getFileName.toString.toLongOption).toList
+        finally s.close()
+      }
+      epochs.filter(_ <= floor).maxOption.foreach { keep =>
+        epochs.filter(_ < keep).foreach { e =>
+          val dir = h.resolve(e.toString)
+          val walk = java.nio.file.Files.walk(dir)
+          try walk.iterator().asScala.toVector.reverse
+            .foreach(java.nio.file.Files.delete)
+          finally walk.close()
+        }
+      }
+    }
+  }
 
   /** Advance and persist the epoch counter (call under the write lock). */
   private def nextEpoch(): Long = {
@@ -252,9 +287,14 @@ final class IndexIVF private (
   }
 
   /** If a previous writer died mid-operation (journal entry present),
-    * vacuum the torn epoch and clear the journal. Returns the recovered
-    * (op, epoch) if recovery ran. Called by [[IndexIVF.open]]; public so
-    * an operator can also invoke it explicitly. */
+    * restore consistency and clear the journal. Appends ([[add]],
+    * [[merge]], [[removeDeferred]]) vacuum the torn epoch's rows; a torn
+    * [[train]] has no rows — its two-phase model save rolls BACK (partial
+    * stamp deleted, current files were never touched) or FORWARD (the
+    * journal says the stamp completed: re-copy it over the current files —
+    * idempotent) depending on the phase the writer died in. Returns the
+    * recovered (op, epoch) if recovery ran. Called by [[IndexIVF.open]];
+    * public so an operator can also invoke it explicitly. */
   def recoverPending(): Option[(String, Long)] = withWriteLock {
     if (!Json.exists(pendingPath)) None
     else {
@@ -263,9 +303,31 @@ final class IndexIVF private (
       val epoch = m.get("epoch").collect { case n: Number => n.longValue() }
         .getOrElse(throw new IllegalStateException(
           s"$pendingPath exists but carries no epoch — manual inspection required"))
-      log.warn(s"index at $path has a torn '$op' write at epoch $epoch " +
-        "(previous writer died mid-operation); vacuuming its rows")
-      vacuumEpoch(epoch)
+      if (op == "train") {
+        val stamped = m.get("stamped").contains(true)
+        val stampDir = java.nio.file.Paths.get(p(s"_meta/history/$epoch"))
+        if (stamped) {
+          log.warn(s"index at $path has a torn 'train' save at epoch $epoch " +
+            "(writer died copying the completed stamp over the current " +
+            "model files); rolling forward from the stamp")
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.list(stampDir)
+          try s.iterator().asScala.foreach { f =>
+            java.nio.file.Files.copy(f,
+              java.nio.file.Paths.get(p(s"_meta/${f.getFileName}")),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          } finally s.close()
+        } else {
+          log.warn(s"index at $path has a torn 'train' save at epoch $epoch " +
+            "(writer died before the stamp completed); rolling the partial " +
+            "stamp back — current model files were never touched")
+          deleteDirIfExists(stampDir.toString)
+        }
+      } else {
+        log.warn(s"index at $path has a torn '$op' write at epoch $epoch " +
+          "(previous writer died mid-operation); vacuuming its rows")
+        vacuumEpoch(epoch)
+      }
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(pendingPath))
       Some((op, epoch))
     }
@@ -380,10 +442,56 @@ final class IndexIVF private (
     // the model that was in effect at its snapshot epoch (a retrain between
     // snapshots must not silently change a snapshot's scores)
     val modelEpoch = nextEpoch()
+    // Two-phase journaled model save: train() writes several model files
+    // (per field: centroids + codec) with no table rows to vacuum, so the
+    // append journal's row-targeted recovery cannot cover it. Phase A
+    // saves EVERY file into the epoch's history stamp dir only — current
+    // files untouched; after the journal flips to stamped=true, phase B
+    // copies the completed stamp over the current files. A crash in phase
+    // A rolls BACK at recovery (delete the partial stamp); a crash in
+    // phase B rolls FORWARD (re-copy the complete stamp — idempotent file
+    // copies). Either way `_meta/<f>` and `_meta/history/<epoch>/<f>` can
+    // never diverge — the torn state the r13 audit flagged.
+    Json.write(pendingPath, Map("op" -> "train", "epoch" -> modelEpoch))
+    val stampedFiles = scala.collection.mutable.ArrayBuffer[String]()
     def saveStamped(fileName: String)(save: String => Unit): Unit = {
-      save(p(s"_meta/$fileName"))
       save(p(s"_meta/history/$modelEpoch/$fileName"))
+      stampedFiles += fileName
     }
+    try trainBody(docs, saveStamped)
+    catch {
+      case e: Throwable =>
+        try {
+          deleteDirIfExists(p(s"_meta/history/$modelEpoch"))
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(pendingPath))
+        } catch { case r2: Throwable => e.addSuppressed(r2) }
+        throw e
+    }
+    Json.write(pendingPath,
+      Map("op" -> "train", "epoch" -> modelEpoch, "stamped" -> true))
+    stampedFiles.foreach { fn =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(p(s"_meta/history/$modelEpoch/$fn")),
+        java.nio.file.Paths.get(p(s"_meta/$fn")),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(pendingPath))
+  }
+
+  /** Recursively delete a directory if present (stamp-dir rollback). */
+  private def deleteDirIfExists(dir: String): Unit = {
+    val d = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(d)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(d)
+      try walk.iterator().asScala.toVector.reverse
+        .foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
+  private def trainBody(docs: DataFrame,
+      saveStamped: String => (String => Unit) => Unit): Unit = {
     schema.tensorFields.foreach { f =>
       val params = f.parameters
       require(params.numCentroids > 0, s"${f.name}: numCentroids required to train")
@@ -1600,16 +1708,30 @@ object IndexIVF {
     * snapshot epoch e, so [[openAt]] scores with it even after a retrain.
     * A model that exists ONLY unstamped predates model versioning and
     * cannot prove which generation epoch e saw — refused loudly. A model
-    * whose stamps are all > e means the field was untrained at e (its rows,
-    * if any, are after e too): loaded as untrained, which is the faithful
-    * state. */
+    * whose stamps are all > e is loaded as untrained ONLY when the field
+    * also has no rows at epochs <= e (truly untrained at e); if rows DO
+    * exist at or before e, the generation that scored them was an
+    * unstamped pre-versioning model a later retrain overwrote — also
+    * refused loudly, with the same unstamped-legacy guidance (post-
+    * versioning, add() requires a train() whose stamp necessarily
+    * precedes the rows' epochs, so earlier rows with no earlier stamp can
+    * only mean a pre-versioning train). */
   private def load(spark: SparkSession, path: String,
       modelEpoch: Option[Long] = None): IndexIVF = {
     checkVersion(path)
     val schema = Json.read(s"$path/_meta/schema.json", classOf[GSchema])
     requireUtcForDatetime(spark, schema)
     val idx = new IndexIVF(spark, path, schema)
-    def resolve(fileName: String): Option[String] = modelEpoch match {
+    // one data job per (tensor field, failing resolve) — reached only on
+    // the openAt path when no stamp <= e exists, never on plain open
+    def fieldHasRowsAtOrBefore(fieldName: String, e: Long): Boolean = {
+      val fid = idx.mapper.id(fieldName)
+      !idx.postingsDf
+        .filter(col("field") === fid && coalesce(col("epoch"), lit(0L)) <= e)
+        .isEmpty
+    }
+    def resolve(fieldName: String, fileName: String): Option[String] =
+      modelEpoch match {
       case None => Some(s"$path/_meta/$fileName").filter(Json.exists)
       case Some(e) =>
         val stamps = modelHistoryEpochs(path, fileName)
@@ -1621,15 +1743,28 @@ object IndexIVF {
                 "before model versioning): a snapshot cannot prove which " +
                 "model generation its epoch saw — retrain (or re-save via " +
                 "train()) once to stamp the current model, then re-snapshot")
+            // stamps exist but all are LATER than e: only safe to load as
+            // untrained if the field truly had no rows at e — earlier rows
+            // with no earlier stamp mean they were scored by an unstamped
+            // pre-versioning model a retrain overwrote. (A file with NO
+            // stamps at all reaches here only when it also has no current
+            // copy — a codec the field never used — which is fine.)
+            require(stamps.isEmpty || !fieldHasRowsAtOrBefore(fieldName, e),
+              s"index at $path has rows for field $fieldName at epochs <= $e " +
+                s"but its earliest $fileName stamp is later: the model that " +
+                "scored those rows was saved before model versioning and a " +
+                "retrain overwrote it, so this snapshot cannot prove which " +
+                "generation its epoch saw — snapshot at or after the first " +
+                "stamped epoch instead")
             None
         }
     }
     schema.tensorFields.foreach { f =>
-      resolve(s"${f.name}.centroids.json").foreach { cPath =>
+      resolve(f.name, s"${f.name}.centroids.json").foreach { cPath =>
         idx.coarse += f.name -> CoarseQuantizer.load(cPath)
-        val bPath = resolve(s"${f.name}.binarizer.json")
-        val pqPath = resolve(s"${f.name}.pq.json")
-        val sqPath = resolve(s"${f.name}.sq8.json")
+        val bPath = resolve(f.name, s"${f.name}.binarizer.json")
+        val pqPath = resolve(f.name, s"${f.name}.pq.json")
+        val sqPath = resolve(f.name, s"${f.name}.sq8.json")
         idx.quantizers += f.name -> (f.parameters.quantizerKind match {
           case QuantizerKind.BINARIZER if bPath.isDefined => Binarizer.load(bPath.get)
           case QuantizerKind.PRODUCT_ENCODER if pqPath.isDefined =>

@@ -708,15 +708,30 @@ object TextPipeline {
     * per [[ChunkTokens]]-token window at [[ChunkStride]] (the q_doc_chunk
     * windows), synthetic id = doc_id * scale + chunk_idx so the parent is
     * `id div scale`. Row-local explode — no shuffle at any corpus size;
-    * the chunk count per doc is ~n_tokens / stride. */
-  private def chunkedDocs(d: DataFrame, scale: Long): DataFrame = {
+    * the chunk count per doc is ~n_tokens / stride.
+    *
+    * Two preconditions FAIL LOUDLY instead of silently corrupting ids:
+    * doc_id must be non-negative (Spark `div` truncates toward zero while
+    * the DuckDB twin's `//` floors, so a negative parent would diverge the
+    * hash-checked twin — and -1 * scale + idx can collide with parent 0's
+    * chunk ids outright), and chunk_idx must stay under `scale` (a doc
+    * longer than ~scale x stride tokens would bleed its chunk ids into the
+    * next parent's range). */
+  private[graft] def chunkedDocs(d: DataFrame, scale: Long): DataFrame = {
     val nChunks = lit(1) +
       expr(s"(greatest(0, size(split(text, ' ')) - $ChunkTokens) " +
         s"+ ${ChunkStride - 1}) div $ChunkStride")
     d.select(col("doc_id"), toks.as("t"),
         sequence(lit(0), (nChunks - 1).cast("int")).as("idx"))
       .select(col("doc_id"), col("t"), explode(col("idx")).as("chunk_idx"))
-      .select((col("doc_id") * scale + col("chunk_idx")).as("doc_id"),
+      .select(when(col("doc_id") < 0 || col("chunk_idx") >= scale,
+          raise_error(concat(
+            lit("chunkedDocs: synthetic chunk ids require 0 <= doc_id and " +
+              s"chunk_idx < $scale (doc_id="), col("doc_id"),
+            lit(", chunk_idx="), col("chunk_idx"),
+            lit(") — negative parents diverge the floor-division twin and " +
+              "overlong docs collide into the next parent's id range"))))
+          .otherwise(col("doc_id") * scale + col("chunk_idx")).as("doc_id"),
         array_join(slice(col("t"), col("chunk_idx") * ChunkStride + 1,
           lit(ChunkTokens)), " ").as("text"))
   }

@@ -127,15 +127,27 @@ object BatchSearcher {
     * ones) serves one batch on the previous measure — a sizing heuristic
     * miss of at most that mutation's delta, never a correctness issue. */
   private val ctxBytesCache =
-    scala.collection.concurrent.TrieMap[(String, Long, Int, Long), Long]()
+    scala.collection.concurrent.TrieMap[(String, Long, Int), (Long, Long)]()
   private def measuredContextBytes(idx: IndexIVF, ctx: DataFrame,
-      tenant: Long, fid: Int, rows: Long): Long =
-    ctxBytesCache.getOrElseUpdate((idx.path, tenant, fid, rows),
-      if (rows == 0L) 0L
-      else ctx.select(coalesce(
-          sum(lit(8L) + size(col("doc_codes")).cast("long") * 8L + lit(48L)),
-          lit(0L)))
-        .first().getLong(0))
+      tenant: Long, fid: Int, rows: Long): Long = {
+    // one (rows, bytes) entry per (path, tenant, field), REPLACED on a
+    // row-count mismatch — keying by the count itself left one stale
+    // entry behind per mutation, unbounded driver growth over a
+    // long-lived serving session on a frequently-appended index
+    val key = (idx.path, tenant, fid)
+    ctxBytesCache.get(key) match {
+      case Some((r, b)) if r == rows => b
+      case _ =>
+        val b =
+          if (rows == 0L) 0L
+          else ctx.select(coalesce(
+              sum(lit(8L) + size(col("doc_codes")).cast("long") * 8L + lit(48L)),
+              lit(0L)))
+            .first().getLong(0)
+        ctxBytesCache.put(key, (rows, b))
+        b
+    }
+  }
 
   /** Measured broadcastable-relation bytes for (tenant, field) — exactly
     * the left side of the [[BroadcastContextMaxBytesKey]] gate compare

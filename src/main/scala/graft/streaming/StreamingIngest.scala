@@ -149,12 +149,22 @@ object StreamingIngest {
     * band fold), candidates come from <= `bands` broadcast-map lookups,
     * and the exact-Jaccard verify is a sorted-merge intersection against
     * each candidate's bench set (identical double arithmetic to the batch
-    * verify, so verdicts cannot diverge). Zero streaming state, no
-    * shuffle, no stream-side aggregation at any rate. The batch path's
-    * INCOMING-side hot-bucket cap has no streaming analogue and needs
-    * none: it guards the candidate JOIN's fan-out, and the probe does
-    * bounded work per row regardless of how many incoming docs share a
-    * bucket. Docs shorter than 3 tokens have no shingles and always pass
+    * verify). Zero streaming state, no shuffle, no stream-side
+    * aggregation at any rate.
+    *
+    * Parity contract with the batch matcher: verdicts are IDENTICAL
+    * whenever no INCOMING band bucket exceeds `BucketCap`; when one does,
+    * the stream flags a SUPERSET of the batch verdicts. The batch path
+    * caps BOTH join sides — an incoming bucket past the cap has its band
+    * rows dropped (losing those docs' candidates through that band) to
+    * bound the candidate JOIN's fan-out — while the stream's per-row probe
+    * does bounded work per row regardless of how many incoming docs share
+    * a bucket, so it deliberately keeps them. A flood of near-identical
+    * incoming docs that all quote the same benchmark text is thus flagged
+    * here and (partially) admitted by a batch re-audit — the conservative
+    * direction for decontamination, where a false admit costs more than a
+    * false drop. Only the bench-side cap (applied at index build above) is
+    * shared. Docs shorter than 3 tokens have no shingles and always pass
     * (the batch matcher never flags them either). Broadcast lifecycle: as
     * with [[decontaminatedStream]], construct once per benchmark-set
     * version — the caller owns the returned plan's broadcast. */
@@ -175,15 +185,16 @@ object StreamingIngest {
       .select(col("doc_id").as("in_id"), col("_fuzzy._1").as("dup_of"),
         graft.queries.QueryDef.floorRound(col("_fuzzy._2"), 4).as("jaccard"))
 
-  private def withFuzzyVerdict(stream: DataFrame, textCol: String,
-      benchDocs: DataFrame, minJaccard: Double): DataFrame = {
+  /** Bench-side build shared by the whole-doc and chunked fuzzy guards
+    * (batch frames, driver-collected once): sorted shingle-hash set per
+    * bench doc/chunk + the hot-bucket-capped band index. */
+  private def fuzzyBenchIndex(benchDocs: DataFrame)
+      : (Map[Long, Array[Long]], Map[(Int, Long), Array[Long]]) = {
     import graft.queries.TextPipeline
     val bands = TextPipeline.MinhashBands
     val rows = TextPipeline.MinhashRows
     val bucketCap = TextPipeline.BucketCap
     val n = bands * rows
-    // bench-side build (batch frames, driver-collected once): sorted
-    // shingle-hash set per bench doc + the capped band index
     val arrsEx = TextPipeline.shingleArrays(benchDocs)
     val exSets: Map[Long, Array[Long]] = arrsEx
       .select(col("doc_id"), col("shs")).collect()
@@ -204,39 +215,60 @@ object StreamingIngest {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)) ->
         r.getSeq[Long](2).toArray.sorted).toMap
+    (exSets, bandIndex)
+  }
+
+  /** Best bench match for ONE probe unit (a whole doc or one chunk):
+    * candidates from <= `bands` band-index lookups, exact Jaccard by
+    * sorted-merge intersection, best under (raw jaccard desc, ex id asc) —
+    * identical arithmetic and tiebreak to the batch
+    * crossCorpusNearDupsCore verify + per-in_id cut. `mine` must be
+    * sorted-distinct; returns (bestExId, rawJaccard) or null. */
+  private def bestBenchMatch(mine: Array[Long], buckets: Array[Long],
+      sets: Map[Long, Array[Long]], idx: Map[(Int, Long), Array[Long]],
+      minJaccard: Double): (Long, Double) = {
+    val cands = scala.collection.mutable.SortedSet[Long]()
+    var b = 0
+    while (b < buckets.length) {
+      idx.get((b, buckets(b))).foreach(ids => ids.foreach(cands += _))
+      b += 1
+    }
+    var bestJ = -1.0
+    var bestId = Long.MaxValue
+    cands.foreach { ex =>
+      val other = sets(ex)
+      var i = 0; var j = 0; var common = 0
+      while (i < mine.length && j < other.length) {
+        if (mine(i) == other(j)) { common += 1; i += 1; j += 1 }
+        else if (mine(i) < other(j)) i += 1
+        else j += 1
+      }
+      val jac = common.toDouble / (mine.length + other.length - common)
+      // candidates walk ex_id ascending, so strict > implements the
+      // batch path's min-ex_id tiebreak
+      if (jac >= minJaccard && jac > bestJ) { bestJ = jac; bestId = ex }
+    }
+    if (bestJ < 0) null else (bestId, bestJ)
+  }
+
+  private def withFuzzyVerdict(stream: DataFrame, textCol: String,
+      benchDocs: DataFrame, minJaccard: Double): DataFrame = {
+    import graft.queries.TextPipeline
+    val bands = TextPipeline.MinhashBands
+    val rows = TextPipeline.MinhashRows
+    val n = bands * rows
+    val (exSets, bandIndex) = fuzzyBenchIndex(benchDocs)
     val sc = stream.sparkSession.sparkContext
     val bcSets = sc.broadcast(exSets)
     val bcBands = sc.broadcast(bandIndex)
     val probe = udf { (shs: Seq[Long], buckets: Seq[Long]) =>
       if (shs == null) None
       else {
-        val idx = bcBands.value
-        val sets = bcSets.value
-        val cands = scala.collection.mutable.SortedSet[Long]()
-        var b = 0
-        while (b < buckets.length) {
-          idx.get((b, buckets(b))).foreach(ids => ids.foreach(cands += _))
-          b += 1
-        }
         // shs is already distinct (hashedShingles3) — sort for the merges
         val mine = shs.toArray
         java.util.Arrays.sort(mine)
-        var bestJ = -1.0
-        var bestId = Long.MaxValue
-        cands.foreach { ex =>
-          val other = sets(ex)
-          var i = 0; var j = 0; var common = 0
-          while (i < mine.length && j < other.length) {
-            if (mine(i) == other(j)) { common += 1; i += 1; j += 1 }
-            else if (mine(i) < other(j)) i += 1
-            else j += 1
-          }
-          val jac = common.toDouble / (mine.length + other.length - common)
-          // candidates walk ex_id ascending, so strict > implements the
-          // batch path's min-ex_id tiebreak
-          if (jac >= minJaccard && jac > bestJ) { bestJ = jac; bestId = ex }
-        }
-        if (bestJ < 0) None else Some((bestId, bestJ))
+        Option(bestBenchMatch(mine, buckets.toArray, bcSets.value,
+          bcBands.value, minJaccard))
       }
     }
     val hs = graft.functions.TextHash.minhashSigs(n)(col("_shs"))
@@ -246,6 +278,126 @@ object StreamingIngest {
       .withColumn("_fuzzy", probe(col("_shs"), array((0 until bands).map(i =>
         xxhash64((0 until rows).map(r => col("_hs")(rows * i + r)): _*)): _*)))
       .drop("_shs", "_hs")
+  }
+
+  /** Streaming CHUNKED fuzzy decontamination guard — the batch chunked
+    * screen (`q_decontaminate_chunked`: both corpora re-keyed into
+    * 64-token/stride-48 windows, the cross-corpus near-dup core at chunk
+    * granularity, verdicts rolled up per parent) applied at INGEST time.
+    * This is the screen a production ingest most needs: it catches
+    * benchmark text QUOTED INSIDE a larger page, which the whole-doc
+    * guard ([[fuzzyDecontaminatedStream]]) is structurally blind to (a
+    * lightly-edited eval question inside a long article has tiny
+    * whole-doc Jaccard).
+    *
+    * Shape: the bench side is chunked with the SAME batch
+    * `chunkedDocs` frames (synthetic chunk id = parent * ChunkIdScale +
+    * idx, so chunk verdicts map back to bench parents), then indexed and
+    * broadcast exactly like the whole-doc guard. The incoming side is
+    * chunked ROW-LOCALLY inside the probe: the UDF re-derives the
+    * q_doc_chunk token windows from the raw text (same `split` / slice /
+    * single-space join as the batch expression), runs the bit-identical
+    * shingle (HashedShingles3.kernel) / minhash (MinHashSigs.kernel) /
+    * band-fold (XXH64 chain, seed 42) kernels per chunk, probes each
+    * chunk against the bench chunk index, and rolls the chunk verdicts up
+    * to ONE (bench parent, jaccard) verdict per incoming doc under the
+    * batch rollup's exact ordering (max 4-decimal-rounded jaccard, min
+    * parent on ties). Zero streaming state, no shuffle, no explode — a
+    * doc's chunks never leave its row.
+    *
+    * Parity contract: identical to the batch chunked screen's verdicts
+    * whenever no INCOMING chunk band bucket is hot, a SUPERSET when one
+    * is — same cap asymmetry (and the same conservative direction) as
+    * [[fuzzyDecontaminatedStream]], now at chunk granularity. Incoming
+    * doc ids play no role in the verdict (parents come from the BENCH
+    * side's synthetic ids), so unlike the batch screen the stream accepts
+    * any incoming id. */
+  def chunkedFuzzyDecontaminatedStream(stream: DataFrame, textCol: String,
+      benchDocs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    withChunkedFuzzyVerdict(stream, textCol, benchDocs, minJaccard)
+      .filter(col("_cfuzzy").isNull).drop("_cfuzzy")
+
+  /** The flagged complement of [[chunkedFuzzyDecontaminatedStream]] — one
+    * row per dropped doc with its best bench PARENT match `(dup_of,
+    * jaccard)`, the same rolled-up verdict the batch chunked screen emits
+    * — for audit sinks and the batch/stream equality spec. */
+  def chunkedFuzzyDeconMatches(stream: DataFrame, textCol: String,
+      benchDocs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    withChunkedFuzzyVerdict(stream, textCol, benchDocs, minJaccard)
+      .filter(col("_cfuzzy").isNotNull)
+      .select(col("doc_id").as("in_id"), col("_cfuzzy._1").as("dup_of"),
+        col("_cfuzzy._2").as("jaccard"))
+
+  private def withChunkedFuzzyVerdict(stream: DataFrame, textCol: String,
+      benchDocs: DataFrame, minJaccard: Double): DataFrame = {
+    import graft.queries.TextPipeline
+    val bands = TextPipeline.MinhashBands
+    val rows = TextPipeline.MinhashRows
+    val n = bands * rows
+    val chunkTokens = TextPipeline.ChunkTokens
+    val chunkStride = TextPipeline.ChunkStride
+    val scale = TextPipeline.ChunkIdScale
+    val (exSets, bandIndex) =
+      fuzzyBenchIndex(TextPipeline.chunkedDocs(benchDocs, scale))
+    val sc = stream.sparkSession.sparkContext
+    val bcSets = sc.broadcast(exSets)
+    val bcBands = sc.broadcast(bandIndex)
+    val probe = udf { (text: String) =>
+      if (text == null) None
+      else {
+        val sets = bcSets.value
+        val idx = bcBands.value
+        // limit -1 keeps trailing empty tokens, matching Spark's
+        // split(text, ' ') used by the batch chunker
+        val tokens = text.split(" ", -1)
+        val nCh = 1 +
+          (math.max(0, tokens.length - chunkTokens) + chunkStride - 1) / chunkStride
+        // rollup accumulator under the batch bestMatchPerParent order:
+        // max ROUNDED jaccard, min bench parent on ties
+        var bestR = -1.0
+        var bestParent = Long.MaxValue
+        var ci = 0
+        while (ci < nCh) {
+          val start = ci * chunkStride
+          val ctext = tokens.slice(start, start + chunkTokens).mkString(" ")
+          val shsArr = graft.functions.HashedShingles3.kernel(
+            org.apache.spark.unsafe.types.UTF8String.fromString(ctext))
+          if (shsArr != null) {
+            val sigs = graft.functions.MinHashSigs.kernel(shsArr, n).toLongArray()
+            // band fold = Spark's XxHash64(cols..., seed 42): chain each
+            // row's min through the running hash
+            val buckets = new Array[Long](bands)
+            var b = 0
+            while (b < bands) {
+              var h = 42L
+              var r = 0
+              while (r < rows) {
+                h = org.apache.spark.sql.catalyst.expressions.XXH64
+                  .hashLong(sigs(rows * b + r), h)
+                r += 1
+              }
+              buckets(b) = h
+              b += 1
+            }
+            val mine = shsArr.toLongArray()
+            java.util.Arrays.sort(mine)
+            val m = bestBenchMatch(mine, buckets, sets, idx, minJaccard)
+            if (m != null) {
+              // the batch frame rounds each chunk verdict (floorRound, 4
+              // decimals) BEFORE the parent rollup compares them
+              val r4 = math.floor(m._2 * 10000.0 + 0.5) / 10000.0
+              val parent = m._1 / scale
+              if (r4 > bestR || (r4 == bestR && parent < bestParent)) {
+                bestR = r4; bestParent = parent
+              }
+            }
+          }
+          ci += 1
+        }
+        if (bestR < 0) None else Some((bestParent, bestR))
+      }
+    }
+    stream.withColumn("_cfuzzy", probe(col(textCol)))
   }
 
   /** Per-(source, event-time-window) admission cap — the streaming twin of

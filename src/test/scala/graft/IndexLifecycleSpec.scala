@@ -234,6 +234,27 @@ class IndexLifecycleSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](IndexIVF.openAt(spark, path, eRemove - 1))
     assert(ranking(IndexIVF.openAt(spark, path, eRemove)).nonEmpty,
       "snapshots at/after the floor must still open")
+    // the floor rise VACUUMS unreachable model stamps (r13 audit note 3):
+    // the first train's stamp can never be loaded again (openAt refuses
+    // its epochs), so it is pruned; the retrain's stamp — the newest <=
+    // floor — is kept and still serves openAt(floor) with the exact
+    // retrained model (bit-for-bit vs the live handle on the same rows)
+    def stampEpochs(): Set[Long] = {
+      import scala.jdk.CollectionConverters._
+      val h = java.nio.file.Paths.get(s"$path/_meta/history")
+      val s = java.nio.file.Files.list(h)
+      try s.iterator().asScala
+        .flatMap(_.getFileName.toString.toLongOption).toSet
+      finally s.close()
+    }
+    val afterRemove = stampEpochs()
+    assert(!afterRemove.contains(1L),
+      s"first train's stamp must be vacuumed once the floor passes it: $afterRemove")
+    assert(afterRemove.exists(_ <= eRemove),
+      "the newest stamp <= floor must survive the vacuum (it serves " +
+        s"openAt(floor)): $afterRemove")
+    assert(ranking(IndexIVF.openAt(spark, path, eRemove)) == ranking(idx2),
+      "openAt(floor) must still score with the surviving retrain stamp")
 
     // compact() after a deferred delete applies tombstones physically: the
     // floor rises to the counter (a snapshot between the removeDeferred
@@ -248,6 +269,54 @@ class IndexLifecycleSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](IndexIVF.openAt(spark, path, eRemove))
     intercept[IllegalArgumentException](IndexIVF.openAt(spark, path, eDeferred - 1))
     assert(ranking(IndexIVF.openAt(spark, path, idx2.currentEpoch())).nonEmpty)
+  }
+
+  test("openAt refuses a pre-retrain epoch whose rows were scored by an " +
+      "UNSTAMPED legacy model that a retrain overwrote") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(78L)
+    val corpus = (0L until 6L).map(i =>
+      i -> Seq.fill(2)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))).toMap
+    def docsOf(ids: Seq[Long]) = corpus.filter(kv => ids.contains(kv._1)).toSeq
+      .sortBy(_._1).map { case (i, t) => Doc(i, t, s"c$i", i % 2) }.toDF()
+    val path = java.nio.file.Files.createTempDirectory("idx_legacy").toString
+    val idx = IndexIVF.create(spark, path,
+      GSchema(Seq(GField.colbert("colbert", dim, numCentroids = 2,
+        numIterations = 2),
+        GField(name = "cat", dataType = GDataType.TEXT.toString,
+          roles = Seq(FieldRole.Indexed.toString, FieldRole.Stored.toString)),
+        GField.indexed("num", GDataType.INTEGER))))
+    idx.train(docsOf(Seq(0L, 1L, 2L)))
+    idx.add(1, docsOf(Seq(0L, 1L, 2L)))
+    val eAdd = idx.currentEpoch()
+    // simulate a PRE-VERSIONING index: the model exists only unstamped
+    val hist = java.nio.file.Paths.get(s"$path/_meta/history")
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(hist)
+    try walk.iterator().asScala.toVector.reverse
+      .foreach(java.nio.file.Files.delete)
+    finally walk.close()
+    // retrain stamps the NEW model at a later epoch — the r13 ADVICE hole:
+    // stamps.nonEmpty used to skip the legacy refusal, load the field as
+    // untrained, and fail later with a misleading 'not trained' error
+    val idx2 = IndexIVF.open(spark, path)
+    idx2.coarse = Map.empty; idx2.quantizers = Map.empty
+    idx2.train(docsOf(Seq(3L, 4L, 5L)))
+    idx2.add(1, docsOf(Seq(3L)))
+    val ex = intercept[IllegalArgumentException](
+      IndexIVF.openAt(spark, path, eAdd))
+    assert(ex.getMessage.contains("before model versioning"),
+      s"must refuse with the unstamped-legacy guidance, got: ${ex.getMessage}")
+    // an epoch BEFORE any rows existed still opens (truly untrained then),
+    // and an epoch at/after the retrain stamp opens with the new model
+    assert(IndexIVF.openAt(spark, path, 0L).snapshot.isDefined)
+    val q = corpus(3L).map(_.toArray).toArray
+    val hits = IndexIVF.openAt(spark, path, idx2.currentEpoch())
+      .search(1, graft.query.VectorQuery("colbert", q), k = 2,
+        graft.query.SearchOptions(kTopCentroids = 2, nProbe = 2))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(hits.contains(3L))
   }
 
   // the epoch machinery is most dangerous on the TENSOR tables (postings

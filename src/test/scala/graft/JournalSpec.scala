@@ -119,4 +119,62 @@ class JournalSpec extends AnyFunSuite {
       .collect()
     assert(hits.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L))
   }
+
+  def fileBytes(p: String): Seq[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)).toSeq
+
+  test("train() is journaled two-phase: a completed train leaves current == " +
+      "stamp; torn phase A rolls back; torn phase B rolls forward") {
+    val (idx, path) = mkIndex()
+    // a completed train leaves no journal, and current files are byte-equal
+    // to the newest stamp (phase B is a file copy of phase A's output)
+    assert(!Json.exists(s"$path/_meta/pending.json"))
+    val e1 = epochOf(path) - 1 // mkIndex: train then add -> train is cur-1
+    assert(fileBytes(s"$path/_meta/colbert.centroids.json") ==
+      fileBytes(s"$path/_meta/history/$e1/colbert.centroids.json"))
+    val goodCentroids = fileBytes(s"$path/_meta/colbert.centroids.json")
+
+    // ---- torn PHASE A (writer died before the stamp completed): a
+    // partial stamp dir + a journal without the stamped flag. Recovery
+    // must delete the partial stamp and leave current untouched.
+    val tornA = epochOf(path) + 1
+    Json.write(s"$path/_meta/epoch.json", Map("epoch" -> tornA))
+    val stampA = java.nio.file.Paths.get(s"$path/_meta/history/$tornA")
+    java.nio.file.Files.createDirectories(stampA)
+    java.nio.file.Files.write(stampA.resolve("colbert.centroids.json"),
+      "{\"partial\": true}".getBytes("UTF-8"))
+    Json.write(s"$path/_meta/pending.json", Map("op" -> "train", "epoch" -> tornA))
+    // openAt refuses while the journal is pending
+    intercept[IllegalArgumentException](IndexIVF.openAt(spark, path, e1))
+    val rec1 = IndexIVF.open(spark, path)
+    assert(!Json.exists(s"$path/_meta/pending.json"))
+    assert(!java.nio.file.Files.exists(stampA), "partial stamp must be rolled back")
+    assert(fileBytes(s"$path/_meta/colbert.centroids.json") == goodCentroids,
+      "current model must be untouched by a phase-A rollback")
+    assert(rec1.search(1, TermQuery("num", 3L), k = 10, SearchOptions())
+      .collect().nonEmpty)
+
+    // ---- torn PHASE B (stamp completed, writer died copying it over the
+    // current files): journal carries stamped=true, current diverges from
+    // the stamp. Recovery must roll FORWARD — current becomes the stamp.
+    val tornB = epochOf(path) + 1
+    Json.write(s"$path/_meta/epoch.json", Map("epoch" -> tornB))
+    val stampB = java.nio.file.Paths.get(s"$path/_meta/history/$tornB")
+    java.nio.file.Files.createDirectories(stampB)
+    // the "retrained" model: the old centroids with one value shifted —
+    // any valid, loadable centroids JSON that differs byte-wise works
+    val retrained = new String(goodCentroids.toArray, "UTF-8")
+      .replaceFirst("\\[\\[", "[[") // no-op edit keeps JSON valid
+    java.nio.file.Files.write(stampB.resolve("colbert.centroids.json"),
+      (retrained + " ").getBytes("UTF-8")) // trailing space: byte-different, JSON-same
+    Json.write(s"$path/_meta/pending.json",
+      Map("op" -> "train", "epoch" -> tornB, "stamped" -> true))
+    val rec2 = IndexIVF.open(spark, path)
+    assert(!Json.exists(s"$path/_meta/pending.json"))
+    assert(fileBytes(s"$path/_meta/colbert.centroids.json") ==
+      fileBytes(s"$path/_meta/history/$tornB/colbert.centroids.json"),
+      "phase-B recovery must make current byte-equal to the completed stamp")
+    assert(rec2.search(1, TermQuery("num", 3L), k = 10, SearchOptions())
+      .collect().nonEmpty)
+  }
 }

@@ -476,7 +476,15 @@ object ProfMain {
         }
         val codecSuffix =
           if (codecB == QuantizerKind.NONE) "" else s"_${args(3).toLowerCase}"
-        val pathB = s"/root/repo/target/prof_batch_scale_${nDocsB}_$kB$codecSuffix"
+        // [iters]: Lloyd's iterations for the coarse quantizer — the
+        // index-quality knob of the r13 candidate-volume campaign (more
+        // iterations -> tighter, better-balanced centroids -> smaller
+        // probe lists at equal recall). Default 2 = the r11-r13 campaign
+        // shape; a non-default gets its own index path.
+        val itersB = args.lift(4).map(_.toInt).getOrElse(2)
+        val iterSuffix = if (itersB == 2) "" else s"_it$itersB"
+        val pathB =
+          s"/root/repo/target/prof_batch_scale_${nDocsB}_$kB$codecSuffix$iterSuffix"
         val tokensExprB = expr(
           s"""transform(sequence(0, ${tpdB - 1}), t ->
              |  transform(sequence(0, ${dimB - 1}), d ->
@@ -504,7 +512,7 @@ object ProfMain {
             val schema = GSchema(Seq(
               GField.colbert("colbert", dimensions = dimB,
                 numCentroids = kB, quantization = codecB,
-                numIterations = 2, nbits = 2),
+                numIterations = itersB, nbits = 2),
               GField(name = "n_chars", dataType = GDataType.INTEGER.toString,
                 roles = Seq(FieldRole.Indexed.toString, FieldRole.Stored.toString))))
             val ix = graft.index.IndexIVF.create(spark, pathB, schema)
@@ -605,6 +613,174 @@ object ProfMain {
         Seq("postings", "context", "docs").foreach { t =>
           val (dirs, files) = layoutB(t)
           println(s"[prof] layout $t: $dirs bucket dirs, $files parquet files")
+        }
+
+      case "batch_width" =>
+        // r13 verdict item 1: pair the nq=4 and nq=32 serving floors on
+        // the SAME production-shaped index, post-ScoreKernel. Query i at
+        // width 32 is doc i's 4 tokens TILED 8x: MaxSim sums per-token
+        // maxes, so scores scale ~linearly with the tile count, rankings
+        // are invariant up to float-summation ties, and probe selection
+        // dedups per centroid so the probe set — hence the candidate
+        // volume — is IDENTICAL between widths. The only variable left is
+        // the per-pair kernel width, which crosses the SIMD dispatch gate
+        // (one full token vector, lanes on this host) at 32 but not at 4:
+        // this isolates the kernel's macro effect on the attributed
+        // phase-1 floor. args: [nDocs] [K] [codec] [tile]
+        import graft.query._
+        import spark.implicits._
+        val dimW = 128
+        val nDocsW = args.lift(1).map(_.toInt).getOrElse(10000000); val tpdW = 4
+        val kW = args.lift(2).map(_.toInt).getOrElse(49152)
+        val codecSuffixW = args.lift(3).map(c => s"_${c.toLowerCase}")
+          .filter(_ != "_none").getOrElse("")
+        val tileW = args.lift(4).map(_.toInt).getOrElse(8)
+        val pathW = s"/root/repo/target/prof_batch_scale_${nDocsW}_$kW$codecSuffixW"
+        require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(pathW, "_prof_ready")),
+          s"run batch_scale $nDocsW $kW first to build the index")
+        val idxW = graft.index.IndexIVF.open(spark, pathW)
+        val tokensExprW = expr(
+          s"""transform(sequence(0, ${tpdW - 1}), t ->
+             |  transform(sequence(0, ${dimW - 1}), d ->
+             |    cast(pmod(xxhash64(id, t, d), 2000) / 1000.0 - 1.0 as float)))"""
+            .stripMargin)
+        val qPoolW = spark.range(nDocsW.toLong).select(col("id"),
+          tokensExprW.as("colbert")).filter(col("id") < 212).orderBy("id").collect()
+          .map(_.getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("colbert")
+            .map(_.toArray).toArray)
+        def tiled(toks: Array[Array[Float]], times: Int): Array[Array[Float]] =
+          Array.fill(times)(toks).flatten
+        def qDf(tile: Int) = qPoolW.zipWithIndex
+          .map { case (toks, i) =>
+            (i.toLong, tiled(toks, tile).map(_.toSeq).toSeq) }.toSeq
+          .toDF("query_id", "tokens")
+        val optsW = SearchOptions(kTopCentroids = 4, nProbe = 32, numSecondPass = 64)
+        val widths = Seq(1 -> qDf(1), tileW -> qDf(tileW))
+        // codegen + broadcast warmup at both widths before measuring
+        widths.foreach { case (_, q) =>
+          BatchSearcher.searchBatch(idxW, 1, "colbert", q.limit(8), 10, optsW).count()
+        }
+        val top10 = scala.collection.mutable.Map[Int, Map[Long, Seq[Long]]]()
+        widths.foreach { case (t, q) =>
+          val nq = tpdW * t
+          (1 to 2).foreach { i =>
+            val t0 = System.nanoTime()
+            BatchSearcher.searchBatch(idxW, 1, "colbert", q,
+              k = 10, optsW.copy(secondPass = false)).count()
+            val ms = (System.nanoTime() - t0) / 1e6
+            println(f"[prof] batch_width nq=$nq%-3d phase1-only #$i " +
+              f"${ms / 1000}%7.2f s  ${ms / 212}%7.1f ms/query")
+          }
+          (1 to 2).foreach { i =>
+            val t0 = System.nanoTime()
+            BatchSearcher.searchBatch(idxW, 1, "colbert", q,
+              k = 10, optsW).count()
+            val ms = (System.nanoTime() - t0) / 1e6
+            println(f"[prof] batch_width nq=$nq%-3d full        #$i " +
+              f"${ms / 1000}%7.2f s  ${ms / 212}%7.1f ms/query")
+          }
+          val res = BatchSearcher.searchBatch(idxW, 1, "colbert", q, 10, optsW)
+            .select("query_id", "doc_id", "score").collect()
+            .groupBy(_.getLong(0)).map { case (qid, rows) =>
+              qid -> rows.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+                .map(_.getLong(1)).toSeq }
+          top10(t) = res
+          val hits5 = res.count { case (qid, ids) => ids.take(5).contains(qid) }
+          println(f"[prof] batch_width nq=$nq%-3d success@5 self-retrieval: " +
+            f"${hits5.toDouble / 212}%.4f")
+        }
+        // ranking parity across widths: tiling scales every score by ~tile,
+        // so top-10 membership should agree up to float-summation boundary
+        // ties — report and bound the overlap rather than demand identity
+        val overlaps = top10(1).keys.toSeq.sorted.map { qid =>
+          val a = top10(1)(qid).toSet; val b = top10(tileW)(qid).toSet
+          (a intersect b).size.toDouble / math.max(a.size, b.size)
+        }
+        val meanOv = overlaps.sum / overlaps.length
+        println(f"[prof] batch_width top-10 overlap nq=$tpdW vs nq=${tpdW * tileW}: " +
+          f"mean $meanOv%.4f min ${overlaps.min}%.4f")
+        require(meanOv >= 0.95, f"tiled-width ranking diverged: $meanOv%.4f")
+
+      case "batch_frontier" =>
+        // r13 verdict items 2/3/7 in one harness: per-(kTopCentroids,
+        // nProbe) config on the production-shaped index, record (a) mean
+        // candidates/query — the attributed floor's first factor, from the
+        // postings footer counts x the driver's own probe selection; (b)
+        // ms/q for the 212-batch; (c) success@5 on PERTURBED self-
+        // retrieval qrels (each query = its doc's tokens + deterministic
+        // U(-noise, +noise) jitter, the RetrievalQualitySpec recipe at
+        // scale — unlike exact self-retrieval, phase-1 pruning can
+        // actually lose the answer here). args: [nDocs] [K] [codec]
+        // [noiseMils=50] [tile=1] [configs=1x8,2x16,4x32,8x64]
+        import graft.query._
+        import spark.implicits._
+        val dimF = 128
+        val nDocsF = args.lift(1).map(_.toInt).getOrElse(10000000); val tpdF = 4
+        val kF = args.lift(2).map(_.toInt).getOrElse(49152)
+        val codecSuffixF = args.lift(3).map(c => s"_${c.toLowerCase}")
+          .filter(_ != "_none").getOrElse("")
+        val noiseMilsF = args.lift(4).map(_.toInt).getOrElse(50)
+        val tileF = args.lift(5).map(_.toInt).getOrElse(1)
+        val configsF = args.lift(6).getOrElse("1x8,2x16,4x32,8x64").split(",")
+          .map { s => val Array(a, b) = s.split("x"); (a.toInt, b.toInt) }.toSeq
+        val pathF = s"/root/repo/target/prof_batch_scale_${nDocsF}_$kF$codecSuffixF"
+        require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(pathF, "_prof_ready")),
+          s"run batch_scale $nDocsF $kF first to build the index")
+        val idxF = graft.index.IndexIVF.open(spark, pathF)
+        val fidF = idxF.mapper.id("colbert")
+        // perturbed queries: doc tokens + U(-noise, noise), deterministic
+        val noiseF = noiseMilsF / 1000.0
+        val tokensExprF = expr(
+          s"""transform(sequence(0, ${tpdF - 1}), t ->
+             |  transform(sequence(0, ${dimF - 1}), d ->
+             |    cast(pmod(xxhash64(id, t, d), 2000) / 1000.0 - 1.0
+             |      + (pmod(xxhash64(id, t, d, 999), 2000) / 1000.0 - 1.0) * $noiseF
+             |      as float)))""".stripMargin)
+        val qPoolF = spark.range(nDocsF.toLong).select(col("id"),
+          tokensExprF.as("colbert")).filter(col("id") < 212).orderBy("id").collect()
+          .map(_.getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("colbert")
+            .map(_.toArray).toArray)
+        val queriesF = qPoolF.zipWithIndex
+          .map { case (toks, i) =>
+            (i.toLong, Array.fill(tileF)(toks).flatten.map(_.toSeq).toSeq) }.toSeq
+          .toDF("query_id", "tokens")
+        // postings footer counts per centroid (metadata-only job): the
+        // candidate volume of a probe set is the sum of its list sizes
+        val listSizes: Map[Long, Long] = idxF.postingsDf
+          .filter(col("tenant") === 1 && col("field") === fidF)
+          .groupBy("centroid").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val cqF = idxF.coarse("colbert")
+        val ncF = cqF.numCentroids
+        BatchSearcher.searchBatch(idxF, 1, "colbert", queriesF.limit(8), 10,
+          SearchOptions(kTopCentroids = 2, nProbe = 8, numSecondPass = 64)).count()
+        configsF.foreach { case (kt, np) =>
+          val optsF = SearchOptions(kTopCentroids = kt, nProbe = np,
+            numSecondPass = 64)
+          // driver-side probe selection — same code path the search uses
+          val cands = qPoolF.map { toks =>
+            val q = Array.fill(tileF)(toks).flatten
+            val flat = new Array[Float](q.length * dimF)
+            q.zipWithIndex.foreach { case (t, i) =>
+              System.arraycopy(t, 0, flat, i * dimF, dimF) }
+            val m = cqF.scoreBlock(flat, q.length)
+            Searcher.topCentroids(m, q.length, ncF, math.min(kt, ncF), np)
+              .map(c => listSizes.getOrElse(c, 0L)).sum
+          }
+          val meanCands = cands.sum.toDouble / cands.length
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            BatchSearcher.searchBatch(idxF, 1, "colbert", queriesF,
+              k = 10, optsF).count()
+            (System.nanoTime() - t0) / 1e6
+          }
+          val hits5 = BatchSearcher.searchBatch(idxF, 1, "colbert", queriesF,
+            k = 5, optsF).filter(col("query_id") === col("doc_id")).count()
+          println(f"[prof] frontier kTop=$kt%-3d nProbe=$np%-4d " +
+            f"cands/q ${meanCands}%10.0f  ms/q ${times.min / 212}%7.1f  " +
+            f"success@5 ${hits5.toDouble / 212}%.4f")
         }
 
       case "batch_phase" =>
@@ -738,6 +914,58 @@ object ProfMain {
               f"speedup ${(t1 - t0).toDouble / (t2 - t1)}%5.2f x")
           }
         }
+      case "topk_heap" =>
+        // insert-path A/B for the TopKHeap membership dedup (r13 verdict
+        // item 6): the O(1) open-addressed probe vs the old O(k) linear
+        // ids-scan, on the adversarial ascending-score stream (every
+        // insert qualifies -> max evictions) and on random arrival.
+        // args: [k] [n]
+        val kH = args.lift(1).map(_.toInt).getOrElse(1024)
+        val nH = args.lift(2).map(_.toInt).getOrElse(1000000)
+        val rndH = new scala.util.Random(17L)
+        val idSpace = nH / 4 // ids repeat ~4x: the dedup path stays hot
+        val base = Array.tabulate(nH) { _ =>
+          val id = rndH.nextInt(idSpace).toLong
+          (id, (id * 2654435761L % 1000003L).toDouble)
+        }
+        // the pre-r14 insert, verbatim: same heap, membership by scan
+        final class LinearScanHeap(k: Int) {
+          val h = new graft.functions.TopKHeap(k)
+          def insert(d: Long, s: Double): Unit = {
+            if (h.size == k && !h.ranksBefore(s, d, h.scores(0), h.ids(0))) return
+            var i = 0
+            while (i < h.size) { if (h.ids(i) == d) return; i += 1 }
+            // delegate the structural insert (d is known absent, so the
+            // set probe inside is a miss-then-add — counted against the
+            // hash path, making the comparison conservative)
+            h.insert(d, s)
+          }
+        }
+        for (order <- Seq("ascending", "random")) {
+          val stream =
+            if (order == "ascending") base.sortBy(_._2) else base
+          // warmup
+          (1 to 2).foreach { _ =>
+            val w = new graft.functions.TopKHeap(kH)
+            stream.take(100000).foreach { case (d, s) => w.insert(d, s) }
+          }
+          (1 to 3).foreach { rep =>
+            val h1 = new graft.functions.TopKHeap(kH)
+            val t0 = System.nanoTime()
+            stream.foreach { case (d, s) => h1.insert(d, s) }
+            val t1 = System.nanoTime()
+            val h2 = new LinearScanHeap(kH)
+            stream.foreach { case (d, s) => h2.insert(d, s) }
+            val t2 = System.nanoTime()
+            val r1 = (0 until h1.size).map(i => (h1.ids(i), h1.scores(i))).sorted
+            val r2 = (0 until h2.h.size).map(i => (h2.h.ids(i), h2.h.scores(i))).sorted
+            require(r1 == r2, "heap variants diverged")
+            println(f"[prof] topk_heap k=$kH n=$nH $order%-9s #$rep " +
+              f"hashset ${(t1 - t0) / 1e6}%8.2f ms  linear ${(t2 - t1) / 1e6}%8.2f ms  " +
+              f"speedup ${(t2 - t1).toDouble / (t1 - t0)}%5.2f x")
+          }
+        }
+
       case "jaccard" => profJaccard(spark, dir)
       case "jaccard_noaqe" =>
         // attribution experiment only: how much of the cold-pipeline wall

@@ -232,6 +232,13 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(expected.exists(_._1 >= 1000000L),
       "synthetic edits must be flagged or the equality check is vacuous")
+    // exact equality below holds ONLY while no INCOMING band bucket is hot
+    // (the batch matcher drops hot incoming buckets' band rows; the stream
+    // keeps them — see the superset test). Check the precondition instead
+    // of assuming the fixture stays that way.
+    assert(maxIncomingBucket(incoming) <= graft.queries.TextPipeline.BucketCap,
+      "fixture drifted: an incoming band bucket is hot, so batch/stream " +
+        "verdicts may legitimately diverge — adjust the fixture")
 
     val dir = java.nio.file.Files.createTempDirectory("fuzzy_decon_stream").toString
     incoming.repartition(4).write.mode("overwrite").parquet(dir)
@@ -259,6 +266,129 @@ class StreamingSpec extends AnyFunSuite {
     val all = incoming.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(admitted == all -- expected.map(_._1),
       "admitted set must be the exact unflagged complement")
+  }
+
+  test("streaming CHUNKED fuzzy guard matches the batch chunked screen on " +
+      "the spliced-quote fixture (and whole-doc fuzzy stays blind)") {
+    import spark.implicits._
+    // the TextPipelineSpec spliced-quote fixture: bench doc 0 is a
+    // 40-token eval question; incoming page 1 quotes it with one token
+    // edited inside 256 filler tokens; incoming doc 8 is unrelated
+    val quote = (0 until 40).map(i => s"q$i")
+    val edited = quote.dropRight(1) :+ "EDITED"
+    val page = ((0 until 96).map(i => s"f$i") ++ edited ++
+      (0 until 160).map(i => s"g$i")).mkString(" ")
+    val d = Seq((0L, quote.mkString(" ")), (1L, page),
+      (8L, (0 until 50).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("chunk_decon_stream").toString
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // batch ground truth from the PRODUCTION chunked screen query
+    val expected = SparkEntry.queries("q_decontaminate_chunked")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.map(t => (t._1, t._2)) == Set((1L, 0L)),
+      s"fixture drifted: batch must flag page 1 against bench 0: $expected")
+
+    val mod = graft.queries.TextPipeline.DeconFuzzyBenchMod
+    val bench = d.filter(col("doc_id") % mod === 0)
+    val incoming = d.filter(col("doc_id") % mod =!= 0)
+    val srcDir = java.nio.file.Files.createTempDirectory("chunk_decon_src").toString
+    incoming.repartition(2).write.mode("overwrite").parquet(srcDir)
+    def stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+
+    // the whole-doc streaming guard is blind here, like its batch twin
+    val qnW = s"chunk_whole_${System.nanoTime()}"
+    val qw = StreamingIngest.fuzzyDeconMatches(stream, "text", bench)
+      .writeStream.outputMode("append").format("memory").queryName(qnW)
+      .trigger(Trigger.AvailableNow()).start()
+    qw.awaitTermination(120000)
+    assert(spark.table(qnW).isEmpty,
+      "whole-doc fuzzy guard should be structurally blind to the quote")
+
+    // the chunked guard's flag set equals the batch chunked screen's
+    val qn = s"chunk_fuzzy_${System.nanoTime()}"
+    val q = StreamingIngest.chunkedFuzzyDeconMatches(stream, "text", bench)
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table(qn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"stream chunked flags diverged from batch: only-stream=${got -- expected}, " +
+        s"only-batch=${expected -- got}")
+
+    // admitted = the exact unflagged complement
+    val qn2 = s"chunk_clean_${System.nanoTime()}"
+    val q2 = StreamingIngest.chunkedFuzzyDecontaminatedStream(stream, "text", bench)
+      .writeStream.outputMode("append").format("memory").queryName(qn2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val admitted = spark.table(qn2).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(admitted == Set(8L), s"admitted must be only the clean doc: $admitted")
+  }
+
+  /** Largest INCOMING-side band-bucket population under the production
+    * minhash geometry — the quantity the batch matcher's incoming-side
+    * hot-bucket cap compares against BucketCap. */
+  private def maxIncomingBucket(incoming: org.apache.spark.sql.DataFrame): Long = {
+    import graft.queries.TextPipeline
+    val bands = TextPipeline.MinhashBands
+    val rows = TextPipeline.MinhashRows
+    TextPipeline.minhashSigs(TextPipeline.shingleArrays(incoming))
+      .select(posexplode(array((0 until bands).map(i =>
+        xxhash64((0 until rows).map(r => col(s"h${rows * i + r}")): _*)): _*))
+        .as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").count()
+      .agg(max("count")).collect()(0).getLong(0)
+  }
+
+  test("streaming fuzzy guard flags a SUPERSET of batch when an incoming " +
+      "band bucket is hot (the documented divergence direction)") {
+    import spark.implicits._
+    // bench: a few multi-token docs; incoming: BucketCap+2 verbatim clones
+    // of bench doc 0 (every clone lands in the same 8 band buckets -> all
+    // hot on the incoming side) plus clean docs that match nothing
+    val cap = graft.queries.TextPipeline.BucketCap
+    val mkText = (seed: Int) => (0 until 12).map(j => s"w${seed}_$j").mkString(" ")
+    val bench = (0L until 5L).map(i => (i, mkText(i.toInt))).toDF("doc_id", "text")
+    val clones = (0 until cap + 2).map(i => (1000L + i, mkText(0)))
+    val clean = (0 until 3).map(i => (5000L + i, mkText(100 + i)))
+    val incoming = (clones ++ clean).toDF("doc_id", "text")
+    assert(maxIncomingBucket(incoming) > cap,
+      "fixture must actually make an incoming bucket hot")
+
+    val batchFlags = graft.queries.TextPipeline
+      .crossCorpusNearDups(spark, incoming, bench)
+      .select("in_id").collect().map(_.getLong(0)).toSet
+    // the batch matcher drops the hot incoming buckets' band rows, so the
+    // clones lose their only candidates and are NOT flagged by batch
+    assert(!batchFlags.exists(id => id >= 1000L && id < 5000L),
+      s"expected batch to miss the hot-bucket clones, flagged: $batchFlags")
+
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy_hot_stream").toString
+    incoming.repartition(2).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val qn = s"fuzzy_hot_${System.nanoTime()}"
+    val q = StreamingIngest.fuzzyDeconMatches(stream, "text", bench)
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamFlags = spark.table(qn).select("in_id").collect()
+      .map(_.getLong(0)).toSet
+
+    // superset: every batch verdict is also a stream verdict...
+    assert(batchFlags.subsetOf(streamFlags),
+      s"stream must flag at least what batch flags: missing=${batchFlags -- streamFlags}")
+    // ...and the stream additionally catches every clone (jaccard 1.0 vs
+    // bench doc 0), exactly the docs the batch cap dropped
+    assert(clones.map(_._1).toSet.subsetOf(streamFlags),
+      "stream must flag the hot-bucket clones the batch matcher dropped")
+    // clean docs stay unflagged on both paths
+    assert(!streamFlags.exists(_ >= 5000L), "clean docs must pass")
   }
 
   test("session windows run identically in batch and as a stream") {

@@ -98,6 +98,33 @@ class TopKByScoreSpec extends AnyFunSuite {
     results.foreach(r => assert(r == Seq((10L, 3.0), (6L, 2.0), (7L, 2.0))))
   }
 
+  test("membership set survives heavy eviction churn: ascending-score " +
+      "stream with duplicates == sort-based reference") {
+    // the adversarial shape from the r13 audit: ascending scores make
+    // EVERY insert qualify (max evictions, max setRemove backward-shifts),
+    // and duplicate ids exercise the O(1) membership probe on both the
+    // present and the already-evicted branch
+    val rnd = new scala.util.Random(11L)
+    val k = 64
+    val n = 100000
+    val idSpace = 5000 // ids repeat ~20x each
+    val entries = Array.tabulate(n) { i =>
+      val id = rnd.nextInt(idSpace).toLong
+      // score a pure function of the id (the TopKByScore contract), but
+      // arrival order interleaves high and low scores
+      (id, (id * 2654435761L % 1000003L).toDouble)
+    }
+    val ascending = entries.sortBy(_._2)
+    for (stream <- Seq(ascending, rnd.shuffle(entries.toSeq).toArray)) {
+      val h = new TopKHeap(k)
+      stream.foreach { case (d, s) => h.insert(d, s) }
+      val got = (0 until h.size).map(i => (h.ids(i), h.scores(i)))
+        .sortBy(t => (-t._2, t._1))
+      val expected = entries.distinct.sortBy(t => (-t._2, t._1)).take(k).toSeq
+      assert(got == expected)
+    }
+  }
+
   test("groups smaller than k return all their distinct docs") {
     import spark.implicits._
     val df = Seq((1L, 2L, 0.5), (1L, 2L, 0.5), (1L, 3L, 0.1)).toDF("query_id", "doc_id", "score")
