@@ -712,7 +712,7 @@ object ProfMain {
         // U(-noise, +noise) jitter, the RetrievalQualitySpec recipe at
         // scale — unlike exact self-retrieval, phase-1 pruning can
         // actually lose the answer here). args: [nDocs] [K] [codec]
-        // [noiseMils=50] [tile=1] [configs=1x8,2x16,4x32,8x64]
+        // [noiseMils=50] [tile=1] [configs=1x8,2x16,4x32,8x64] [nsp=64]
         import graft.query._
         import spark.implicits._
         val dimF = 128
@@ -724,6 +724,7 @@ object ProfMain {
         val tileF = args.lift(5).map(_.toInt).getOrElse(1)
         val configsF = args.lift(6).getOrElse("1x8,2x16,4x32,8x64").split(",")
           .map { s => val Array(a, b) = s.split("x"); (a.toInt, b.toInt) }.toSeq
+        val nspF = args.lift(7).map(_.toInt).getOrElse(64)
         val pathF = s"/root/repo/target/prof_batch_scale_${nDocsF}_$kF$codecSuffixF"
         require(java.nio.file.Files.exists(
           java.nio.file.Paths.get(pathF, "_prof_ready")),
@@ -758,7 +759,7 @@ object ProfMain {
           SearchOptions(kTopCentroids = 2, nProbe = 8, numSecondPass = 64)).count()
         configsF.foreach { case (kt, np) =>
           val optsF = SearchOptions(kTopCentroids = kt, nProbe = np,
-            numSecondPass = 64)
+            numSecondPass = nspF)
           // driver-side probe selection — same code path the search uses
           val cands = qPoolF.map { toks =>
             val q = Array.fill(tileF)(toks).flatten
@@ -776,11 +777,13 @@ object ProfMain {
               k = 10, optsF).count()
             (System.nanoTime() - t0) / 1e6
           }
-          val hits5 = BatchSearcher.searchBatch(idxF, 1, "colbert", queriesF,
-            k = 5, optsF).filter(col("query_id") === col("doc_id")).count()
-          println(f"[prof] frontier kTop=$kt%-3d nProbe=$np%-4d " +
+          val hitIds = BatchSearcher.searchBatch(idxF, 1, "colbert", queriesF,
+            k = 5, optsF).filter(col("query_id") === col("doc_id"))
+            .select("query_id").collect().map(_.getLong(0)).toSet
+          val missed = (0L until 212L).filterNot(hitIds)
+          println(f"[prof] frontier kTop=$kt%-3d nProbe=$np%-4d nsp=$nspF%-5d " +
             f"cands/q ${meanCands}%10.0f  ms/q ${times.min / 212}%7.1f  " +
-            f"success@5 ${hits5.toDouble / 212}%.4f")
+            f"success@5 ${hitIds.size / 212.0}%.4f  missed=${missed.mkString(",")}")
         }
 
       case "batch_phase" =>
