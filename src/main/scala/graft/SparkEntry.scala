@@ -27,6 +27,7 @@ object SparkEntry {
       "q_engine_batch_search", "q_engine_batch_search_212",
       "q_engine_search_oracle", "q_engine_batch_search_oracle",
       "q_engine_search_binarized_oracle",
+      "q_engine_filtered_search_oracle", "q_engine_or_search_oracle",
       "q_multimodal_frames",
       "q_dedup_minhash_md5", "q_dedup_simhash_md5", "q_neardup_ivf",
       "q_dedup_clusters", "q_train_split", "q_corpus_select",

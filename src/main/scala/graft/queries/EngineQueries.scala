@@ -48,11 +48,17 @@ object EngineQueries {
           col("n_vecs"))
     }
 
-  private def engineSchema(quant: QuantizerKind.Value) = GSchema(Seq(
-    GField.colbert("colbert", dimensions = 64, numCentroids = 16,
-      quantization = quant, numIterations = 4, nbits = 2),
-    GField(name = "n_vecs", dataType = GDataType.INTEGER.toString,
-      roles = Seq(FieldRole.Stored.toString))))
+  private def engineSchema(quant: QuantizerKind.Value,
+      withParity: Boolean = false) = GSchema(
+    Seq(
+      GField.colbert("colbert", dimensions = 64, numCentroids = 16,
+        quantization = quant, numIterations = 4, nbits = 2),
+      GField(name = "n_vecs", dataType = GDataType.INTEGER.toString,
+        roles = Seq(FieldRole.Stored.toString))) ++
+    (if (withParity)
+      Seq(GField(name = "parity", dataType = GDataType.TEXT.toString,
+        roles = Seq(FieldRole.Indexed.toString)))
+     else Seq.empty))
 
   private def buildIndex(s: org.apache.spark.sql.SparkSession, dir: String,
       quant: QuantizerKind.Value): (IndexIVF, String) = {
@@ -76,13 +82,21 @@ object EngineQueries {
     * training skipped), putting the 2-bit encode -> pack -> decode ->
     * rerank composition itself under the hash check. */
   private def buildIndexFixed(s: org.apache.spark.sql.SparkSession, dir: String,
-      quant: QuantizerKind.Value = QuantizerKind.NONE): (IndexIVF, String) = {
-    val docs = engineDocs(s, dir)
+      quant: QuantizerKind.Value = QuantizerKind.NONE,
+      withParity: Boolean = false): (IndexIVF, String) = {
+    // parity = an Indexed scalar beside the vector field — the filtered /
+    // union search twins' predicate column (odd vs even doc label)
+    val docs0 = engineDocs(s, dir)
+    val docs =
+      if (withParity)
+        docs0.withColumn("parity",
+          when(col("id") % 2 === 1, "odd").otherwise("even"))
+      else docs0
     val cents = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 16)
       .orderBy("vec_id").collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
     val path = java.nio.file.Files.createTempDirectory("graft_engine_oracle").toString
-    val idx = IndexIVF.create(s, path, engineSchema(quant))
+    val idx = IndexIVF.create(s, path, engineSchema(quant, withParity))
     idx.coarse = Map("colbert" -> new graft.quantizers.CoarseQuantizer(cents))
     if (quant == QuantizerKind.BINARIZER)
       idx.quantizers += "colbert" -> OracleBinarizer
@@ -195,7 +209,18 @@ object EngineQueries {
     * f32 constants, so the norm/divide/dot chain stays bit-deterministic.
     * f32 values can never land exactly on a 1e-4 rounding half-boundary
     * (0.00005 is not dyadic), so the final round(…,4) agrees too. */
-  private def singleEngineOracleSql(codec: String): String = {
+  /** @param variant "plain" = the pure vector lifecycle; "and_odd" =
+    *   And(vector, Term(parity=odd)) — the reference's filtered-search
+    *   composition (AndQueryNode, lintdb/query/QueryNode.h:94): candidate
+    *   intersection BEFORE phase-1, so the pool cut runs over the filtered
+    *   set; "or_odd" = Or(vector, Term(parity=odd)) (OrQueryNode,
+    *   QueryNode.h:112): full-outer p1 union (term-only docs enter the pool
+    *   at the term score 1.0), and phase-2 rescores docs that matched the
+    *   vector leaf while term-only docs take ColBERTScorer's
+    *   missing-context 0.0 (lintdb/scoring/Scorer.cpp:23-28).
+    * @param nsp the numSecondPass pool cut of the matching Spark query. */
+  private def singleEngineOracleSql(codec: String, variant: String = "plain",
+      nsp: Int = 6): String = {
     val dim = 64
     def ip(a: String, b: String): String =
       (1 to dim).map(i => s"$a[$i] * $b[$i]").mkString(" + ")
@@ -269,6 +294,47 @@ object EngineQueries {
     val dotChain = (1 to dim).map(i =>
       s"(CASE WHEN n.nm > 0 THEN n.embedding[$i] / n.nm ELSE n.embedding[$i] END) * q.qe[$i]")
       .mkString(" + ")
+    // And intersects candidates BEFORE scoring (QueryExecutor.cpp:21-26) —
+    // one WHERE on the candidate CTE is the whole difference
+    val candWhere = if (variant == "and_odd") " WHERE label % 2 = 1" else ""
+    // Or: p1 union with the term leg (SUM combiner over coalesced legs,
+    // scoring_methods.cpp:61-85 OR identity), pool cut over the union; the
+    // engine combines in DOUBLE (CentroidScore upcasts its f32 total), so
+    // the f32 p1s is cast before the +1.0
+    val poolCte = variant match {
+      case "or_odd" =>
+        s"""odd AS (SELECT DISTINCT label FROM embeddings WHERE label % 2 = 1),
+           |orp1 AS (SELECT COALESCE(p.label, f.label) AS label,
+           |    COALESCE(p.p1s::DOUBLE, 0) +
+           |      (CASE WHEN f.label IS NOT NULL THEN 1.0 ELSE 0 END) AS p1s,
+           |    (p.label IS NOT NULL) AS vecm
+           |  FROM p1 p FULL OUTER JOIN odd f ON p.label = f.label),
+           |pool AS (SELECT label, vecm FROM (
+           |  SELECT label, vecm,
+           |    row_number() OVER (ORDER BY p1s DESC, label) AS rn FROM orp1)
+           |  WHERE rn <= $nsp)""".stripMargin
+      case _ =>
+        s"""pool AS (SELECT label FROM (
+           |  SELECT label, row_number() OVER (ORDER BY p1s DESC, label) AS rn FROM p1)
+           |  WHERE rn <= $nsp)""".stripMargin
+    }
+    // phase-2 decodes context only for pool docs that matched the vector
+    // leaf; for Or the term-only survivors take ColBERTScorer's
+    // missing-context 0.0
+    val nrmJoin =
+      if (variant == "or_odd")
+        "JOIN (SELECT label FROM pool WHERE vecm) pv USING (label)"
+      else "JOIN pool USING (label)"
+    val rankedSrc = variant match {
+      case "or_odd" =>
+        s"""p2all AS (SELECT pool.label, COALESCE(p2.score, 0::FLOAT) AS score
+           |  FROM pool LEFT JOIN p2 ON pool.label = p2.label),
+           |ranked AS (SELECT label, score,
+           |  row_number() OVER (ORDER BY score DESC, label) AS rn FROM p2all)""".stripMargin
+      case _ =>
+        """ranked AS (SELECT label, score,
+          |  row_number() OVER (ORDER BY score DESC, label) AS rn FROM p2)""".stripMargin
+    }
     s"""WITH ${decCte}c AS (SELECT vec_id AS centroid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
        |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
        |s AS (SELECT q.qid, c.centroid, ${ip("q.qe", "c.cemb")} AS s FROM q, c),
@@ -285,7 +351,7 @@ object EngineQueries {
        |      ORDER BY ${ip("e.embedding", "c.cemb")} DESC, c.centroid) AS rn
        |  FROM embeddings e, c) WHERE rn = 1),
        |doccodes AS (SELECT DISTINCT label, centroid FROM assign),
-       |cand AS (SELECT DISTINCT label FROM doccodes JOIN probe USING (centroid)),
+       |cand AS (SELECT DISTINCT label FROM doccodes JOIN probe USING (centroid)$candWhere),
        |p1tok AS (SELECT d.label, s.qid, max(s.s) AS m
        |  FROM doccodes d JOIN cand USING (label) JOIN s ON d.centroid = s.centroid
        |  GROUP BY d.label, s.qid),
@@ -294,11 +360,9 @@ object EngineQueries {
        |    max(CASE WHEN qid = 0 THEN m END) AS m0, max(CASE WHEN qid = 1 THEN m END) AS m1,
        |    max(CASE WHEN qid = 2 THEN m END) AS m2, max(CASE WHEN qid = 3 THEN m END) AS m3
        |  FROM p1tok GROUP BY label)),
-       |pool AS (SELECT label FROM (
-       |  SELECT label, row_number() OVER (ORDER BY p1s DESC, label) AS rn FROM p1)
-       |  WHERE rn <= 6),
+       |$poolCte,
        |nrm AS (SELECT e.vec_id, e.label, e.embedding, sqrt(($normChain)::DOUBLE)::FLOAT AS nm
-       |  FROM $docTokens e JOIN pool USING (label)),
+       |  FROM $docTokens e $nrmJoin),
        |dots AS (SELECT n.label, q.qid, $dotChain AS dp FROM nrm n, q),
        |p2 AS (SELECT label, ((f0 + f1) + f2) + f3 AS score FROM (
        |  SELECT label,
@@ -310,8 +374,7 @@ object EngineQueries {
        |      max(CASE WHEN qid = 0 THEN dp END) AS m0, max(CASE WHEN qid = 1 THEN dp END) AS m1,
        |      max(CASE WHEN qid = 2 THEN dp END) AS m2, max(CASE WHEN qid = 3 THEN dp END) AS m3
        |    FROM dots GROUP BY label))),
-       |ranked AS (SELECT label, score,
-       |  row_number() OVER (ORDER BY score DESC, label) AS rn FROM p2)
+       |$rankedSrc
        |SELECT r.label::BIGINT AS doc_id, v.n_vecs, round(r.score::DOUBLE, 4) AS score
        |FROM ranked r JOIN (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label) v
        |  USING (label)
@@ -319,6 +382,10 @@ object EngineQueries {
   }
 
   private[queries] lazy val engineOracleSql: String = singleEngineOracleSql("none")
+  private[queries] lazy val filteredEngineOracleSql: String =
+    singleEngineOracleSql("none", variant = "and_odd", nsp = 3)
+  private[queries] lazy val orEngineOracleSql: String =
+    singleEngineOracleSql("none", variant = "or_odd", nsp = 6)
   private[queries] lazy val binarizedEngineOracleSql: String = singleEngineOracleSql("binarizer")
   private[queries] lazy val sq8EngineOracleSql: String = singleEngineOracleSql("sq8")
   private[queries] lazy val pqEngineOracleSql: String = singleEngineOracleSql("pq")
@@ -425,6 +492,55 @@ object EngineQueries {
         val (idx, path) = buildIndexFixed(s, dir)
         val query = queryTokens(s, dir, maxVecId = 4)
         val res = idx.search(1, VectorQuery("colbert", query), k = 5,
+          SearchOptions(kTopCentroids = 4, nProbe = 8, numSecondPass = 6))
+        materializeAndClean(s, res, path)
+          .select(col("doc_id"), col("n_vecs"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+      }
+    },
+    // Filtered search, HASH-CHECKED: the same fixed-centroid lifecycle with
+    // an Indexed scalar field ("parity") beside the vector field, queried
+    // through And(VectorQuery, TermQuery) — the reference's AndQueryNode
+    // composition (lintdb/query/QueryNode.h:94, QueryExecutor.cpp:21-26):
+    // candidate intersection BEFORE phase-1 (vector candidates that fail
+    // the predicate are never scored), the numSecondPass cut over the
+    // FILTERED pool (3 < |odd candidates|, so the cut is decisive), exact
+    // rerank REPLACING the approximate score. Complements IndexSpec's
+    // trained-path And/Term assertions by pinning the composed product
+    // bit-for-bit.
+    sql("q_engine_filtered_search_oracle",
+      Seq("J1", "P1", "S1", "S2", "S4", "S5", "S9", "SC1", "J3", "A5", "A8"),
+      filteredEngineOracleSql) {
+      (s, dir) => withoutAqe(s) {
+        val (idx, path) = buildIndexFixed(s, dir, withParity = true)
+        val query = queryTokens(s, dir, maxVecId = 4)
+        val q = AndQuery(Seq(
+          VectorQuery("colbert", query), TermQuery("parity", "odd")))
+        val res = idx.search(1, q, k = 5,
+          SearchOptions(kTopCentroids = 4, nProbe = 8, numSecondPass = 3))
+        materializeAndClean(s, res, path)
+          .select(col("doc_id"), col("n_vecs"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+      }
+    },
+    // Union search, HASH-CHECKED: Or(VectorQuery, TermQuery) through the
+    // same lifecycle (OrQueryNode, QueryNode.h:112) — full-outer phase-1
+    // with the SUM combiner's OR identities (a term-only doc enters the
+    // pool at the term score 1.0, a vector-only doc without the predicate
+    // keeps its bare phase-1 score), then phase-2 rescores ONLY the docs
+    // that matched the vector leaf while term-only survivors take
+    // ColBERTScorer's missing-context 0.0 (Scorer.cpp:23-28) — the
+    // vec_match marker semantics IndexSpec asserts on the trained path,
+    // here pinned bit-for-bit through the composed product.
+    sql("q_engine_or_search_oracle",
+      Seq("J2", "P1", "S1", "S2", "S4", "S5", "S9", "J3", "A5", "A8"),
+      orEngineOracleSql) {
+      (s, dir) => withoutAqe(s) {
+        val (idx, path) = buildIndexFixed(s, dir, withParity = true)
+        val query = queryTokens(s, dir, maxVecId = 4)
+        val q = OrQuery(Seq(
+          VectorQuery("colbert", query), TermQuery("parity", "odd")))
+        val res = idx.search(1, q, k = 5,
           SearchOptions(kTopCentroids = 4, nProbe = 8, numSecondPass = 6))
         materializeAndClean(s, res, path)
           .select(col("doc_id"), col("n_vecs"), round(col("score"), 4).as("score"))
