@@ -713,6 +713,7 @@ object ProfMain {
         // scale — unlike exact self-retrieval, phase-1 pruning can
         // actually lose the answer here). args: [nDocs] [K] [codec]
         // [noiseMils=50] [tile=1] [configs=1x8,2x16,4x32,8x64] [nsp=64]
+        // [iters=2] (targets the batch_scale build with that iter suffix)
         import graft.query._
         import spark.implicits._
         val dimF = 128
@@ -725,7 +726,10 @@ object ProfMain {
         val configsF = args.lift(6).getOrElse("1x8,2x16,4x32,8x64").split(",")
           .map { s => val Array(a, b) = s.split("x"); (a.toInt, b.toInt) }.toSeq
         val nspF = args.lift(7).map(_.toInt).getOrElse(64)
-        val pathF = s"/root/repo/target/prof_batch_scale_${nDocsF}_$kF$codecSuffixF"
+        val itersF = args.lift(8).map(_.toInt).getOrElse(2)
+        val iterSuffixF = if (itersF == 2) "" else s"_it$itersF"
+        val pathF =
+          s"/root/repo/target/prof_batch_scale_${nDocsF}_$kF$codecSuffixF$iterSuffixF"
         require(java.nio.file.Files.exists(
           java.nio.file.Paths.get(pathF, "_prof_ready")),
           s"run batch_scale $nDocsF $kF first to build the index")
@@ -781,9 +785,72 @@ object ProfMain {
             k = 5, optsF).filter(col("query_id") === col("doc_id"))
             .select("query_id").collect().map(_.getLong(0)).toSet
           val missed = (0L until 212L).filterNot(hitIds)
-          println(f"[prof] frontier kTop=$kt%-3d nProbe=$np%-4d nsp=$nspF%-5d " +
+          println(f"[prof] frontier it=$itersF kTop=$kt%-3d nProbe=$np%-4d nsp=$nspF%-5d " +
             f"cands/q ${meanCands}%10.0f  ms/q ${times.min / 212}%7.1f  " +
             f"success@5 ${hitIds.size / 212.0}%.4f  missed=${missed.mkString(",")}")
+        }
+
+      case "frontier_miss" =>
+        // Ground-truth reachability probe for batch_frontier misses: for
+        // each given query id, brute-force exact MaxSim (phase-2 semantics:
+        // doc tokens L2-normalized in place, raw query tokens, per-token
+        // max clamped at 0) over the ENTIRE synthetic corpus — no index,
+        // no pruning. The true doc's exact rank distinguishes "phase-1
+        // pruning lost a reachable qrel" (an index-quality problem the
+        // knobs could fix) from "the jitter moved the query genuinely
+        // closer to another doc" (unreachable at ANY config — a qrel
+        // ceiling, not an index defect). args: [nDocs] [noiseMils] [ids]
+        import spark.implicits._
+        val dimM = 128; val tpdM = 4
+        val nDocsM = args.lift(1).map(_.toInt).getOrElse(10000000)
+        val noiseMilsM = args.lift(2).map(_.toInt).getOrElse(50)
+        val idsM = args.lift(3).map(_.split(",").map(_.toLong).toSeq)
+          .getOrElse(Seq(0L))
+        val noiseM = noiseMilsM / 1000.0
+        def toksExpr(noise: Double) = expr(
+          s"""transform(sequence(0, ${tpdM - 1}), t ->
+             |  transform(sequence(0, ${dimM - 1}), d ->
+             |    cast(pmod(xxhash64(id, t, d), 2000) / 1000.0 - 1.0
+             |      + (pmod(xxhash64(id, t, d, 999), 2000) / 1000.0 - 1.0) * $noise
+             |      as float)))""".stripMargin)
+        val qToksM: Map[Long, Array[Array[Float]]] =
+          spark.range(nDocsM.toLong).filter(col("id").isin(idsM: _*))
+            .select(col("id"), toksExpr(noiseM).as("t")).collect()
+            .map(r => r.getLong(0) ->
+              r.getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("t")
+                .map(_.toArray).toArray).toMap
+        val docsM = spark.range(nDocsM.toLong)
+          .select(col("id"), toksExpr(0.0).as("toks"))
+        idsM.foreach { qid =>
+          val bq = spark.sparkContext.broadcast(qToksM(qid))
+          val scoreU = udf { (toks: scala.collection.Seq[scala.collection.Seq[Float]]) =>
+            val qa = bq.value
+            var total = 0.0
+            var qi = 0
+            while (qi < qa.length) {
+              var best = 0.0 // phase-2 clamps per-token max at 0
+              toks.foreach { t =>
+                var nrm = 0.0; var i = 0
+                while (i < t.length) { nrm += t(i) * t(i); i += 1 }
+                val inv = if (nrm > 0) 1.0 / math.sqrt(nrm) else 1.0
+                var dp = 0.0; i = 0
+                while (i < t.length) { dp += t(i) * inv * qa(qi)(i); i += 1 }
+                if (dp > best) best = dp
+              }
+              total += best; qi += 1
+            }
+            total
+          }
+          val scored = docsM.select(col("id"), scoreU(col("toks")).as("s")).cache()
+          val own = scored.filter(col("id") === qid)
+            .select("s").collect()(0).getDouble(0)
+          val above = scored.filter(col("s") > own).count()
+          val top5 = scored.orderBy(col("s").desc, col("id")).limit(5).collect()
+            .map(r => f"${r.getLong(0)}:${r.getDouble(1)}%.4f").mkString(" ")
+          scored.unpersist()
+          bq.destroy()
+          println(f"[prof] frontier_miss qid=$qid own=$own%.4f " +
+            f"exact_rank=${above + 1} top5: $top5")
         }
 
       case "batch_phase" =>
