@@ -41,6 +41,7 @@ object SparkEntry {
       "q_stratified_sample", "q_decontaminate_fuzzy",
       "q_decontaminate_fuzzy_md5", "q_prf_expand", "q_snippet",
       "q_containment", "q_decontaminate_chunked", "q_decontaminate_chunked_md5",
+      "q_dsir_select",
       "q_engine_search_sq8", "q_engine_search_sq8_oracle",
       "q_engine_search_pq", "q_engine_search_pq_oracle"))
 

@@ -166,6 +166,19 @@ object TextPipeline {
     * several rounds of genuinely data-dependent rule selection. */
   private[graft] val BpeMerges = 8
 
+  /** q_dsir_select: DSIR-style data selection (Xie et al., NeurIPS 2023,
+    * "Data Selection for Language Models via Importance Resampling") over
+    * hashed n-gram (unigram + bigram) features. [[DsirBuckets]] = feature-
+    * hash cells: 64 keeps the histograms and the plan-literal scoring map
+    * test-readable (production would use 10k-100k; the tables stay
+    * metadata-sized either way). [[DsirTopK]] is the selection size.
+    * [[DsirRatioCap]] clips the quantized per-bucket importance ratio at
+    * 1000x (scale 1e6), so a doc's integer score is bounded by
+    * nf * 1e9 — inside int64 for any document under ~9e9 features. */
+  private[graft] val DsirBuckets = 64
+  private[graft] val DsirTopK = 25
+  private[graft] val DsirRatioCap = 1000000000L
+
   /** Session-conf knobs for every cap / banding constant above, so a
     * 100 TB operator can re-tune per-corpus without a rebuild (same
     * pattern as `graft.index.maxTargetedPartitions`). Defaults are the
@@ -551,6 +564,77 @@ object TextPipeline {
   }
 
   private val toks: Column = split(col("text"), " ")
+
+  /** Unigram + bigram surface features over a tokens column `t`, row-local
+    * (q_dsir_select / [[dsirSampleGumbel]]). The bigram arm is guarded with
+    * a typed empty slice — `sequence(0, size - 2)` on a 1-token doc would
+    * yield [0, -1] (Spark infers a descending step), not an empty array. */
+  private val dsirFeats: Column = expr(
+    """concat(t, if(size(t) >= 2,
+      |  transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])),
+      |  slice(t, 1, 0)))""".stripMargin)
+
+  /** md5-derived feature-hash bucket — both engines compute the identical
+    * md5 hex, take the first 15 nibbles (< 2^60, so no sign hazard on
+    * either side) and reduce mod [[DsirBuckets]]. */
+  private def dsirBucket(f: Column): Column =
+    conv(substring(md5(f), 1, 15), 16, 10).cast("long") % DsirBuckets
+
+  /** (doc_id, lang, b): one exploded feature-bucket row per n-gram — the
+    * single corpus-sized pass both DSIR scorers aggregate from. */
+  private def dsirBucketed(d: DataFrame): DataFrame =
+    spread(d).select(col("doc_id"), col("lang"), toks.as("t"))
+      .select(col("doc_id"), col("lang"), explode(dsirFeats).as("f"))
+      .select(col("doc_id"), col("lang"), dsirBucket(col("f")).as("b"))
+
+  /** Per-bucket (bucket, raw count, target count) plus the two totals, as
+    * one corpus explode-aggregate collapsed map-side into <= [[DsirBuckets]]
+    * groups and collected — metadata-sized at any corpus scale. */
+  private def dsirHistogram(d: DataFrame, targetPred: Column)
+      : (Seq[(Long, Long, Long)], Long, Long) = {
+    val rows = dsirBucketed(d)
+      .groupBy("b").agg(count(lit(1)).as("cq"),
+        sum(when(targetPred, 1L).otherwise(0L)).as("cp"))
+      .collect()
+      .map(r => (r.getAs[Long]("b"), r.getAs[Long]("cq"), r.getAs[Long]("cp")))
+      .toSeq
+    (rows, rows.map(_._2).sum, rows.map(_._3).sum)
+  }
+
+  /** DSIR's statistically-faithful selection: double-precision
+    * log-likelihood-ratio weights plus Gumbel top-k — equivalent to
+    * sampling k docs without replacement with probability proportional to
+    * the softmax of the importance weights (Xie et al. 2023 §2; Vieira 2014
+    * for the Gumbel-top-k equivalence). Deterministic: each doc's Gumbel is
+    * G = -ln(-ln(u)) for u = (md5(seed || doc_id) mod 1e9 + 0.5) / 1e9.
+    * Shares [[dsirBucketed]]/[[dsirHistogram]]/[[dsirFeats]] with the
+    * hash-checked q_dsir_select twin, so the feature/bucket/histogram
+    * plumbing cannot drift from the oracle-pinned path; the double log-ratio
+    * map and Gumbel key are pinned against a driver-side reference in
+    * DsirSpec. Scale shape is the twin's: one corpus explode-aggregate, a
+    * plan-literal log-ratio map, zero-shuffle row-local scoring, and a
+    * TakeOrderedAndProject cut. */
+  private[graft] def dsirSampleGumbel(
+      d: DataFrame, targetPred: Column, k: Int, seed: String): DataFrame = {
+    val (hist, nq, np) = dsirHistogram(d, targetPred)
+    val logR: Seq[(Long, Double)] = hist.map { case (b, cq, cp) =>
+      b -> (math.log((cp + 1).toDouble / (np + DsirBuckets)) -
+        math.log((cq + 1).toDouble / (nq + DsirBuckets)))
+    }.sortBy(_._1)
+    val rMap = map(logR.flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*)
+    val u = ((conv(substring(md5(concat(lit(seed), col("doc_id").cast("string"))),
+      1, 15), 16, 10).cast("long") % 1000000000L).cast("double") + lit(0.5)) /
+      lit(1e9)
+    spread(d).select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), dsirFeats.as("feats"))
+      .select(col("doc_id"),
+        aggregate(col("feats"), lit(0.0d),
+          (acc, f) => acc + element_at(rMap, dsirBucket(f))).as("log_w"))
+      .withColumn("key", col("log_w") -
+        org.apache.spark.sql.functions.log(
+          -org.apache.spark.sql.functions.log(u)))
+      .orderBy(col("key").desc, col("doc_id")).limit(k)
+  }
 
   /** distinct 3-word shingles per doc (docs shorter than 3 tokens dropped). */
   private def shingles(d: DataFrame): DataFrame =
@@ -2448,6 +2532,71 @@ object TextPipeline {
         curriculumOrder(docs(s, dir))
           .select(col("doc_id"), col("bucket"), col("shard"), col("pos"))
           .orderBy("bucket", "shard", "pos")
+    },
+
+    // TA15 — DSIR data selection (Xie et al., NeurIPS 2023): score every
+    // raw doc by how target-like its hashed-n-gram feature distribution is
+    // — the importance weight p_target(x)/q_raw(x) under bag-of-hashed-
+    // ngrams models with add-1 smoothing — and keep the top-[[DsirTopK]].
+    // Target = the corpus' English docs; raw = everything. Float hazards
+    // engineered out (the q_lm_score discipline): per bucket the smoothed
+    // probabilities are integer-quantized at 1e9 ((c+1)*1e9 DIV (N+B)) with
+    // the intermediate product in driver BigInt / oracle HUGEINT so a
+    // 100 TB feature total cannot overflow it; the per-bucket ratio is
+    // quantized at 1e6 and clipped at [[DsirRatioCap]]; a doc's score_q is
+    // the exact integer sum of its features' bucket ratios. The
+    // statistically-faithful double-log + Gumbel-top-k production path is
+    // [[dsirSampleGumbel]], which shares this exact feature/bucket/
+    // histogram core (the q_dedup_minhash_md5 shared-core pattern) and is
+    // pinned against a driver-side reference in DsirSpec. Scale shape: ONE
+    // corpus explode-aggregate builds the B-bucket histogram (map-side
+    // partials into <= 64 groups); the ratio table is driver-built and
+    // enters the scoring pass as a plan-literal map, so scoring is a
+    // zero-shuffle row-local `aggregate` over each doc's feature array and
+    // the cut is TakeOrderedAndProject — the corpus is never shuffled.
+    sql("q_dsir_select", Seq("TA15"),
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |f AS (SELECT doc_id, lang,
+        |    unnest(t || [t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS f
+        |  FROM t),
+        |fb AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5(f), 1, 15))::BIGINT % $DsirBuckets AS b FROM f),
+        |h AS (SELECT b, count(*) AS cq,
+        |    count(*) FILTER (WHERE lang = 'en') AS cp FROM fb GROUP BY b),
+        |tot AS (SELECT sum(cq) AS nq, sum(cp) AS np FROM h),
+        |r AS (SELECT b, least(
+        |    (((cp + 1)::HUGEINT * 1000000000) // (tot.np + $DsirBuckets) * 1000000)
+        |      // greatest(((cq + 1)::HUGEINT * 1000000000) // (tot.nq + $DsirBuckets), 1),
+        |    $DsirRatioCap)::BIGINT AS r
+        |  FROM h CROSS JOIN tot),
+        |sc AS (SELECT fb.doc_id, sum(r.r)::BIGINT AS score_q, count(*)::BIGINT AS nf
+        |  FROM fb JOIN r USING (b) GROUP BY fb.doc_id),
+        |k AS (SELECT doc_id, score_q, nf FROM sc
+        |  ORDER BY score_q DESC, doc_id LIMIT $DsirTopK)
+        |SELECT row_number() OVER (ORDER BY score_q DESC, doc_id) AS rank,
+        |  doc_id, score_q, nf
+        |FROM k ORDER BY rank""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val (hist, nq, np) = dsirHistogram(d, col("lang") === "en")
+      val ratio: Seq[(Long, Long)] = hist.map { case (b, cq, cp) =>
+        val pq = (BigInt(cp) + 1) * 1000000000L / (BigInt(np) + DsirBuckets)
+        val qq = ((BigInt(cq) + 1) * 1000000000L / (BigInt(nq) + DsirBuckets))
+          .max(BigInt(1))
+        b -> (pq * 1000000L / qq).min(BigInt(DsirRatioCap)).toLong
+      }.sortBy(_._1)
+      val rMap = map(ratio.flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*)
+      spread(d).select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), dsirFeats.as("feats"))
+        .select(col("doc_id"),
+          aggregate(col("feats"), lit(0L),
+            (acc, f) => acc + element_at(rMap, dsirBucket(f))).as("score_q"),
+          size(col("feats")).cast("long").as("nf"))
+        .orderBy(col("score_q").desc, col("doc_id")).limit(DsirTopK)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(col("score_q").desc, col("doc_id"))).cast("long"))
+        .select("rank", "doc_id", "score_q", "nf")
+        .orderBy("rank")
     },
 
     // TA12 — tokenizer-vocabulary builder: global token frequencies (tf)
