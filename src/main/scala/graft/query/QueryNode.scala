@@ -42,7 +42,18 @@ object EmbeddingScoring extends Enumeration {
   val PLAID, CODES = Value
 }
 
-/** reference defaults: lintdb/SearchOptions.h:23-38. */
+/** reference defaults: lintdb/SearchOptions.h:23-38.
+  *
+  * Measured tuning guidance (10M docs / K=49152 / SQ8, 212 perturbed
+  * self-retrieval qrels — COVERAGE.md r14 frontier + miss attribution):
+  * serving latency is linear in candidate volume (~94 ns/candidate
+  * end-to-end), which `kTopCentroids` x `nProbe` control; quality losses
+  * at that shape came ONLY from the phase-2 rerank cut, never the probe
+  * set, and raising `numSecondPass` 64 -> 256 recovered success@5 = 1.0
+  * for zero measurable latency (phase-2 is byte-bound and tiny). Prefer
+  * shrinking the probe knobs and keeping `numSecondPass` generous over
+  * the reverse — (kTopCentroids=1, nProbe=8, numSecondPass=256) halved
+  * the default config's latency at strictly better quality. */
 final case class SearchOptions(
     centroidScoreThreshold: Float = 0.45f,
     kTopCentroids: Int = 2,

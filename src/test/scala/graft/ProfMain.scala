@@ -853,6 +853,32 @@ object ProfMain {
             f"exact_rank=${above + 1} top5: $top5")
         }
 
+      case "dsir_scale" =>
+        // 100-TB-shape receipt for the DSIR selection core: run the
+        // production arm (dsirSampleGumbel — histogram pass + plan-literal
+        // scoring pass, zero corpus shuffles) over synthetic corpora at
+        // n/10 and n docs and report wall time for each. Linear scaling
+        // here is the design claim made in COVERAGE.md — two columnar
+        // scans, a <= 64-group aggregate, a TakeOrdered cut. args: [nDocs]
+        val nDs = args.lift(1).map(_.toInt).getOrElse(10000000)
+        val wordsPerDocS = 40
+        val vocabS = 50000
+        def dsirCorpus(n: Int) = spark.range(n.toLong)
+          .select(col("id").as("doc_id"),
+            expr(s"""concat_ws(' ', transform(sequence(0, ${wordsPerDocS - 1}),
+                 |  w -> concat('w', pmod(xxhash64(id, w), $vocabS))))"""
+              .stripMargin).as("text"),
+            expr("CASE WHEN pmod(xxhash64(id, 9090), 10) = 0 " +
+              "THEN 'en' ELSE 'xx' END").as("lang"))
+        Seq(nDs / 10, nDs).foreach { n =>
+          val t0 = System.nanoTime()
+          val res = graft.queries.TextPipeline.dsirSampleGumbel(
+            dsirCorpus(n), col("lang") === "en", 25, "scale")
+          val got = res.count()
+          println(f"[prof] dsir_scale n=$n%-9d " +
+            f"${(System.nanoTime() - t0) / 1e9}%8.2f s  selected=$got")
+        }
+
       case "batch_phase" =>
         // phase attribution at a production shape on the batch_scale index
         // (must already exist — run batch_scale first): where does a
