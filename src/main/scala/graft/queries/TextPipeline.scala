@@ -195,6 +195,7 @@ object TextPipeline {
     def simhashBandBits(s: SparkSession): Int = int(s, "graft.text.simhashBandBits", 8)
     def lshBands(s: SparkSession): Int = int(s, "graft.lsh.bands", LshBands)
     def lshBits(s: SparkSession): Int = int(s, "graft.lsh.bits", LshBits)
+    def dsirBuckets(s: SparkSession): Int = int(s, "graft.text.dsirBuckets", DsirBuckets)
   }
 
   /** deterministic pseudo-random plane weight, shared by the Spark kernel
@@ -576,23 +577,25 @@ object TextPipeline {
 
   /** md5-derived feature-hash bucket — both engines compute the identical
     * md5 hex, take the first 15 nibbles (< 2^60, so no sign hazard on
-    * either side) and reduce mod [[DsirBuckets]]. */
-  private def dsirBucket(f: Column): Column =
-    conv(substring(md5(f), 1, 15), 16, 10).cast("long") % DsirBuckets
+    * either side) and reduce mod B (default [[DsirBuckets]] — what the
+    * q_dsir_select oracle twin pins; the production arm reads the
+    * `graft.text.dsirBuckets` session knob). */
+  private def dsirBucket(f: Column, b: Int = DsirBuckets): Column =
+    conv(substring(md5(f), 1, 15), 16, 10).cast("long") % b
 
   /** (doc_id, lang, b): one exploded feature-bucket row per n-gram — the
     * single corpus-sized pass both DSIR scorers aggregate from. */
-  private def dsirBucketed(d: DataFrame): DataFrame =
+  private def dsirBucketed(d: DataFrame, b: Int = DsirBuckets): DataFrame =
     spread(d).select(col("doc_id"), col("lang"), toks.as("t"))
       .select(col("doc_id"), col("lang"), explode(dsirFeats).as("f"))
-      .select(col("doc_id"), col("lang"), dsirBucket(col("f")).as("b"))
+      .select(col("doc_id"), col("lang"), dsirBucket(col("f"), b).as("b"))
 
   /** Per-bucket (bucket, raw count, target count) plus the two totals, as
-    * one corpus explode-aggregate collapsed map-side into <= [[DsirBuckets]]
-    * groups and collected — metadata-sized at any corpus scale. */
-  private def dsirHistogram(d: DataFrame, targetPred: Column)
-      : (Seq[(Long, Long, Long)], Long, Long) = {
-    val rows = dsirBucketed(d)
+    * one corpus explode-aggregate collapsed map-side into <= B groups and
+    * collected — metadata-sized at any corpus scale. */
+  private def dsirHistogram(d: DataFrame, targetPred: Column,
+      b: Int = DsirBuckets): (Seq[(Long, Long, Long)], Long, Long) = {
+    val rows = dsirBucketed(d, b)
       .groupBy("b").agg(count(lit(1)).as("cq"),
         sum(when(targetPred, 1L).otherwise(0L)).as("cp"))
       .collect()
@@ -616,10 +619,11 @@ object TextPipeline {
     * TakeOrderedAndProject cut. */
   private[graft] def dsirSampleGumbel(
       d: DataFrame, targetPred: Column, k: Int, seed: String): DataFrame = {
-    val (hist, nq, np) = dsirHistogram(d, targetPred)
+    val nb = Knobs.dsirBuckets(d.sparkSession)
+    val (hist, nq, np) = dsirHistogram(d, targetPred, nb)
     val logR: Seq[(Long, Double)] = hist.map { case (b, cq, cp) =>
-      b -> (math.log((cp + 1).toDouble / (np + DsirBuckets)) -
-        math.log((cq + 1).toDouble / (nq + DsirBuckets)))
+      b -> (math.log((cp + 1).toDouble / (np + nb)) -
+        math.log((cq + 1).toDouble / (nq + nb)))
     }.sortBy(_._1)
     val rMap = map(logR.flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*)
     val u = ((conv(substring(md5(concat(lit(seed), col("doc_id").cast("string"))),
@@ -629,7 +633,7 @@ object TextPipeline {
       .select(col("doc_id"), dsirFeats.as("feats"))
       .select(col("doc_id"),
         aggregate(col("feats"), lit(0.0d),
-          (acc, f) => acc + element_at(rMap, dsirBucket(f))).as("log_w"))
+          (acc, f) => acc + element_at(rMap, dsirBucket(f, nb))).as("log_w"))
       .withColumn("key", col("log_w") -
         org.apache.spark.sql.functions.log(
           -org.apache.spark.sql.functions.log(u)))

@@ -43,27 +43,28 @@ class DsirSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  def bucket(f: String): Long =
-    java.lang.Long.parseLong(md5hex(f).substring(0, 15), 16) % B
+  def bucket(f: String, b: Int): Long =
+    java.lang.Long.parseLong(md5hex(f).substring(0, 15), 16) % b
 
   def feats(text: String): Seq[String] = {
     val t = text.split(" ", -1).toSeq
     t ++ (if (t.size >= 2) t.sliding(2).map(_.mkString(" ")).toSeq else Nil)
   }
 
-  lazy val reference: Seq[(Long, Double, Double)] = {
+  def reference(nb: Int): Seq[(Long, Double, Double)] = {
     val allFeats = fixture.map { case (id, text, lang) => (id, lang, feats(text)) }
-    val rawHist = allFeats.flatMap(_._3).groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val rawHist = allFeats.flatMap(_._3).groupBy(bucket(_, nb)).view
+      .mapValues(_.size.toLong).toMap
     val tgtHist = allFeats.filter(_._2 == "en").flatMap(_._3)
-      .groupBy(bucket).view.mapValues(_.size.toLong).toMap
+      .groupBy(bucket(_, nb)).view.mapValues(_.size.toLong).toMap
     val nq = rawHist.values.sum
     val np = tgtHist.values.sum
     def logR(b: Long): Double =
-      math.log((tgtHist.getOrElse(b, 0L) + 1).toDouble / (np + B)) -
-        math.log((rawHist.getOrElse(b, 0L) + 1).toDouble / (nq + B))
+      math.log((tgtHist.getOrElse(b, 0L) + 1).toDouble / (np + nb)) -
+        math.log((rawHist.getOrElse(b, 0L) + 1).toDouble / (nq + nb))
     allFeats.map { case (id, _, fs) =>
       // left-to-right fold in feature order, mirroring Spark's `aggregate`
-      val logw = fs.foldLeft(0.0)((acc, f) => acc + logR(bucket(f)))
+      val logw = fs.foldLeft(0.0)((acc, f) => acc + logR(bucket(f, nb)))
       val u = (java.lang.Long.parseLong(
         md5hex(Seed + id.toString).substring(0, 15), 16) % 1000000000L + 0.5) / 1e9
       (id, logw, logw - math.log(-math.log(u)))
@@ -77,16 +78,26 @@ class DsirSpec extends AnyFunSuite {
         r.getAs[Double]("key")))
   }
 
-  test("Gumbel top-k matches the driver reference exactly (ids, order, keys)") {
+  def assertMatchesReference(nb: Int): Unit = {
     val got = runGumbel(10)
-    val want = reference.sortBy { case (id, _, key) => (-key, id) }.take(10)
+    val want = reference(nb).sortBy { case (id, _, key) => (-key, id) }.take(10)
     assert(got.map(_._1).toSeq == want.map(_._1).toSeq,
-      s"selection order diverged: got ${got.map(_._1).mkString(",")} " +
+      s"selection order diverged at B=$nb: got ${got.map(_._1).mkString(",")} " +
         s"want ${want.map(_._1).mkString(",")}")
     got.zip(want).foreach { case ((_, lw, k1), (_, lwRef, kRef)) =>
       assert(math.abs(lw - lwRef) < 1e-9, s"log_w $lw vs reference $lwRef")
       assert(math.abs(k1 - kRef) < 1e-9, s"key $k1 vs reference $kRef")
     }
+  }
+
+  test("Gumbel top-k matches the driver reference exactly (ids, order, keys)") {
+    assertMatchesReference(B)
+  }
+
+  test("the graft.text.dsirBuckets knob re-buckets the production arm") {
+    spark.conf.set("graft.text.dsirBuckets", "128")
+    try assertMatchesReference(128)
+    finally spark.conf.unset("graft.text.dsirBuckets")
   }
 
   test("selection is deterministic across invocations") {
