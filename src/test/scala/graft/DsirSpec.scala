@@ -113,6 +113,25 @@ class DsirSpec extends AnyFunSuite {
     assert(sel.subsetOf(enIds), s"non-target docs selected: ${sel -- enIds}")
   }
 
+  test("the scoring pass never shuffles the corpus (plan pin)") {
+    import graft.queries.TextPipeline
+    val plan = TextPipeline.dsirSampleGumbel(df, col("lang") === "en", 10, Seed)
+      .queryExecution.executedPlan.toString
+    // the returned frame's plan is scan -> project (literal-map aggregate)
+    // -> TakeOrderedAndProject: the histogram pass already ran at plan
+    // build (driver collect), and the corpus-sized scoring pass must never
+    // shuffle BY KEY at any corpus size. (A RoundRobin exchange is allowed:
+    // it is `spread`'s small-input parallelizer, which is the identity once
+    // the scan exceeds maxPartitionBytes x parallelism — by construction it
+    // vanishes at scale.)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected a TakeOrderedAndProject cut, got:\n$plan")
+    val keyShuffles = plan.linesIterator
+      .filter(_.contains("Exchange")).filterNot(_.contains("RoundRobin")).toSeq
+    assert(keyShuffles.isEmpty,
+      s"key shuffle in the DSIR scoring plan: $keyShuffles\n$plan")
+  }
+
   test("q_dsir_select invariants at sf0.001 (the hash gate checks values)") {
     val rows = SparkEntry.queries("q_dsir_select")(spark, "/root/testdata/sf0.001")
       .collect()
