@@ -899,6 +899,14 @@ final class IndexIVF private (
     Seq("postings", "scalars", "context", "docs").foreach { tbl =>
       compactTable(p(tbl), tableParts(tbl), tombs)
     }
+    // the victims' rows are now physically gone: snapshots below this epoch
+    // can no longer be reproduced, so refuse them from here on. FLOOR
+    // BEFORE DISCHARGE (same ordering argument as compact()): a crash
+    // after this line leaves the safety tombstone still masking the
+    // already-gone victims — conservative — while the reverse order had a
+    // window where the tombstone was discharged but the floor not yet
+    // raised, so openAt(pre-remove epoch) silently served partial tables.
+    raiseHistoryFloor(epoch)
     // a physical remove also discharges any pending tombstone for these ids
     // (the safety one above AND stale earlier ones): otherwise
     // remove-then-re-add (and update(), which is exactly that)
@@ -919,9 +927,6 @@ final class IndexIVF private (
         fs.delete(new org.apache.hadoop.fs.Path(p("tombstones")), true)
       }
     }
-    // the victims' rows are now physically gone: snapshots below this epoch
-    // can no longer be reproduced, so refuse them from here on
-    raiseHistoryFloor(epoch)
   }
 
   /** Deferred delete — the 100 TB path: append the ids to a tombstone table
@@ -963,13 +968,21 @@ final class IndexIVF private (
     Seq("postings", "scalars", "context", "docs").foreach { tbl =>
       compactTable(p(tbl), tableParts(tbl), tombs)
     }
+    // tombstone-masked history is now physically applied: a snapshot taken
+    // between a removeDeferred and this compact would resurrect rows that
+    // no longer exist, so every epoch below the counter is now invalid.
+    // FLOOR BEFORE DISCHARGE: raising the floor first makes the crash
+    // window between these two steps conservative — a crash leaves the
+    // floor raised (stale snapshots refused) with the tombstones still
+    // masking already-deleted rows (a no-op), and the next compact()
+    // finds no doomed rows, discharges, and re-raises idempotently. The
+    // reverse order had an unsound window: tombstones gone, floor not yet
+    // raised, so openAt(pre-compact epoch) would silently serve the
+    // compacted tables with the victims missing (TombstoneOrderingSpec).
+    raiseHistoryFloor(currentEpoch())
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(p("tombstones")), spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(p("tombstones")), true)
-    // tombstone-masked history is now physically applied: a snapshot taken
-    // between a removeDeferred and this compact would resurrect rows that
-    // no longer exist, so every epoch below the counter is now invalid
-    raiseHistoryFloor(currentEpoch())
   }
 
   /** Targeted compaction of one table: only hive partitions that actually
