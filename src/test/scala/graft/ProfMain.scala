@@ -853,6 +853,37 @@ object ProfMain {
             f"exact_rank=${above + 1} top5: $top5")
         }
 
+      case "add_phase" =>
+        // ingest attribution at production K (the serve-side K sweep made
+        // K the quality/latency lever, paid for at add() time — this probe
+        // says where that payment goes): single-thread assignBlock
+        // throughput with the BUILT index's trained quantizer, scaled by
+        // the measured add() wall. args: [nDocs] [K] [codec] [nTokens]
+        val nDocsA = args.lift(1).map(_.toInt).getOrElse(10000000)
+        val kA = args.lift(2).map(_.toInt).getOrElse(98304)
+        val codecA = args.lift(3).map(c => s"_${c.toLowerCase}")
+          .filter(_ != "_none").getOrElse("")
+        val nTokA = args.lift(4).map(_.toInt).getOrElse(100000)
+        val pathA = s"/root/repo/target/prof_batch_scale_${nDocsA}_$kA$codecA"
+        require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(pathA, "_prof_ready")),
+          s"run batch_scale $nDocsA $kA first to build the index")
+        val idxA = graft.index.IndexIVF.open(spark, pathA)
+        val cqA = idxA.coarse("colbert")
+        val dA = 128
+        val rndA = new scala.util.Random(7)
+        val flatA = Array.fill(nTokA * dA)(rndA.nextFloat() * 2f - 1f)
+        (1 to 2).foreach { _ =>
+          cqA.assignBlock(java.util.Arrays.copyOf(flatA, 64 * dA), 64) }
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          val a = cqA.assignBlock(flatA, nTokA)
+          val s = (System.nanoTime() - t0) / 1e9
+          require(a.length == nTokA)
+          println(f"[prof] add_phase assign #$i $nTokA tokens K=$kA " +
+            f"$s%8.2f s  ${nTokA / s / 1e3}%8.1f ktok/s single-thread")
+        }
+
       case "dsir_scale" =>
         // 100-TB-shape receipt for the DSIR selection core: run the
         // production arm (dsirSampleGumbel — histogram pass + plan-literal
