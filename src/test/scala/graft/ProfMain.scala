@@ -884,6 +884,128 @@ object ProfMain {
             f"$s%8.2f s  ${nTokA / s / 1e3}%8.1f ktok/s single-thread")
         }
 
+      case "assign_pruned" =>
+        // Go/no-go prototype for the pruned EXACT assignment named by the
+        // add_phase attribution (assignment = ~3/4 of the add wall, linear
+        // in K, at the kernel's compute roof — the remaining lever is
+        // scanning fewer centroids, not a faster scan). Groups the trained
+        // centroids (G ~ sqrt K) with a few Lloyd's rounds over the
+        // centroids themselves, precomputes group means and radii, then
+        // assigns by descending upper bound dot(v, mu_g) + |v|*r_g with
+        // STRICT pruning (ties still scanned) and the production kernel's
+        // per-centroid scores, so any surviving candidate's score is
+        // bit-identical to the full scan's. Reports tokens/s vs the full
+        // assignBlock, mean % centroids scanned, and exact-parity count.
+        // args: [nDocs] [K] [codec] [nTokens]
+        val nDocsQ = args.lift(1).map(_.toInt).getOrElse(10000000)
+        val kQ = args.lift(2).map(_.toInt).getOrElse(98304)
+        val codecQ = args.lift(3).map(c => s"_${c.toLowerCase}")
+          .filter(_ != "_none").getOrElse("")
+        val nTokQ = args.lift(4).map(_.toInt).getOrElse(20000)
+        val pathQ = s"/root/repo/target/prof_batch_scale_${nDocsQ}_$kQ$codecQ"
+        require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(pathQ, "_prof_ready")),
+          s"run batch_scale $nDocsQ $kQ first to build the index")
+        val cqQ = graft.index.IndexIVF.open(spark, pathQ).coarse("colbert")
+        val cents = cqQ.centroids
+        val dQ = cqQ.dim
+        val G = math.max(1, math.round(math.sqrt(kQ.toDouble)).toInt)
+        val centsFlat = new Array[Float](kQ * dQ)
+        cents.zipWithIndex.foreach { case (c, i) =>
+          System.arraycopy(c, 0, centsFlat, i * dQ, dQ) }
+        // group the centroid matrix itself: strided seeds + 4 Lloyd's rounds
+        var means = Array.tabulate(G)(g => cents((g.toLong * kQ / G).toInt).clone())
+        var groupOf: Array[Int] = null
+        (1 to 4).foreach { _ =>
+          groupOf = new graft.quantizers.CoarseQuantizer(means)
+            .assignBlock(centsFlat, kQ)
+          val sums = Array.fill(G)(new Array[Double](dQ))
+          val cnt = new Array[Int](G)
+          var i = 0
+          while (i < kQ) {
+            val g = groupOf(i); val c = cents(i); cnt(g) += 1
+            var j = 0; while (j < dQ) { sums(g)(j) += c(j); j += 1 }
+            i += 1
+          }
+          means = Array.tabulate(G) { g =>
+            if (cnt(g) == 0) means(g)
+            else Array.tabulate(dQ)(j => (sums(g)(j) / cnt(g)).toFloat)
+          }
+        }
+        val members: Array[Array[Int]] = {
+          val b = Array.fill(G)(new scala.collection.mutable.ArrayBuffer[Int])
+          groupOf.zipWithIndex.foreach { case (g, c) => b(g) += c }
+          b.map(_.toArray)
+        }
+        val nonEmpty = (0 until G).filter(members(_).nonEmpty).toArray
+        val gq = nonEmpty.map(g =>
+          new graft.quantizers.CoarseQuantizer(members(g).map(cents)))
+        val radius = nonEmpty.map { g =>
+          val mu = means(g)
+          members(g).map { c =>
+            var s = 0.0; var j = 0
+            while (j < dQ) { val dd = cents(c)(j) - mu(j); s += dd * dd; j += 1 }
+            math.sqrt(s)
+          }.max
+        }
+        val mq = new graft.quantizers.CoarseQuantizer(nonEmpty.map(means))
+        // tokens shaped like real ingest: a trained centroid + 10% jitter
+        val rndQ = new scala.util.Random(13)
+        val toksQ = Array.fill(nTokQ) {
+          val base = cents(rndQ.nextInt(kQ))
+          Array.tabulate(dQ)(j => base(j) + (rndQ.nextFloat() - 0.5f) * 0.2f)
+        }
+        val flatQ = new Array[Float](nTokQ * dQ)
+        toksQ.zipWithIndex.foreach { case (v, i) =>
+          System.arraycopy(v, 0, flatQ, i * dQ, dQ) }
+        // full-scan baseline (the production path)
+        cqQ.assignBlock(java.util.Arrays.copyOf(flatQ, 64 * dQ), 64) // warmup
+        val tF0 = System.nanoTime()
+        val full = cqQ.assignBlock(flatQ, nTokQ)
+        val sFull = (System.nanoTime() - tF0) / 1e9
+        // pruned scan
+        var scannedTotal = 0L; var mismatches = 0
+        val tP0 = System.nanoTime()
+        val order = new Array[Int](gq.length)
+        toksQ.zipWithIndex.foreach { case (v, ti) =>
+          var vn = 0.0; var j = 0
+          while (j < dQ) { vn += v(j).toDouble * v(j); j += 1 }
+          val vnorm = math.sqrt(vn)
+          val slack = 1e-4 * (1.0 + vnorm)
+          val muScores = mq.scoreBlock(v, 1)
+          val bound = Array.tabulate(gq.length)(gi =>
+            muScores(gi) + vnorm * radius(gi) + slack)
+          var i = 0; while (i < order.length) { order(i) = i; i += 1 }
+          val orderSorted = order.sortBy(gi => -bound(gi))
+          var best = Double.NegativeInfinity; var bestId = Int.MaxValue
+          var oi = 0; var break = false
+          while (oi < orderSorted.length && !break) {
+            val gi = orderSorted(oi)
+            if (bound(gi) < best) break = true
+            else {
+              val s = gq(gi).scoreBlock(v, 1)
+              val ids = members(nonEmpty(gi))
+              scannedTotal += ids.length
+              var mi = 0
+              while (mi < ids.length) {
+                val sc = s(mi).toDouble
+                if (sc > best || (sc == best && ids(mi) < bestId)) {
+                  best = sc; bestId = ids(mi)
+                }
+                mi += 1
+              }
+            }
+            oi += 1
+          }
+          if (bestId != full(ti)) mismatches += 1
+        }
+        val sPruned = (System.nanoTime() - tP0) / 1e9
+        println(f"[prof] assign_pruned K=$kQ G=${gq.length} n=$nTokQ  " +
+          f"full ${nTokQ / sFull}%8.1f tok/s  pruned ${nTokQ / sPruned}%8.1f tok/s  " +
+          f"speedup ${sFull / sPruned}%5.2f x  scanned " +
+          f"${scannedTotal * 100.0 / (nTokQ.toLong * kQ)}%5.2f %% of K  " +
+          f"mismatches $mismatches")
+
       case "dsir_scale" =>
         // 100-TB-shape receipt for the DSIR selection core: run the
         // production arm (dsirSampleGumbel — histogram pass + plan-literal
