@@ -140,6 +140,10 @@ final class TopKHeap(val k: Int) {
   // at the serving ceiling k=1024. Eviction-then-reinsert cannot duplicate:
   // an evicted entry ranks below every current entry, so its re-offer
   // always fails the threshold check before the membership probe.
+  // k*4 must stay inside Int for the power-of-two sizing below; 2^28 is
+  // far past any real rerank pool (serving ceiling k=1024) and keeps the
+  // failure loud and named instead of a NegativeArraySizeException
+  require(k <= (1 << 28), s"top-k pool $k exceeds the 2^28 heap ceiling")
   private[this] val cap = Integer.highestOneBit(math.max(2, k) * 4 - 1)
   private[this] val mask = cap - 1
   private[this] val slotIds = new Array[Long](cap)

@@ -206,11 +206,7 @@ final class IndexIVF private (
       }
       epochs.filter(_ <= floor).maxOption.foreach { keep =>
         epochs.filter(_ < keep).foreach { e =>
-          val dir = h.resolve(e.toString)
-          val walk = java.nio.file.Files.walk(dir)
-          try walk.iterator().asScala.toVector.reverse
-            .foreach(java.nio.file.Files.delete)
-          finally walk.close()
+          deleteDirIfExists(h.resolve(e.toString).toString)
         }
       }
     }
@@ -254,6 +250,11 @@ final class IndexIVF private (
     * epoch's rows so the index returns to its pre-call state, then
     * rethrow. */
   private def journaled[A](op: String, epoch: Long)(body: => A): A = {
+    // never clobber an existing entry: a torn train() whose exception the
+    // caller caught leaves {op:train, stamped:true} pending roll-forward on
+    // this very handle — overwriting it here would strand half-copied
+    // current model files forever. Recover (roll forward/back) first.
+    recoverPending()
     Json.write(pendingPath, Map("op" -> op, "epoch" -> epoch))
     try {
       val r = body
@@ -310,13 +311,7 @@ final class IndexIVF private (
           log.warn(s"index at $path has a torn 'train' save at epoch $epoch " +
             "(writer died copying the completed stamp over the current " +
             "model files); rolling forward from the stamp")
-          import scala.jdk.CollectionConverters._
-          val s = java.nio.file.Files.list(stampDir)
-          try s.iterator().asScala.foreach { f =>
-            java.nio.file.Files.copy(f,
-              java.nio.file.Paths.get(p(s"_meta/${f.getFileName}")),
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          } finally s.close()
+          copyStampOverCurrent(epoch)
         } else {
           log.warn(s"index at $path has a torn 'train' save at epoch $epoch " +
             "(writer died before the stamp completed); rolling the partial " +
@@ -452,15 +447,22 @@ final class IndexIVF private (
     // phase B rolls FORWARD (re-copy the complete stamp — idempotent file
     // copies). Either way `_meta/<f>` and `_meta/history/<epoch>/<f>` can
     // never diverge — the torn state the r13 audit flagged.
+    recoverPending() // same no-clobber rule as journaled()
     Json.write(pendingPath, Map("op" -> "train", "epoch" -> modelEpoch))
-    val stampedFiles = scala.collection.mutable.ArrayBuffer[String]()
-    def saveStamped(fileName: String)(save: String => Unit): Unit = {
+    // snapshot the in-memory model maps: the rollback below restores disk
+    // to the pre-call state, and the handle's coarse/quantizers must roll
+    // back WITH it — trainBody mutates them per field, and a later add()
+    // on this handle would otherwise encode against a model that exists
+    // nowhere on disk (silently wrong scores after reopen)
+    val coarseBefore = coarse
+    val quantizersBefore = quantizers
+    def saveStamped(fileName: String)(save: String => Unit): Unit =
       save(p(s"_meta/history/$modelEpoch/$fileName"))
-      stampedFiles += fileName
-    }
     try trainBody(docs, saveStamped)
     catch {
       case e: Throwable =>
+        coarse = coarseBefore
+        quantizers = quantizersBefore
         try {
           deleteDirIfExists(p(s"_meta/history/$modelEpoch"))
           java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(pendingPath))
@@ -469,13 +471,26 @@ final class IndexIVF private (
     }
     Json.write(pendingPath,
       Map("op" -> "train", "epoch" -> modelEpoch, "stamped" -> true))
-    stampedFiles.foreach { fn =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(p(s"_meta/history/$modelEpoch/$fn")),
-        java.nio.file.Paths.get(p(s"_meta/$fn")),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    // phase B: copy the completed stamp over the current files — shared
+    // with recoverPending's roll-forward so the two can never drift. If a
+    // copy throws here, the stamped=true journal stays for the next
+    // journaled op / open() to roll forward; the in-memory model already
+    // matches the stamp, so this handle stays consistent either way.
+    copyStampOverCurrent(modelEpoch)
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(pendingPath))
+  }
+
+  /** Phase-B / roll-forward primitive: copy every file of a completed
+    * history stamp over the current `_meta/` model files (idempotent). */
+  private def copyStampOverCurrent(epoch: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val stampDir = java.nio.file.Paths.get(p(s"_meta/history/$epoch"))
+    val s = java.nio.file.Files.list(stampDir)
+    try s.iterator().asScala.foreach { f =>
+      java.nio.file.Files.copy(f,
+        java.nio.file.Paths.get(p(s"_meta/${f.getFileName}")),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally s.close()
   }
 
   /** Recursively delete a directory if present (stamp-dir rollback). */
@@ -1739,7 +1754,15 @@ object IndexIVF {
     // the openAt path when no stamp <= e exists, never on plain open
     def fieldHasRowsAtOrBefore(fieldName: String, e: Long): Boolean = {
       val fid = idx.mapper.id(fieldName)
-      !idx.postingsDf
+      // RAW table read, not postingsDf: the guard asks what a snapshot at e
+      // could serve, and the writable handle's live() funnel applies
+      // tombstones from epochs AFTER e that the snapshot's own read path
+      // would exclude — a pending removeDeferred at T2 > e would mask the
+      // rows here while openAt(e) still serves them, silently skipping the
+      // refusal. Ignoring tombstones entirely is the conservative
+      // direction: at worst the guard refuses a snapshot whose rows are
+      // all tombstoned at <= e and would never be served.
+      !idx.readTable("postings", IndexIVF.postingsSchema)
         .filter(col("field") === fid && coalesce(col("epoch"), lit(0L)) <= e)
         .isEmpty
     }

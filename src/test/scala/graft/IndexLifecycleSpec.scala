@@ -317,6 +317,17 @@ class IndexLifecycleSpec extends AnyFunSuite {
         graft.query.SearchOptions(kTopCentroids = 2, nProbe = 2))
       .select("doc_id").collect().map(_.getLong(0))
     assert(hits.contains(3L))
+    // r14 review finding: a PENDING tombstone at T2 > eAdd must not blind
+    // the guard. The writable handle's live() funnel masks the legacy rows
+    // under that tombstone, but a snapshot at eAdd — whose own tombstonesDf
+    // excludes epochs > eAdd — would still SERVE them; the guard therefore
+    // reads the raw table, and the refusal must stand.
+    idx2.removeDeferred(1, Seq(0L, 1L, 2L, 3L))
+    val ex2 = intercept[IllegalArgumentException](
+      IndexIVF.openAt(spark, path, eAdd))
+    assert(ex2.getMessage.contains("before model versioning"),
+      s"pending tombstones above the epoch must not blind the legacy " +
+        s"guard, got: ${ex2.getMessage}")
   }
 
   // the epoch machinery is most dangerous on the TENSOR tables (postings

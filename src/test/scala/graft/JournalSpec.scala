@@ -177,4 +177,59 @@ class JournalSpec extends AnyFunSuite {
     assert(rec2.search(1, TermQuery("num", 3L), k = 10, SearchOptions())
       .collect().nonEmpty)
   }
+
+  test("an in-process write op never clobbers a pending train journal: " +
+      "it rolls the torn phase B forward first") {
+    val (idx, path) = mkIndex()
+    val goodCentroids = fileBytes(s"$path/_meta/colbert.centroids.json")
+    // fabricate the torn-phase-B state under a LIVE handle (the writer
+    // whose train() failed mid-copy but whose exception the caller caught):
+    // a completed stamp that differs byte-wise from current + the
+    // stamped=true journal entry
+    val tornB = epochOf(path) + 1
+    Json.write(s"$path/_meta/epoch.json", Map("epoch" -> tornB))
+    val stampB = java.nio.file.Paths.get(s"$path/_meta/history/$tornB")
+    java.nio.file.Files.createDirectories(stampB)
+    java.nio.file.Files.write(stampB.resolve("colbert.centroids.json"),
+      (new String(goodCentroids.toArray, "UTF-8") + " ").getBytes("UTF-8"))
+    Json.write(s"$path/_meta/pending.json",
+      Map("op" -> "train", "epoch" -> tornB, "stamped" -> true))
+    // the next journaled op on the SAME handle must recover (roll forward)
+    // before writing its own journal entry — overwriting it would strand
+    // the divergent current files forever with no error
+    idx.add(1, mkDocs(Seq(100L)))
+    assert(!Json.exists(s"$path/_meta/pending.json"))
+    assert(fileBytes(s"$path/_meta/colbert.centroids.json") ==
+      fileBytes(s"$path/_meta/history/$tornB/colbert.centroids.json"),
+      "the pending train must be rolled forward, not clobbered, by add()")
+    assert(idx.search(1, TermQuery("num", 100L), k = 10, SearchOptions())
+      .collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(100L))
+  }
+
+  test("a failed train() rolls the in-memory model back with the disk state") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("journal_idx_mem").toString
+    val schema = GSchema(Seq(
+      GField.colbert("vecA", dim, numCentroids = 4,
+        quantization = QuantizerKind.NONE, numIterations = 2, nbits = 2),
+      GField.colbert("vecB", dim, numCentroids = 4,
+        quantization = QuantizerKind.NONE, numIterations = 2, nbits = 2)))
+    val idx = IndexIVF.create(spark, path, schema)
+    // vecA trains fine (and mutates the in-memory maps mid-body); vecB's
+    // column is missing, so its train throws AFTER that mutation
+    val partial = (0L until 8L).map(i => (i, tokens())).toDF("id", "vecA")
+    val e = intercept[Exception](idx.train(partial))
+    assert(!Json.exists(s"$path/_meta/pending.json"),
+      "rollback must clear the journal")
+    assert(idx.coarse.isEmpty && idx.quantizers.isEmpty,
+      s"in-memory model must roll back with the disk rollback, got " +
+        s"coarse=${idx.coarse.keySet} quantizers=${idx.quantizers.keySet} " +
+        s"(train failed with: ${e.getMessage})")
+    // the handle stays usable: a correct retry trains both fields cleanly
+    val full = (0L until 8L).map(i => (i, tokens(), tokens()))
+      .toDF("id", "vecA", "vecB")
+    idx.train(full)
+    assert(idx.coarse.keySet == Set("vecA", "vecB"))
+    assert(fileBytes(s"$path/_meta/vecA.centroids.json").nonEmpty)
+  }
 }
