@@ -458,8 +458,15 @@ final class IndexIVF private (
     val quantizersBefore = quantizers
     def saveStamped(fileName: String)(save: String => Unit): Unit =
       save(p(s"_meta/history/$modelEpoch/$fileName"))
-    try trainBody(docs, saveStamped)
-    catch {
+    try {
+      trainBody(docs, saveStamped)
+      // the stamped flip sits INSIDE the rollback scope: if this write
+      // itself fails, the journal still reads unstamped, so the next
+      // recovery rolls the completed stamp BACK — and the in-memory maps
+      // must roll back with it, same as a trainBody failure
+      Json.write(pendingPath,
+        Map("op" -> "train", "epoch" -> modelEpoch, "stamped" -> true))
+    } catch {
       case e: Throwable =>
         coarse = coarseBefore
         quantizers = quantizersBefore
@@ -469,8 +476,6 @@ final class IndexIVF private (
         } catch { case r2: Throwable => e.addSuppressed(r2) }
         throw e
     }
-    Json.write(pendingPath,
-      Map("op" -> "train", "epoch" -> modelEpoch, "stamped" -> true))
     // phase B: copy the completed stamp over the current files — shared
     // with recoverPending's roll-forward so the two can never drift. If a
     // copy throws here, the stamped=true journal stays for the next
@@ -1815,11 +1820,20 @@ object IndexIVF {
   }
 
   def open(spark: SparkSession, path: String): IndexIVF = {
-    val idx = load(spark, path)
-    // a journal entry on disk means the previous writer died between table
-    // job commits — vacuum the torn epoch before handing out the handle
-    idx.recoverPending()
-    idx
+    // recover any torn write BEFORE parsing model files: a journal entry
+    // means the previous writer died mid-operation, and a torn phase-B
+    // train can leave a CURRENT model file truncated (unparseable — a
+    // model load would throw before recovery could ever run, bricking the
+    // index) or mixed across fields (the handle would cache a stale
+    // in-memory model that recovery's disk repair never refreshes). The
+    // recovery handle is deliberately model-less: journal recovery touches
+    // tables and _meta files only.
+    if (Json.exists(s"$path/_meta/pending.json")) {
+      checkVersion(path)
+      val schema = Json.read(s"$path/_meta/schema.json", classOf[GSchema])
+      new IndexIVF(spark, path, schema).recoverPending()
+    }
+    load(spark, path)
   }
 
   /** Open a read-only SNAPSHOT of an existing index as of `epoch`: every

@@ -583,21 +583,25 @@ object TextPipeline {
   private def dsirBucket(f: Column, b: Int = DsirBuckets): Column =
     conv(substring(md5(f), 1, 15), 16, 10).cast("long") % b
 
-  /** (doc_id, lang, b): one exploded feature-bucket row per n-gram — the
-    * single corpus-sized pass both DSIR scorers aggregate from. */
-  private def dsirBucketed(d: DataFrame, b: Int = DsirBuckets): DataFrame =
-    spread(d).select(col("doc_id"), col("lang"), toks.as("t"))
-      .select(col("doc_id"), col("lang"), explode(dsirFeats).as("f"))
-      .select(col("doc_id"), col("lang"), dsirBucket(col("f"), b).as("b"))
+  /** (doc_id, is_target, b): one exploded feature-bucket row per n-gram —
+    * the single corpus-sized pass both DSIR scorers aggregate from. The
+    * target predicate is evaluated against the FULL input row before the
+    * explode, so it may reference any input column (lang, source, a
+    * quality score...), not just the ones this projection keeps. */
+  private def dsirBucketed(d: DataFrame, targetPred: Column,
+      b: Int = DsirBuckets): DataFrame =
+    spread(d).select(col("doc_id"), targetPred.as("is_target"), toks.as("t"))
+      .select(col("doc_id"), col("is_target"), explode(dsirFeats).as("f"))
+      .select(col("doc_id"), col("is_target"), dsirBucket(col("f"), b).as("b"))
 
   /** Per-bucket (bucket, raw count, target count) plus the two totals, as
     * one corpus explode-aggregate collapsed map-side into <= B groups and
     * collected — metadata-sized at any corpus scale. */
   private def dsirHistogram(d: DataFrame, targetPred: Column,
       b: Int = DsirBuckets): (Seq[(Long, Long, Long)], Long, Long) = {
-    val rows = dsirBucketed(d, b)
+    val rows = dsirBucketed(d, targetPred, b)
       .groupBy("b").agg(count(lit(1)).as("cq"),
-        sum(when(targetPred, 1L).otherwise(0L)).as("cp"))
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("cp"))
       .collect()
       .map(r => (r.getAs[Long]("b"), r.getAs[Long]("cq"), r.getAs[Long]("cp")))
       .toSeq

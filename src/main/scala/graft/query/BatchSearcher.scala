@@ -127,24 +127,32 @@ object BatchSearcher {
     * ones) serves one batch on the previous measure — a sizing heuristic
     * miss of at most that mutation's delta, never a correctness issue. */
   private val ctxBytesCache =
-    scala.collection.concurrent.TrieMap[(String, Long, Int), (Long, Long)]()
+    scala.collection.concurrent.TrieMap[(String, Long, Int), Map[Long, Long]]()
   private def measuredContextBytes(idx: IndexIVF, ctx: DataFrame,
       tenant: Long, fid: Int, rows: Long): Long = {
-    // one (rows, bytes) entry per (path, tenant, field), REPLACED on a
-    // row-count mismatch — keying by the count itself left one stale
-    // entry behind per mutation, unbounded driver growth over a
-    // long-lived serving session on a frequently-appended index
+    // a BOUNDED handful of (rows -> bytes) entries per (path, tenant,
+    // field): keying by the count alone left one stale entry behind per
+    // mutation (unbounded driver growth on a frequently-appended index,
+    // r13 ADVICE), while a single replace-on-mismatch slot made a session
+    // that interleaves a live handle and an openAt snapshot of the same
+    // index (different visible row counts) evict each other and re-run
+    // the size scan on every alternating batch. Four slots let live +
+    // snapshots coexist; eviction beyond that is arbitrary and only costs
+    // one re-measure.
     val key = (idx.path, tenant, fid)
-    ctxBytesCache.get(key) match {
-      case Some((r, b)) if r == rows => b
-      case _ =>
+    val cached = ctxBytesCache.getOrElse(key, Map.empty)
+    cached.get(rows) match {
+      case Some(b) => b
+      case None =>
         val b =
           if (rows == 0L) 0L
           else ctx.select(coalesce(
               sum(lit(8L) + size(col("doc_codes")).cast("long") * 8L + lit(48L)),
               lit(0L)))
             .first().getLong(0)
-        ctxBytesCache.put(key, (rows, b))
+        val next =
+          (if (cached.size >= 4) cached - cached.head._1 else cached) + (rows -> b)
+        ctxBytesCache.put(key, next)
         b
     }
   }

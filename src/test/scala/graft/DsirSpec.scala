@@ -100,6 +100,18 @@ class DsirSpec extends AnyFunSuite {
     finally spark.conf.unset("graft.text.dsirBuckets")
   }
 
+  test("the target predicate may reference any input column, not just lang") {
+    import graft.queries.TextPipeline
+    // doc_id < 100 selects exactly the lang=en fixture docs, so the result
+    // must be identical to the lang-based run — but the predicate resolves
+    // against a column the bucketed projection does not keep, which only
+    // works because is_target is evaluated BEFORE the feature explode
+    val byId = TextPipeline.dsirSampleGumbel(df, col("doc_id") < 100L, 10, Seed)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("key")))
+    val byLang = runGumbel(10).map(t => (t._1, t._3))
+    assert(byId.toSeq == byLang.toSeq)
+  }
+
   test("selection is deterministic across invocations") {
     assert(runGumbel(10).toSeq == runGumbel(10).toSeq)
   }

@@ -206,6 +206,34 @@ class JournalSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(100L))
   }
 
+  test("open() recovers a torn phase B whose current model file is " +
+      "truncated — recovery runs BEFORE any model parse") {
+    val (_, path) = mkIndex()
+    val goodCentroids = fileBytes(s"$path/_meta/colbert.centroids.json")
+    val tornB = epochOf(path) + 1
+    Json.write(s"$path/_meta/epoch.json", Map("epoch" -> tornB))
+    val stampB = java.nio.file.Paths.get(s"$path/_meta/history/$tornB")
+    java.nio.file.Files.createDirectories(stampB)
+    java.nio.file.Files.write(stampB.resolve("colbert.centroids.json"),
+      (new String(goodCentroids.toArray, "UTF-8") + " ").getBytes("UTF-8"))
+    // the writer died MID-copy: the current file is half-written garbage.
+    // A model load before recovery would throw on the truncated JSON and
+    // brick the index (openAt also refuses while the journal is pending).
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_meta/colbert.centroids.json"),
+      "{\"centroids\": [[0.1, ".getBytes("UTF-8"))
+    Json.write(s"$path/_meta/pending.json",
+      Map("op" -> "train", "epoch" -> tornB, "stamped" -> true))
+    val rec = IndexIVF.open(spark, path)
+    assert(!Json.exists(s"$path/_meta/pending.json"))
+    assert(fileBytes(s"$path/_meta/colbert.centroids.json") ==
+      fileBytes(s"$path/_meta/history/$tornB/colbert.centroids.json"),
+      "recovery must repair the truncated current file from the stamp " +
+        "before the model is parsed")
+    assert(rec.search(1, TermQuery("num", 3L), k = 10, SearchOptions())
+      .collect().nonEmpty)
+  }
+
   test("a failed train() rolls the in-memory model back with the disk state") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("journal_idx_mem").toString
