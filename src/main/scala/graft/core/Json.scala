@@ -3,7 +3,7 @@ package graft.core
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{AtomicMoveNotSupportedException, Files, Path, Paths, StandardCopyOption}
 
 /** Tiny JSON persistence util over the Jackson that ships with Spark.
   * Index metadata files are small (schema, field mapper, quantizer params,
@@ -17,11 +17,28 @@ object Json {
     m
   }
 
+  /** Write-temp-then-atomic-rename, never truncate-in-place: several
+    * callers key a crash protocol off ONE file's integrity — the
+    * write-ahead journal (`pending.json` is rewritten in place at the
+    * train stamped flip) and the snapshot floor — and a plain Files.write
+    * is truncate-then-write, so a crash mid-rewrite would leave torn JSON
+    * that recovery can only fail loudly on. The temp lives in the target's
+    * own directory so the rename never crosses a filesystem. */
   def write[T](path: String, value: T): Unit = {
     val p = Paths.get(path)
-    if (p.getParent != null) Files.createDirectories(p.getParent)
-    Files.write(p, mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsString(value).getBytes(StandardCharsets.UTF_8))
+    val dir = if (p.getParent != null) p.getParent else Paths.get(".")
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, "." + p.getFileName.toString + ".", ".tmp")
+    try {
+      Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsString(value).getBytes(StandardCharsets.UTF_8))
+      try Files.move(tmp, p,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: AtomicMoveNotSupportedException =>
+          Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally { Files.deleteIfExists(tmp); () }
   }
 
   def read[T](path: String, clazz: Class[T]): T =

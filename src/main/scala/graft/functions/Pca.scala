@@ -82,6 +82,7 @@ object Pca {
           n += 1
         }
         Iterator.single((pid, (n, sums, prods)))
+        // bounded: exactly one moments row per partition reaches the driver
       }.collect()
     val sums = new Array[Double](dim)
     val prods = new Array[Double](tri)

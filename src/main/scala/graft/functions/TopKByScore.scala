@@ -126,7 +126,15 @@ object TopKByScore {
 /** Flat-array min-heap of (doc_id, score) keeping the k LARGEST entries
   * under (score, -doc_id) — the root is the WORST kept entry, evicted when
   * a better candidate arrives. `better(a, b)` = a ranks above b in the
-  * final (score desc, doc_id asc) output order. */
+  * final (score desc, doc_id asc) output order.
+  *
+  * CALLER CONTRACT: emit at most ONE score per doc_id. A duplicate offer
+  * keeps the FIRST-seen score (the membership probe short-circuits before
+  * comparing the incoming score), so feeding un-aggregated per-doc rows
+  * with conflicting scores would make the kept score arrival-order-
+  * dependent. Every current call site pre-aggregates in phase-1
+  * (TopKByScoreSpec pins the first-wins behavior in both orders); a new
+  * call site that can't pre-aggregate must max-combine upstream first. */
 final class TopKHeap(val k: Int) {
   val ids = new Array[Long](k)
   val scores = new Array[Double](k)

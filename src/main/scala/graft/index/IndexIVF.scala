@@ -151,12 +151,8 @@ final class IndexIVF private (
     * design has on the bulk-delete path. The reference's synchronous deletes
     * via the mapping CF (RocksdbInvertedList.cpp:22-95) never had the
     * window; this restores the same RMW safety for the deferred path. */
-  def currentEpoch(): Long = {
-    val ep = p("_meta/epoch.json")
-    if (!Json.exists(ep)) 0L
-    else Json.read(ep, classOf[Map[String, Any]])
-      .get("epoch").collect { case n: Number => n.longValue() }.getOrElse(0L)
-  }
+  def currentEpoch(): Long =
+    IndexIVF.readLongField(p("_meta/epoch.json"), "epoch")
 
   /** Oldest epoch [[IndexIVF.openAt]] can faithfully reproduce, persisted
     * in `_meta/floor.json` (0 when never raised). The synchronous [[remove]]
@@ -168,12 +164,8 @@ final class IndexIVF private (
     * epoch-stamped into `_meta/history/<epoch>/` at save ([[train]]) and
     * openAt loads the newest stamp <= its snapshot epoch, so old snapshots
     * keep scoring with the model that was in effect when they were live. */
-  def historyFloor(): Long = {
-    val f = p("_meta/floor.json")
-    if (!Json.exists(f)) 0L
-    else Json.read(f, classOf[Map[String, Any]])
-      .get("floor").collect { case n: Number => n.longValue() }.getOrElse(0L)
-  }
+  def historyFloor(): Long =
+    IndexIVF.readLongField(p("_meta/floor.json"), "floor")
 
   /** Raise (never lower) the snapshot-validity floor — call under the
     * write lock, AFTER the physical rewrite it records has committed.
@@ -639,8 +631,9 @@ final class IndexIVF private (
           saveStamped(s"${f.name}.sq8.json")(sq.save)
           sq
         case QuantizerKind.PRODUCT_ENCODER =>
-          // the sqrt-subsample is driver-sized by construction; PQ codebook
-          // training is the only driver-side ML step (index.cpp:290-307)
+          // bounded: the sqrt-subsample is driver-sized by construction; PQ
+          // codebook training is the only driver-side ML step
+          // (index.cpp:290-307)
           val sample = sampledResiduals.collect()
             .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
           // graft.pq.balanced=false keeps the classic contiguous subspace
@@ -1046,8 +1039,8 @@ final class IndexIVF private (
       try Some(spark.read.schema(tableSchema(tblName)).parquet(tablePath))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     source.foreach { df =>
-      // partitions holding at least one doomed row (small driver set:
-      // bounded by the partition count, not the doomed-row count)
+      // partitions holding at least one doomed row (small driver set —
+      // bounded: by the partition count, not the doomed-row count)
       val affected = doomed(df)
         .select(parts.map(col): _*).distinct().collect()
         .map { r =>
@@ -1717,6 +1710,15 @@ object IndexIVF {
     new IndexIVF(spark, path, schema)
   }
 
+  /** One long field out of a tiny metadata JSON, 0 when the file (or the
+    * field) is absent — the shared shape of `epoch.json`/`floor.json`,
+    * readable both through a handle and statically (openAt checks the
+    * floor BEFORE constructing one). */
+  private[index] def readLongField(path: String, field: String): Long =
+    if (!Json.exists(path)) 0L
+    else Json.read(path, classOf[Map[String, Any]])
+      .get(field).collect { case n: Number => n.longValue() }.getOrElse(0L)
+
   /** Epochs that have a stamped copy of `fileName` under
     * `<path>/_meta/history/` (written by [[IndexIVF.train]]'s saveStamped). */
   private def modelHistoryEpochs(path: String, fileName: String): Seq[Long] = {
@@ -1857,15 +1859,20 @@ object IndexIVF {
     require(!Json.exists(s"$path/_meta/pending.json"),
       s"index at $path has a torn write pending recovery; IndexIVF.open() " +
         "a writable handle first, then snapshot")
-    val idx = load(spark, path, modelEpoch = Some(epoch))
-    val cur = idx.currentEpoch()
-    require(epoch >= 0 && epoch <= cur,
-      s"snapshot epoch $epoch out of range [0, $cur]")
-    val floor = idx.historyFloor()
+    // floor FIRST (r14 ADVICE): a below-floor epoch is doomed regardless of
+    // model resolution, and for an epoch whose older stamps the history
+    // vacuum already deleted, load()'s rows-at-or-before guard would
+    // otherwise run a postings-scan job and throw the misleading
+    // unstamped-legacy diagnostic for a snapshot this refusal owns.
+    val floor = readLongField(s"$path/_meta/floor.json", "floor")
     require(epoch >= floor,
       s"snapshot epoch $epoch predates the history floor $floor: a " +
         "remove()/compact() physically rewrote history up to that epoch, " +
         "so older snapshots can no longer be reproduced")
+    val idx = load(spark, path, modelEpoch = Some(epoch))
+    val cur = idx.currentEpoch()
+    require(epoch >= 0 && epoch <= cur,
+      s"snapshot epoch $epoch out of range [0, $cur]")
     idx.snapshotEpoch = Some(epoch)
     idx
   }

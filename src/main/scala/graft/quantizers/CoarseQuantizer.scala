@@ -400,7 +400,8 @@ object CoarseQuantizer {
       if (probe.length <= maxSample) probe.map(_.getAs[scala.collection.Seq[Float]](0).toArray)
       else {
         // corpus exceeds the budget: a limit() would be partition-biased, so
-        // take a seeded uniform sample instead
+        // take a seeded uniform sample instead (bounded: fraction is sized
+        // to land ~1.1 * maxSample rows whatever the corpus size)
         val n = tokens.count()
         tokens.sample(withReplacement = false,
           // slight oversample so the post-sample row count is >= maxSample whp
@@ -525,7 +526,7 @@ object CoarseQuantizer {
         }
         // merge each centroid's partials in ascending-partition order (the
         // canonical order — double addition does not reassociate freely);
-        // result: ≤K rows of dim+1 doubles back to the driver
+        // result (bounded: ≤K rows of dim+1 doubles back to the driver)
         val merged = partials.groupByKey(math.min(parts, 64)).mapValues { ps =>
           val sorted = ps.toArray.sortBy(_._1)
           val acc = new Array[Double](dimL + 1)

@@ -31,6 +31,7 @@ object EngineQueries {
   private def queryTokens(s: org.apache.spark.sql.SparkSession, dir: String,
       maxVecId: Int): Array[Array[Float]] =
     queryCache.getOrElseUpdate(s"$dir#$maxVecId",
+      // bounded: < maxVecId fixture vectors (single digits at every sf)
       Tables.t(s, dir, "embeddings").filter(col("vec_id") < maxVecId)
         .orderBy("vec_id").collect()
         .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray))
@@ -92,6 +93,7 @@ object EngineQueries {
         docs0.withColumn("parity",
           when(col("id") % 2 === 1, "odd").otherwise("even"))
       else docs0
+    // bounded: 16 fixed-centroid fixture vectors
     val cents = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 16)
       .orderBy("vec_id").collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
@@ -138,6 +140,7 @@ object EngineQueries {
     * runs don't leak index directories under /tmp. */
   private def materializeAndClean(s: org.apache.spark.sql.SparkSession,
       result: org.apache.spark.sql.DataFrame, path: String) = {
+    // bounded: a top-k engine-search result (<= k rows per fixture query)
     val rows = result.collect().toSeq
     val local = s.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, result.schema)

@@ -196,6 +196,10 @@ object TextPipeline {
     def lshBands(s: SparkSession): Int = int(s, "graft.lsh.bands", LshBands)
     def lshBits(s: SparkSession): Int = int(s, "graft.lsh.bits", LshBits)
     def dsirBuckets(s: SparkSession): Int = int(s, "graft.text.dsirBuckets", DsirBuckets)
+    /** Max n-gram order of the DSIR feature map (1 = unigrams only, 2 =
+      * unigram + bigram — the paper's and the oracle twin's shape).
+      * Consumed by the production arm only. */
+    def dsirNgram(s: SparkSession): Int = int(s, "graft.text.dsirNgram", 2)
   }
 
   /** deterministic pseudo-random plane weight, shared by the Spark kernel
@@ -569,11 +573,16 @@ object TextPipeline {
   /** Unigram + bigram surface features over a tokens column `t`, row-local
     * (q_dsir_select / [[dsirSampleGumbel]]). The bigram arm is guarded with
     * a typed empty slice — `sequence(0, size - 2)` on a 1-token doc would
-    * yield [0, -1] (Spark infers a descending step), not an empty array. */
-  private val dsirFeats: Column = expr(
-    """concat(t, if(size(t) >= 2,
-      |  transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])),
-      |  slice(t, 1, 0)))""".stripMargin)
+    * yield [0, -1] (Spark infers a descending step), not an empty array.
+    * `order` = max n-gram order (1 drops the bigram arm — the production
+    * knob's cheap setting; the oracle twin stays pinned at 2). */
+  private def dsirFeatsOf(order: Int): Column =
+    if (order <= 1) col("t")
+    else expr(
+      """concat(t, if(size(t) >= 2,
+        |  transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])),
+        |  slice(t, 1, 0)))""".stripMargin)
+  private val dsirFeats: Column = dsirFeatsOf(2)
 
   /** md5-derived feature-hash bucket — both engines compute the identical
     * md5 hex, take the first 15 nibbles (< 2^60, so no sign hazard on
@@ -589,19 +598,21 @@ object TextPipeline {
     * explode, so it may reference any input column (lang, source, a
     * quality score...), not just the ones this projection keeps. */
   private def dsirBucketed(d: DataFrame, targetPred: Column,
-      b: Int = DsirBuckets): DataFrame =
+      b: Int = DsirBuckets, order: Int = 2): DataFrame =
     spread(d).select(col("doc_id"), targetPred.as("is_target"), toks.as("t"))
-      .select(col("doc_id"), col("is_target"), explode(dsirFeats).as("f"))
+      .select(col("doc_id"), col("is_target"),
+        explode(dsirFeatsOf(order)).as("f"))
       .select(col("doc_id"), col("is_target"), dsirBucket(col("f"), b).as("b"))
 
   /** Per-bucket (bucket, raw count, target count) plus the two totals, as
     * one corpus explode-aggregate collapsed map-side into <= B groups and
     * collected — metadata-sized at any corpus scale. */
   private def dsirHistogram(d: DataFrame, targetPred: Column,
-      b: Int = DsirBuckets): (Seq[(Long, Long, Long)], Long, Long) = {
-    val rows = dsirBucketed(d, targetPred, b)
+      b: Int = DsirBuckets, order: Int = 2): (Seq[(Long, Long, Long)], Long, Long) = {
+    val rows = dsirBucketed(d, targetPred, b, order)
       .groupBy("b").agg(count(lit(1)).as("cq"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("cp"))
+      // bounded: <= b hash-bucket groups whatever the corpus size
       .collect()
       .map(r => (r.getAs[Long]("b"), r.getAs[Long]("cq"), r.getAs[Long]("cp")))
       .toSeq
@@ -624,7 +635,8 @@ object TextPipeline {
   private[graft] def dsirSampleGumbel(
       d: DataFrame, targetPred: Column, k: Int, seed: String): DataFrame = {
     val nb = Knobs.dsirBuckets(d.sparkSession)
-    val (hist, nq, np) = dsirHistogram(d, targetPred, nb)
+    val order = Knobs.dsirNgram(d.sparkSession)
+    val (hist, nq, np) = dsirHistogram(d, targetPred, nb, order)
     val logR: Seq[(Long, Double)] = hist.map { case (b, cq, cp) =>
       b -> (math.log((cp + 1).toDouble / (np + nb)) -
         math.log((cq + 1).toDouble / (nq + nb)))
@@ -634,7 +646,7 @@ object TextPipeline {
       1, 15), 16, 10).cast("long") % 1000000000L).cast("double") + lit(0.5)) /
       lit(1e9)
     spread(d).select(col("doc_id"), toks.as("t"))
-      .select(col("doc_id"), dsirFeats.as("feats"))
+      .select(col("doc_id"), dsirFeatsOf(order).as("feats"))
       .select(col("doc_id"),
         aggregate(col("feats"), lit(0.0d),
           (acc, f) => acc + element_at(rMap, dsirBucket(f, nb))).as("log_w"))
@@ -833,7 +845,7 @@ object TextPipeline {
     * ONE best row per incoming parent (max rounded jaccard, min dup_of on
     * ties) — rounded-jaccard ordering on BOTH engines so the twin can't
     * diverge on a sub-round tie. */
-  private def bestMatchPerParent(chunkMatches: DataFrame, scale: Long): DataFrame = {
+  private[graft] def bestMatchPerParent(chunkMatches: DataFrame, scale: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     chunkMatches
       .select(expr(s"in_id div $scale").as("in_id"),
@@ -1179,6 +1191,7 @@ object TextPipeline {
       .sortWithinPartitions(col("split"), col("doc_id"))
     out.write.mode("overwrite").partitionBy("split").parquet(outPath)
     s.read.parquet(outPath).groupBy("split").count()
+      // bounded: one row per split value (3 splits)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 

@@ -150,9 +150,21 @@ object BatchSearcher {
               sum(lit(8L) + size(col("doc_codes")).cast("long") * 8L + lit(48L)),
               lit(0L)))
             .first().getLong(0)
-        val next =
-          (if (cached.size >= 4) cached - cached.head._1 else cached) + (rows -> b)
-        ctxBytesCache.put(key, next)
+        // publish via compare-and-swap, not read-modify-put: two concurrent
+        // batches measuring different row counts for the same key would
+        // otherwise overwrite each other's 4-slot map and drop a
+        // just-measured sibling entry (r14 ADVICE — cost was only a
+        // redundant re-measure, but the loop is two lines)
+        var published = false
+        while (!published) {
+          ctxBytesCache.get(key) match {
+            case None =>
+              published = ctxBytesCache.putIfAbsent(key, Map(rows -> b)).isEmpty
+            case Some(cur) =>
+              val trimmed = if (cur.size >= 4) cur - cur.head._1 else cur
+              published = ctxBytesCache.replace(key, cur, trimmed + (rows -> b))
+          }
+        }
         b
     }
   }
@@ -225,9 +237,9 @@ object BatchSearcher {
       throw new IllegalStateException(s"field $field is not trained"))
     val nc = cq.numCentroids
 
-    // driver-side per-query planning (queries are small by construction);
-    // planning semantics shared with the single-query path via
-    // Searcher.queryPlan
+    // driver-side per-query planning (bounded: the query batch is a
+    // driver-supplied frame, queries are small by construction); planning
+    // semantics shared with the single-query path via Searcher.queryPlan
     val qRows = queries.select(col("query_id"), col("tokens")).collect().map { r =>
       val qid = r.getLong(0)
       val toks = r.getSeq[scala.collection.Seq[Float]](1).map(_.toArray).toArray
@@ -393,6 +405,7 @@ object BatchSearcher {
             s"x $PoolPairBytes B/pair, limit ${maxPoolBytes(spark)}): split " +
             s"the batch into smaller searchBatch calls, lower " +
             s"numSecondPass, or raise $MaxPoolBytesKey")
+        // bounded: <= queries x numSecondPass pairs, byte-gated just above
         val poolRows = pool.select(col("query_id"), col("doc_id")).collect()
         if (poolRows.isEmpty)
           spark.createDataFrame(

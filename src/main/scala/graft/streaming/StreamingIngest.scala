@@ -196,6 +196,8 @@ object StreamingIngest {
     val bucketCap = TextPipeline.BucketCap
     val n = bands * rows
     val arrsEx = TextPipeline.shingleArrays(benchDocs)
+    // bounded: the bench corpus is metadata-sized by contract — the
+    // require() below refuses more than DeconBenchMaxShingles total
     val exSets: Map[Long, Array[Long]] = arrsEx
       .select(col("doc_id"), col("shs")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray.sorted).toMap
@@ -211,6 +213,7 @@ object StreamingIngest {
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("ids"))
       // the batch matcher's bench-side hot-bucket cap, applied at build
+      // (bounded: band rows of the size-guarded bench corpus above)
       .filter(size(col("ids")) <= bucketCap)
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)) ->

@@ -46,13 +46,15 @@ class DsirSpec extends AnyFunSuite {
   def bucket(f: String, b: Int): Long =
     java.lang.Long.parseLong(md5hex(f).substring(0, 15), 16) % b
 
-  def feats(text: String): Seq[String] = {
+  def feats(text: String, order: Int = 2): Seq[String] = {
     val t = text.split(" ", -1).toSeq
-    t ++ (if (t.size >= 2) t.sliding(2).map(_.mkString(" ")).toSeq else Nil)
+    t ++ (if (order >= 2 && t.size >= 2)
+      t.sliding(2).map(_.mkString(" ")).toSeq else Nil)
   }
 
-  def reference(nb: Int): Seq[(Long, Double, Double)] = {
-    val allFeats = fixture.map { case (id, text, lang) => (id, lang, feats(text)) }
+  def reference(nb: Int, order: Int = 2): Seq[(Long, Double, Double)] = {
+    val allFeats = fixture.map { case (id, text, lang) =>
+      (id, lang, feats(text, order)) }
     val rawHist = allFeats.flatMap(_._3).groupBy(bucket(_, nb)).view
       .mapValues(_.size.toLong).toMap
     val tgtHist = allFeats.filter(_._2 == "en").flatMap(_._3)
@@ -78,9 +80,10 @@ class DsirSpec extends AnyFunSuite {
         r.getAs[Double]("key")))
   }
 
-  def assertMatchesReference(nb: Int): Unit = {
+  def assertMatchesReference(nb: Int, order: Int = 2): Unit = {
     val got = runGumbel(10)
-    val want = reference(nb).sortBy { case (id, _, key) => (-key, id) }.take(10)
+    val want = reference(nb, order)
+      .sortBy { case (id, _, key) => (-key, id) }.take(10)
     assert(got.map(_._1).toSeq == want.map(_._1).toSeq,
       s"selection order diverged at B=$nb: got ${got.map(_._1).mkString(",")} " +
         s"want ${want.map(_._1).mkString(",")}")
@@ -98,6 +101,19 @@ class DsirSpec extends AnyFunSuite {
     spark.conf.set("graft.text.dsirBuckets", "128")
     try assertMatchesReference(128)
     finally spark.conf.unset("graft.text.dsirBuckets")
+  }
+
+  test("the graft.text.dsirNgram knob drops the bigram arm (order=1) and " +
+      "still matches the driver reference exactly") {
+    spark.conf.set("graft.text.dsirNgram", "1")
+    try assertMatchesReference(B, order = 1)
+    finally spark.conf.unset("graft.text.dsirNgram")
+    // and order=1 genuinely changes the features: some reference log-weight
+    // must differ from the order-2 run (the knob is not a no-op)
+    val w1 = reference(B, order = 1).map(t => t._1 -> t._2).toMap
+    val w2 = reference(B, order = 2).map(t => t._1 -> t._2).toMap
+    assert(w1.exists { case (id, w) => math.abs(w - w2(id)) > 1e-9 },
+      "order=1 must produce different log-weights than order=2")
   }
 
   test("the target predicate may reference any input column, not just lang") {

@@ -230,7 +230,14 @@ class IndexLifecycleSpec extends AnyFunSuite {
     idx2.remove(1, Seq(3L))
     val eRemove = idx2.currentEpoch()
     assert(idx2.historyFloor() == eRemove, "remove must raise the floor")
-    intercept[IllegalArgumentException](IndexIVF.openAt(spark, path, e1))
+    // the refusal must be the FLOOR diagnostic, checked BEFORE load() (r14
+    // ADVICE): e1's stamps are about to be vacuumed below, and load()'s
+    // rows-at-or-before guard would otherwise run a postings-scan job and
+    // throw the misleading unstamped-legacy error for this doomed epoch
+    val floorErr = intercept[IllegalArgumentException](
+      IndexIVF.openAt(spark, path, e1))
+    assert(floorErr.getMessage.contains("predates the history floor"),
+      s"below-floor openAt must fail with the floor diagnostic: $floorErr")
     intercept[IllegalArgumentException](IndexIVF.openAt(spark, path, eRemove - 1))
     assert(ranking(IndexIVF.openAt(spark, path, eRemove)).nonEmpty,
       "snapshots at/after the floor must still open")

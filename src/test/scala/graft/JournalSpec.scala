@@ -234,6 +234,78 @@ class JournalSpec extends AnyFunSuite {
       .collect().nonEmpty)
   }
 
+  test("open() vacuums a torn merge: both indexes stay readable and the " +
+      "merge re-runs idempotently from the recovered state") {
+    val (idx, path) = mkIndex()
+    val before = allTableRows(idx)
+    // the mergeable twin comes from the clone flow (shared trained model —
+    // the fingerprint guard's precondition), with its own docs to import
+    val other = IndexIVF.copyTrained(idx,
+      java.nio.file.Files.createTempDirectory("journal_merge_other").toString)
+    other.add(1, mkDocs(100L until 104L))
+    val otherBefore = allTableRows(other)
+    // a fully-committed merge plays the torn write (same construction as
+    // the torn-add case: re-instating the journal entry is byte-identical
+    // on disk to a writer that died after every table job committed but
+    // before clearing the journal; any earlier die point leaves a subset
+    // of these rows for the same epoch vacuum)
+    idx.merge(other.path)
+    val tornEpoch = epochOf(path)
+    val merged = allTableRows(idx)
+    assert(merged != before, "merge visibly landed")
+    Json.write(s"$path/_meta/pending.json",
+      Map("op" -> "merge", "epoch" -> tornEpoch))
+
+    val reopened = IndexIVF.open(spark, path)
+    assert(!Json.exists(s"$path/_meta/pending.json"), "journal cleared")
+    assert(allTableRows(reopened) == before,
+      "every table back to its pre-merge state (imported rows vacuumed)")
+    assert(reopened.search(1, TermQuery("num", 101L), k = 10, SearchOptions())
+      .collect().isEmpty, "imported doc is not searchable after recovery")
+    // recovery vacuums the LOCAL epoch only — the other index is read-only
+    // to merge and must be untouched by the rollback
+    assert(allTableRows(other) == otherBefore,
+      "the merge source must be untouched by recovery")
+    assert(other.search(1, TermQuery("num", 101L), k = 10, SearchOptions())
+      .collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(101L))
+    // the merge re-runs cleanly from the recovered state and lands the
+    // same table shape as the uninterrupted run
+    reopened.merge(other.path)
+    assert(allTableRows(reopened) == merged,
+      "re-run merge must reproduce the uninterrupted merge's table counts")
+    assert(reopened.search(1, TermQuery("num", 101L), k = 10, SearchOptions())
+      .collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(101L))
+  }
+
+  test("a crash after merge's pre-compact (before the journaled union) " +
+      "leaves a consistent index from which merge re-runs correctly") {
+    // merge's multi-step pre-sequence is: compact-if-tombstones -> read the
+    // other side (applying ITS tombstones) -> re-stamp -> journaled union.
+    // A tear after the pre-compact leaves NO journal entry — the on-disk
+    // state is exactly a completed compact(), which must itself be a
+    // consistent, merge-ready state. Synthesize it directly.
+    val (idx, path) = mkIndex()
+    idx.removeDeferred(1, Seq(3L))
+    idx.compact() // == the state a crash right after merge's pre-compact leaves
+    assert(!Json.exists(s"$path/_meta/pending.json"),
+      "the pre-compact window carries no journal entry")
+    val reopened = IndexIVF.open(spark, path)
+    assert(reopened.search(1, TermQuery("num", 3L), k = 10, SearchOptions())
+      .collect().isEmpty, "tombstoned doc stays dead after the pre-compact tear")
+    val other = IndexIVF.copyTrained(reopened,
+      java.nio.file.Files.createTempDirectory("journal_merge_pc").toString)
+    other.add(1, mkDocs(200L until 203L))
+    reopened.merge(other.path)
+    val got = (0L until 8L) ++ (200L until 203L)
+    got.filterNot(_ == 3L).foreach { id =>
+      assert(reopened.search(1, TermQuery("num", id), k = 10, SearchOptions())
+        .collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(id),
+        s"doc $id must be present after the re-run merge")
+    }
+    assert(reopened.search(1, TermQuery("num", 3L), k = 10, SearchOptions())
+      .collect().isEmpty, "the pre-merge tombstone victim must stay dead")
+  }
+
   test("a failed train() rolls the in-memory model back with the disk state") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("journal_idx_mem").toString

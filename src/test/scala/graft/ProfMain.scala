@@ -14,6 +14,51 @@ object ProfMain {
     r
   }
 
+  // ---- synthetic campaign-corpus geometries (r14 verdict item 1) --------
+  // "uniform" = the r11-r14 shape: every token dim iid U(-1,1) — the
+  // near-worst case for pruning bounds (vacuous |v|*r_g) and the near-best
+  // case for balanced IVF lists. "clustered" = the geometry-transfer
+  // corpus: each DOC is drawn from one of C=1024 planted topic clusters
+  // with power-law sizes — cluster = floor(C * u^3) gives pmf ~ c^(-2/3),
+  // so cluster 0 holds (1/C)^(1/3) ≈ 9.9% of all docs (~100x the mean) —
+  // cluster means iid U(-1,1)^dim (inter-mean distance ~ sqrt(2*dim/3) ≈
+  // 9.2 at dim=128), and intra-cluster jitter U(-1,1) confined to the
+  // FIRST 16 dims (low intrinsic dimension, like real embeddings; radius
+  // ~ sqrt(16/3) ≈ 2.3 ≪ inter-mean distance). All of a doc's tokens share
+  // its cluster. `noise` adds the perturbed-qrel full-dim jitter on top
+  // (0.0 for corpus/build). Deterministic, pure SQL, identical on every
+  // call site that probes the same ids.
+  val GeomClusters = 1024
+  val GeomIntrinsicDims = 16
+
+  def geomSuffix(geom: String): String = geom match {
+    case "uniform" => ""
+    case "clustered" => "_cl"
+    case other => sys.error(s"unknown geometry $other")
+  }
+
+  def geomTokensExpr(geom: String, tpd: Int, dim: Int,
+      noise: Double): org.apache.spark.sql.Column = {
+    val base = geom match {
+      case "uniform" => "pmod(xxhash64(id, t, d), 2000) / 1000.0 - 1.0"
+      case "clustered" =>
+        s"""(pmod(xxhash64(cast(floor($GeomClusters *
+           |    pow(pmod(xxhash64(id), 1048576) / 1048576.0, 3.0)) as bigint),
+           |    777, d), 2000) / 1000.0 - 1.0)
+           |  + (case when d < $GeomIntrinsicDims
+           |     then pmod(xxhash64(id, t, d, 555), 2000) / 1000.0 - 1.0
+           |     else 0.0 end)""".stripMargin
+      case other => sys.error(s"unknown geometry $other")
+    }
+    val jitter =
+      if (noise == 0.0) ""
+      else s"\n  + (pmod(xxhash64(id, t, d, 999), 2000) / 1000.0 - 1.0) * $noise"
+    expr(
+      s"""transform(sequence(0, ${tpd - 1}), t ->
+         |  transform(sequence(0, ${dim - 1}), d ->
+         |    cast($base$jitter as float)))""".stripMargin)
+  }
+
   def main(args: Array[String]): Unit = {
     val what = args.headOption.getOrElse("engine")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -483,13 +528,11 @@ object ProfMain {
         // shape; a non-default gets its own index path.
         val itersB = args.lift(4).map(_.toInt).getOrElse(2)
         val iterSuffix = if (itersB == 2) "" else s"_it$itersB"
-        val pathB =
-          s"/root/repo/target/prof_batch_scale_${nDocsB}_$kB$codecSuffix$iterSuffix"
-        val tokensExprB = expr(
-          s"""transform(sequence(0, ${tpdB - 1}), t ->
-             |  transform(sequence(0, ${dimB - 1}), d ->
-             |    cast(pmod(xxhash64(id, t, d), 2000) / 1000.0 - 1.0 as float)))"""
-            .stripMargin)
+        // [geom]: corpus geometry (uniform | clustered, see geomTokensExpr)
+        val geomB = args.lift(5).getOrElse("uniform")
+        val pathB = s"/root/repo/target/prof_batch_scale_${nDocsB}_$kB" +
+          s"$codecSuffix$iterSuffix${geomSuffix(geomB)}"
+        val tokensExprB = geomTokensExpr(geomB, tpdB, dimB, noise = 0.0)
         val docsB = spark.range(nDocsB.toLong).select(col("id"),
           tokensExprB.as("colbert"), pmod(col("id") * 31L, lit(5000)).as("n_chars"))
         // reuse only a COMPLETED build (create writes _meta before train/add,
@@ -727,9 +770,10 @@ object ProfMain {
           .map { s => val Array(a, b) = s.split("x"); (a.toInt, b.toInt) }.toSeq
         val nspF = args.lift(7).map(_.toInt).getOrElse(64)
         val itersF = args.lift(8).map(_.toInt).getOrElse(2)
+        val geomF = args.lift(9).getOrElse("uniform")
         val iterSuffixF = if (itersF == 2) "" else s"_it$itersF"
-        val pathF =
-          s"/root/repo/target/prof_batch_scale_${nDocsF}_$kF$codecSuffixF$iterSuffixF"
+        val pathF = s"/root/repo/target/prof_batch_scale_${nDocsF}_$kF" +
+          s"$codecSuffixF$iterSuffixF${geomSuffix(geomF)}"
         require(java.nio.file.Files.exists(
           java.nio.file.Paths.get(pathF, "_prof_ready")),
           s"run batch_scale $nDocsF $kF first to build the index")
@@ -737,12 +781,7 @@ object ProfMain {
         val fidF = idxF.mapper.id("colbert")
         // perturbed queries: doc tokens + U(-noise, noise), deterministic
         val noiseF = noiseMilsF / 1000.0
-        val tokensExprF = expr(
-          s"""transform(sequence(0, ${tpdF - 1}), t ->
-             |  transform(sequence(0, ${dimF - 1}), d ->
-             |    cast(pmod(xxhash64(id, t, d), 2000) / 1000.0 - 1.0
-             |      + (pmod(xxhash64(id, t, d, 999), 2000) / 1000.0 - 1.0) * $noiseF
-             |      as float)))""".stripMargin)
+        val tokensExprF = geomTokensExpr(geomF, tpdF, dimF, noise = noiseF)
         val qPoolF = spark.range(nDocsF.toLong).select(col("id"),
           tokensExprF.as("colbert")).filter(col("id") < 212).orderBy("id").collect()
           .map(_.getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("colbert")
@@ -800,19 +839,16 @@ object ProfMain {
         // knobs could fix) from "the jitter moved the query genuinely
         // closer to another doc" (unreachable at ANY config — a qrel
         // ceiling, not an index defect). args: [nDocs] [noiseMils] [ids]
+        // [geom]
         import spark.implicits._
         val dimM = 128; val tpdM = 4
         val nDocsM = args.lift(1).map(_.toInt).getOrElse(10000000)
         val noiseMilsM = args.lift(2).map(_.toInt).getOrElse(50)
         val idsM = args.lift(3).map(_.split(",").map(_.toLong).toSeq)
           .getOrElse(Seq(0L))
+        val geomM = args.lift(4).getOrElse("uniform")
         val noiseM = noiseMilsM / 1000.0
-        def toksExpr(noise: Double) = expr(
-          s"""transform(sequence(0, ${tpdM - 1}), t ->
-             |  transform(sequence(0, ${dimM - 1}), d ->
-             |    cast(pmod(xxhash64(id, t, d), 2000) / 1000.0 - 1.0
-             |      + (pmod(xxhash64(id, t, d, 999), 2000) / 1000.0 - 1.0) * $noise
-             |      as float)))""".stripMargin)
+        def toksExpr(noise: Double) = geomTokensExpr(geomM, tpdM, dimM, noise)
         val qToksM: Map[Long, Array[Array[Float]]] =
           spark.range(nDocsM.toLong).filter(col("id").isin(idsM: _*))
             .select(col("id"), toksExpr(noiseM).as("t")).collect()
@@ -896,13 +932,15 @@ object ProfMain {
         // per-centroid scores, so any surviving candidate's score is
         // bit-identical to the full scan's. Reports tokens/s vs the full
         // assignBlock, mean % centroids scanned, and exact-parity count.
-        // args: [nDocs] [K] [codec] [nTokens]
+        // args: [nDocs] [K] [codec] [nTokens] [geom]
         val nDocsQ = args.lift(1).map(_.toInt).getOrElse(10000000)
         val kQ = args.lift(2).map(_.toInt).getOrElse(98304)
         val codecQ = args.lift(3).map(c => s"_${c.toLowerCase}")
           .filter(_ != "_none").getOrElse("")
         val nTokQ = args.lift(4).map(_.toInt).getOrElse(20000)
-        val pathQ = s"/root/repo/target/prof_batch_scale_${nDocsQ}_$kQ$codecQ"
+        val geomQ = args.lift(5).getOrElse("uniform")
+        val pathQ =
+          s"/root/repo/target/prof_batch_scale_${nDocsQ}_$kQ$codecQ${geomSuffix(geomQ)}"
         require(java.nio.file.Files.exists(
           java.nio.file.Paths.get(pathQ, "_prof_ready")),
           s"run batch_scale $nDocsQ $kQ first to build the index")
@@ -913,6 +951,38 @@ object ProfMain {
         val centsFlat = new Array[Float](kQ * dQ)
         cents.zipWithIndex.foreach { case (c, i) =>
           System.arraycopy(c, 0, centsFlat, i * dQ, dQ) }
+        // tokens shaped like real ingest: under the uniform geometry, a
+        // trained centroid + 10% jitter (the r14 shape); under clustered,
+        // fresh ids beyond the built corpus drawn from the SAME planted
+        // distribution (one token per synthetic id — the marginal matches
+        // the corpus, which is what an incoming add() sees)
+        val toksQ: Array[Array[Float]] =
+          if (geomQ == "uniform") {
+            val rndQ = new scala.util.Random(13)
+            Array.fill(nTokQ) {
+              val base = cents(rndQ.nextInt(kQ))
+              Array.tabulate(dQ)(j => base(j) + (rndQ.nextFloat() - 0.5f) * 0.2f)
+            }
+          } else {
+            spark.range(nDocsQ.toLong, nDocsQ.toLong + nTokQ)
+              .select(geomTokensExpr(geomQ, 1, dQ, noise = 0.0).as("t"))
+              .collect()
+              .map(_.getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("t")
+                .head.toArray)
+          }
+        val flatQ = new Array[Float](nTokQ * dQ)
+        toksQ.zipWithIndex.foreach { case (v, i) =>
+          System.arraycopy(v, 0, flatQ, i * dQ, dQ) }
+        // full-scan baseline (the production path) — timed BEFORE any
+        // group-clustering call touches the shared static kernel: the r15
+        // first cut ran it after 4 small-k Lloyd's rounds, whose profile
+        // poisoned the JIT'd kernel and deflated the baseline ~9x (112
+        // tok/s here vs 1.0 ktok/s for the IDENTICAL call in add_phase),
+        // turning a 0.4-0.6x pruned SLOWDOWN into a phantom 4-5x win
+        cqQ.assignBlock(java.util.Arrays.copyOf(flatQ, 64 * dQ), 64) // warmup
+        val tF0 = System.nanoTime()
+        val full = cqQ.assignBlock(flatQ, nTokQ)
+        val sFull = (System.nanoTime() - tF0) / 1e9
         // group the centroid matrix itself: strided seeds + 4 Lloyd's rounds
         var means = Array.tabulate(G)(g => cents((g.toLong * kQ / G).toInt).clone())
         var groupOf: Array[Int] = null
@@ -949,20 +1019,6 @@ object ProfMain {
           }.max
         }
         val mq = new graft.quantizers.CoarseQuantizer(nonEmpty.map(means))
-        // tokens shaped like real ingest: a trained centroid + 10% jitter
-        val rndQ = new scala.util.Random(13)
-        val toksQ = Array.fill(nTokQ) {
-          val base = cents(rndQ.nextInt(kQ))
-          Array.tabulate(dQ)(j => base(j) + (rndQ.nextFloat() - 0.5f) * 0.2f)
-        }
-        val flatQ = new Array[Float](nTokQ * dQ)
-        toksQ.zipWithIndex.foreach { case (v, i) =>
-          System.arraycopy(v, 0, flatQ, i * dQ, dQ) }
-        // full-scan baseline (the production path)
-        cqQ.assignBlock(java.util.Arrays.copyOf(flatQ, 64 * dQ), 64) // warmup
-        val tF0 = System.nanoTime()
-        val full = cqQ.assignBlock(flatQ, nTokQ)
-        val sFull = (System.nanoTime() - tF0) / 1e9
         // pruned scan
         var scannedTotal = 0L; var mismatches = 0
         val tP0 = System.nanoTime()
@@ -1005,6 +1061,144 @@ object ProfMain {
           f"speedup ${sFull / sPruned}%5.2f x  scanned " +
           f"${scannedTotal * 100.0 / (nTokQ.toLong * kQ)}%5.2f %% of K  " +
           f"mismatches $mismatches")
+
+      case "list_skew" =>
+        // r14 verdict item 2: hot-centroid skew — the 100-TB serving hazard
+        // a Zipf corpus creates that uniform data never could. Reports (a)
+        // the STATIC skew: per-posting-list size distribution from the
+        // footer counts (p50/p90/p99/max, top-list share); (b) the REALIZED
+        // skew: per-stage task-time distribution of a 212-query batch at
+        // the given operating points, captured with a task-end listener —
+        // if one straggler list dominates phase-1, it shows up as a fat
+        // task-time max in the heaviest stages; (c) the byte gates: the
+        // measured broadcastable context relation vs its 1 GiB gate.
+        // args: [nDocs] [K] [codec] [geom] [configs=1x8,4x32] [nsp=256]
+        import graft.query._
+        import spark.implicits._
+        val dimS2 = 128; val tpdS2 = 4
+        val nDocsS2 = args.lift(1).map(_.toInt).getOrElse(10000000)
+        val kS2 = args.lift(2).map(_.toInt).getOrElse(49152)
+        val codecSufS2 = args.lift(3).map(c => s"_${c.toLowerCase}")
+          .filter(_ != "_none").getOrElse("")
+        val geomS2 = args.lift(4).getOrElse("clustered")
+        val configsS2 = args.lift(5).getOrElse("1x8,4x32").split(",")
+          .map { s => val Array(a, b) = s.split("x"); (a.toInt, b.toInt) }.toSeq
+        val nspS2 = args.lift(6).map(_.toInt).getOrElse(256)
+        val pathS2 = s"/root/repo/target/prof_batch_scale_${nDocsS2}_$kS2" +
+          s"$codecSufS2${geomSuffix(geomS2)}"
+        require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(pathS2, "_prof_ready")),
+          s"run batch_scale $nDocsS2 $kS2 <codec> 2 $geomS2 first")
+        val idxS2 = graft.index.IndexIVF.open(spark, pathS2)
+        val fidS2 = idxS2.mapper.id("colbert")
+        // (a) static list-size skew (metadata-only footer counts)
+        val sizesS2 = idxS2.postingsDf
+          .filter(col("tenant") === 1 && col("field") === fidS2)
+          .groupBy("centroid").count()
+          .select(col("count")).as[Long].collect().sorted
+        val totRows = sizesS2.map(BigInt(_)).sum
+        def pctS2(p: Double): Long =
+          sizesS2(math.min(sizesS2.length - 1, (p * sizesS2.length).toInt))
+        val top16 = sizesS2.takeRight(16).map(BigInt(_)).sum
+        println(f"[prof] list_skew static: lists=${sizesS2.length}%d " +
+          f"mean=${totRows.toDouble / sizesS2.length}%.1f p50=${pctS2(0.5)}%d " +
+          f"p90=${pctS2(0.9)}%d p99=${pctS2(0.99)}%d max=${sizesS2.last}%d " +
+          f"(max/mean ${sizesS2.last * sizesS2.length / totRows.toDouble}%.1f x)  " +
+          f"top-16-list row share ${(top16 * 10000 / totRows).toDouble / 100}%.2f %%")
+        // (c) byte gate: measured broadcastable context relation
+        val relBytes = BatchSearcher.contextRelationBytes(idxS2, 1, "colbert")
+        println(f"[prof] list_skew ctx relation ${relBytes / 1048576.0}%.1f MiB " +
+          f"vs broadcast gate ${(1L << 30) / 1048576}%d MiB -> " +
+          (if (relBytes <= (1L << 30)) "broadcast path" else "shuffle fallback"))
+        // (b) realized skew: perturbed geom-matched queries, task listener
+        val qPoolS2 = spark.range(nDocsS2.toLong).select(col("id"),
+          geomTokensExpr(geomS2, tpdS2, dimS2, noise = 0.05).as("colbert"))
+          .filter(col("id") < 212).orderBy("id").collect()
+          .map(_.getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("colbert")
+            .map(_.toArray).toArray)
+        val queriesS2 = qPoolS2.zipWithIndex
+          .map { case (toks, i) => (i.toLong, toks.map(_.toSeq).toSeq) }.toSeq
+          .toDF("query_id", "tokens")
+        val taskQ = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+        val lst = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            taskQ.add((te.stageId, te.taskInfo.duration)); ()
+          }
+        }
+        BatchSearcher.searchBatch(idxS2, 1, "colbert", queriesS2.limit(8), 10,
+          SearchOptions(kTopCentroids = 2, nProbe = 8, numSecondPass = nspS2))
+          .count() // codegen warmup before any listener attaches
+        spark.sparkContext.addSparkListener(lst)
+        try configsS2.foreach { case (kt, np) =>
+          taskQ.clear()
+          val opts = SearchOptions(kTopCentroids = kt, nProbe = np,
+            numSecondPass = nspS2)
+          val t0 = System.nanoTime()
+          BatchSearcher.searchBatch(idxS2, 1, "colbert", queriesS2, 10, opts)
+            .count()
+          val wallMs = (System.nanoTime() - t0) / 1e6
+          Thread.sleep(2000) // listener bus is async — let task events drain
+          import scala.jdk.CollectionConverters._
+          val byStage = taskQ.asScala.toVector.groupBy(_._1)
+            .map { case (st, ts) => (st, ts.map(_._2).sorted) }
+          val all = taskQ.asScala.toVector.map(_._2).sorted
+          def p(v: Vector[Long], q: Double): Long =
+            if (v.isEmpty) 0L else v(math.min(v.length - 1, (q * v.length).toInt))
+          println(f"[prof] list_skew ($kt%dx$np%d) wall ${wallMs / 1000}%.2f s " +
+            f"ms/q ${wallMs / 212}%.1f  tasks=${all.length}%d " +
+            f"task-ms p50=${p(all, 0.5)}%d p99=${p(all, 0.99)}%d max=${all.maxOption.getOrElse(0L)}%d")
+          byStage.toSeq.sortBy(-_._2.sum).take(4).foreach { case (st, ts) =>
+            println(f"[prof]   stage $st%-5d tasks=${ts.length}%-4d " +
+              f"total ${ts.sum / 1000.0}%8.2f s  p50=${p(ts, 0.5)}%-6d " +
+              f"p99=${p(ts, 0.99)}%-6d max=${ts.max}%-6d " +
+              f"(max/p50 ${ts.max.toDouble / math.max(1, p(ts, 0.5))}%.1f x)")
+          }
+        } finally spark.sparkContext.removeSparkListener(lst)
+
+      case "dsir_sens" =>
+        // r14 verdict stretch item 8: what do the DSIR knobs buy? Runs the
+        // production arm (dsirSampleGumbel) on this sf's documents table
+        // under B in {64, 256, 1024} x n-gram order in {uni+bi, uni} and
+        // reports each configuration's selection overlap with the default
+        // (B=64, uni+bi) plus the Jaccard between adjacent B settings — the
+        // operator-facing sensitivity receipt. The oracle twin
+        // (q_dsir_select) stays pinned at the defaults and is untouched by
+        // the session knobs. args: [k=500]
+        val kSel = args.lift(1).map(_.toInt).getOrElse(500)
+        val dS3 = graft.queries.Tables.t(spark, dir, "documents")
+        def selected(b: Int, order: Int): Set[Long] = {
+          spark.conf.set("graft.text.dsirBuckets", b.toString)
+          spark.conf.set("graft.text.dsirNgram", order.toString)
+          try graft.queries.TextPipeline
+            .dsirSampleGumbel(dS3, col("lang") === "en", kSel, "sens")
+            .select("doc_id").collect().map(_.getLong(0)).toSet
+          finally {
+            spark.conf.unset("graft.text.dsirBuckets")
+            spark.conf.unset("graft.text.dsirNgram")
+          }
+        }
+        def jac(a: Set[Long], bb: Set[Long]): Double =
+          (a intersect bb).size.toDouble / (a union bb).size
+        val configs3 = for {
+          order <- Seq(2, 1); b <- Seq(64, 256, 1024)
+        } yield (b, order)
+        val sels = configs3.map { case (b, o) =>
+          val t0 = System.nanoTime()
+          val s0 = selected(b, o)
+          ((b, o), s0, (System.nanoTime() - t0) / 1e9)
+        }
+        val base = sels.head._2
+        sels.foreach { case ((b, o), s0, secs) =>
+          println(f"[prof] dsir_sens B=$b%-5d order=${if (o == 2) "uni+bi" else "uni"}%-6s " +
+            f"k=$kSel%-5d ${secs}%6.2f s  overlap vs default ${jac(base, s0)}%.4f")
+        }
+        Seq((64, 256), (256, 1024)).foreach { case (b1, b2) =>
+          val s1 = sels.find(_._1 == ((b1, 2))).get._2
+          val s2 = sels.find(_._1 == ((b2, 2))).get._2
+          println(f"[prof] dsir_sens adjacent-B overlap $b1%d->$b2%d (uni+bi): " +
+            f"${jac(s1, s2)}%.4f")
+        }
 
       case "dsir_scale" =>
         // 100-TB-shape receipt for the DSIR selection core: run the

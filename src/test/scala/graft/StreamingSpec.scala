@@ -391,6 +391,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(!streamFlags.exists(_ >= 5000L), "clean docs must pass")
   }
 
+  test("streaming CHUNKED guard flags a SUPERSET of the batch chunked " +
+      "screen when an incoming CHUNK band bucket is hot, and the admitted " +
+      "set is the exact unflagged complement") {
+    import spark.implicits._
+    import graft.queries.TextPipeline
+    // bench doc 0 is a 64-token eval question (one full chunk window).
+    // Incoming: BucketCap+2 pages, each quoting it VERBATIM at token offset
+    // 48 inside DISTINCT filler — so chunk 1 of every page is the identical
+    // quote (its band buckets go hot on the incoming CHUNK side) while the
+    // whole-doc signatures all differ (no whole-doc bucket is hot). Plus
+    // clean docs that match nothing.
+    val cap = TextPipeline.BucketCap
+    val stride = TextPipeline.ChunkStride // 48
+    val win = TextPipeline.ChunkTokens // 64
+    val quote = (0 until win).map(i => s"q$i")
+    val mkPage = (seed: Int) =>
+      ((0 until stride).map(i => s"f${seed}_$i") ++ quote ++
+        (0 until 32).map(i => s"g${seed}_$i")).mkString(" ")
+    val bench = Seq((0L, quote.mkString(" "))).toDF("doc_id", "text")
+    val pages = (0 until cap + 2).map(i => (1000L + i, mkPage(i)))
+    val clean = (0 until 3).map(i => (5000L + i, (0 until 70)
+      .map(j => s"z${i}_$j").mkString(" ")))
+    val incoming = (pages ++ clean).toDF("doc_id", "text")
+    // precondition: a CHUNK band bucket is hot on the incoming side
+    assert(maxIncomingBucket(
+      TextPipeline.chunkedDocs(incoming, TextPipeline.ChunkIdScale)) > cap,
+      "fixture must make an incoming chunk band bucket hot")
+
+    // the batch chunked screen caps BOTH join sides, so the hot incoming
+    // chunk bucket's band rows are dropped and the quoting pages lose their
+    // only candidates — batch misses them all
+    val batchFlags = TextPipeline.bestMatchPerParent(
+      TextPipeline.crossCorpusNearDups(spark,
+        TextPipeline.chunkedDocs(incoming, TextPipeline.ChunkIdScale),
+        TextPipeline.chunkedDocs(bench, TextPipeline.ChunkIdScale)),
+      TextPipeline.ChunkIdScale)
+      .select("in_id").collect().map(_.getLong(0)).toSet
+    assert(!batchFlags.exists(id => id >= 1000L && id < 5000L),
+      s"expected batch to miss the hot-chunk-bucket pages, flagged: $batchFlags")
+
+    val dir = java.nio.file.Files.createTempDirectory("chunk_hot_stream").toString
+    incoming.repartition(2).write.mode("overwrite").parquet(dir)
+    def stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val qn = s"chunk_hot_${System.nanoTime()}"
+    val q = StreamingIngest.chunkedFuzzyDeconMatches(stream, "text", bench)
+      .writeStream.outputMode("append").format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamFlags = spark.table(qn).select("in_id").collect()
+      .map(_.getLong(0)).toSet
+
+    // superset: every batch verdict is also a stream verdict, and the
+    // stream additionally flags every quoting page (jaccard 1.0 on the
+    // quote chunk) — exactly the docs the batch incoming-side cap dropped
+    assert(batchFlags.subsetOf(streamFlags),
+      s"stream must flag at least what batch flags: missing=${batchFlags -- streamFlags}")
+    assert(pages.map(_._1).toSet.subsetOf(streamFlags),
+      "stream must flag the hot-chunk-bucket pages the batch cap dropped")
+    assert(!streamFlags.exists(_ >= 5000L), "clean docs must pass")
+
+    // admitted = the exact unflagged complement of the stream's flag set
+    val qn2 = s"chunk_hot_clean_${System.nanoTime()}"
+    val q2 = StreamingIngest.chunkedFuzzyDecontaminatedStream(stream, "text", bench)
+      .writeStream.outputMode("append").format("memory").queryName(qn2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val admitted = spark.table(qn2).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(admitted == (pages.map(_._1) ++ clean.map(_._1)).toSet -- streamFlags,
+      s"admitted must be the exact unflagged complement: $admitted")
+  }
+
   test("session windows run identically in batch and as a stream") {
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
     // batch ground truth from the SAME function (watermark is a no-op there)

@@ -125,6 +125,28 @@ class TopKByScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate offers with CONFLICTING scores keep the first seen — the " +
+      "documented caller contract (emit one pre-aggregated score per doc)") {
+    // not a behavior callers may rely on: it pins the failure mode so a
+    // future call site feeding un-aggregated rows fails loudly in review.
+    // First-wins in BOTH orders — the kept score is arrival-order-dependent,
+    // which is exactly why the class header demands pre-aggregation.
+    val h1 = new TopKHeap(4)
+    h1.insert(7L, 5.0); h1.insert(7L, 9.0)
+    assert(h1.size == 1 && h1.ids(0) == 7L && h1.scores(0) == 5.0,
+      "low-then-high must keep the first (lower) score")
+    val h2 = new TopKHeap(4)
+    h2.insert(7L, 9.0); h2.insert(7L, 5.0)
+    assert(h2.size == 1 && h2.ids(0) == 7L && h2.scores(0) == 9.0,
+      "high-then-low must keep the first (higher) score")
+    // below-threshold duplicate of a kept doc on a FULL heap is a plain
+    // drop (threshold check fires before the membership probe)
+    val h3 = new TopKHeap(2)
+    h3.insert(1L, 10.0); h3.insert(2L, 8.0); h3.insert(1L, 1.0)
+    val kept = (0 until h3.size).map(i => (h3.ids(i), h3.scores(i))).sortBy(-_._2)
+    assert(kept == Seq((1L, 10.0), (2L, 8.0)))
+  }
+
   test("groups smaller than k return all their distinct docs") {
     import spark.implicits._
     val df = Seq((1L, 2L, 0.5), (1L, 2L, 0.5), (1L, 3L, 0.1)).toDF("query_id", "doc_id", "score")
