@@ -693,6 +693,16 @@ final class IndexIVF private (
       val fid = mapper.id(f.name)
       val bc = spark.sparkContext.broadcast(coarse(f.name))
       val bq = spark.sparkContext.broadcast(quantizers(f.name))
+      // opt-in approximate assignment (see [[IndexIVF.AddAssignProbesKey]]):
+      // the grouped plan is built once per add() on the driver (seeded
+      // lloyd over the K centroids, O(K·sqrt(K)·dim) — seconds at any K)
+      // and broadcast; 0/unset = the exact exhaustive scan
+      val assignProbes =
+        spark.conf.get(IndexIVF.AddAssignProbesKey, "0").toInt
+      val bcPlan =
+        if (assignProbes <= 0) None
+        else Some(spark.sparkContext.broadcast(CoarseQuantizer.TwoLevelPlan
+          .buildIp(coarse(f.name).centroids, assignProbes, seed = 42L)))
 
       if (f.needsContext) {
         // ONE narrow map per doc: the input row already holds the doc's
@@ -719,7 +729,10 @@ final class IndexIVF private (
             while (j < d) { flat(i * d + j) = t(j); j += 1 }
             i += 1
           }
-          val assigned = cq.assignBlock(flat, n)
+          val assigned = bcPlan match {
+            case Some(pb) => pb.value.decideFlat(flat, n)
+            case None => cq.assignBlock(flat, n)
+          }
           val codes = new Array[Long](n)
           val residuals = new java.io.ByteArrayOutputStream(n * q.codeSize)
           i = 0
@@ -790,7 +803,10 @@ final class IndexIVF private (
             while (j < d) { flat(i * d + j) = t(j); j += 1 }
             i += 1
           }
-          cq.assignBlock(flat, n).toSeq.map(_.toLong)
+          (bcPlan match {
+            case Some(pb) => pb.value.decideFlat(flat, n)
+            case None => cq.assignBlock(flat, n)
+          }).toSeq.map(_.toLong)
         }
         writes += ("postings" -> (() => writePostings(
           docs.filter(col(f.name).isNotNull)
@@ -1587,6 +1603,22 @@ object IndexIVF {
     * aligned (16M rows x 32 B == the 4-split default byte budget, per the
     * [[SmallAddMaxRowsKey]] calibration note). */
   private[graft] val SmallAddPostingRowBytes = 32L
+
+  /** Opt-in APPROXIMATE add()-time centroid assignment: > 0 routes the
+    * encode pass through a two-level grouped scan
+    * ([[graft.quantizers.CoarseQuantizer.TwoLevelPlan.buildIp]] — argmax-IP
+    * over the top-`probes` of ~sqrt(K) centroid groups, exact IP inside
+    * them) instead of the exhaustive argmax, cutting the O(tokens·K·dim)
+    * ingest term ~K/(2·sqrt(K)·probes)-fold. DEFAULT 0 = exact: the
+    * reference assigns exhaustively (CoarseQuantizer.cpp:108-110) and
+    * `q_ivf_assign` + every engine `_oracle` lifecycle pin exact argmax, so
+    * approximation is strictly opt-in. A token assigned to a non-argmax
+    * centroid lands in a different posting list (search may need more
+    * probes to find it — quality frontier measured in COVERAGE.md round
+    * 15) and its residual is encoded against the centroid it was assigned
+    * to, so phase-2 decode stays self-consistent. Deterministic for a
+    * fixed (model, probes). */
+  private[graft] val AddAssignProbesKey = "spark.graft.add.assignProbes"
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[IndexIVF])
 

@@ -244,34 +244,65 @@ object CoarseQuantizer {
     })
   }
 
-  /** Broadcast-able two-level assignment plan: augmented group-center
-    * scorer, per-group augmented member scorers, and the members' global
-    * centroid ids. Built once per Lloyd iteration on the driver (group
+  /** Broadcast-able two-level assignment plan: group-center scorer,
+    * per-group member scorers, and the members' global centroid ids. Built
+    * once per Lloyd iteration (or per add() batch) on the driver (group
     * clustering is [[lloyd]] over the K centroids — O(K·G·dim), seconds);
     * the CoarseQuantizers' transposed kernels are @transient-lazy, so each
-    * executor materializes them once per broadcast. */
+    * executor materializes them once per broadcast.
+    *
+    * Two metrics share the plan shape: `augmented = true` (the TRAIN path)
+    * scores argmin-L2 through the trailing -‖c‖²/2 bias column;
+    * `augmented = false` ([[TwoLevelPlan.buildIp]], the opt-in add() path)
+    * scores raw inner product — the metric production assignment uses
+    * (CoarseQuantizer.cpp:108-110), so with probes >= numGroups the
+    * decision is bit-identical to [[CoarseQuantizer.assignBlock]] (every
+    * centroid scored by the same kernel accumulation order, ties to the
+    * lower global id — pinned by TwoLevelAssignSpec). */
   private[graft] final case class TwoLevelPlan(
       groupQ: CoarseQuantizer,
       memberQ: Array[CoarseQuantizer],
       memberIds: Array[Array[Int]],
       dim: Int,
-      probes: Int) extends Serializable with ChunkDecider {
+      probes: Int,
+      augmented: Boolean = true) extends Serializable with ChunkDecider {
 
     def decideChunk(points: Array[Array[Float]]): Array[Int] = {
       val m = points.length
       if (m == 0) return Array.emptyIntArray
       val d = dim
-      val da = d + 1
-      val g = memberIds.length
-      val flatAug = new Array[Float](m * da)
+      val flat = new Array[Float](m * d)
       var p = 0
       while (p < m) {
         val v = points(p)
         require(v.length == d, s"point has dim ${v.length}, expected $d")
-        System.arraycopy(v, 0, flatAug, p * da, d)
-        flatAug(p * da + d) = 1f
+        System.arraycopy(v, 0, flat, p * d, d)
         p += 1
       }
+      decideFlat(flat, m)
+    }
+
+    /** Decide assignments for a flattened row-major (n x dim) block — the
+      * add() encode path's native shape (no per-point array wrapping). */
+    def decideFlat(flat: Array[Float], m: Int): Array[Int] = {
+      if (m == 0) return Array.emptyIntArray
+      val d = dim
+      require(flat.length == m * d, s"decideFlat: ${flat.length} floats != $m x $d")
+      val da = if (augmented) d + 1 else d
+      val g = memberIds.length
+      val flatAug =
+        if (!augmented) flat
+        else {
+          val buf = new Array[Float](m * da)
+          var p = 0
+          while (p < m) {
+            System.arraycopy(flat, p * d, buf, p * da, d)
+            buf(p * da + d) = 1f
+            p += 1
+          }
+          buf
+        }
+      var p = 0
       val gScores = groupQ.scoreBlock(flatAug, m)
       // top-`probes` groups per point (skipping member-less groups),
       // deterministic: score desc, group id asc
@@ -360,6 +391,39 @@ object CoarseQuantizer {
         else augmentedQ(ids.map(cents))
       }
       TwoLevelPlan(augmentedQ(centers), memberQ, memberIds, dim, probes)
+    }
+
+    /** Inner-product variant for the opt-in approximate add() assignment
+      * ([[graft.index.IndexIVF]] `spark.graft.add.assignProbes`): groups are
+      * still built GEOMETRICALLY (seeded [[lloyd]] over the centroid matrix
+      * + exact argmin-L2 membership — a partition heuristic, metric-free),
+      * but BOTH scoring levels run the raw IP kernel, the metric production
+      * assignment uses (reference CoarseQuantizer.cpp:108-110), so the
+      * probed decision approximates argmax-IP, not argmin-L2. With
+      * probes >= numGroups every centroid is scored by the same kernel
+      * accumulation order as [[CoarseQuantizer.assignBlock]] and ties break
+      * to the lower global id — bit-identical to the exact scan
+      * (TwoLevelAssignSpec). */
+    def buildIp(cents: Array[Array[Float]], probes: Int,
+        seed: Long): TwoLevelPlan = {
+      val k = cents.length
+      val dim = cents(0).length
+      // min(k, ·): small-K callers (specs, tiny indexes) must not ask
+      // lloyd for more clusters than points
+      val g = math.min(k,
+        math.max(probes * 2, math.ceil(math.sqrt(k.toDouble)).toInt))
+      val centers = lloyd(cents, g, iters = 3, seed)
+      val grp = new ExactL2Assigner(centers).decideChunk(cents)
+      val members = Array.fill(g)(new scala.collection.mutable.ArrayBuffer[Int])
+      var c = 0
+      while (c < k) { members(grp(c)) += c; c += 1 }
+      val memberIds = members.map(_.toArray)
+      val memberQ = memberIds.map { ids =>
+        if (ids.isEmpty) null
+        else new CoarseQuantizer(ids.map(cents))
+      }
+      TwoLevelPlan(new CoarseQuantizer(centers), memberQ, memberIds, dim,
+        probes, augmented = false)
     }
   }
 

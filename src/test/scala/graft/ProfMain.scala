@@ -1062,6 +1062,151 @@ object ProfMain {
           f"${scannedTotal * 100.0 / (nTokQ.toLong * kQ)}%5.2f %% of K  " +
           f"mismatches $mismatches")
 
+      case "assign_twolevel" =>
+        // r14 verdict item 4 (kernel leg): the APPROXIMATE two-level
+        // assignment now wired into add() behind spark.graft.add.
+        // assignProbes. Times the exact full-scan baseline FIRST (the
+        // assign_pruned JIT-poisoning lesson: small-k lloyd rounds through
+        // the shared static kernel deflate a later big-K baseline ~9x),
+        // then per probes setting: plan build wall, single-thread decide
+        // throughput, speedup, and agreement % with the exact argmax —
+        // the quality leg (success@5 on a full build) is assign_study.
+        // args: [nDocs] [K] [codec] [nTokens] [geom] [probesList=2,4,8,16]
+        val nDocsT = args.lift(1).map(_.toInt).getOrElse(10000000)
+        val kT = args.lift(2).map(_.toInt).getOrElse(49152)
+        val codecT = args.lift(3).map(c => s"_${c.toLowerCase}")
+          .filter(_ != "_none").getOrElse("")
+        val nTokT = args.lift(4).map(_.toInt).getOrElse(20000)
+        val geomT = args.lift(5).getOrElse("clustered")
+        val probesT = args.lift(6).getOrElse("2,4,8,16").split(",")
+          .map(_.toInt).toSeq
+        val pathT =
+          s"/root/repo/target/prof_batch_scale_${nDocsT}_$kT$codecT${geomSuffix(geomT)}"
+        require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(pathT, "_prof_ready")),
+          s"run batch_scale $nDocsT $kT first to build the index")
+        val cqT = graft.index.IndexIVF.open(spark, pathT).coarse("colbert")
+        val dT = cqT.dim
+        // incoming-ingest-shaped tokens: fresh ids beyond the built corpus
+        // from the same planted distribution (the assign_pruned recipe)
+        val flatT = {
+          val toks = spark.range(nDocsT.toLong, nDocsT.toLong + nTokT)
+            .select(geomTokensExpr(geomT, 1, dT, noise = 0.0).as("t"))
+            .collect()
+            .map(_.getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("t")
+              .head.toArray)
+          val f = new Array[Float](nTokT * dT)
+          toks.zipWithIndex.foreach { case (v, i) =>
+            System.arraycopy(v, 0, f, i * dT, dT) }
+          f
+        }
+        cqT.assignBlock(java.util.Arrays.copyOf(flatT, 64 * dT), 64) // warmup
+        val tE0 = System.nanoTime()
+        val exactT = cqT.assignBlock(flatT, nTokT)
+        val sExact = (System.nanoTime() - tE0) / 1e9
+        println(f"[prof] assign_twolevel K=$kT exact ${nTokT / sExact}%9.1f tok/s " +
+          f"(${sExact}%6.2f s for $nTokT)")
+        probesT.foreach { p =>
+          val tB0 = System.nanoTime()
+          val plan = graft.quantizers.CoarseQuantizer.TwoLevelPlan
+            .buildIp(cqT.centroids, p, seed = 42L)
+          val sBuild = (System.nanoTime() - tB0) / 1e9
+          plan.decideFlat(java.util.Arrays.copyOf(flatT, 64 * dT), 64) // warmup
+          val tP0 = System.nanoTime()
+          val got = plan.decideFlat(flatT, nTokT)
+          val sP = (System.nanoTime() - tP0) / 1e9
+          val agree = got.indices.count(i => got(i) == exactT(i))
+          println(f"[prof] assign_twolevel probes=$p%-3d G=${plan.memberIds.length}%-5d " +
+            f"plan ${sBuild}%6.2f s  ${nTokT / sP}%9.1f tok/s  " +
+            f"speedup ${sExact / sP}%5.2f x  agree ${agree * 100.0 / nTokT}%6.2f %%")
+        }
+
+      case "assign_study" =>
+        // r14 verdict item 4 (full-build leg): ingest-wall vs success@5
+        // frontier for the approximate add() assignment. Requires the base
+        // EXACT index (batch_scale build); per probes arm: copyTrained ->
+        // add() under the knob (wall timed) -> the batch_frontier quality
+        // eval (perturbed self-retrieval qrels) at (1x8) x each nsp. The
+        // base index runs the same eval as the exact row of the table.
+        // args: [nDocs] [K] [codec] [iters=2] [geom] [probesList=8]
+        // [nspList=256,1024]
+        import graft.query._
+        import spark.implicits._
+        val dimY = 128; val tpdY = 4
+        val nDocsY = args.lift(1).map(_.toInt).getOrElse(10000000)
+        val kY = args.lift(2).map(_.toInt).getOrElse(49152)
+        val codecY = args.lift(3).map(c => s"_${c.toLowerCase}")
+          .filter(_ != "_none").getOrElse("")
+        val itersY = args.lift(4).map(_.toInt).getOrElse(2)
+        val geomY = args.lift(5).getOrElse("clustered")
+        val probesY = args.lift(6).getOrElse("8").split(",").map(_.toInt).toSeq
+        val nspY = args.lift(7).getOrElse("256,1024").split(",").map(_.toInt).toSeq
+        val iterSuffixY = if (itersY == 2) "" else s"_it$itersY"
+        val basePathY = s"/root/repo/target/prof_batch_scale_${nDocsY}_$kY" +
+          s"$codecY$iterSuffixY${geomSuffix(geomY)}"
+        require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(basePathY, "_prof_ready")),
+          s"run batch_scale $nDocsY $kY ... $geomY first to build the base index")
+        val baseY = graft.index.IndexIVF.open(spark, basePathY)
+        val docsY = spark.range(nDocsY.toLong).select(col("id"),
+          geomTokensExpr(geomY, tpdY, dimY, noise = 0.0).as("colbert"),
+          pmod(col("id") * 31L, lit(5000)).as("n_chars"))
+        // one arm per probes setting, reusing a completed arm across runs
+        val arms: Seq[(String, String)] = ("exact", basePathY) +: probesY.map { p =>
+          val pathP = s"${basePathY}_asg$p"
+          val marker = java.nio.file.Paths.get(pathP, "_prof_ready")
+          if (!java.nio.file.Files.exists(marker)) {
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(pathP))) {
+              println(s"[prof] wiping partial arm at $pathP")
+              val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(pathP))
+              try {
+                import scala.jdk.CollectionConverters._
+                walk.iterator().asScala.toVector.reverse
+                  .foreach(java.nio.file.Files.delete)
+              } finally walk.close()
+            }
+            val ix = graft.index.IndexIVF.copyTrained(baseY, pathP)
+            spark.conf.set("spark.graft.add.assignProbes", p.toString)
+            try time(s"add $nDocsY docs probes=$p") { ix.add(1, docsY) }
+            finally spark.conf.unset("spark.graft.add.assignProbes")
+            java.nio.file.Files.createFile(marker)
+          } else println(s"[prof] reusing arm at $pathP")
+          (s"probes=$p", pathP)
+        }
+        // perturbed self-retrieval qrels — the batch_frontier recipe
+        val qPoolY = spark.range(nDocsY.toLong).select(col("id"),
+          geomTokensExpr(geomY, tpdY, dimY, noise = 0.05).as("colbert"))
+          .filter(col("id") < 212).orderBy("id").collect()
+          .map(_.getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("colbert")
+            .map(_.toArray).toArray)
+        val queriesY = qPoolY.zipWithIndex
+          .map { case (toks, i) => (i.toLong, toks.map(_.toSeq).toSeq) }.toSeq
+          .toDF("query_id", "tokens")
+        arms.foreach { case (label, path) =>
+          val idxA = graft.index.IndexIVF.open(spark, path)
+          BatchSearcher.searchBatch(idxA, 1, "colbert", queriesY.limit(8), 10,
+            SearchOptions(kTopCentroids = 1, nProbe = 8, numSecondPass = 64))
+            .count() // codegen warmup per index
+          nspY.foreach { nsp =>
+            val optsA = SearchOptions(kTopCentroids = 1, nProbe = 8,
+              numSecondPass = nsp)
+            val times = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              BatchSearcher.searchBatch(idxA, 1, "colbert", queriesY,
+                k = 10, optsA).count()
+              (System.nanoTime() - t0) / 1e6
+            }
+            val hitIds = BatchSearcher.searchBatch(idxA, 1, "colbert",
+              queriesY, k = 5, optsA)
+              .filter(col("query_id") === col("doc_id"))
+              .select("query_id").collect().map(_.getLong(0)).toSet
+            val missed = (0L until 212L).filterNot(hitIds)
+            println(f"[prof] assign_study $label%-10s nsp=$nsp%-5d " +
+              f"ms/q ${times.min / 212}%7.1f  success@5 ${hitIds.size / 212.0}%.4f  " +
+              f"missed=${missed.mkString(",")}")
+          }
+        }
+
       case "list_skew" =>
         // r14 verdict item 2: hot-centroid skew — the 100-TB serving hazard
         // a Zipf corpus creates that uniform data never could. Reports (a)
