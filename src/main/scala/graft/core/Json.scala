@@ -17,27 +17,49 @@ object Json {
     m
   }
 
-  /** Write-temp-then-atomic-rename, never truncate-in-place: several
+  /** Write-temp-fsync-then-atomic-rename, never truncate-in-place: several
     * callers key a crash protocol off ONE file's integrity — the
     * write-ahead journal (`pending.json` is rewritten in place at the
     * train stamped flip) and the snapshot floor — and a plain Files.write
     * is truncate-then-write, so a crash mid-rewrite would leave torn JSON
     * that recovery can only fail loudly on. The temp lives in the target's
-    * own directory so the rename never crosses a filesystem. */
+    * own directory so the rename never crosses a filesystem; its data is
+    * force(true)'d before the move and the directory entry is fsynced
+    * after it (best-effort — not every FS lets a directory be opened), so
+    * the renamed file can't reappear empty after power loss. The temp gets
+    * a unique nanoTime suffix rather than createTempFile (whose forced
+    * rw------- bits would survive the rename and lock out group/other
+    * readers that the umask previously admitted); writers are already
+    * serialized per index by the write lock. */
   def write[T](path: String, value: T): Unit = {
     val p = Paths.get(path)
     val dir = if (p.getParent != null) p.getParent else Paths.get(".")
     Files.createDirectories(dir)
-    val tmp = Files.createTempFile(dir, "." + p.getFileName.toString + ".", ".tmp")
+    val tmp = dir.resolve(
+      "." + p.getFileName.toString + "." + java.lang.Long.toHexString(
+        System.nanoTime()) + ".tmp")
     try {
-      Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
-        .writeValueAsString(value).getBytes(StandardCharsets.UTF_8))
+      val bytes = mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsString(value).getBytes(StandardCharsets.UTF_8)
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(bytes))
+        ch.force(true)
+      } finally ch.close()
       try Files.move(tmp, p,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       catch {
         case _: AtomicMoveNotSupportedException =>
           Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
       }
+      // fsync the directory so the rename itself is durable
+      try {
+        val dch = java.nio.channels.FileChannel.open(dir,
+          java.nio.file.StandardOpenOption.READ)
+        try dch.force(true) finally dch.close()
+      } catch { case _: Exception => () }
     } finally { Files.deleteIfExists(tmp); () }
   }
 

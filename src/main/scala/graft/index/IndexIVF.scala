@@ -72,6 +72,16 @@ final class IndexIVF private (
     * tombstones up to it applied; every mutator refuses. None = writable. */
   private[index] var snapshotEpoch: Option[Long] = None
 
+  /** Per-(field, probes) cache for the opt-in two-level add() assignment
+    * plan ([[IndexIVF.AddAssignProbesKey]]) — valid while the field's
+    * CoarseQuantizer INSTANCE is unchanged (train() installs a fresh
+    * instance, which misses the identity check and rebuilds). Keeps
+    * trickle ingest (foreachBatch -> add per micro-batch) from paying the
+    * O(K·sqrt(K)·dim) driver-side plan build on every call. */
+  @transient private lazy val addPlanCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      (CoarseQuantizer, CoarseQuantizer.TwoLevelPlan)]()
+
   /** The snapshot ceiling of this handle, if it is one. */
   def snapshot: Option[Long] = snapshotEpoch
 
@@ -694,15 +704,29 @@ final class IndexIVF private (
       val bc = spark.sparkContext.broadcast(coarse(f.name))
       val bq = spark.sparkContext.broadcast(quantizers(f.name))
       // opt-in approximate assignment (see [[IndexIVF.AddAssignProbesKey]]):
-      // the grouped plan is built once per add() on the driver (seeded
-      // lloyd over the K centroids, O(K·sqrt(K)·dim) — seconds at any K)
-      // and broadcast; 0/unset = the exact exhaustive scan
+      // the grouped plan is built on the driver (seeded lloyd over the K
+      // centroids, O(K·sqrt(K)·dim) — seconds at any K), cached per
+      // (field, probes) while the model instance is unchanged so trickle
+      // ingest doesn't pay it per micro-batch, and broadcast per add();
+      // 0/unset = the exact exhaustive scan
       val assignProbes =
         spark.conf.get(IndexIVF.AddAssignProbesKey, "0").toInt
       val bcPlan =
         if (assignProbes <= 0) None
-        else Some(spark.sparkContext.broadcast(CoarseQuantizer.TwoLevelPlan
-          .buildIp(coarse(f.name).centroids, assignProbes, seed = 42L)))
+        else {
+          val cq0 = coarse(f.name)
+          val key = (f.name, assignProbes)
+          val cached = addPlanCache.get(key)
+          val plan =
+            if (cached != null && (cached._1 eq cq0)) cached._2
+            else {
+              val built = CoarseQuantizer.TwoLevelPlan
+                .buildIp(cq0.centroids, assignProbes, seed = 42L)
+              addPlanCache.put(key, (cq0, built))
+              built
+            }
+          Some(spark.sparkContext.broadcast(plan))
+        }
 
       if (f.needsContext) {
         // ONE narrow map per doc: the input row already holds the doc's
@@ -1891,6 +1915,11 @@ object IndexIVF {
     require(!Json.exists(s"$path/_meta/pending.json"),
       s"index at $path has a torn write pending recovery; IndexIVF.open() " +
         "a writable handle first, then snapshot")
+    // out-of-range BEFORE the floor check: a negative epoch must get the
+    // range diagnostic, not a "remove()/compact() rewrote history" blame
+    // for maintenance that never ran (the upper bound still needs load()'s
+    // currentEpoch and stays below)
+    require(epoch >= 0, s"snapshot epoch $epoch out of range [0, ...]")
     // floor FIRST (r14 ADVICE): a below-floor epoch is doomed regardless of
     // model resolution, and for an epoch whose older stamps the history
     // vacuum already deleted, load()'s rows-at-or-before guard would

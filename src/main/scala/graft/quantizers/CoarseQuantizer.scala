@@ -307,7 +307,6 @@ object CoarseQuantizer {
       // top-`probes` groups per point (skipping member-less groups),
       // deterministic: score desc, group id asc
       val nProbe = math.min(probes, g)
-      val probed = new Array[Int](m * nProbe)
       val buckets = Array.fill(g)(new scala.collection.mutable.ArrayBuffer[Int])
       p = 0
       while (p < m) {
@@ -327,7 +326,6 @@ object CoarseQuantizer {
           if (best < 0) taken = nProbe // no more non-empty groups
           else {
             used(best) = true
-            probed(p * nProbe + taken) = best
             buckets(best) += p
             taken += 1
           }
@@ -369,16 +367,32 @@ object CoarseQuantizer {
         }
         grp += 1
       }
+      // all-NaN scores probe no group (NaN > x is false), leaving the
+      // Int.MaxValue initializer — fall back to centroid 0, the id the
+      // exact scan's `best = 0` initializer yields for the same input
+      p = 0
+      while (p < m) {
+        if (bestId(p) == Int.MaxValue) bestId(p) = 0
+        p += 1
+      }
       bestId
     }
   }
 
   private[graft] object TwoLevelPlan {
-    def build(cents: Array[Array[Float]], probes: Int,
-        seed: Long): TwoLevelPlan = {
+    /** One builder for both metrics: groups are built GEOMETRICALLY
+      * (seeded [[lloyd]] over the centroid matrix + exact argmin-L2
+      * membership — a partition heuristic, metric-free); `augmented`
+      * selects how the plan SCORES (trailing-bias argmin-L2 for the train
+      * path, raw IP for the add() path). min(k, ·) keeps small-K callers
+      * (specs, tiny indexes) from asking lloyd for more clusters than
+      * points. */
+    private def buildWith(cents: Array[Array[Float]], probes: Int,
+        seed: Long, augmented: Boolean): TwoLevelPlan = {
       val k = cents.length
       val dim = cents(0).length
-      val g = math.max(probes * 2, math.ceil(math.sqrt(k.toDouble)).toInt)
+      val g = math.min(k,
+        math.max(probes * 2, math.ceil(math.sqrt(k.toDouble)).toInt))
       val centers = lloyd(cents, g, iters = 3, seed)
       // exact membership of each centroid in its nearest group
       val grp = new ExactL2Assigner(centers).decideChunk(cents)
@@ -386,18 +400,21 @@ object CoarseQuantizer {
       var c = 0
       while (c < k) { members(grp(c)) += c; c += 1 }
       val memberIds = members.map(_.toArray)
+      def q(cs: Array[Array[Float]]): CoarseQuantizer =
+        if (augmented) augmentedQ(cs) else new CoarseQuantizer(cs)
       val memberQ = memberIds.map { ids =>
-        if (ids.isEmpty) null
-        else augmentedQ(ids.map(cents))
+        if (ids.isEmpty) null else q(ids.map(cents))
       }
-      TwoLevelPlan(augmentedQ(centers), memberQ, memberIds, dim, probes)
+      TwoLevelPlan(q(centers), memberQ, memberIds, dim, probes, augmented)
     }
 
+    def build(cents: Array[Array[Float]], probes: Int,
+        seed: Long): TwoLevelPlan =
+      buildWith(cents, probes, seed, augmented = true)
+
     /** Inner-product variant for the opt-in approximate add() assignment
-      * ([[graft.index.IndexIVF]] `spark.graft.add.assignProbes`): groups are
-      * still built GEOMETRICALLY (seeded [[lloyd]] over the centroid matrix
-      * + exact argmin-L2 membership — a partition heuristic, metric-free),
-      * but BOTH scoring levels run the raw IP kernel, the metric production
+      * ([[graft.index.IndexIVF]] `spark.graft.add.assignProbes`): BOTH
+      * scoring levels run the raw IP kernel, the metric production
       * assignment uses (reference CoarseQuantizer.cpp:108-110), so the
       * probed decision approximates argmax-IP, not argmin-L2. With
       * probes >= numGroups every centroid is scored by the same kernel
@@ -405,26 +422,8 @@ object CoarseQuantizer {
       * to the lower global id — bit-identical to the exact scan
       * (TwoLevelAssignSpec). */
     def buildIp(cents: Array[Array[Float]], probes: Int,
-        seed: Long): TwoLevelPlan = {
-      val k = cents.length
-      val dim = cents(0).length
-      // min(k, ·): small-K callers (specs, tiny indexes) must not ask
-      // lloyd for more clusters than points
-      val g = math.min(k,
-        math.max(probes * 2, math.ceil(math.sqrt(k.toDouble)).toInt))
-      val centers = lloyd(cents, g, iters = 3, seed)
-      val grp = new ExactL2Assigner(centers).decideChunk(cents)
-      val members = Array.fill(g)(new scala.collection.mutable.ArrayBuffer[Int])
-      var c = 0
-      while (c < k) { members(grp(c)) += c; c += 1 }
-      val memberIds = members.map(_.toArray)
-      val memberQ = memberIds.map { ids =>
-        if (ids.isEmpty) null
-        else new CoarseQuantizer(ids.map(cents))
-      }
-      TwoLevelPlan(new CoarseQuantizer(centers), memberQ, memberIds, dim,
-        probes, augmented = false)
-    }
+        seed: Long): TwoLevelPlan =
+      buildWith(cents, probes, seed, augmented = false)
   }
 
   /** Train k-means over a DataFrame with a `vec: array<float>` column of

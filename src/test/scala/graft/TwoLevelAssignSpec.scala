@@ -86,6 +86,23 @@ class TwoLevelAssignSpec extends AnyFunSuite {
       s"agreement $agree/$n below 98% on well-separated clusters")
   }
 
+  test("all-NaN token falls back to centroid 0, matching the exact scan") {
+    val dim0 = 8
+    val cents = mkCents(16, dim0, 5)
+    val cq = new CoarseQuantizer(cents)
+    val plan = CoarseQuantizer.TwoLevelPlan.buildIp(cents, probes = 1, seed = 9L)
+    // one NaN token between two normal ones: NaN scores probe no group
+    val rnd = new scala.util.Random(6)
+    val flat = Array.fill(3 * dim0)(rnd.nextFloat())
+    java.util.Arrays.fill(flat, dim0, 2 * dim0, Float.NaN)
+    val two = plan.decideFlat(flat, 3)
+    val exact = new Array[Int](3)
+    cq.assignBlockScalar(flat, 3, exact)
+    assert(two(1) == 0 && exact(1) == 0,
+      "NaN token must assign to centroid 0 on both paths")
+    assert(two.forall(id => id >= 0 && id < cents.length))
+  }
+
   private val dim = 16
   private val corpus: Map[Long, Seq[Seq[Float]]] = {
     val rnd = new scala.util.Random(42)
