@@ -1101,20 +1101,40 @@ object ProfMain {
           f
         }
         cqT.assignBlock(java.util.Arrays.copyOf(flatT, 64 * dT), 64) // warmup
-        val tE0 = System.nanoTime()
-        val exactT = cqT.assignBlock(flatT, nTokT)
-        val sExact = (System.nanoTime() - tE0) / 1e9
-        println(f"[prof] assign_twolevel K=$kT exact ${nTokT / sExact}%9.1f tok/s " +
-          f"(${sExact}%6.2f s for $nTokT)")
+        // 3 reps like add_phase: rep-to-rep variance separates JIT warmup
+        // from genuinely data-dependent throughput; a same-JVM uniform-
+        // random control isolates the token DATA as the variable
+        var exactT: Array[Int] = null
+        var sExact = 0.0
+        (1 to 3).foreach { i =>
+          val tE0 = System.nanoTime()
+          exactT = cqT.assignBlock(flatT, nTokT)
+          sExact = (System.nanoTime() - tE0) / 1e9
+          println(f"[prof] assign_twolevel K=$kT exact #$i ${nTokT / sExact}%9.1f tok/s " +
+            f"(${sExact}%6.2f s for $nTokT)")
+        }
+        val rndC = new scala.util.Random(3)
+        val flatRnd = Array.fill(nTokT * dT)(rndC.nextFloat() * 2f - 1f)
+        val tR0 = System.nanoTime()
+        cqT.assignBlock(flatRnd, nTokT)
+        val sRnd = (System.nanoTime() - tR0) / 1e9
+        println(f"[prof] assign_twolevel K=$kT exact RANDOM-tok control " +
+          f"${nTokT / sRnd}%9.1f tok/s")
         probesT.foreach { p =>
           val tB0 = System.nanoTime()
           val plan = graft.quantizers.CoarseQuantizer.TwoLevelPlan
             .buildIp(cqT.centroids, p, seed = 42L)
           val sBuild = (System.nanoTime() - tB0) / 1e9
           plan.decideFlat(java.util.Arrays.copyOf(flatT, 64 * dT), 64) // warmup
-          val tP0 = System.nanoTime()
-          val got = plan.decideFlat(flatT, nTokT)
-          val sP = (System.nanoTime() - tP0) / 1e9
+          // min-of-2 like the exact baseline's warm reps — the first
+          // full-size Vector-API call can run unintrinsified (see the
+          // exact-rep spread above)
+          var got: Array[Int] = null
+          val sP = (1 to 2).map { _ =>
+            val tP0 = System.nanoTime()
+            got = plan.decideFlat(flatT, nTokT)
+            (System.nanoTime() - tP0) / 1e9
+          }.min
           val agree = got.indices.count(i => got(i) == exactT(i))
           println(f"[prof] assign_twolevel probes=$p%-3d G=${plan.memberIds.length}%-5d " +
             f"plan ${sBuild}%6.2f s  ${nTokT / sP}%9.1f tok/s  " +
