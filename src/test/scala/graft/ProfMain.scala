@@ -1149,7 +1149,7 @@ object ProfMain {
         // eval (perturbed self-retrieval qrels) at (1x8) x each nsp. The
         // base index runs the same eval as the exact row of the table.
         // args: [nDocs] [K] [codec] [iters=2] [geom] [probesList=8]
-        // [nspList=256,1024]
+        // [nspList=256,1024] [configs=1x8]
         import graft.query._
         import spark.implicits._
         val dimY = 128; val tpdY = 4
@@ -1161,6 +1161,11 @@ object ProfMain {
         val geomY = args.lift(5).getOrElse("clustered")
         val probesY = args.lift(6).getOrElse("8").split(",").map(_.toInt).toSeq
         val nspY = args.lift(7).getOrElse("256,1024").split(",").map(_.toInt).toSeq
+        val configsY = args.lift(8).getOrElse("1x8").split(",")
+          .map { s => val Array(a, b) = s.split("x"); (a.toInt, b.toInt) }.toSeq
+        // nsp-escalation probes (mechanism receipts) legitimately exceed
+        // the production driver-pool guard on this profiling harness
+        spark.conf.set(BatchSearcher.MaxPoolBytesKey, (1L << 30).toString)
         val iterSuffixY = if (itersY == 2) "" else s"_it$itersY"
         val basePathY = s"/root/repo/target/prof_batch_scale_${nDocsY}_$kY" +
           s"$codecY$iterSuffixY${geomSuffix(geomY)}"
@@ -1207,8 +1212,8 @@ object ProfMain {
           BatchSearcher.searchBatch(idxA, 1, "colbert", queriesY.limit(8), 10,
             SearchOptions(kTopCentroids = 1, nProbe = 8, numSecondPass = 64))
             .count() // codegen warmup per index
-          nspY.foreach { nsp =>
-            val optsA = SearchOptions(kTopCentroids = 1, nProbe = 8,
+          for ((kt, np) <- configsY; nsp <- nspY) {
+            val optsA = SearchOptions(kTopCentroids = kt, nProbe = np,
               numSecondPass = nsp)
             val times = (1 to 2).map { _ =>
               val t0 = System.nanoTime()
@@ -1221,7 +1226,7 @@ object ProfMain {
               .filter(col("query_id") === col("doc_id"))
               .select("query_id").collect().map(_.getLong(0)).toSet
             val missed = (0L until 212L).filterNot(hitIds)
-            println(f"[prof] assign_study $label%-10s nsp=$nsp%-5d " +
+            println(f"[prof] assign_study $label%-10s ${kt}x$np%-4d nsp=$nsp%-5d " +
               f"ms/q ${times.min / 212}%7.1f  success@5 ${hitIds.size / 212.0}%.4f  " +
               f"missed=${missed.mkString(",")}")
           }
