@@ -45,7 +45,12 @@ object Json {
         java.nio.file.StandardOpenOption.CREATE_NEW,
         java.nio.file.StandardOpenOption.WRITE)
       try {
-        ch.write(java.nio.ByteBuffer.wrap(bytes))
+        // WritableByteChannel permits short writes — loop until drained, or
+        // a short write would fsync + atomically rename a TRUNCATED temp
+        // over the good file (the exact torn-JSON failure this exists to
+        // prevent)
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+        while (buf.hasRemaining) ch.write(buf)
         ch.force(true)
       } finally ch.close()
       try Files.move(tmp, p,

@@ -82,7 +82,8 @@ object Pca {
           n += 1
         }
         Iterator.single((pid, (n, sums, prods)))
-        // bounded: exactly one moments row per partition reaches the driver
+        // bounded: Iterator.single above emits exactly one moments row per
+        // partition, so the driver receives numPartitions rows
       }.collect()
     val sums = new Array[Double](dim)
     val prods = new Array[Double](tri)

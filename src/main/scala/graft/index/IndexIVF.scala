@@ -77,10 +77,16 @@ final class IndexIVF private (
     * CoarseQuantizer INSTANCE is unchanged (train() installs a fresh
     * instance, which misses the identity check and rebuilds). Keeps
     * trickle ingest (foreachBatch -> add per micro-batch) from paying the
-    * O(K·sqrt(K)·dim) driver-side plan build on every call. */
+    * O(K·sqrt(K)·dim) driver-side plan build on every call. The cached
+    * value is the BROADCAST of the plan, not the plan: one Broadcast per
+    * (field, probes, model instance) for the handle's lifetime, so trickle
+    * ingest doesn't accumulate one undestroyed ~K·dim-float broadcast per
+    * micro-batch on the driver. A stale entry's broadcast (fresh quantizer
+    * after re-train) is destroyed when it is replaced. */
   @transient private lazy val addPlanCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int),
-      (CoarseQuantizer, CoarseQuantizer.TwoLevelPlan)]()
+      (CoarseQuantizer,
+        org.apache.spark.broadcast.Broadcast[CoarseQuantizer.TwoLevelPlan])]()
 
   /** The snapshot ceiling of this handle, if it is one. */
   def snapshot: Option[Long] = snapshotEpoch
@@ -301,8 +307,25 @@ final class IndexIVF private (
   def recoverPending(): Option[(String, Long)] = withWriteLock {
     if (!Json.exists(pendingPath)) None
     else {
-      val m = Json.read(pendingPath, classOf[Map[String, Any]])
-      val op = m.get("op").map(_.toString).getOrElse("unknown")
+      // an unparseable journal fails LOUDLY, never falls through to the
+      // vacuum branch: vacuuming on a journal we can't read could destroy
+      // committed rows. Json.write is atomic (write-temp-fsync-rename), so
+      // a torn pending.json indicates external corruption — the operator
+      // must inspect, not the recovery guess. The error names the file.
+      val m =
+        try Json.read(pendingPath, classOf[Map[String, Any]])
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"journal file $pendingPath exists but is not parseable JSON — " +
+              "refusing to recover (a guess could vacuum committed rows); " +
+              "inspect or remove the file manually", e)
+        }
+      val op = m.get("op").map(_.toString).getOrElse(
+        throw new IllegalStateException(
+          s"journal file $pendingPath carries no op — manual inspection required"))
+      require(IndexIVF.JournaledOps.contains(op), s"journal file $pendingPath " +
+        s"names unrecognized op '$op' (known: ${IndexIVF.JournaledOps.mkString(",")}) — " +
+        "refusing to vacuum on a journal this version does not understand")
       val epoch = m.get("epoch").collect { case n: Number => n.longValue() }
         .getOrElse(throw new IllegalStateException(
           s"$pendingPath exists but carries no epoch — manual inspection required"))
@@ -641,9 +664,9 @@ final class IndexIVF private (
           saveStamped(s"${f.name}.sq8.json")(sq.save)
           sq
         case QuantizerKind.PRODUCT_ENCODER =>
-          // bounded: the sqrt-subsample is driver-sized by construction; PQ
-          // codebook training is the only driver-side ML step
-          // (index.cpp:290-307)
+          // bounded: sampledResiduals is the sqrt-subsample built above —
+          // driver-sized by construction; PQ codebook training is the only
+          // driver-side ML step (index.cpp:290-307)
           val sample = sampledResiduals.collect()
             .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
           // graft.pq.balanced=false keeps the classic contiguous subspace
@@ -717,15 +740,21 @@ final class IndexIVF private (
           val cq0 = coarse(f.name)
           val key = (f.name, assignProbes)
           val cached = addPlanCache.get(key)
-          val plan =
+          val bcast =
             if (cached != null && (cached._1 eq cq0)) cached._2
             else {
               val built = CoarseQuantizer.TwoLevelPlan
                 .buildIp(cq0.centroids, assignProbes, seed = 42L)
-              addPlanCache.put(key, (cq0, built))
-              built
+              val b = spark.sparkContext.broadcast(built)
+              addPlanCache.put(key, (cq0, b))
+              // the replaced entry's broadcast (pre-re-train model) can no
+              // longer be handed out — release its blocks now instead of
+              // waiting on driver GC + ContextCleaner
+              if (cached != null)
+                try cached._2.destroy() catch { case _: Exception => () }
+              b
             }
-          Some(spark.sparkContext.broadcast(plan))
+          Some(bcast)
         }
 
       if (f.needsContext) {
@@ -1080,7 +1109,8 @@ final class IndexIVF private (
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     source.foreach { df =>
       // partitions holding at least one doomed row (small driver set —
-      // bounded: by the partition count, not the doomed-row count)
+      // bounded: the distinct() over the hive `parts` key columns yields
+      // one row per affected partition directory, not per doomed row)
       val affected = doomed(df)
         .select(parts.map(col): _*).distinct().collect()
         .map { r =>
@@ -1639,10 +1669,19 @@ object IndexIVF {
     * approximation is strictly opt-in. A token assigned to a non-argmax
     * centroid lands in a different posting list (search may need more
     * probes to find it — quality frontier measured in COVERAGE.md round
-    * 15) and its residual is encoded against the centroid it was assigned
-    * to, so phase-2 decode stays self-consistent. Deterministic for a
-    * fixed (model, probes). */
+    * 15); the codes encode the RAW token vector, not the residual
+    * (reference quirk, DocProcessor.cpp:209-229), so approximation moves
+    * only which posting list a token lives in — no score anywhere changes,
+    * which is the search-invariance guarantee TwoLevelAssignSpec pins.
+    * Deterministic for a fixed (model, probes). */
   private[graft] val AddAssignProbesKey = "spark.graft.add.assignProbes"
+
+  /** The closed set of ops [[IndexIVF.recoverPending]] knows how to recover.
+    * A journal naming anything else (or unparseable JSON) fails open()
+    * loudly instead of guessing — see the corrupt-journal policy pin in
+    * JournalSpec. */
+  private[graft] val JournaledOps: Set[String] =
+    Set("train", "add", "remove", "removeDeferred", "merge")
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[IndexIVF])
 

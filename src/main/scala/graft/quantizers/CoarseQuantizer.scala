@@ -589,7 +589,9 @@ object CoarseQuantizer {
         }
         // merge each centroid's partials in ascending-partition order (the
         // canonical order — double addition does not reassociate freely);
-        // result (bounded: ≤K rows of dim+1 doubles back to the driver)
+        // result (bounded: one row per centroid — the groupByKey key is the
+        // centroid id, so ≤ numCentroids rows of dim+1 doubles reach the
+        // driver)
         val merged = partials.groupByKey(math.min(parts, 64)).mapValues { ps =>
           val sorted = ps.toArray.sortBy(_._1)
           val acc = new Array[Double](dimL + 1)

@@ -93,7 +93,7 @@ object EngineQueries {
         docs0.withColumn("parity",
           when(col("id") % 2 === 1, "odd").otherwise("even"))
       else docs0
-    // bounded: 16 fixed-centroid fixture vectors
+    // bounded: the vec_id < 16 filter admits 16 fixed-centroid fixture rows
     val cents = Tables.t(s, dir, "embeddings").filter(col("vec_id") < 16)
       .orderBy("vec_id").collect()
       .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
@@ -140,7 +140,8 @@ object EngineQueries {
     * runs don't leak index directories under /tmp. */
   private def materializeAndClean(s: org.apache.spark.sql.SparkSession,
       result: org.apache.spark.sql.DataFrame, path: String) = {
-    // bounded: a top-k engine-search result (<= k rows per fixture query)
+    // bounded: a top-k engine-search result — <= `k` rows per fixture query
+    // as cut by Searcher.search's TopKByScore
     val rows = result.collect().toSeq
     val local = s.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, result.schema)

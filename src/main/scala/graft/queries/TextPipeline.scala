@@ -612,7 +612,8 @@ object TextPipeline {
     val rows = dsirBucketed(d, targetPred, b, order)
       .groupBy("b").agg(count(lit(1)).as("cq"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("cp"))
-      // bounded: <= b hash-bucket groups whatever the corpus size
+      // bounded: <= `b` hash-bucket groups (DsirBuckets default) whatever
+      // the corpus size
       .collect()
       .map(r => (r.getAs[Long]("b"), r.getAs[Long]("cq"), r.getAs[Long]("cp")))
       .toSeq
@@ -1191,7 +1192,8 @@ object TextPipeline {
       .sortWithinPartitions(col("split"), col("doc_id"))
     out.write.mode("overwrite").partitionBy("split").parquet(outPath)
     s.read.parquet(outPath).groupBy("split").count()
-      // bounded: one row per split value (3 splits)
+      // bounded: one row per value of the `split` column the groupBy keys
+      // on (3 split values by construction)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 

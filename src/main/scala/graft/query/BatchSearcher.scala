@@ -70,6 +70,15 @@ object BatchSearcher {
   private def maxPoolBytes(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.get(MaxPoolBytesKey, (64L << 20).toString).toLong
 
+  /** Driver-heap gate on the number of queries one searchBatch call may
+    * plan (each query's tokens are collected to the driver for planning —
+    * ~nq x dim floats per query). Default 16384 ≈ 256 MiB at ColBERT shape
+    * (32 x 128 f32); over-budget batches fail with a split-the-batch
+    * message rather than an OOM. */
+  val MaxBatchQueriesKey = "graft.batch.maxQueries"
+  private def maxBatchQueries(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get(MaxBatchQueriesKey, "16384").toInt
+
   /** Driver bytes per collected pool pair: two longs. */
   val PoolPairBytes = 16L
 
@@ -237,14 +246,24 @@ object BatchSearcher {
       throw new IllegalStateException(s"field $field is not trained"))
     val nc = cq.numCentroids
 
-    // driver-side per-query planning (bounded: the query batch is a
-    // driver-supplied frame, queries are small by construction); planning
-    // semantics shared with the single-query path via Searcher.queryPlan
-    val qRows = queries.select(col("query_id"), col("tokens")).collect().map { r =>
+    // driver-side per-query planning, capped by an explicit gate: the
+    // limit() collects at most maxQueries+1 rows, and the require turns an
+    // over-budget batch into an actionable error instead of a driver OOM
+    // (each query row is ~nq x dim floats — 16 KiB at ColBERT shape — so
+    // the default 16384-query cap is ~256 MiB of driver heap). Planning
+    // semantics shared with the single-query path via Searcher.queryPlan.
+    val maxQ = maxBatchQueries(spark)
+    val qRows = queries.select(col("query_id"), col("tokens"))
+      .limit(math.min(maxQ.toLong + 1L, Int.MaxValue.toLong).toInt)
+      .collect().map { r =>
       val qid = r.getLong(0)
       val toks = r.getSeq[scala.collection.Seq[Float]](1).map(_.toArray).toArray
       qid -> toks
     }
+    require(qRows.length <= maxQ,
+      s"searchBatch received more than $maxQ queries " +
+        s"(gate $MaxBatchQueriesKey): split the batch into multiple " +
+        "searchBatch calls, or raise the gate if the driver has the heap")
     // no cross-query memoization is possible (each VectorQuery instance is
     // fresh and keys by identity); the cache arg just satisfies queryPlan
     val plans = qRows.map { case (qid, toks) =>

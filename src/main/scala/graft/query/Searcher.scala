@@ -125,7 +125,8 @@ object Searcher {
       // result.
       val topPairs: Seq[(Long, Double)] = top match {
         case Left(pairs) => pairs
-        // bounded: the final top-k result (<= k rows by construction)
+        // bounded: the final top-k result — <= `k` rows by construction
+        // (the TopKByScore cut upstream emits at most k pairs)
         case Right(df) => df.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
       }
       val topIds = topPairs.map(_._1)
@@ -137,7 +138,7 @@ object Searcher {
       // duplicate-add dedup (one stored row per id, arbitrary winner — the
       // reference dedups in iterators too) happens in the driver-side map:
       // a dropDuplicates here would add a whole shuffle stage to a multiget
-      // (bounded: <= k ids in the IN-list filter above)
+      // (bounded: <= `k` ids in the isin() IN-list filter above)
       val byId = docsDf.collect().foldLeft(Map.empty[Long, org.apache.spark.sql.Row]) {
         (m, r) => if (m.contains(r.getLong(0))) m else m + (r.getLong(0) -> r)
       }
@@ -203,7 +204,7 @@ object Searcher {
     // even listed (v5 layout) — then the doc_id IN-list row-group-prunes
     // the surviving files (context files are doc_id-sorted within buckets)
     val buckets = ids.map(IndexIVF.docBucketOf).distinct
-    // bounded: <= numSecondPass ids in the IN-list filter
+    // bounded: <= numSecondPass ids in the isin() IN-list filter
     val ctxRows = idx.contextDf
       .filter(col("tenant") === tenant && col("field") === fid &&
         col("doc_bucket").isin(buckets: _*) && col("doc_id").isin(ids: _*))

@@ -213,7 +213,8 @@ object StreamingIngest {
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("ids"))
       // the batch matcher's bench-side hot-bucket cap, applied at build
-      // (bounded: band rows of the size-guarded bench corpus above)
+      // (bounded: band rows of the DeconBenchMaxShingles-guarded bench
+      // corpus above, hot buckets dropped by the bucketCap filter)
       .filter(size(col("ids")) <= bucketCap)
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)) ->

@@ -306,6 +306,48 @@ class JournalSpec extends AnyFunSuite {
       .collect().isEmpty, "the pre-merge tombstone victim must stay dead")
   }
 
+  test("open() on an unparseable journal fails loudly naming the file and vacuums NOTHING") {
+    val (idx, path) = mkIndex()
+    val before = allTableRows(idx)
+    // Json.write is atomic (write-temp-fsync-rename, Json.scala), so a torn
+    // pending.json can only come from external corruption — recovery must
+    // refuse to guess: an "unparseable -> assume torn add -> vacuum" policy
+    // could destroy committed rows of whatever epoch the garbage decoded to
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_meta/pending.json"),
+      """{"op": "add", "epo""".getBytes("UTF-8")) // truncated mid-key
+    val e = intercept[IllegalStateException](IndexIVF.open(spark, path))
+    assert(e.getMessage.contains("pending.json"),
+      s"error must name the journal file, got: ${e.getMessage}")
+    assert(e.getMessage.toLowerCase.contains("not parseable"),
+      s"error must state the failure mode, got: ${e.getMessage}")
+    assert(Json.exists(s"$path/_meta/pending.json"),
+      "the corrupt journal must be left in place for manual inspection")
+    // operator inspects + removes the file -> open works and no row was lost
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$path/_meta/pending.json"))
+    val reopened = IndexIVF.open(spark, path)
+    assert(allTableRows(reopened) == before,
+      "refusal must not have vacuumed any committed rows")
+  }
+
+  test("open() on a journal naming an unrecognized op refuses to vacuum") {
+    val (idx, path) = mkIndex()
+    val before = allTableRows(idx)
+    // parseable, carries an epoch — but an op this version doesn't know.
+    // A newer writer may journal new op kinds whose recovery this version
+    // can't perform; vacuuming that epoch's rows would be data loss.
+    Json.write(s"$path/_meta/pending.json",
+      Map("op" -> "rebalance", "epoch" -> epochOf(path)))
+    val e = intercept[IllegalArgumentException](IndexIVF.open(spark, path))
+    assert(e.getMessage.contains("pending.json") &&
+      e.getMessage.contains("rebalance"),
+      s"error must name the file and the op, got: ${e.getMessage}")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$path/_meta/pending.json"))
+    assert(allTableRows(IndexIVF.open(spark, path)) == before)
+  }
+
   test("a failed train() rolls the in-memory model back with the disk state") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("journal_idx_mem").toString
