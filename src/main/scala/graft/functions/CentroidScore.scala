@@ -147,6 +147,156 @@ case class BatchCentroidScore(
   override def prettyName: String = "graft_batch_centroid_score"
 }
 
+/** Compact deduped (doc_id -> centroid codes) snapshot of one
+  * (tenant, field)'s context table, CSR-flat for broadcast: sorted doc ids,
+  * offsets into one flat codes array. ~40% the bytes of the BHJ hashed
+  * relation it replaces (no per-row object headers), built ONCE per index
+  * state on the handle ([[graft.index.IndexIVF.contextCodesBroadcast]])
+  * instead of per batch — the per-batch context scan + dedup shuffle +
+  * 839 MiB relation build that dominated the fixed serving cost at the
+  * 10M-doc shape (COVERAGE.md round 16 breakdown). */
+final class CtxCodes(
+    val docIds: Array[Long],
+    val offsets: Array[Int],
+    val codes: Array[Long]) extends Serializable {
+  def numDocs: Int = docIds.length
+}
+
+object CtxCodes {
+  /** Binary-search lookup; negative when the doc has no context row (the
+    * BHJ inner join dropped such pairs; the expression returns null). */
+  def indexOf(ctx: CtxCodes, docId: Long): Int =
+    java.util.Arrays.binarySearch(ctx.docIds, docId)
+
+  /** Build from collected (doc_id, codes) rows: sort by doc_id, first
+    * occurrence wins on duplicates — the same arbitrary-winner contract as
+    * the dropDuplicates("doc_id") this replaces. */
+  def build(rows: Array[(Long, Array[Long])]): CtxCodes = {
+    val sorted = rows.sortBy(_._1)
+    val n = sorted.length
+    val ids = new Array[Long](n)
+    val offs = new Array[Int](n + 1)
+    var total = 0L
+    var kept = 0
+    var j = 0
+    while (j < n) {
+      if (kept == 0 || sorted(j)._1 != ids(kept - 1)) {
+        ids(kept) = sorted(j)._1
+        total += sorted(j)._2.length
+        offs(kept + 1) = offs(kept) + sorted(j)._2.length
+        kept += 1
+      }
+      j += 1
+    }
+    require(total <= Int.MaxValue, s"context codes overflow a flat array: $total")
+    val flat = new Array[Long](offs(kept))
+    var seen = 0
+    j = 0
+    while (j < n) {
+      if (seen == 0 || sorted(j)._1 != ids(seen - 1)) {
+        System.arraycopy(sorted(j)._2, 0, flat, offs(seen), sorted(j)._2.length)
+        seen += 1
+      }
+      j += 1
+    }
+    new CtxCodes(java.util.Arrays.copyOf(ids, kept),
+      java.util.Arrays.copyOf(offs, kept + 1), flat)
+  }
+}
+
+/** [[BatchCentroidScore]] over the handle-cached [[CtxCodes]] broadcast:
+  * scores (query_id, doc_id) pairs by looking the doc's codes up in the
+  * broadcast snapshot instead of joining the context table — phase-1 needs
+  * no per-batch context scan at all. NULL when the doc has no context row,
+  * matching the inner-join drop of the BHJ shape it replaces (callers
+  * filter). Scores are bit-identical to [[BatchCentroidScore]]: the same
+  * [[CentroidScore.computeDotAuto]] kernel runs over the same codes. */
+case class BatchCtxCentroidScore(
+    left: Expression,
+    right: Expression,
+    bcQueries: Broadcast[Map[Long, Array[Float]]],
+    bcCentroids: Broadcast[Array[Float]],
+    bcCtx: Broadcast[CtxCodes],
+    dim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_batch_ctx_centroid_score expects (bigint, bigint), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val queriesLocal: Map[Long, Array[Float]] = bcQueries.value
+  @transient private lazy val queriesTLocal: Map[Long, Array[Float]] =
+    BatchCentroidScore.transposeAll(queriesLocal, dim)
+  @transient private lazy val centLocal: Array[Float] = bcCentroids.value
+  @transient private lazy val ctxLocal: CtxCodes = bcCtx.value
+
+  override def nullSafeEval(qid: Any, docId: Any): Any = {
+    val i = CtxCodes.indexOf(ctxLocal, docId.asInstanceOf[Long])
+    if (i < 0) null
+    else BatchCtxCentroidScore.compute(qid.asInstanceOf[Long], ctxLocal, i,
+      queriesLocal, queriesTLocal, centLocal, dim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("batchCtxQueries", bcQueries,
+      "org.apache.spark.broadcast.Broadcast")
+    val bcRef = ctx.addReferenceObj("batchCtxCentroids", bcCentroids,
+      "org.apache.spark.broadcast.Broadcast")
+    val ctxRef = ctx.addReferenceObj("batchCtxCodes", bcCtx,
+      "org.apache.spark.broadcast.Broadcast")
+    val qVar = ctx.addMutableState("scala.collection.immutable.Map", "batchCtxQueryVecs",
+      v => s"$v = (scala.collection.immutable.Map) $qRef.value();")
+    val qtVar = ctx.addMutableState("scala.collection.immutable.Map", "batchCtxQueryVecsT",
+      v => s"$v = graft.functions.BatchCentroidScore.transposeAll($qVar, $dim);")
+    val centVar = ctx.addMutableState("float[]", "batchCtxCentMatrix",
+      v => s"$v = (float[]) $bcRef.value();")
+    val ctxVar = ctx.addMutableState("graft.functions.CtxCodes", "batchCtxCodes",
+      v => s"$v = (graft.functions.CtxCodes) $ctxRef.value();")
+    nullSafeCodeGen(ctx, ev, (qid, docId) => s"""
+      int graftCtxIdx = graft.functions.CtxCodes.indexOf($ctxVar, $docId);
+      if (graftCtxIdx < 0) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.BatchCtxCentroidScore.compute(
+          $qid, $ctxVar, graftCtxIdx, $qVar, $qtVar, $centVar, $dim);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BatchCtxCentroidScore =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_batch_ctx_centroid_score"
+}
+
+object BatchCtxCentroidScore {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  def apply(qid: Column, docId: Column,
+      bcQueries: Broadcast[Map[Long, Array[Float]]],
+      bcCentroids: Broadcast[Array[Float]],
+      bcCtx: Broadcast[CtxCodes], dim: Int): Column =
+    Bridge.column(BatchCtxCentroidScore(
+      Bridge.expression(qid), Bridge.expression(docId),
+      bcQueries, bcCentroids, bcCtx, dim))
+
+  def compute(qid: Long, ctx: CtxCodes, i: Int, queries: Map[Long, Array[Float]],
+      queriesT: Map[Long, Array[Float]], cent: Array[Float], dim: Int): Double = {
+    val q = queries.getOrElse(qid,
+      throw new IllegalArgumentException(s"no query tokens for query_id $qid"))
+    val codes = java.util.Arrays.copyOfRange(ctx.codes, ctx.offsets(i), ctx.offsets(i + 1))
+    CentroidScore.computeDotAutoL(codes, q, queriesT(qid), cent, q.length / dim, dim)
+  }
+}
+
 object BatchCentroidScore {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -227,6 +377,44 @@ object CentroidScore {
       m.invoke(null, codes.toLongArray(), qt, Int.box(nq), cent, Int.box(dim))
         .asInstanceOf[Double]
     case _ => computeDot(codes, q, cent, nq, dim)
+  }
+
+  /** [[computeDotAuto]] over a plain long[] codes slice (the [[CtxCodes]]
+    * lookup path, which has no ArrayData to hand) — same width dispatch,
+    * same kernel, bit-identical results (CentroidScoreSpec pins the L
+    * twins against the ArrayData originals). */
+  def computeDotAutoL(codes: Array[Long], q: Array[Float], qt: Array[Float],
+      cent: Array[Float], nq: Int, dim: Int): Double = simdScoreCodes match {
+    case Some((m, lanes)) if nq >= lanes =>
+      m.invoke(null, codes, qt, Int.box(nq), cent, Int.box(dim))
+        .asInstanceOf[Double]
+    case _ => computeDotL(codes, q, cent, nq, dim)
+  }
+
+  /** [[computeDot]]'s long[] twin — identical op sequence (loop order,
+    * float accumulation, `>` max compare), so bit-identical results. */
+  def computeDotL(codes: Array[Long], q: Array[Float], cent: Array[Float],
+      nq: Int, dim: Int): Double = {
+    val perToken = new Array[Float](nq)
+    java.util.Arrays.fill(perToken, -9999.0f)
+    var j = 0
+    while (j < codes.length) {
+      val base = codes(j).toInt * dim
+      var k = 0
+      while (k < nq) {
+        val qo = k * dim
+        var acc = 0.0f
+        var i = 0
+        while (i < dim) { acc += q(qo + i) * cent(base + i); i += 1 }
+        if (acc > perToken(k)) perToken(k) = acc
+        k += 1
+      }
+      j += 1
+    }
+    var score = 0.0f
+    var k = 0
+    while (k < nq) { score += perToken(k); k += 1 }
+    score.toDouble
   }
 
   /** [[computeDot]] over a TRANSPOSED (dim-major) query: the SIMD kernel

@@ -125,6 +125,61 @@ final class IndexIVF private (
     }
   }
 
+  /** Handle-cached broadcast of the deduped (doc_id -> codes) context
+    * snapshot one batch search scores against ([[graft.functions.CtxCodes]]).
+    * The BHJ shape this replaces rebuilt the relation EVERY batch — a full
+    * context scan + dedup shuffle + an 839 MiB driver collect at the
+    * 10M-doc shape, the dominant term of the fixed per-batch serving cost
+    * (COVERAGE.md round 16 breakdown). Built once per index state and
+    * shipped to executors once; steady-state batches pay a map lookup.
+    *
+    * Freshness contract: the cache is invalidated by (a) any write-lock
+    * section on THIS handle ([[mutationTick]] — covers add/remove/merge/
+    * update/compact), and (b) a change in the VISIBLE row count the caller
+    * already computed for its byte gate. An external process's mutation
+    * that keeps the row count identical (same-count update) can serve
+    * stale codes until a count-changing mutation or a re-open — the same
+    * cross-process staleness bound as the byte-gate cache, here made
+    * explicit because it affects scores, not sizing. Concurrent external
+    * writers during serving are outside the engine's single-writer
+    * contract anyway; `graft.batch.ctxBroadcastCache=false` restores the
+    * per-batch BHJ rebuild. */
+  @transient private lazy val ctxCodesBcastCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int),
+      (Long, Long, org.apache.spark.broadcast.Broadcast[graft.functions.CtxCodes])]()
+  def contextCodesBroadcast(tenant: Long, field: String, visibleRows: Long,
+      measuredBytes: Long, maxBytes: Long)
+      : org.apache.spark.broadcast.Broadcast[graft.functions.CtxCodes] = {
+    val fid = mapper.id(field)
+    val key = (tenant, fid)
+    val tick = mutationTick.get()
+    val cached = ctxCodesBcastCache.get(key)
+    if (cached != null && cached._1 == tick && cached._2 == visibleRows) cached._3
+    else {
+      require(measuredBytes <= maxBytes,
+        s"context relation for ($tenant, $field) measures $measuredBytes B " +
+          s"> broadcast budget $maxBytes B — callers must gate before asking " +
+          "for the broadcast snapshot")
+      val thin = contextDf
+        .filter(col("tenant") === tenant && col("field") === fid)
+        .select(col("doc_id"), col("doc_codes"))
+      // bounded: measuredBytes <= maxBytes required just above — the same
+      // byte budget the old per-batch BroadcastExchange collect ran under
+      val rows = thin.collect().map { r =>
+        r.getLong(0) -> r.getSeq[Long](1).toArray
+      }
+      val snap = graft.functions.CtxCodes.build(rows)
+      val b = spark.sparkContext.broadcast(snap)
+      ctxCodesBcastCache.put(key, (tick, visibleRows, b))
+      // unpersist (not destroy): an in-flight batch may still hold the
+      // stale broadcast — executor blocks are released now, the driver
+      // copy stays readable until ContextCleaner collects it
+      if (cached != null)
+        try { cached._3.unpersist(); () } catch { case _: Exception => () }
+      b
+    }
+  }
+
   import IndexIVF._
 
   private def p(name: String) = s"$path/$name"
@@ -151,9 +206,18 @@ final class IndexIVF private (
     fs.makeQualified(hp).toString
   }
 
+  /** Bumped by every write-lock section on THIS handle: the cheap
+    * invalidation signal for handle-cached derived state (the
+    * [[contextCodesBroadcast]] snapshot). Conservative — read-only
+    * recovery calls bump it too, which only costs a rebuild. */
+  @transient private lazy val mutationTick =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def withWriteLock[A](f: => A): A = {
     requireWritable()
-    IndexIVF.writeLocks.computeIfAbsent(lockKey, _ => new Object).synchronized(f)
+    IndexIVF.writeLocks.computeIfAbsent(lockKey, _ => new Object).synchronized {
+      try f finally { mutationTick.incrementAndGet(); () }
+    }
   }
 
   // ------------------------------------------------------------ write epoch

@@ -82,6 +82,27 @@ object BatchSearcher {
   /** Driver bytes per collected pool pair: two longs. */
   val PoolPairBytes = 16L
 
+  /** Opt-in per-batch phase breakdown (`true` records named driver-side
+    * segment walls of each searchBatch call into [[lastProfile]]). The
+    * segments partition the FIXED per-batch pipeline cost — the serving
+    * floor on clustered geometry (COVERAGE.md round 15): everything here
+    * runs serially on the driver or as a blocking action, so segment walls
+    * sum to the in-call wall and the caller's final action accounts for
+    * the rest. Off by default: two nanoTime calls per segment otherwise. */
+  val ProfileKey = "graft.batch.profile"
+  @volatile private[graft] var lastProfile: Map[String, Double] = Map.empty
+  private final class Prof(val on: Boolean) {
+    val buf = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def apply[A](name: String)(f: => A): A =
+      if (!on) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        buf(name) = buf.getOrElse(name, 0.0) + (System.nanoTime() - t0) / 1e6
+        r
+      }
+  }
+
   /** Phase-1 join shape (session conf). `true` (default): the batch's
     * DISTINCT candidate doc_id set — bounded by the UNION of per-query
     * candidate sets, 8 B/row — is BROADCAST into the context scan as a
@@ -182,13 +203,34 @@ object BatchSearcher {
     * the left side of the [[BroadcastContextMaxBytesKey]] gate compare
     * (exposed so specs and capacity planning can read what the gate saw). */
   private[graft] def contextRelationBytes(idx: IndexIVF, tenant: Long,
-      field: String): Long = {
+      field: String): Long = contextRelationStats(idx, tenant, field)._2
+
+  /** (visible rows, measured relation bytes) in one call — the batch path
+    * needs both (rows keys the [[IndexIVF.contextCodesBroadcast]] cache,
+    * bytes feeds the gate) and must not run the count job twice. */
+  private[graft] def contextRelationStats(idx: IndexIVF, tenant: Long,
+      field: String): (Long, Long) = {
     val fid = idx.mapper.id(field)
     val thin = idx.contextDf
       .filter(col("tenant") === tenant && col("field") === fid)
       .select(col("doc_id"), col("doc_codes"))
-    measuredContextBytes(idx, thin, tenant, fid, thin.count())
+    val rows = thin.count()
+    (rows, measuredContextBytes(idx, thin, tenant, fid, rows))
   }
+
+  /** Phase-1 context shape when the relation fits the broadcast gate.
+    * `true` (default): score (query_id, doc_id) pairs against the
+    * handle-cached [[graft.functions.CtxCodes]] broadcast snapshot
+    * ([[IndexIVF.contextCodesBroadcast]]) — the context table is not
+    * scanned AT ALL in steady-state batches; the snapshot builds once per
+    * index state. Scores are bit-identical to the BHJ shape (same kernel,
+    * same codes; BatchSearchSpec pins A/B equality). `false`: the r15
+    * shape — rebuild the broadcast-hash-join relation per batch (context
+    * scan + dedup + ~GiB driver collect each call; the measured dominant
+    * term of the fixed per-batch cost, COVERAGE.md round 16). */
+  val CtxBroadcastCacheKey = "graft.batch.ctxBroadcastCache"
+  private def ctxBroadcastCache(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get(CtxBroadcastCacheKey, "true").toBoolean
 
   /** Partition count for the round-robin spread of the pruned postings
     * stream ahead of the map-side fan-out joins (0 disables). Default
@@ -252,13 +294,16 @@ object BatchSearcher {
     // (each query row is ~nq x dim floats — 16 KiB at ColBERT shape — so
     // the default 16384-query cap is ~256 MiB of driver heap). Planning
     // semantics shared with the single-query path via Searcher.queryPlan.
+    val prof = new Prof(spark.conf.get(ProfileKey, "false").toBoolean)
     val maxQ = maxBatchQueries(spark)
-    val qRows = queries.select(col("query_id"), col("tokens"))
-      .limit(math.min(maxQ.toLong + 1L, Int.MaxValue.toLong).toInt)
-      .collect().map { r =>
-      val qid = r.getLong(0)
-      val toks = r.getSeq[scala.collection.Seq[Float]](1).map(_.toArray).toArray
-      qid -> toks
+    val qRows = prof("plan_queries_collect") {
+      queries.select(col("query_id"), col("tokens"))
+        .limit(math.min(maxQ.toLong + 1L, Int.MaxValue.toLong).toInt)
+        .collect().map { r =>
+          val qid = r.getLong(0)
+          val toks = r.getSeq[scala.collection.Seq[Float]](1).map(_.toArray).toArray
+          qid -> toks
+        }
     }
     require(qRows.length <= maxQ,
       s"searchBatch received more than $maxQ queries " +
@@ -266,10 +311,12 @@ object BatchSearcher {
         "searchBatch calls, or raise the gate if the driver has the heap")
     // no cross-query memoization is possible (each VectorQuery instance is
     // fresh and keys by identity); the cache arg just satisfies queryPlan
-    val plans = qRows.map { case (qid, toks) =>
-      implicit val perQuery: Searcher.PlanCache = scala.collection.mutable.Map.empty
-      val (m, probes) = Searcher.queryPlan(idx, VectorQuery(field, toks), opts)
-      (qid, toks, m, probes)
+    val plans = prof("plan_probe_select") {
+      qRows.map { case (qid, toks) =>
+        implicit val perQuery: Searcher.PlanCache = scala.collection.mutable.Map.empty
+        val (m, probes) = Searcher.queryPlan(idx, VectorQuery(field, toks), opts)
+        (qid, toks, m, probes)
+      }
     }
 
     import spark.implicits._
@@ -323,8 +370,11 @@ object BatchSearcher {
     // broadcast-context gate: the count is footer-only metadata (tenant +
     // field are partition columns, so even the listing is pruned); the
     // measured-bytes lookup is cached against it — see measuredContextBytes
-    val bcastCtx = heap &&
-      contextRelationBytes(idx, tenant, field) <= broadcastContextMaxBytes(spark)
+    val ctxGateBytes = broadcastContextMaxBytes(spark)
+    val (ctxRows, ctxBytes) = prof("gate_ctx_bytes") {
+      if (heap) contextRelationStats(idx, tenant, field) else (0L, Long.MaxValue)
+    }
+    val bcastCtx = heap && ctxBytes <= ctxGateBytes
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -355,15 +405,31 @@ object BatchSearcher {
       val fanCap = fanoutPartitions(spark)
       val fanParts =
         if (fanCap <= 0) 0
-        else math.min(fanCap.toLong,
-          (idx.postingsDf.count() + FanoutRowsPerTask - 1) / FanoutRowsPerTask).toInt
+        else prof("gate_fanout_count") {
+          math.min(fanCap.toLong,
+            (idx.postingsDf.count() + FanoutRowsPerTask - 1) / FanoutRowsPerTask).toInt
+        }
       val spread = if (fanParts > 1) scanned.repartition(fanParts) else scanned
       val pairs = spread
         .join(broadcast(probeDf), Seq("centroid"))
         .select(col("query_id"), col("doc_id"))
-      val scored = pairs
-        .join(broadcast(ctxAll.dropDuplicates("doc_id")), Seq("doc_id"))
-        .select(col("query_id"), col("doc_id"), scoreCol)
+      val scored =
+        if (ctxBroadcastCache(spark)) {
+          // handle-cached snapshot: steady-state batches never scan the
+          // context table in phase-1 — the (query_id, doc_id) pairs are
+          // scored by broadcast lookup; null = no context row for the doc,
+          // the same drop the BHJ inner join performed
+          val bcCtx = prof("ctx_bcast_build") {
+            idx.contextCodesBroadcast(tenant, field, ctxRows, ctxBytes,
+              ctxGateBytes)
+          }
+          pairs.select(col("query_id"), col("doc_id"),
+            graft.functions.BatchCtxCentroidScore(col("query_id"),
+              col("doc_id"), bQueries, bcCent, bcCtx, dim).as("score"))
+            .filter(col("score").isNotNull)
+        } else pairs
+          .join(broadcast(ctxAll.dropDuplicates("doc_id")), Seq("doc_id"))
+          .select(col("query_id"), col("doc_id"), scoreCol)
       groupTopK(scored, opts.numSecondPass)
     } else {
       // shuffle shape for a corpus whose thin context outgrows a sane
@@ -425,7 +491,9 @@ object BatchSearcher {
             s"the batch into smaller searchBatch calls, lower " +
             s"numSecondPass, or raise $MaxPoolBytesKey")
         // bounded: <= queries x numSecondPass pairs, byte-gated just above
-        val poolRows = pool.select(col("query_id"), col("doc_id")).collect()
+        val poolRows = prof("phase1_pool_action") {
+          pool.select(col("query_id"), col("doc_id")).collect()
+        }
         if (poolRows.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -475,6 +543,7 @@ object BatchSearcher {
             rerankUdf(col("query_id"), col("doc_codes"), col("doc_residuals")).as("score"))
       }
 
+    if (prof.on) lastProfile = prof.buf.toMap
     reranked.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).drop("rn")
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))

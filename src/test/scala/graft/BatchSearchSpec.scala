@@ -109,4 +109,49 @@ class BatchSearchSpec extends AnyFunSuite {
       assert(e.getMessage.contains("bytes"), e.getMessage)
     } finally spark.conf.unset(BatchSearcher.MaxPoolBytesKey)
   }
+
+  test("cached context-codes snapshot: identical to the per-batch BHJ " +
+      "shape, and a mutation invalidates it") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(21)
+    def tokens() = Seq.fill(4)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val corpus = (0L until 40L).map(i => i -> tokens()).toMap
+    val path = java.nio.file.Files.createTempDirectory("idx_ctxcache").toString
+    val idx = IndexIVF.create(spark, path, GSchema(Seq(
+      GField.colbert("colbert", dim, numCentroids = 6, numIterations = 4))))
+    val docs = corpus.toSeq.sortBy(_._1).map { case (i, t) => Doc(i, t, "x", 0L) }
+      .toDF().select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("colbert"))
+    idx.train(docs)
+    idx.add(1, docs)
+
+    val opts = SearchOptions(kTopCentroids = 3, nProbe = 6)
+    val queriesDf = Seq(5L, 17L, 31L).map(qid => (qid, corpus(qid)))
+      .toDF("query_id", "tokens")
+    def run(): Map[Long, Seq[(Long, Double)]] =
+      BatchSearcher.searchBatch(idx, 1, "colbert", queriesDf, k = 5, opts)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+
+    val cachedShape = run()
+    val cachedAgain = run() // second batch rides the cache — same rows
+    assert(cachedAgain == cachedShape, "cache-hit batch diverged")
+    spark.conf.set(BatchSearcher.CtxBroadcastCacheKey, "false")
+    try assert(run() == cachedShape,
+      "per-batch BHJ shape diverged from the cached-snapshot shape")
+    finally spark.conf.unset(BatchSearcher.CtxBroadcastCacheKey)
+
+    // freshness: an add() on this handle must invalidate the snapshot —
+    // a query matching ONLY the new doc has to find it in the next batch
+    val newToks = corpus(5L).map(_.map(v => v + 0.001f)) // lands near doc 5
+    idx.add(1, Seq(Doc(100L, newToks, "x", 0L)).toDF()
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("colbert")))
+    val after = BatchSearcher.searchBatch(idx, 1, "colbert",
+      Seq((5L, corpus(5L))).toDF("query_id", "tokens"), k = 10, opts)
+      .collect().map(_.getLong(1)).toSet
+    assert(after.contains(100L),
+      s"doc added after the snapshot build must be visible, got $after")
+  }
 }

@@ -77,6 +77,42 @@ class CentroidScoreSpec extends AnyFunSuite {
       java.lang.Double.doubleToRawLongBits(neu), s"NaN case: $old vs $neu")
   }
 
+  test("long[] twins (computeDotAutoL/computeDotL) are bit-identical to " +
+      "the ArrayData originals across widths") {
+    val r3 = new scala.util.Random(31L)
+    for (nqv <- Seq(1, 4, 16, 32, 33); dimv <- Seq(4, 128)) {
+      val ncv = 16
+      val cent = Array.fill(ncv * dimv)(r3.nextFloat() * 2 - 1)
+      val q = Array.fill(nqv * dimv)(r3.nextFloat() * 2 - 1)
+      val qt = CentroidScore.transposeQuery(q, dimv)
+      val raw = Array.fill(7)(r3.nextInt(ncv).toLong)
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(raw)
+      val viaAd = CentroidScore.computeDotAuto(ad, q, qt, cent, nqv, dimv)
+      val viaL = CentroidScore.computeDotAutoL(raw, q, qt, cent, nqv, dimv)
+      assert(java.lang.Double.doubleToRawLongBits(viaAd) ==
+        java.lang.Double.doubleToRawLongBits(viaL), s"auto nq=$nqv dim=$dimv")
+      val scalarAd = CentroidScore.computeDot(ad, q, cent, nqv, dimv)
+      val scalarL = CentroidScore.computeDotL(raw, q, cent, nqv, dimv)
+      assert(java.lang.Double.doubleToRawLongBits(scalarAd) ==
+        java.lang.Double.doubleToRawLongBits(scalarL), s"scalar nq=$nqv dim=$dimv")
+    }
+  }
+
+  test("CtxCodes.build dedups on first occurrence and indexOf finds every doc") {
+    val rows = Array(
+      (7L, Array(1L, 2L)), (3L, Array(9L)), (7L, Array(5L)), (11L, Array(0L, 0L, 4L)))
+    val snap = graft.functions.CtxCodes.build(rows)
+    assert(snap.docIds.toSeq == Seq(3L, 7L, 11L))
+    def codesOf(id: Long): Seq[Long] = {
+      val i = graft.functions.CtxCodes.indexOf(snap, id)
+      snap.codes.slice(snap.offsets(i), snap.offsets(i + 1)).toSeq
+    }
+    assert(codesOf(3L) == Seq(9L))
+    assert(codesOf(7L) == Seq(1L, 2L), "first occurrence must win on duplicate ids")
+    assert(codesOf(11L) == Seq(0L, 0L, 4L))
+    assert(graft.functions.CtxCodes.indexOf(snap, 99L) < 0)
+  }
+
   test("batch expression routes each query_id to its own token vectors") {
     import spark.implicits._
     val q2 = Array.fill(2 * dim)(rnd.nextFloat() * 2 - 1) // nq=2 second query

@@ -282,29 +282,32 @@ class PlanSpec extends AnyFunSuite {
         multiget = snap.exists(p => p.contains("context") &&
           !p.contains("postings") && p.contains("In(doc_id") &&
           p.contains("doc_bucket") && p.contains("BroadcastHashJoin"))
-        // the phase-1 pool job (postings + context candidate join) must
-        // stay codes-only — residual bytes are phase-2's alone
+        // the phase-1 pool job must not touch the context TABLE at all
+        // (r16): candidates are scored against the handle-cached CtxCodes
+        // broadcast snapshot by expression lookup, so the only corpus scan
+        // left in phase-1 is postings — and residual bytes stay phase-2's
         phase1Thin = snap.exists(p => p.contains("postings") &&
-          p.contains("context") && !p.contains("doc_residuals"))
+          p.contains("graft_batch_ctx_centroid_score") &&
+          !p.contains("/context") && !p.contains("doc_residuals"))
         if (!(multiget && phase1Thin)) Thread.sleep(50)
       }
       val all = scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
         .mkString("\n---\n")
       assert(multiget,
         s"no batch plan multigets context with bucket + id pruning + broadcast pool:\n$all")
-      assert(phase1Thin, s"batch phase-1 reads doc_residuals:\n$all")
-      // phase-1 join shape: the candidate set BROADCASTS into the context
-      // scan (BuildRight of a BroadcastHashJoin) and the corpus' codes
-      // column never crosses an exchange — a SortMerge/ShuffledHash join
-      // here would mean the whole context table shuffled per batch (the
-      // pre-r11 corpus-wide dedup shape)
+      assert(phase1Thin, "batch phase-1 must score via the cached snapshot " +
+        s"lookup with no context scan and no doc_residuals:\n$all")
+      // phase-1 join shape: only the tiny probe map joins (broadcast); a
+      // SortMerge/ShuffledHash join would mean corpus rows crossed an
+      // exchange for the candidate pairing (the pre-r11 corpus-wide shape)
       val p1 = scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
-        .filter(p => p.contains("postings") && p.contains("context"))
+        .filter(p => p.contains("postings") &&
+          p.contains("graft_batch_ctx_centroid_score"))
       assert(p1.nonEmpty, s"no phase-1 plan captured:\n$all")
       assert(p1.exists(p => p.contains("BroadcastHashJoin") && p.contains("BuildRight")),
-        s"phase-1 candidate join is not a broadcast into the context scan:\n$all")
+        s"phase-1 probe join is not a broadcast:\n$all")
       assert(p1.forall(p => !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")),
-        s"phase-1 shuffles the corpus context for the candidate join:\n$all")
+        s"phase-1 shuffles corpus rows for the candidate pairing:\n$all")
       // pool cut shape: the per-query numSecondPass cut is the bounded-heap
       // aggregate (ObjectHashAggregate over graft_topk_by_score) — a Window
       // in the phase-1 plan would mean the full candidate stream is sorted
@@ -315,6 +318,29 @@ class PlanSpec extends AnyFunSuite {
       assert(p1.forall(p => !p.contains("RunningWindowFunction") &&
         !p.contains("Window [row_number")),
         s"phase-1 pool cut fell back to a full window sort:\n$all")
+
+      // the per-batch BHJ hatch (ctxBroadcastCache=false) keeps the r15
+      // shape: context joins phase-1 as a BuildRight broadcast, codes-only
+      plans.clear()
+      spark.conf.set(graft.query.BatchSearcher.CtxBroadcastCacheKey, "false")
+      try {
+        assert(BatchSearcher.searchBatch(idx, 1, "colbert", queriesDf, k = 2,
+          SearchOptions(kTopCentroids = 4, nProbe = 4, numSecondPass = 2))
+          .collect().nonEmpty)
+        val dl2 = System.nanoTime() + 10e9.toLong
+        var hatchThin = false
+        while (!hatchThin && System.nanoTime() < dl2) {
+          val snap = scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
+          hatchThin = snap.exists(p => p.contains("postings") &&
+            p.contains("/context") && !p.contains("doc_residuals") &&
+            p.contains("BroadcastHashJoin") && p.contains("BuildRight"))
+          if (!hatchThin) Thread.sleep(50)
+        }
+        assert(hatchThin, "BHJ hatch phase-1 must join a codes-only context " +
+          "scan as a broadcast:\n" +
+          scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
+            .mkString("\n---\n"))
+      } finally spark.conf.unset(graft.query.BatchSearcher.CtxBroadcastCacheKey)
     } finally spark.listenerManager.unregister(listener)
   }
 

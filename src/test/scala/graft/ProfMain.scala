@@ -31,6 +31,11 @@ object ProfMain {
   val GeomClusters = 1024
   val GeomIntrinsicDims = 16
 
+  /** Index-path suffix for a non-default tokens-per-doc width (r15 verdict
+    * item 3: the clustered-campaign mechanisms were measured at 4 tok/doc;
+    * real ColBERT docs carry ~120 — width arms get their own builds). */
+  def widthSuffix(tpd: Int): String = if (tpd == 4) "" else s"_w$tpd"
+
   def geomSuffix(geom: String): String = geom match {
     case "uniform" => ""
     case "clustered" => "_cl"
@@ -510,7 +515,9 @@ object ProfMain {
         import graft.query._
         import spark.implicits._
         val dimB = 128
-        val nDocsB = args.lift(1).map(_.toInt).getOrElse(1000000); val tpdB = 4
+        val nDocsB = args.lift(1).map(_.toInt).getOrElse(1000000)
+        // [tpd] (arg 6): tokens per doc — 4 = the r11-r15 campaign default
+        val tpdB = args.lift(6).map(_.toInt).getOrElse(4)
         val kB = args.lift(2).map(_.toInt).getOrElse(16384)
         val codecB = args.lift(3).getOrElse("none").toLowerCase match {
           case "none" => QuantizerKind.NONE
@@ -531,7 +538,7 @@ object ProfMain {
         // [geom]: corpus geometry (uniform | clustered, see geomTokensExpr)
         val geomB = args.lift(5).getOrElse("uniform")
         val pathB = s"/root/repo/target/prof_batch_scale_${nDocsB}_$kB" +
-          s"$codecSuffix$iterSuffix${geomSuffix(geomB)}"
+          s"$codecSuffix$iterSuffix${geomSuffix(geomB)}${widthSuffix(tpdB)}"
         val tokensExprB = geomTokensExpr(geomB, tpdB, dimB, noise = 0.0)
         val docsB = spark.range(nDocsB.toLong).select(col("id"),
           tokensExprB.as("colbert"), pmod(col("id") * 31L, lit(5000)).as("n_chars"))
@@ -756,11 +763,13 @@ object ProfMain {
         // scale — unlike exact self-retrieval, phase-1 pruning can
         // actually lose the answer here). args: [nDocs] [K] [codec]
         // [noiseMils=50] [tile=1] [configs=1x8,2x16,4x32,8x64] [nsp=64]
-        // [iters=2] (targets the batch_scale build with that iter suffix)
+        // [iters=2] [geom=uniform] [tpd=4] (targets the batch_scale build
+        // with the matching iter/geom/width suffix)
         import graft.query._
         import spark.implicits._
         val dimF = 128
-        val nDocsF = args.lift(1).map(_.toInt).getOrElse(10000000); val tpdF = 4
+        val nDocsF = args.lift(1).map(_.toInt).getOrElse(10000000)
+        val tpdF = args.lift(10).map(_.toInt).getOrElse(4)
         val kF = args.lift(2).map(_.toInt).getOrElse(49152)
         val codecSuffixF = args.lift(3).map(c => s"_${c.toLowerCase}")
           .filter(_ != "_none").getOrElse("")
@@ -773,7 +782,7 @@ object ProfMain {
         val geomF = args.lift(9).getOrElse("uniform")
         val iterSuffixF = if (itersF == 2) "" else s"_it$itersF"
         val pathF = s"/root/repo/target/prof_batch_scale_${nDocsF}_$kF" +
-          s"$codecSuffixF$iterSuffixF${geomSuffix(geomF)}"
+          s"$codecSuffixF$iterSuffixF${geomSuffix(geomF)}${widthSuffix(tpdF)}"
         require(java.nio.file.Files.exists(
           java.nio.file.Paths.get(pathF, "_prof_ready")),
           s"run batch_scale $nDocsF $kF first to build the index")
@@ -828,6 +837,109 @@ object ProfMain {
             f"cands/q ${meanCands}%10.0f  ms/q ${times.min / 212}%7.1f  " +
             f"success@5 ${hitIds.size / 212.0}%.4f  missed=${missed.mkString(",")}")
         }
+
+      case "batch_breakdown" =>
+        // r15 verdict item 1: decompose the FIXED per-batch serving cost —
+        // on clustered geometry ms/q is candidate-flat, so the floor is
+        // this pipeline overhead, not per-candidate compute. Runs repeated
+        // 212-query batches with graft.batch.profile=true and prints, per
+        // batch: the named in-call segments (queries collect, driver probe
+        // selection, ctx byte gate, fanout count, phase-1 pool action), the
+        // searchBatch call wall, the final-action wall (phase-2 multiget +
+        // rerank + top-k window) and the unattributed remainder. Batch 1
+        // vs 2+ separates one-time costs (ctx size scan, codegen) from the
+        // steady-state floor. args: [nDocs] [K] [codec] [geom] [config=1x8]
+        // [nsp=256] [reps=3]
+        import graft.query._
+        import spark.implicits._
+        val dimB = 128; val tpdB = 4
+        val nDocsB = args.lift(1).map(_.toInt).getOrElse(10000000)
+        val kB = args.lift(2).map(_.toInt).getOrElse(49152)
+        val codecSufB = args.lift(3).map(c => s"_${c.toLowerCase}")
+          .filter(_ != "_none").getOrElse("")
+        val geomB = args.lift(4).getOrElse("clustered")
+        val (ktB, npB) = {
+          val Array(a, b) = args.lift(5).getOrElse("1x8").split("x"); (a.toInt, b.toInt)
+        }
+        val nspB = args.lift(6).map(_.toInt).getOrElse(256)
+        val repsB = args.lift(7).map(_.toInt).getOrElse(3)
+        val pathB = s"/root/repo/target/prof_batch_scale_${nDocsB}_$kB" +
+          s"$codecSufB${geomSuffix(geomB)}"
+        require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(pathB, "_prof_ready")),
+          s"run batch_scale $nDocsB $kB <codec> 2 $geomB first")
+        val idxB = graft.index.IndexIVF.open(spark, pathB)
+        val qPoolB = spark.range(nDocsB.toLong).select(col("id"),
+          geomTokensExpr(geomB, tpdB, dimB, noise = 0.05).as("colbert"))
+          .filter(col("id") < 212).orderBy("id").collect()
+          .map(_.getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("colbert")
+            .map(_.toArray).toArray)
+        val queriesB = qPoolB.zipWithIndex
+          .map { case (toks, i) => (i.toLong, toks.map(_.toSeq).toSeq) }.toSeq
+          .toDF("query_id", "tokens")
+        val optsB = SearchOptions(kTopCentroids = ktB, nProbe = npB,
+          numSecondPass = nspB)
+        // codegen warmup on a small batch BEFORE any timed rep
+        BatchSearcher.searchBatch(idxB, 1, "colbert", queriesB.limit(8), 10,
+          SearchOptions(kTopCentroids = 2, nProbe = 8, numSecondPass = nspB)).count()
+        spark.conf.set(BatchSearcher.ProfileKey, "true")
+        // job-level attribution INSIDE the blocking actions: the context
+        // broadcast build runs as its own job (scan + dedup shuffle +
+        // collect) before the main phase-1 pass, so per-job walls separate
+        // "build the 839 MiB relation" from "scan postings and score"
+        val jobsB = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+        val jlst = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val desc = Option(js.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .orElse(Option(js.properties)
+                .flatMap(p => Option(p.getProperty("callSite.short"))))
+              .getOrElse("?")
+            jobsB.put(js.jobId, (js.time, desc)); ()
+          }
+          override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            Option(jobsB.remove(je.jobId)).foreach { case (t0, desc) =>
+              jobLog.add((je.jobId, je.time - t0, desc))
+            }
+            ()
+          }
+        }
+        spark.sparkContext.addSparkListener(jlst)
+        (1 to repsB).foreach { rep =>
+          val t0 = System.nanoTime()
+          val out = BatchSearcher.searchBatch(idxB, 1, "colbert", queriesB,
+            10, optsB)
+          val tCall = System.nanoTime()
+          val n = out.count()
+          val tDone = System.nanoTime()
+          val segs = BatchSearcher.lastProfile
+          Thread.sleep(1500) // listener bus is async
+          import scala.jdk.CollectionConverters._
+          val jobs = jobLog.asScala.toVector.sortBy(-_._2)
+          jobLog.clear()
+          val callMs = (tCall - t0) / 1e6
+          val actionMs = (tDone - tCall) / 1e6
+          val totalMs = (tDone - t0) / 1e6
+          println(f"[prof] breakdown rep=$rep ($ktB%dx$npB%d nsp=$nspB) " +
+            f"total ${totalMs / 1000}%.2f s  ms/q ${totalMs / 212}%.1f  rows=$n")
+          segs.toSeq.sortBy(-_._2).foreach { case (name, ms) =>
+            println(f"[prof]   $name%-22s ${ms / 1000}%8.3f s  " +
+              f"(${100 * ms / totalMs}%4.1f %% of total)")
+          }
+          val inCallOther = callMs - segs.values.sum
+          println(f"[prof]   in-call-other          ${inCallOther / 1000}%8.3f s  " +
+            f"(plan assembly + broadcast vars)")
+          println(f"[prof]   final_action           ${actionMs / 1000}%8.3f s  " +
+            f"(${100 * actionMs / totalMs}%4.1f %% — phase-2 multiget + " +
+            "rerank + top-k)")
+          jobs.take(8).foreach { case (jid, ms, desc) =>
+            println(f"[prof]     job $jid%-4d ${ms / 1000.0}%8.3f s  " +
+              desc.take(90))
+          }
+        }
+        spark.sparkContext.removeSparkListener(jlst)
+        spark.conf.set(BatchSearcher.ProfileKey, "false")
 
       case "frontier_miss" =>
         // Ground-truth reachability probe for batch_frontier misses: for
@@ -1149,10 +1261,11 @@ object ProfMain {
         // eval (perturbed self-retrieval qrels) at (1x8) x each nsp. The
         // base index runs the same eval as the exact row of the table.
         // args: [nDocs] [K] [codec] [iters=2] [geom] [probesList=8]
-        // [nspList=256,1024] [configs=1x8]
+        // [nspList=256,1024] [configs=1x8] [tpd=4]
         import graft.query._
         import spark.implicits._
-        val dimY = 128; val tpdY = 4
+        val dimY = 128
+        val tpdY = args.lift(9).map(_.toInt).getOrElse(4)
         val nDocsY = args.lift(1).map(_.toInt).getOrElse(10000000)
         val kY = args.lift(2).map(_.toInt).getOrElse(49152)
         val codecY = args.lift(3).map(c => s"_${c.toLowerCase}")
@@ -1168,7 +1281,7 @@ object ProfMain {
         spark.conf.set(BatchSearcher.MaxPoolBytesKey, (1L << 30).toString)
         val iterSuffixY = if (itersY == 2) "" else s"_it$itersY"
         val basePathY = s"/root/repo/target/prof_batch_scale_${nDocsY}_$kY" +
-          s"$codecY$iterSuffixY${geomSuffix(geomY)}"
+          s"$codecY$iterSuffixY${geomSuffix(geomY)}${widthSuffix(tpdY)}"
         require(java.nio.file.Files.exists(
           java.nio.file.Paths.get(basePathY, "_prof_ready")),
           s"run batch_scale $nDocsY $kY ... $geomY first to build the base index")
