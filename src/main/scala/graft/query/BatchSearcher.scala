@@ -82,6 +82,80 @@ object BatchSearcher {
   /** Driver bytes per collected pool pair: two longs. */
   val PoolPairBytes = 16L
 
+  /** Opt-in saturation-aware rerank cut (r15 verdict item 2). A FIXED
+    * numSecondPass cut is unsafe exactly when phase-1 scores saturate
+    * (tight clusters: cluster-mates share centroid codes, the approximate
+    * ranking at the cut boundary is near-arbitrary, and the true doc can
+    * sit just below it — the q97 mechanism, COVERAGE.md round 15) and
+    * wasteful when they don't (nsp=1024 cost +85 % ms/q on the clustered
+    * 10M corpus because phase-2's multiget scales with the pool).
+    *
+    * `> numSecondPass` enables: the phase-1 heap keeps this many
+    * candidates per query, and the driver-side pool cut keeps only
+    * numSecondPass of them UNLESS the score distribution at the boundary
+    * is saturated — the relative score spread across [[NspTieWindow]]
+    * ranks around the cut falls below [[NspTieEpsKey]] — in which case
+    * that query's pool escalates to this bound. Phase-2 cost grows only
+    * for queries whose cut was provably arbitrary. Default 0 = off: the
+    * reference's fixed cut (SearchOptions.h:31-32), oracle-pinned.
+    * Applies to the default pool shape (heap cut + rerank multiget). */
+  val NspEscalateKey = "graft.batch.nspEscalate"
+  private def nspEscalate(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get(NspEscalateKey, "0").toInt
+
+  /** Relative score-spread threshold under which the cut boundary counts
+    * as saturated (see [[NspEscalateKey]]). The clustered-corpus tie runs
+    * this detects are float-identical or near-identical scores; 1e-3
+    * relative spread is orders above float noise yet far below any real
+    * ranking gap at the boundary. */
+  val NspTieEpsKey = "graft.batch.nspTieEps"
+  private def nspTieEps(spark: org.apache.spark.sql.SparkSession): Double =
+    spark.conf.get(NspTieEpsKey, "1e-3").toDouble
+
+  /** Ranks inspected on each side of the cut boundary by the saturation
+    * detector. */
+  val NspTieWindow = 8
+
+  /** Is the score distribution saturated at rank `base`? `scores` must be
+    * sorted descending. True when the relative spread across the
+    * [base - window, base + window) ranks is below `eps` — the cut then
+    * separates near-ties, i.e. the approximate ranking at the boundary
+    * carries no signal. */
+  private[graft] def boundarySaturated(scores: Array[Double], base: Int,
+      eps: Double): Boolean = {
+    val n = scores.length
+    if (n <= base) false
+    else {
+      val hi = scores(math.max(0, base - NspTieWindow))
+      val lo = scores(math.min(n - 1, base + NspTieWindow - 1))
+      val ref = math.max(math.abs(scores(base - 1)), 1e-12)
+      (hi - lo) / ref < eps
+    }
+  }
+
+  /** The driver-side adaptive cut over the collected (query_id, doc_id,
+    * score) pool: per query, sorted by (score desc, doc_id) — the heap's
+    * own order — keep `base` pairs, escalating to `esc` only when
+    * [[boundarySaturated]] fires. Returns the kept pairs and the number of
+    * escalated queries (exposed for the profiling breakdown). */
+  private[graft] def adaptivePoolCut(rows: Array[(Long, Long, Double)],
+      base: Int, esc: Int, eps: Double): (Array[(Long, Long)], Int) = {
+    var escalated = 0
+    val out = Array.newBuilder[(Long, Long)]
+    rows.groupBy(_._1).foreach { case (qid, qRows) =>
+      val sorted = qRows.sortBy(r => (-r._3, r._2))
+      val keep =
+        if (sorted.length <= base) sorted.length
+        else if (boundarySaturated(sorted.map(_._3), base, eps)) {
+          escalated += 1
+          math.min(esc, sorted.length)
+        } else base
+      var i = 0
+      while (i < keep) { out += ((qid, sorted(i)._2)); i += 1 }
+    }
+    (out.result(), escalated)
+  }
+
   /** Opt-in per-batch phase breakdown (`true` records named driver-side
     * segment walls of each searchBatch call into [[lastProfile]]). The
     * segments partition the FIXED per-batch pipeline cost — the serving
@@ -375,6 +449,12 @@ object BatchSearcher {
       if (heap) contextRelationStats(idx, tenant, field) else (0L, Long.MaxValue)
     }
     val bcastCtx = heap && ctxBytes <= ctxGateBytes
+    // saturation-aware escalation (see NspEscalateKey): the heap keeps esc
+    // candidates; the driver-side cut below decides per query
+    val esc = nspEscalate(spark)
+    val adaptive = esc > opts.numSecondPass && heap && opts.secondPass &&
+      rerankMultiget(spark)
+    val poolDepth = if (adaptive) esc else opts.numSecondPass
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -430,7 +510,7 @@ object BatchSearcher {
         } else pairs
           .join(broadcast(ctxAll.dropDuplicates("doc_id")), Seq("doc_id"))
           .select(col("query_id"), col("doc_id"), scoreCol)
-      groupTopK(scored, opts.numSecondPass)
+      groupTopK(scored, poolDepth)
     } else {
       // shuffle shape for a corpus whose thin context outgrows a sane
       // broadcast: distinct pairs, semi-join prune of the context scan,
@@ -453,7 +533,7 @@ object BatchSearcher {
         .dropDuplicates("doc_id")
         .join(candidates, Seq("doc_id"))
         .select(phase1Cols: _*)
-      if (heap) groupTopK(phase1, opts.numSecondPass)
+      if (heap) groupTopK(phase1, poolDepth)
       else phase1.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= opts.numSecondPass).drop("rn")
     }
@@ -479,21 +559,35 @@ object BatchSearcher {
         pool.select(col("query_id"), col("doc_id"),
           rerankUdf(col("query_id"), col("doc_codes"), col("doc_residuals")).as("score"))
       else if (rerankMultiget(spark)) {
-        // the pool cut is <= batch x numSecondPass (query_id, doc_id)
+        // the pool cut is <= batch x poolDepth (query_id, doc_id[, score])
         // pairs — the bound is known at plan time, so guard BEFORE the
-        // collect (same style as the matrix plan-constant guard above)
-        val poolBound = plans.length.toLong * opts.numSecondPass
-        val poolBytes = poolBound * PoolPairBytes
+        // collect (same style as the matrix plan-constant guard above);
+        // the adaptive shape carries the score (8 B more per pair) so the
+        // driver can judge boundary saturation
+        val pairBytes = if (adaptive) PoolPairBytes + 8L else PoolPairBytes
+        val poolBound = plans.length.toLong * poolDepth
+        val poolBytes = poolBound * pairBytes
         require(poolBytes <= maxPoolBytes(spark),
           s"phase-2 pool would collect ~$poolBytes bytes on the driver " +
-            s"(${plans.length} queries x numSecondPass=${opts.numSecondPass} " +
-            s"x $PoolPairBytes B/pair, limit ${maxPoolBytes(spark)}): split " +
+            s"(${plans.length} queries x poolDepth=$poolDepth " +
+            s"x $pairBytes B/pair, limit ${maxPoolBytes(spark)}): split " +
             s"the batch into smaller searchBatch calls, lower " +
             s"numSecondPass, or raise $MaxPoolBytesKey")
-        // bounded: <= queries x numSecondPass pairs, byte-gated just above
-        val poolRows = prof("phase1_pool_action") {
-          pool.select(col("query_id"), col("doc_id")).collect()
-        }
+        // bounded: <= queries x poolDepth pairs, byte-gated just above
+        val poolRows: Array[(Long, Long)] =
+          if (adaptive) {
+            val withScores = prof("phase1_pool_action") {
+              pool.select(col("query_id"), col("doc_id"), col("score"))
+                .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            }
+            val (kept, escalated) = adaptivePoolCut(withScores,
+              opts.numSecondPass, esc, nspTieEps(spark))
+            if (prof.on) prof.buf("adaptive_escalated_queries") = escalated.toDouble
+            kept
+          } else prof("phase1_pool_action") {
+            pool.select(col("query_id"), col("doc_id"))
+              .collect().map(r => (r.getLong(0), r.getLong(1)))
+          }
         if (poolRows.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -511,7 +605,7 @@ object BatchSearcher {
           // bytes out of the dedup shuffle and the join), then the
           // doc_id IN-set row-group-prunes the surviving doc_id-sorted
           // files where the id density allows
-          val ids = poolRows.map(_.getLong(1)).distinct
+          val ids = poolRows.map(_._2).distinct
           val buckets = ids.map(IndexIVF.docBucketOf).distinct.toSeq
           val ctxM = idx.contextDf
             .filter(col("tenant") === tenant && col("field") === fid &&
@@ -520,7 +614,8 @@ object BatchSearcher {
             .select(col("doc_id"), col("doc_codes"), col("doc_residuals"))
             .dropDuplicates("doc_id")
           val poolDf = spark.createDataFrame(
-            spark.sparkContext.parallelize(poolRows.toIndexedSeq, 1),
+            spark.sparkContext.parallelize(poolRows.toIndexedSeq.map(p =>
+              org.apache.spark.sql.Row(p._1, p._2)), 1),
             org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("query_id",
                 org.apache.spark.sql.types.LongType, nullable = false),

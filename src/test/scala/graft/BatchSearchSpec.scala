@@ -110,6 +110,68 @@ class BatchSearchSpec extends AnyFunSuite {
     } finally spark.conf.unset(BatchSearcher.MaxPoolBytesKey)
   }
 
+  test("saturation detector: flat boundary escalates, real gap does not") {
+    // synthesized saturated fixture: 64 candidates whose scores are
+    // near-identical across the cut at base=8 (the tight-cluster signature)
+    val flat = Array.tabulate(64)(i => 10.0 - i * 1e-7)
+    assert(BatchSearcher.boundarySaturated(flat, base = 8, eps = 1e-3),
+      "near-tied scores across the boundary must read as saturated")
+    // a genuine ranking gap at the cut: top 8 ~10.0, rest ~1.0
+    val gapped = Array.tabulate(64)(i => if (i < 8) 10.0 - i * 0.01 else 1.0 - i * 0.001)
+    assert(!BatchSearcher.boundarySaturated(gapped, base = 8, eps = 1e-3),
+      "a real score gap at the boundary must NOT escalate")
+    // fewer candidates than the cut: nothing to escalate
+    assert(!BatchSearcher.boundarySaturated(flat.take(5), base = 8, eps = 1e-3))
+
+    val rows =
+      flat.zipWithIndex.map { case (s, i) => (1L, i.toLong, s) } ++
+      gapped.zipWithIndex.map { case (s, i) => (2L, i.toLong, s) }
+    val (kept, escalated) = BatchSearcher.adaptivePoolCut(rows, base = 8,
+      esc = 32, eps = 1e-3)
+    assert(escalated == 1, "only the saturated query escalates")
+    val byQ = kept.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byQ(1L) == 32, s"saturated query keeps esc pairs, got ${byQ(1L)}")
+    assert(byQ(2L) == 8, s"unsaturated query keeps base pairs, got ${byQ(2L)}")
+  }
+
+  test("adaptive cut recovers a doc a fixed cut drops on a saturated cluster") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(5)
+    // a tight cluster: 29 docs share one token set; doc 29 is a tiny
+    // perturbation of it (same centroid codes -> phase-1 scores tie, the
+    // deterministic tie-break is doc_id asc, so doc 29 always falls below
+    // a small fixed cut — the q97 mechanism, synthesized)
+    val base = Seq.fill(3)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val bump = base.map(_.map(v => v + 0.01f))
+    val corpus: Map[Long, Seq[Seq[Float]]] =
+      (0L until 29L).map(_ -> base).toMap + (29L -> bump)
+    val path = java.nio.file.Files.createTempDirectory("idx_adaptive").toString
+    val idx = IndexIVF.create(spark, path, GSchema(Seq(
+      GField.colbert("colbert", dim, numCentroids = 2, numIterations = 4))))
+    val docs = corpus.toSeq.sortBy(_._1).map { case (i, t) => Doc(i, t, "x", 0L) }
+      .toDF().select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("colbert"))
+    idx.train(docs)
+    idx.add(1, docs)
+
+    val opts = SearchOptions(kTopCentroids = 2, nProbe = 2, numSecondPass = 4)
+    val queriesDf = Seq((29L, bump)).toDF("query_id", "tokens")
+    def hits(): Seq[Long] =
+      BatchSearcher.searchBatch(idx, 1, "colbert", queriesDf, k = 3, opts)
+        .collect().map(_.getLong(1)).toSeq
+
+    val fixed = hits()
+    assert(!fixed.contains(29L),
+      s"fixture broken: the fixed nsp=4 cut should drop doc 29, got $fixed")
+    spark.conf.set(BatchSearcher.NspEscalateKey, "32")
+    try {
+      val adaptive = hits()
+      assert(adaptive.head == 29L,
+        s"escalation must readmit the true doc to rank 1, got $adaptive")
+    } finally spark.conf.unset(BatchSearcher.NspEscalateKey)
+  }
+
   test("cached context-codes snapshot: identical to the per-batch BHJ " +
       "shape, and a mutation invalidates it") {
     import spark.implicits._

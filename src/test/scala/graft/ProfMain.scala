@@ -87,6 +87,13 @@ object ProfMain {
     // shuffle) path with GRAFT_SMALL_ADD_MAX_BYTES=1
     sys.env.get("GRAFT_SMALL_ADD_MAX_BYTES").foreach(v =>
       spark.conf.set("graft.index.smallAddMaxBytes", v))
+    // saturation-aware rerank escalation (r15 item 2) for the frontier arms
+    sys.env.get("GRAFT_NSP_ESCALATE").foreach(v =>
+      spark.conf.set("graft.batch.nspEscalate", v))
+    // force the context-broadcast gate (r15 item 5: measure the shuffle
+    // fallback crossing on clustered geometry) with GRAFT_CTX_BCAST_MAX=1
+    sys.env.get("GRAFT_CTX_BCAST_MAX").foreach(v =>
+      spark.conf.set("graft.batch.broadcastContextMaxBytes", v))
 
     what match {
       case "engine" => profEngine(spark, dir)
