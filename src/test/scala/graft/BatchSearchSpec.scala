@@ -122,6 +122,12 @@ class BatchSearchSpec extends AnyFunSuite {
       "a real score gap at the boundary must NOT escalate")
     // fewer candidates than the cut: nothing to escalate
     assert(!BatchSearcher.boundarySaturated(flat.take(5), base = 8, eps = 1e-3))
+    // a flat continuum at the boundary BELOW a separated top must NOT
+    // escalate: phase-1 already ranked those docs out of contention (the
+    // pervasive near-tie shape of a dense corpus, not the miss mechanism)
+    val lowPlateau = Array.tabulate(64)(i => if (i < 8) 10.0 - i else 1.0 - i * 1e-9)
+    assert(!BatchSearcher.boundarySaturated(lowPlateau, base = 8, eps = 1e-3),
+      "a boundary plateau below a well-separated top is not saturation")
 
     val rows =
       flat.zipWithIndex.map { case (s, i) => (1L, i.toLong, s) } ++

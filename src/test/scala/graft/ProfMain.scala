@@ -90,6 +90,8 @@ object ProfMain {
     // saturation-aware rerank escalation (r15 item 2) for the frontier arms
     sys.env.get("GRAFT_NSP_ESCALATE").foreach(v =>
       spark.conf.set("graft.batch.nspEscalate", v))
+    sys.env.get("GRAFT_NSP_TIE_EPS").foreach(v =>
+      spark.conf.set("graft.batch.nspTieEps", v))
     // force the context-broadcast gate (r15 item 5: measure the shuffle
     // fallback crossing on clustered geometry) with GRAFT_CTX_BCAST_MAX=1
     sys.env.get("GRAFT_CTX_BCAST_MAX").foreach(v =>
@@ -1039,6 +1041,137 @@ object ProfMain {
             f"$s%8.2f s  ${nTokA / s / 1e3}%8.1f ktok/s single-thread")
         }
 
+      case "derive_width" =>
+        // r15 verdict item 3 plumbing: derive a width arm from an existing
+        // trained base WITHOUT retraining — copyTrained + add() at the
+        // target tokens-per-doc. Methodologically sound for the width
+        // study because geomTokensExpr's token distribution is
+        // width-INDEPENDENT (cluster membership is per doc id, jitter per
+        // (id, t, d) — tpd only changes how many draws each doc makes), so
+        // sharing one centroid model across width arms removes the model
+        // as a confounder; only doc width varies.
+        // args: <fromTpd> <toTpd> [nDocs] [K] [codec] [geom]
+        import spark.implicits._
+        val dimD = 128
+        val fromTpd = args(1).toInt
+        val toTpd = args(2).toInt
+        val nDocsD = args.lift(3).map(_.toInt).getOrElse(1000000)
+        val kD = args.lift(4).map(_.toInt).getOrElse(16384)
+        val codecSufD = args.lift(5).map(c => s"_${c.toLowerCase}")
+          .filter(_ != "_none").getOrElse("_sq8")
+        val geomD = args.lift(6).getOrElse("clustered")
+        val fromPathD = s"/root/repo/target/prof_batch_scale_${nDocsD}_$kD" +
+          s"$codecSufD${geomSuffix(geomD)}${widthSuffix(fromTpd)}"
+        val toPathD = s"/root/repo/target/prof_batch_scale_${nDocsD}_$kD" +
+          s"$codecSufD${geomSuffix(geomD)}${widthSuffix(toTpd)}"
+        require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(fromPathD, "_prof_ready")),
+          s"base $fromPathD not built")
+        val toMarker = java.nio.file.Paths.get(toPathD, "_prof_ready")
+        if (java.nio.file.Files.exists(toMarker)) {
+          println(s"[prof] width arm already built at $toPathD")
+        } else {
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(toPathD))) {
+            println(s"[prof] wiping partial width arm at $toPathD")
+            val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(toPathD))
+            try {
+              import scala.jdk.CollectionConverters._
+              walk.iterator().asScala.toVector.reverse
+                .foreach(java.nio.file.Files.delete)
+            } finally walk.close()
+          }
+          val fromIdx = graft.index.IndexIVF.open(spark, fromPathD)
+          val toIdx = graft.index.IndexIVF.copyTrained(fromIdx, toPathD)
+          val docsD = spark.range(nDocsD.toLong).select(col("id"),
+            geomTokensExpr(geomD, toTpd, dimD, noise = 0.0).as("colbert"),
+            pmod(col("id") * 31L, lit(5000)).as("n_chars"))
+          time(s"derive_width add $nDocsD docs x $toTpd tok") {
+            toIdx.add(1, docsD)
+          }
+          java.nio.file.Files.createFile(toMarker)
+          println(s"[prof] width arm ready at $toPathD (model shared from " +
+            s"tpd=$fromTpd base)")
+        }
+
+      case "add_warmup" =>
+        // r15 verdict item 4: bound the first-full-size-call Vector-API
+        // penalty at PRODUCTION task granularity. The harness artifact is
+        // an ~8x slow FIRST full-size assignBlock call (130 s OSR'd at
+        // 20k tokens x K=49152); production add() instead makes millions
+        // of small per-doc calls, which C2-compile after a few thousand
+        // invocations — the hypothesis is the penalty amortizes to noise.
+        // Receipt: fresh JVM (this run), copyTrained arm, one add() under
+        // a task-end listener; per heaviest stage, the first tasks (by
+        // launch time) vs the steady-state distribution. Run SOLO.
+        // args: [nDocs] [K] [codec] [geom] [tpd]
+        import spark.implicits._
+        val dimW = 128
+        val nDocsW = args.lift(1).map(_.toInt).getOrElse(1000000)
+        val kW = args.lift(2).map(_.toInt).getOrElse(16384)
+        val codecSufW = args.lift(3).map(c => s"_${c.toLowerCase}")
+          .filter(_ != "_none").getOrElse("")
+        val geomW = args.lift(4).getOrElse("uniform")
+        val tpdW = args.lift(5).map(_.toInt).getOrElse(4)
+        val basePathW = s"/root/repo/target/prof_batch_scale_${nDocsW}_$kW" +
+          s"$codecSufW${geomSuffix(geomW)}${widthSuffix(tpdW)}"
+        require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(basePathW, "_prof_ready")),
+          s"run batch_scale first to build $basePathW")
+        val baseW = graft.index.IndexIVF.open(spark, basePathW)
+        val armPathW = s"${basePathW}_warmup_probe"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(armPathW))) {
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(armPathW))
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.iterator().asScala.toVector.reverse
+              .foreach(java.nio.file.Files.delete)
+          } finally walk.close()
+        }
+        val armW = graft.index.IndexIVF.copyTrained(baseW, armPathW)
+        val docsW = spark.range(nDocsW.toLong).select(col("id"),
+          geomTokensExpr(geomW, tpdW, dimW, noise = 0.0).as("colbert"),
+          pmod(col("id") * 31L, lit(5000)).as("n_chars"))
+        val tasksW = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+        val lstW = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            tasksW.add((te.stageId, te.taskInfo.launchTime, te.taskInfo.duration))
+            ()
+          }
+        }
+        spark.sparkContext.addSparkListener(lstW)
+        val tW0 = System.nanoTime()
+        try armW.add(1, docsW)
+        finally spark.sparkContext.removeSparkListener(lstW)
+        val addWall = (System.nanoTime() - tW0) / 1e9
+        Thread.sleep(2000)
+        import scala.jdk.CollectionConverters._
+        val byStageW = tasksW.asScala.toVector.groupBy(_._1)
+        println(f"[prof] add_warmup fresh-JVM add wall ${addWall}%.1f s " +
+          f"($nDocsW docs x $tpdW tok, K=$kW, ${geomW})")
+        byStageW.toSeq.sortBy(-_._2.map(_._3).sum).take(3).foreach { case (st, ts) =>
+          val byLaunch = ts.sortBy(_._2).map(_._3)
+          val cores = spark.sparkContext.defaultParallelism
+          val firstWave = byLaunch.take(cores)
+          val rest = byLaunch.drop(cores)
+          val sortedRest = rest.sorted
+          def pct(v: Vector[Long], q: Double): Long =
+            if (v.isEmpty) 0L else v(math.min(v.length - 1, (q * v.length).toInt))
+          println(f"[prof]   stage $st%-5d tasks=${ts.length}%-5d " +
+            f"total ${ts.map(_._3).sum / 1000.0}%8.1f s  " +
+            f"first-wave($cores) mean=${firstWave.sum / math.max(1, firstWave.length)}%-6d " +
+            f"max=${firstWave.maxOption.getOrElse(0L)}%-6d ms  " +
+            f"steady p50=${pct(sortedRest, 0.5)}%-6d p99=${pct(sortedRest, 0.99)}%-6d " +
+            f"max=${sortedRest.lastOption.getOrElse(0L)}%-6d ms  " +
+            f"firstmax/p50=${firstWave.maxOption.getOrElse(0L).toDouble /
+              math.max(1, pct(sortedRest, 0.5))}%.2f x")
+        }
+        // leave no probe index behind
+        val walkW = java.nio.file.Files.walk(java.nio.file.Paths.get(armPathW))
+        try walkW.iterator().asScala.toVector.reverse
+          .foreach(java.nio.file.Files.delete)
+        finally walkW.close()
+
       case "assign_pruned" =>
         // Go/no-go prototype for the pruned EXACT assignment named by the
         // add_phase attribution (assignment = ~3/4 of the add wall, linear
@@ -1470,8 +1603,13 @@ object ProfMain {
         }
         def jac(a: Set[Long], bb: Set[Long]): Double =
           (a intersect bb).size.toDouble / (a union bb).size
+        // [bList]: r15 stretch item 8 extends the sweep past 1024 to find
+        // where adjacent-B overlap stabilizes (or record that B is a
+        // genuine model choice)
+        val bList = args.lift(2).map(_.split(",").map(_.toInt).toSeq)
+          .getOrElse(Seq(64, 256, 1024))
         val configs3 = for {
-          order <- Seq(2, 1); b <- Seq(64, 256, 1024)
+          order <- Seq(2, 1); b <- bList
         } yield (b, order)
         val sels = configs3.map { case (b, o) =>
           val t0 = System.nanoTime()
@@ -1483,7 +1621,7 @@ object ProfMain {
           println(f"[prof] dsir_sens B=$b%-5d order=${if (o == 2) "uni+bi" else "uni"}%-6s " +
             f"k=$kSel%-5d ${secs}%6.2f s  overlap vs default ${jac(base, s0)}%.4f")
         }
-        Seq((64, 256), (256, 1024)).foreach { case (b1, b2) =>
+        bList.sliding(2).filter(_.length == 2).foreach { case Seq(b1, b2) =>
           val s1 = sels.find(_._1 == ((b1, 2))).get._2
           val s2 = sels.find(_._1 == ((b2, 2))).get._2
           println(f"[prof] dsir_sens adjacent-B overlap $b1%d->$b2%d (uni+bi): " +
