@@ -70,9 +70,22 @@ public final class ScoreKernel {
      * lives there with the identical accumulation order. */
     public static double scoreCodesT(long[] codes, float[] qt, int nq,
             float[] cent, int d) {
+        return scoreCodesTRange(codes, 0, codes.length, qt, nq, cent, d);
+    }
+
+    /** {@link #scoreCodesT} over a [from, to) slice of a SHARED flat codes
+     * array (the CSR CtxCodes snapshot): scores in place, so the snapshot
+     * phase-1 path pays no per-pair {@code Arrays.copyOfRange} — at width
+     * 120 tok/doc that copy is ~1 KiB of allocation per scored pair, and a
+     * 212-query batch on a 10M corpus evaluates up to ~1e9 pairs. Identical
+     * op sequence to the full-array entry (which now delegates here), so
+     * bit-parity is structural. */
+    public static double scoreCodesTRange(long[] codes, int from, int to,
+            float[] qt, int nq, float[] cent, int d) {
         float[] perToken = new float[nq];
         java.util.Arrays.fill(perToken, -9999.0f);
-        for (long code : codes) maxDotInto(qt, nq, cent, (int) code * d, d, perToken);
+        for (int j = from; j < to; j++)
+            maxDotInto(qt, nq, cent, (int) codes[j] * d, d, perToken);
         float s = 0f;
         for (int k = 0; k < nq; k++) s += perToken[k];
         return (double) s;

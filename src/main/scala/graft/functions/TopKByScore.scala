@@ -202,28 +202,15 @@ final class TopKHeap(val k: Int) {
     }
   }
 
-  /** Spark's double total order, descending: `==` ties first (so -0.0 ties
-    * 0.0, exactly SQLOrderingUtil.compareDoubles), and NaN ranks above
-    * every double, as Spark's `score desc` sort places it — a NaN
-    * candidate is kept and ordered first, bit-matching the window hatch
-    * instead of being silently dropped by a `>` comparison that is never
-    * true for NaN. Hot path: two plain compares (≈3 ns cheaper per call
-    * than the branchy java.lang.Double.compare on this hardware — r12
-    * verdict asked for the measured cost); only the cases plain compares
-    * cannot order (ties and NaN) fall through to the total-order branch,
-    * which is bit-identical to the previous formulation (TopKByScoreSpec
-    * pins NaN/±Inf/-0.0 against the window path). */
+  /** The heap's total order — see [[TopKHeap.ranksBefore]] on the
+    * companion, where it lives so non-heap consumers (the window hatch's
+    * eval sort, the driver-side adaptive pool cut) share the ONE
+    * comparator. */
   @inline def ranksBefore(s1: Double, d1: Long, s2: Double, d2: Long): Boolean =
-    if (s1 > s2) true
-    else if (s1 < s2) false
-    else if (s1 == s2) d1 < d2
-    else { // at least one NaN
-      val c = java.lang.Double.compare(s1, s2)
-      c > 0 || (c == 0 && d1 < d2)
-    }
+    TopKHeap.ranksBefore(s1, d1, s2, d2)
 
   @inline private def better(s1: Double, d1: Long, s2: Double, d2: Long): Boolean =
-    ranksBefore(s1, d1, s2, d2)
+    TopKHeap.ranksBefore(s1, d1, s2, d2)
 
   def insert(d: Long, s: Double): Unit = {
     if (size == k && !better(s, d, scores(0), ids(0))) return // fails threshold
@@ -263,4 +250,30 @@ final class TopKHeap(val k: Int) {
       }
     }
   }
+}
+
+object TopKHeap {
+  /** Spark's double total order, descending: `==` ties first (so -0.0 ties
+    * 0.0, exactly SQLOrderingUtil.compareDoubles), and NaN ranks above
+    * every double, as Spark's `score desc` sort places it — a NaN
+    * candidate is kept and ordered first, bit-matching the window hatch
+    * instead of being silently dropped by a `>` comparison that is never
+    * true for NaN. Hot path: two plain compares (≈3 ns cheaper per call
+    * than the branchy java.lang.Double.compare on this hardware — r12
+    * verdict asked for the measured cost); only the cases plain compares
+    * cannot order (ties and NaN) fall through to the total-order branch,
+    * which is bit-identical to the previous formulation (TopKByScoreSpec
+    * pins NaN/±Inf/-0.0 against the window path). Static here (not on the
+    * heap instance) so every consumer of the heap's order — the window
+    * hatch, the driver-side adaptive pool cut — sorts with the ONE
+    * comparator the heap itself uses; a (-score, doc_id) tuple sort is NOT
+    * equivalent (negation sends NaN last and splits the ±0.0 tie). */
+  @inline def ranksBefore(s1: Double, d1: Long, s2: Double, d2: Long): Boolean =
+    if (s1 > s2) true
+    else if (s1 < s2) false
+    else if (s1 == s2) d1 < d2
+    else { // at least one NaN
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && d1 < d2)
+    }
 }

@@ -134,9 +134,11 @@ final class IndexIVF private (
     * shipped to executors once; steady-state batches pay a map lookup.
     *
     * Freshness contract: the cache is invalidated by (a) any write-lock
-    * section on THIS handle ([[mutationTick]] — covers add/remove/merge/
-    * update/compact), and (b) a change in the VISIBLE row count the caller
-    * already computed for its byte gate. An external process's mutation
+    * section on ANY in-process handle for this path ([[mutationTick]] is
+    * JVM-global per qualified path, like the write lock itself — covers
+    * add/remove/merge/update/compact through this handle OR a sibling),
+    * and (b) a change in the VISIBLE row count the caller
+    * already computed for its byte gate. An external PROCESS's mutation
     * that keeps the row count identical (same-count update) can serve
     * stale codes until a count-changing mutation or a re-open — the same
     * cross-process staleness bound as the byte-gate cache, here made
@@ -147,36 +149,59 @@ final class IndexIVF private (
   @transient private lazy val ctxCodesBcastCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, Int),
       (Long, Long, org.apache.spark.broadcast.Broadcast[graft.functions.CtxCodes])]()
+
+  /** Per-key build locks for [[contextCodesBroadcast]]: two concurrent
+    * batches that both miss the cache must not both run the gated
+    * hundreds-of-MiB collect — the loser's broadcast would leak executor
+    * blocks until ContextCleaner GC (neither saw the other's put). The
+    * build serializes per (tenant, field); the winner's snapshot is reused
+    * by the waiter after a re-check under the lock. */
+  @transient private lazy val ctxCodesBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), Object]()
+
   def contextCodesBroadcast(tenant: Long, field: String, visibleRows: Long,
       measuredBytes: Long, maxBytes: Long)
       : org.apache.spark.broadcast.Broadcast[graft.functions.CtxCodes] = {
     val fid = mapper.id(field)
     val key = (tenant, fid)
-    val tick = mutationTick.get()
-    val cached = ctxCodesBcastCache.get(key)
-    if (cached != null && cached._1 == tick && cached._2 == visibleRows) cached._3
-    else {
-      require(measuredBytes <= maxBytes,
-        s"context relation for ($tenant, $field) measures $measuredBytes B " +
-          s"> broadcast budget $maxBytes B — callers must gate before asking " +
-          "for the broadcast snapshot")
-      val thin = contextDf
-        .filter(col("tenant") === tenant && col("field") === fid)
-        .select(col("doc_id"), col("doc_codes"))
-      // bounded: measuredBytes <= maxBytes required just above — the same
-      // byte budget the old per-batch BroadcastExchange collect ran under
-      val rows = thin.collect().map { r =>
-        r.getLong(0) -> r.getSeq[Long](1).toArray
+    def freshHit(): org.apache.spark.broadcast.Broadcast[graft.functions.CtxCodes] = {
+      val cached = ctxCodesBcastCache.get(key)
+      if (cached != null && cached._1 == mutationTick.get() &&
+        cached._2 == visibleRows) cached._3
+      else null
+    }
+    val hit = freshHit()
+    if (hit != null) hit
+    else ctxCodesBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val won = freshHit() // another thread may have built while we waited
+      if (won != null) won
+      else {
+        require(measuredBytes <= maxBytes,
+          s"context relation for ($tenant, $field) measures $measuredBytes B " +
+            s"> broadcast budget $maxBytes B — callers must gate before asking " +
+            "for the broadcast snapshot")
+        // read the tick BEFORE the collect: a mutation landing mid-build
+        // makes the entry stale-on-arrival and the next call rebuilds
+        val tick = mutationTick.get()
+        val stale = ctxCodesBcastCache.get(key)
+        val thin = contextDf
+          .filter(col("tenant") === tenant && col("field") === fid)
+          .select(col("doc_id"), col("doc_codes"))
+        // bounded: measuredBytes <= maxBytes required just above — the same
+        // byte budget the old per-batch BroadcastExchange collect ran under
+        val rows = thin.collect().map { r =>
+          r.getLong(0) -> r.getSeq[Long](1).toArray
+        }
+        val snap = graft.functions.CtxCodes.build(rows)
+        val b = spark.sparkContext.broadcast(snap)
+        ctxCodesBcastCache.put(key, (tick, visibleRows, b))
+        // unpersist (not destroy): an in-flight batch may still hold the
+        // stale broadcast — executor blocks are released now, the driver
+        // copy stays readable until ContextCleaner collects it
+        if (stale != null)
+          try { stale._3.unpersist(); () } catch { case _: Exception => () }
+        b
       }
-      val snap = graft.functions.CtxCodes.build(rows)
-      val b = spark.sparkContext.broadcast(snap)
-      ctxCodesBcastCache.put(key, (tick, visibleRows, b))
-      // unpersist (not destroy): an in-flight batch may still hold the
-      // stale broadcast — executor blocks are released now, the driver
-      // copy stays readable until ContextCleaner collects it
-      if (cached != null)
-        try { cached._3.unpersist(); () } catch { case _: Exception => () }
-      b
     }
   }
 
@@ -206,12 +231,16 @@ final class IndexIVF private (
     fs.makeQualified(hp).toString
   }
 
-  /** Bumped by every write-lock section on THIS handle: the cheap
-    * invalidation signal for handle-cached derived state (the
-    * [[contextCodesBroadcast]] snapshot). Conservative — read-only
-    * recovery calls bump it too, which only costs a rebuild. */
+  /** Bumped by every write-lock section on ANY in-process handle for this
+    * path: the tick lives beside the JVM-global [[IndexIVF.writeLocks]]
+    * entry (keyed by [[lockKey]]), so a mutation performed through a
+    * sibling handle in the same JVM invalidates this handle's snapshot
+    * cache too — the staleness bound is cross-PROCESS only, matching the
+    * [[contextCodesBroadcast]] doc. Conservative — read-only recovery
+    * calls bump it too, which only costs a rebuild. */
   @transient private lazy val mutationTick =
-    new java.util.concurrent.atomic.AtomicLong(0L)
+    IndexIVF.mutationTicks.computeIfAbsent(lockKey,
+      _ => new java.util.concurrent.atomic.AtomicLong(0L))
 
   private def withWriteLock[A](f: => A): A = {
     requireWritable()
@@ -1785,6 +1814,15 @@ object IndexIVF {
     * by path so two IndexIVF handles on the SAME directory (e.g. an open()
     * reload beside the creator) share one lock. */
   private val writeLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** JVM-global mutation ticks, keyed like [[writeLocks]] by the
+    * filesystem-qualified path: the invalidation signal for handle-cached
+    * derived state (the context-codes snapshot) must be as global as the
+    * write lock itself, or a mutation performed through a SIBLING handle on
+    * the same path in the same JVM would leave this handle's snapshot
+    * serving stale codes (wrong scores) until a row-count change. */
+  private val mutationTicks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
 
   private[graft] val MaxTargetedPartitionsKey = "graft.index.maxTargetedPartitions"
   private[graft] def maxTargetedPartitions(spark: SparkSession): Int =

@@ -666,6 +666,15 @@ object EngineQueries {
     // §7.5.4), so per-query cost is only meaningful amortized over a batch;
     // the batch window logs ms/query for COVERAGE.md. Verify-only (excluded
     // from the pinned headline set).
+    //
+    // Timed COLD and STEADY (r16 verdict item 2): the first batch on a
+    // fresh handle pays the one-time context-snapshot build — that cost
+    // amortizes across all later batches between mutations, so reporting
+    // ONLY the cold run made the artifact's serving-trend field regress
+    // (8.04 -> 11.47) in the exact round that cut real steady-state
+    // serving 71.7 -> 59.9 ms/q. The batch runs 3x on the same handle:
+    // run 1 = cold, min(runs 2-3) = steady; the legacy field name keeps
+    // pointing at what operators experience (steady).
     rowsOnly("q_engine_batch_search_212", Seq("BATCH", "J3", "A5", "A8")) { (s, dir) =>
       import s.implicits._
       withoutAqe(s) {
@@ -675,24 +684,42 @@ object EngineQueries {
         val queries = (0 until 212).map { i =>
           (i.toLong, (0 until 4).map(j => pool((i * 4 + j) % n).toSeq))
         }.toDF("query_id", "tokens")
-        val t0 = System.nanoTime()
-        val res = graft.query.BatchSearcher.searchBatch(idx, 1, "colbert", queries,
-          k = 3, SearchOptions(kTopCentroids = 4, nProbe = 8))
-        val out = materializeAndClean(s, res, path)
-        val ms = (System.nanoTime() - t0) / 1e6
-        lastBatch212MsPerQuery = ms / 212
-        log.warn(f"q_engine_batch_search_212: ${ms / 212}%.1f ms/query amortized " +
-          f"(212 queries, ${ms / 1000}%.2f s batch, index build excluded)")
-        out
+        def oneBatch(): (org.apache.spark.sql.DataFrame, Double) = {
+          val t0 = System.nanoTime()
+          val res = graft.query.BatchSearcher.searchBatch(idx, 1, "colbert",
+            queries, k = 3, SearchOptions(kTopCentroids = 4, nProbe = 8))
+          // bounded: <= 212 queries x `k`=3 rows — searchBatch cuts each
+          // query's result to its k argument
+          val rows = res.collect().toSeq
+          val local = s.createDataFrame(
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, res.schema)
+          (local, (System.nanoTime() - t0) / 1e6)
+        }
+        val (first, coldMs) = oneBatch()
+        val steadyMs = (1 to 2).map(_ => oneBatch()._2).min
+        lastBatch212ColdMsPerQuery = coldMs / 212
+        lastBatch212MsPerQuery = steadyMs / 212
+        log.warn(f"q_engine_batch_search_212: cold ${coldMs / 212}%.1f / " +
+          f"steady ${steadyMs / 212}%.1f ms/query amortized (212 queries, " +
+          f"cold ${coldMs / 1000}%.2f s, steady min-of-2 ${steadyMs / 1000}%.2f s " +
+          "batch, index build excluded)")
+        deleteRecursively(java.nio.file.Paths.get(path))
+        first
       }
     }
   )
 
-  /** Amortized ms/query from the most recent q_engine_batch_search_212 run
-    * in this JVM — read by [[graft.Bench]] to record the serving-latency
-    * trend as a machine-tracked JSON field (the log.warn above remains the
+  /** Amortized STEADY-STATE ms/query from the most recent
+    * q_engine_batch_search_212 run in this JVM (min of 2 re-runs on the
+    * same handle — the snapshot-cached cost every batch after the first
+    * pays) — read by [[graft.Bench]] to record the serving-latency trend
+    * as a machine-tracked JSON field (the log.warn above remains the
     * human-readable trace). -1 until the harness has run. */
   @volatile var lastBatch212MsPerQuery: Double = -1.0
+
+  /** The COLD twin: the first batch on a fresh handle, which pays the
+    * one-time context-snapshot build (and first-touch file listing). */
+  @volatile var lastBatch212ColdMsPerQuery: Double = -1.0
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.EngineQueries")
 }

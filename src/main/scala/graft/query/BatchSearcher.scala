@@ -1,5 +1,6 @@
 package graft.query
 
+import graft.functions.TopKHeap
 import graft.index.IndexIVF
 import graft.scoring.Plaid
 import org.apache.spark.sql.DataFrame
@@ -143,16 +144,23 @@ object BatchSearcher {
   }
 
   /** The driver-side adaptive cut over the collected (query_id, doc_id,
-    * score) pool: per query, sorted by (score desc, doc_id) — the heap's
-    * own order — keep `base` pairs, escalating to `esc` only when
-    * [[boundarySaturated]] fires. Returns the kept pairs and the number of
-    * escalated queries (exposed for the profiling breakdown). */
+    * score) pool: per query, sorted with [[TopKHeap.ranksBefore]] — the
+    * phase-1 heap's OWN total order (NaN first, -0.0 == 0.0 tying to
+    * doc_id), NOT a (-score, doc_id) tuple sort, whose negation sends NaN
+    * last and splits the ±0.0 tie — so the non-escalated base cut keeps
+    * bit-identically the docs the fixed-cut heap would have kept. Keep
+    * `base` pairs, escalating to `esc` only when [[boundarySaturated]]
+    * fires. Returns the kept pairs and the number of escalated queries
+    * (exposed for the profiling breakdown). */
   private[graft] def adaptivePoolCut(rows: Array[(Long, Long, Double)],
       base: Int, esc: Int, eps: Double): (Array[(Long, Long)], Int) = {
+    require(base >= 1, s"adaptive pool cut needs numSecondPass >= 1, got " +
+      s"$base — the saturation detector anchors on the score at the cut")
     var escalated = 0
     val out = Array.newBuilder[(Long, Long)]
     rows.groupBy(_._1).foreach { case (qid, qRows) =>
-      val sorted = qRows.sortBy(r => (-r._3, r._2))
+      val sorted = qRows.sortWith((a, b) =>
+        TopKHeap.ranksBefore(a._3, a._2, b._3, b._2))
       val keep =
         if (sorted.length <= base) sorted.length
         else if (boundarySaturated(sorted.map(_._3), base, eps)) {
@@ -594,6 +602,8 @@ object BatchSearcher {
             if (prof.on) prof.buf("adaptive_escalated_queries") = escalated.toDouble
             kept
           } else prof("phase1_pool_action") {
+            // bounded: <= poolBound pairs, byte-gated by the maxPoolBytes
+            // require above
             pool.select(col("query_id"), col("doc_id"))
               .collect().map(r => (r.getLong(0), r.getLong(1)))
           }

@@ -140,6 +140,33 @@ class BatchSearchSpec extends AnyFunSuite {
     assert(byQ(2L) == 8, s"unsaturated query keeps base pairs, got ${byQ(2L)}")
   }
 
+  test("adaptive cut sorts with the heap's own total order (NaN first, " +
+      "±0.0 tied to doc_id) and refuses base < 1") {
+    // NaN ranks ABOVE every double in the heap/window order; a
+    // (-score, doc_id) tuple sort would negate NaN to last and keep docs
+    // 2,3 instead — the off-path equivalence the r16 ADVICE flagged
+    val nanRows = Array((1L, 1L, Double.NaN), (1L, 2L, 5.0), (1L, 3L, 0.0))
+    val (nanKept, _) = BatchSearcher.adaptivePoolCut(nanRows, base = 2,
+      esc = 3, eps = 1e-3)
+    assert(nanKept.map(_._2).toSeq == Seq(1L, 2L),
+      s"NaN must rank first like the phase-1 heap, got ${nanKept.toSeq}")
+    // -0.0 == 0.0 ties in the heap order and breaks to doc_id asc; the
+    // tuple sort's negation splits them (-0.0 < 0.0 in the total order).
+    // esc == base: the tie saturates the boundary (by design), but the
+    // escalated keep-count equals base, so what survives is purely the
+    // comparator's rank-1 choice
+    val zeroRows = Array((1L, 10L, 0.0), (1L, 5L, -0.0))
+    val (zeroKept, _) = BatchSearcher.adaptivePoolCut(zeroRows, base = 1,
+      esc = 1, eps = 1e-3)
+    assert(zeroKept.map(_._2).toSeq == Seq(5L),
+      s"±0.0 must tie and break to doc_id asc, got ${zeroKept.toSeq}")
+    // base = 0 would index scores(-1) in the detector: named error instead
+    val err = intercept[IllegalArgumentException] {
+      BatchSearcher.adaptivePoolCut(zeroRows, base = 0, esc = 2, eps = 1e-3)
+    }
+    assert(err.getMessage.contains("numSecondPass"), err.getMessage)
+  }
+
   test("adaptive cut recovers a doc a fixed cut drops on a saturated cluster") {
     import spark.implicits._
     val dim = 8
@@ -221,5 +248,42 @@ class BatchSearchSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSet
     assert(after.contains(100L),
       s"doc added after the snapshot build must be visible, got $after")
+  }
+
+  test("snapshot cache: a same-row-count mutation through a SIBLING handle " +
+      "in the same JVM invalidates this handle's snapshot (JVM-global tick)") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(33)
+    def tokens() = Seq.fill(4)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val corpus = (0L until 30L).map(i => i -> tokens()).toMap
+    val path = java.nio.file.Files.createTempDirectory("idx_siblingtick").toString
+    val idx = IndexIVF.create(spark, path, GSchema(Seq(
+      GField.colbert("colbert", dim, numCentroids = 6, numIterations = 4))))
+    def df(rows: Seq[(Long, Seq[Seq[Float]])]) =
+      rows.map { case (i, t) => Doc(i, t, "x", 0L) }.toDF()
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("colbert"))
+    idx.train(df(corpus.toSeq.sortBy(_._1)))
+    idx.add(1, df(corpus.toSeq.sortBy(_._1)))
+
+    val opts = SearchOptions(kTopCentroids = 3, nProbe = 6)
+    val q = Seq((7L, corpus(7L))).toDF("query_id", "tokens")
+    def top(): Long = BatchSearcher
+      .searchBatch(idx, 1, "colbert", q, k = 1, opts)
+      .collect().head.getLong(1)
+    assert(top() == 7L, "self-query must rank doc 7 first") // snapshot cached
+
+    // update doc 7 through a SIBLING handle: the row COUNT is unchanged
+    // (tombstone + re-add), so only the JVM-global mutation tick can
+    // invalidate the first handle's snapshot — a per-handle tick serves
+    // doc 7's STALE codes and still ranks it first
+    val sibling = IndexIVF.open(spark, path)
+    val far = corpus(25L).map(_.map(v => -v)) // far from the query
+    sibling.update(1, df(Seq(7L -> far)))
+    assert(top() != 7L,
+      "sibling-handle update must invalidate the snapshot cache: doc 7's " +
+        "new tokens are far from the query, yet it still ranked first " +
+        "(stale codes served)")
   }
 }

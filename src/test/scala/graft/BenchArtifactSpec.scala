@@ -25,7 +25,8 @@ class BenchArtifactSpec extends AnyFunSuite {
     repeats = 3,
     calibrationMs = 1234.5678,
     loadavg = "32.12,31.98,30.55",
-    batch212MsPerQuery = 123.4567)
+    batch212MsPerQuery = 123.4567,
+    batch212ColdMsPerQuery = 456.7891)
 
   test("headline line stays under 1,500 chars (driver keeps a 2,000-char tail)") {
     assert(line.length < 1500, s"headline line is ${line.length} chars:\n$line")
@@ -43,8 +44,11 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(j.get("calibration_ms").asDouble() > 0)
     assert(j.get("loadavg").asText().nonEmpty)
     assert(j.get("batch212_ms_per_query").asDouble() > 0)
+    // the steady/cold pair: steady keeps the legacy name (trend line), cold
+    // carries the fresh-handle snapshot-build cost (r16 verdict item 2)
+    assert(j.get("batch212_cold_ms_per_query").asDouble() > 0)
     // the -1 failure signal survives the fixed-point formatting
-    val failed = parse(Bench.headlineJson(-1.0, Seq("q_x" -> -1.0), "d", 1, 1.0, "", -1.0))
+    val failed = parse(Bench.headlineJson(-1.0, Seq("q_x" -> -1.0), "d", 1, 1.0, "", -1.0, -1.0))
     assert(failed.get("queries").get("q_x").asDouble() == -1.0)
   }
 
@@ -62,7 +66,7 @@ class BenchArtifactSpec extends AnyFunSuite {
     val best = Seq("q_ok" -> 2.5, "q_boom" -> -1.0, "q_ok2" -> 1.5)
     val total = Bench.headlineTotal(best)
     assert(total == 4.0) // a crash can never lower (or raise) the total
-    val j = parse(Bench.headlineJson(total, best, "d", 1, 1.0, "", -1.0))
+    val j = parse(Bench.headlineJson(total, best, "d", 1, 1.0, "", -1.0, -1.0))
     assert(j.get("failed").size() == 1)
     assert(j.get("failed").get(0).asText() == "q_boom")
     // a partial run's `value` is null, never a smaller total: a consumer
@@ -70,7 +74,7 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(j.get("value").isNull)
     // and the all-green shape carries an explicitly-empty list, so a
     // consumer can distinguish "no failures" from "field missing"
-    val clean = parse(Bench.headlineJson(4.0, Seq("q_ok" -> 4.0), "d", 1, 1.0, "", -1.0))
+    val clean = parse(Bench.headlineJson(4.0, Seq("q_ok" -> 4.0), "d", 1, 1.0, "", -1.0, -1.0))
     assert(clean.get("failed").size() == 0)
     assert(math.abs(clean.get("value").asDouble() - 4.0) < 1e-9)
   }

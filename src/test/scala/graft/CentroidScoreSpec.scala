@@ -98,6 +98,38 @@ class CentroidScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("slice variants (computeDotAutoLRange/computeDotLRange) score a " +
+      "shared flat array in place, bit-identical to the copied-slice path") {
+    val r4 = new scala.util.Random(47L)
+    for (nqv <- Seq(1, 4, 16, 32, 33); dimv <- Seq(4, 128); len <- Seq(0, 1, 7)) {
+      val ncv = 16
+      val cent = Array.fill(ncv * dimv)(r4.nextFloat() * 2 - 1)
+      val q = Array.fill(nqv * dimv)(r4.nextFloat() * 2 - 1)
+      val qt = CentroidScore.transposeQuery(q, dimv)
+      // the slice sits mid-array with junk codes on both sides — the range
+      // entry must touch ONLY [from, until)
+      val pre = Array.fill(3)(r4.nextInt(ncv).toLong)
+      val mid = Array.fill(len)(r4.nextInt(ncv).toLong)
+      val post = Array.fill(5)(r4.nextInt(ncv).toLong)
+      val flat = pre ++ mid ++ post
+      val from = pre.length; val until = pre.length + mid.length
+      val viaCopy = CentroidScore.computeDotAutoL(
+        java.util.Arrays.copyOfRange(flat, from, until), q, qt, cent, nqv, dimv)
+      val viaRange = CentroidScore.computeDotAutoLRange(
+        flat, from, until, q, qt, cent, nqv, dimv)
+      assert(java.lang.Double.doubleToRawLongBits(viaCopy) ==
+        java.lang.Double.doubleToRawLongBits(viaRange),
+        s"auto-range nq=$nqv dim=$dimv len=$len")
+      val scalarCopy = CentroidScore.computeDotL(
+        java.util.Arrays.copyOfRange(flat, from, until), q, cent, nqv, dimv)
+      val scalarRange = CentroidScore.computeDotLRange(
+        flat, from, until, q, cent, nqv, dimv)
+      assert(java.lang.Double.doubleToRawLongBits(scalarCopy) ==
+        java.lang.Double.doubleToRawLongBits(scalarRange),
+        s"scalar-range nq=$nqv dim=$dimv len=$len")
+    }
+  }
+
   test("CtxCodes.build dedups on first occurrence and indexOf finds every doc") {
     val rows = Array(
       (7L, Array(1L, 2L)), (3L, Array(9L)), (7L, Array(5L)), (11L, Array(0L, 0L, 4L)))
