@@ -72,8 +72,8 @@ final class IndexIVF private (
     * tombstones up to it applied; every mutator refuses. None = writable. */
   private[index] var snapshotEpoch: Option[Long] = None
 
-  /** Per-(field, probes) cache for the opt-in two-level add() assignment
-    * plan ([[IndexIVF.AddAssignProbesKey]]) — valid while the field's
+  /** Per-(field, probes) cache for the harness-only two-level assignment
+    * plan ([[addWithApproxAssignForHarness]]) — valid while the field's
     * CoarseQuantizer INSTANCE is unchanged (train() installs a fresh
     * instance, which misses the identity check and rebuilds). Keeps
     * trickle ingest (foreachBatch -> add per micro-batch) from paying the
@@ -204,6 +204,14 @@ final class IndexIVF private (
       }
     }
   }
+
+  /** Warm the batch-serving caches for (tenant, field) so the first
+    * searchBatch doesn't pay the one-time snapshot build in-band — see
+    * [[graft.query.BatchSearcher.warmBatchCaches]] for what is built and
+    * when it's a no-op. The idiom for latency-sensitive serving:
+    * `val idx = IndexIVF.open(...); idx.warmBatchCaches(tenant, field)`. */
+  def warmBatchCaches(tenant: Long, field: String): Unit =
+    graft.query.BatchSearcher.warmBatchCaches(this, tenant, field)
 
   import IndexIVF._
 
@@ -786,6 +794,41 @@ final class IndexIVF private (
     * Matching the reference quirk, the codec encodes the RAW token vector,
     * not the residual (DocProcessor.cpp:209-229; SURVEY §3.2). */
   def add(tenant: Long, docs: DataFrame): Unit = withWriteLock {
+    addImpl(tenant, docs, assignProbes = 0)
+  }
+
+  /** MEASUREMENT-HARNESS-ONLY twin of [[add]] with approximate centroid
+    * assignment: probes > 0 routes the encode pass through a two-level
+    * grouped scan ([[graft.quantizers.CoarseQuantizer.TwoLevelPlan.buildIp]]
+    * — argmax-IP over the top-`probes` of ~sqrt(K) centroid groups, exact
+    * IP inside them) instead of the exhaustive argmax, cutting the
+    * O(tokens·K·dim) ingest term ~K/(2·sqrt(K)·probes)-fold. A token
+    * assigned to a non-argmax centroid lands in a different posting list;
+    * the codes encode the RAW token vector, not the residual (reference
+    * quirk, DocProcessor.cpp:209-229), so approximation moves only which
+    * posting list a token lives in — no score anywhere changes, which is
+    * the search-invariance guarantee TwoLevelAssignSpec pins.
+    * Deterministic for a fixed (model, probes).
+    *
+    * DEMOTED from a production conf knob (`spark.graft.add.assignProbes`,
+    * r16 verdict item 4) on three receipts: r15 measured an 18-27 pp
+    * success@5 loss on BOTH corpus geometries at every probes setting; r16
+    * showed the loss is width-invariant (4/32/120 tok/doc) with the SAME
+    * docs misrouting at every width (cluster-mean-driven, not noise). No
+    * measured setting is production-safe, so the production [[add]] path
+    * carries no approximate-assignment branch; this entry point exists for
+    * the prof-harness assign_study arms only (ProfMain), which keep the
+    * quality frontier measurable. The reference assigns exhaustively
+    * (CoarseQuantizer.cpp:108-110) and `q_ivf_assign` + every engine
+    * `_oracle` lifecycle pin exact argmax. */
+  private[graft] def addWithApproxAssignForHarness(tenant: Long,
+      docs: DataFrame, assignProbes: Int): Unit = withWriteLock {
+    require(assignProbes > 0, "harness entry point requires probes > 0; " +
+      "production ingest uses add() (exact assignment, no knob)")
+    addImpl(tenant, docs, assignProbes)
+  }
+
+  private def addImpl(tenant: Long, docs: DataFrame, assignProbes: Int): Unit = {
     val unknown = docs.columns.filterNot(c => c == "id" || schema.fields.exists(_.name == c))
     require(unknown.isEmpty, s"unknown fields: ${unknown.mkString(",")}")
     // one write epoch per add(): every row of this ingest is stamped with it
@@ -819,14 +862,13 @@ final class IndexIVF private (
       val fid = mapper.id(f.name)
       val bc = spark.sparkContext.broadcast(coarse(f.name))
       val bq = spark.sparkContext.broadcast(quantizers(f.name))
-      // opt-in approximate assignment (see [[IndexIVF.AddAssignProbesKey]]):
-      // the grouped plan is built on the driver (seeded lloyd over the K
-      // centroids, O(K·sqrt(K)·dim) — seconds at any K), cached per
-      // (field, probes) while the model instance is unchanged so trickle
-      // ingest doesn't pay it per micro-batch, and broadcast per add();
-      // 0/unset = the exact exhaustive scan
-      val assignProbes =
-        spark.conf.get(IndexIVF.AddAssignProbesKey, "0").toInt
+      // harness-only approximate assignment (see
+      // [[addWithApproxAssignForHarness]] — production add() always passes
+      // 0 = the exact exhaustive scan): the grouped plan is built on the
+      // driver (seeded lloyd over the K centroids, O(K·sqrt(K)·dim) —
+      // seconds at any K), cached per (field, probes) while the model
+      // instance is unchanged so trickle harness arms don't pay it per
+      // micro-batch, and broadcast per call
       val bcPlan =
         if (assignProbes <= 0) None
         else {
@@ -1750,24 +1792,6 @@ object IndexIVF {
     * aligned (16M rows x 32 B == the 4-split default byte budget, per the
     * [[SmallAddMaxRowsKey]] calibration note). */
   private[graft] val SmallAddPostingRowBytes = 32L
-
-  /** Opt-in APPROXIMATE add()-time centroid assignment: > 0 routes the
-    * encode pass through a two-level grouped scan
-    * ([[graft.quantizers.CoarseQuantizer.TwoLevelPlan.buildIp]] — argmax-IP
-    * over the top-`probes` of ~sqrt(K) centroid groups, exact IP inside
-    * them) instead of the exhaustive argmax, cutting the O(tokens·K·dim)
-    * ingest term ~K/(2·sqrt(K)·probes)-fold. DEFAULT 0 = exact: the
-    * reference assigns exhaustively (CoarseQuantizer.cpp:108-110) and
-    * `q_ivf_assign` + every engine `_oracle` lifecycle pin exact argmax, so
-    * approximation is strictly opt-in. A token assigned to a non-argmax
-    * centroid lands in a different posting list (search may need more
-    * probes to find it — quality frontier measured in COVERAGE.md round
-    * 15); the codes encode the RAW token vector, not the residual
-    * (reference quirk, DocProcessor.cpp:209-229), so approximation moves
-    * only which posting list a token lives in — no score anywhere changes,
-    * which is the search-invariance guarantee TwoLevelAssignSpec pins.
-    * Deterministic for a fixed (model, probes). */
-  private[graft] val AddAssignProbesKey = "spark.graft.add.assignProbes"
 
   /** The closed set of ops [[IndexIVF.recoverPending]] knows how to recover.
     * A journal naming anything else (or unparseable JSON) fails open()

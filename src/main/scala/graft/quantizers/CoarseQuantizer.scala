@@ -412,8 +412,8 @@ object CoarseQuantizer {
         seed: Long): TwoLevelPlan =
       buildWith(cents, probes, seed, augmented = true)
 
-    /** Inner-product variant for the opt-in approximate add() assignment
-      * ([[graft.index.IndexIVF]] `spark.graft.add.assignProbes`): BOTH
+    /** Inner-product variant for the HARNESS-ONLY approximate assignment
+      * ([[graft.index.IndexIVF]] addWithApproxAssignForHarness): BOTH
       * scoring levels run the raw IP kernel, the metric production
       * assignment uses (reference CoarseQuantizer.cpp:108-110), so the
       * probed decision approximates argmax-IP, not argmin-L2. With

@@ -323,6 +323,29 @@ object BatchSearcher {
   private def ctxBroadcastCache(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get(CtxBroadcastCacheKey, "true").toBoolean
 
+  /** Pre-builds the serving caches the FIRST batch after open()/a mutation
+    * would otherwise pay in-band (r16 breakdown: at the 10M shape the
+    * context-snapshot build — a gated ~839 MiB driver collect + CSR build +
+    * broadcast — lands entirely on that cold batch; warmed, it shows as
+    * 0.000 s): the centroid-matrix broadcast and, when the relation fits
+    * the [[BroadcastContextMaxBytesKey]] gate, the [[IndexIVF
+    * .contextCodesBroadcast]] CtxCodes snapshot. Call once at open for
+    * latency-sensitive serving; a no-op (beyond the metadata-sized stats
+    * job) when the context outgrows the gate or the snapshot path is
+    * disabled. Idempotent until the next mutation. */
+  def warmBatchCaches(idx: IndexIVF, tenant: Long, field: String): Unit = {
+    val spark = idx.spark
+    idx.centroidBroadcast(field)
+    if (ctxBroadcastCache(spark)) {
+      val gate = broadcastContextMaxBytes(spark)
+      val (rows, bytes) = contextRelationStats(idx, tenant, field)
+      if (bytes <= gate) {
+        idx.contextCodesBroadcast(tenant, field, rows, bytes, gate)
+        ()
+      }
+    }
+  }
+
   /** Partition count for the round-robin spread of the pruned postings
     * stream ahead of the map-side fan-out joins (0 disables). Default
     * 8 x cores: fine enough that one hot centroid bucket cannot occupy a

@@ -250,6 +250,39 @@ class BatchSearchSpec extends AnyFunSuite {
       s"doc added after the snapshot build must be visible, got $after")
   }
 
+  test("warmBatchCaches pre-builds the snapshot so the serving call is a " +
+      "cache hit, and results match an unwarmed batch") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(55)
+    def tokens() = Seq.fill(4)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val corpus = (0L until 25L).map(i => i -> tokens()).toMap
+    val path = java.nio.file.Files.createTempDirectory("idx_warm").toString
+    val idx = IndexIVF.create(spark, path, GSchema(Seq(
+      GField.colbert("colbert", dim, numCentroids = 4, numIterations = 4))))
+    val docs = corpus.toSeq.sortBy(_._1).map { case (i, t) => Doc(i, t, "x", 0L) }
+      .toDF().select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("colbert"))
+    idx.train(docs)
+    idx.add(1, docs)
+
+    idx.warmBatchCaches(1, "colbert")
+    // the snapshot must already be cached: a direct serving-path request
+    // returns a broadcast created BEFORE this marker (no new build)
+    val marker = spark.sparkContext.broadcast(Array(0)).id
+    val (rows, bytes) = BatchSearcher.contextRelationStats(idx, 1, "colbert")
+    val served = idx.contextCodesBroadcast(1, "colbert", rows, bytes, 1L << 30)
+    assert(served.id < marker,
+      s"serving call built a NEW broadcast (id ${served.id} >= $marker) — " +
+        "warmBatchCaches did not pre-build the snapshot")
+
+    val opts = SearchOptions(kTopCentroids = 2, nProbe = 4)
+    val q = Seq((3L, corpus(3L))).toDF("query_id", "tokens")
+    val hits = BatchSearcher.searchBatch(idx, 1, "colbert", q, k = 3, opts)
+      .collect().map(_.getLong(1)).toSeq
+    assert(hits.headOption.contains(3L), s"self-query must rank doc 3 first: $hits")
+  }
+
   test("snapshot cache: a same-row-count mutation through a SIBLING handle " +
       "in the same JVM invalidates this handle's snapshot (JVM-global tick)") {
     import spark.implicits._

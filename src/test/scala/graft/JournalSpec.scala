@@ -374,4 +374,41 @@ class JournalSpec extends AnyFunSuite {
     assert(idx.coarse.keySet == Set("vecA", "vecB"))
     assert(fileBytes(s"$path/_meta/vecA.centroids.json").nonEmpty)
   }
+
+  test("forward-compat pin: EVERY op in JournaledOps has a working recovery " +
+      "branch (synthesized journal per op)") {
+    // the unknown-op refusal (r16) is one half of the contract; this is the
+    // other: an op added to JournaledOps without a recovery path that
+    // actually executes fails HERE, so the set and recoverPending's match
+    // can never drift apart. Each op gets a fresh index with a synthesized
+    // journal at a burned epoch (no rows carry it — recovery must still
+    // run, clear the journal, and leave every committed row intact).
+    assert(IndexIVF.JournaledOps ==
+      Set("train", "add", "remove", "removeDeferred", "merge"),
+      "JournaledOps changed — extend recoverPending AND this spec's " +
+        "per-op journal synthesis (op-specific fields, die points) before " +
+        "updating the pinned set")
+    IndexIVF.JournaledOps.foreach { op =>
+      val (idx, path) = mkIndex()
+      val before = allTableRows(idx)
+      val tornEpoch = epochOf(path) + 1
+      // train journals carry a phase flag; synthesize the pre-stamp phase
+      // (rollback: current model files untouched). Row ops synthesize the
+      // op + epoch shape their journaled() writes.
+      val entry: Map[String, Any] =
+        if (op == "train") Map("op" -> op, "epoch" -> tornEpoch, "stamped" -> false)
+        else Map("op" -> op, "epoch" -> tornEpoch)
+      Json.write(s"$path/_meta/pending.json", entry)
+      val reopened = IndexIVF.open(spark, path)
+      assert(!Json.exists(s"$path/_meta/pending.json"),
+        s"op '$op': journal must be cleared by recovery")
+      assert(allTableRows(reopened) == before,
+        s"op '$op': committed rows must survive recovering a torn epoch " +
+          "that wrote nothing")
+      // the recovered index stays writable
+      reopened.add(1, mkDocs(Seq(900L)))
+      assert(reopened.search(1, TermQuery("num", 900L), k = 5, SearchOptions())
+        .collect().nonEmpty, s"op '$op': index must stay usable after recovery")
+    }
+  }
 }

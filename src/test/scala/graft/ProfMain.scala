@@ -1444,9 +1444,12 @@ object ProfMain {
               } finally walk.close()
             }
             val ix = graft.index.IndexIVF.copyTrained(baseY, pathP)
-            spark.conf.set("spark.graft.add.assignProbes", p.toString)
-            try time(s"add $nDocsY docs probes=$p") { ix.add(1, docsY) }
-            finally spark.conf.unset("spark.graft.add.assignProbes")
+            // approximate assignment is harness-only since r17 (knob demoted
+            // off the production add() path on the r15/r16 no-go receipts)
+            time(s"add $nDocsY docs probes=$p") {
+              if (p <= 0) ix.add(1, docsY)
+              else ix.addWithApproxAssignForHarness(1, docsY, p)
+            }
             java.nio.file.Files.createFile(marker)
           } else println(s"[prof] reusing arm at $pathP")
           (s"probes=$p", pathP)

@@ -6,8 +6,11 @@ import graft.query._
 import graft.quantizers.CoarseQuantizer
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the opt-in approximate add()-time assignment
-  * (`spark.graft.add.assignProbes` -> TwoLevelPlan.buildIp):
+/** Pins the HARNESS-ONLY approximate assignment
+  * (IndexIVF.addWithApproxAssignForHarness -> TwoLevelPlan.buildIp;
+  * demoted from the production `spark.graft.add.assignProbes` conf knob in
+  * r17 — every measured setting lost >= 18 pp success@5 on both corpus
+  * geometries at every doc width, receipts in COVERAGE.md rounds 15-16):
   *
   * 1. EXHAUSTIVE parity: with probes >= numGroups every centroid is scored
   *    through the same kernel accumulation order as assignBlock, so the
@@ -15,14 +18,15 @@ import org.scalatest.funsuite.AnyFunSuite
   *    duplicate-centroid tie-break to the lower global id).
   * 2. The approximate decision (probes < numGroups) is deterministic and
   *    always one of the true centroid ids.
-  * 3. E2E: the knob actually reroutes add()'s encode pass (postings differ
-  *    from the exact build at probes=1 on this fixture), the default path
-  *    stays bit-identical to exact, and — because the residual codec
-  *    encodes the RAW token vector (reference quirk, DocProcessor.cpp:
-  *    209-229), never a centroid-relative residual — an EXHAUSTIVE-probe
-  *    search over the approximately-assigned index returns exactly the
-  *    same ranked results as over the exact index: approximation moves
-  *    which posting list a token lives in, not any score.
+  * 3. E2E: the harness entry point actually reroutes the encode pass
+  *    (postings differ from the exact build at probes=1 on this fixture),
+  *    production add() stays bit-identical to exact, and — because the
+  *    residual codec encodes the RAW token vector (reference quirk,
+  *    DocProcessor.cpp:209-229), never a centroid-relative residual — an
+  *    EXHAUSTIVE-probe search over the approximately-assigned index
+  *    returns exactly the same ranked results as over the exact index:
+  *    approximation moves which posting list a token lives in, not any
+  *    score.
   */
 class TwoLevelAssignSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -123,7 +127,7 @@ class TwoLevelAssignSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
   }
 
-  test("add() knob reroutes assignment; exhaustive search results are unchanged") {
+  test("harness entry reroutes assignment; exhaustive search results are unchanged") {
     val schema = GSchema(Seq(GField.colbert("colbert", dim, numCentroids = 16,
       quantization = QuantizerKind.NONE, numIterations = 4, nbits = 2)))
     val base = IndexIVF.create(spark,
@@ -131,19 +135,15 @@ class TwoLevelAssignSpec extends AnyFunSuite {
     base.train(docsDf)
     base.add(1, docsDf)
 
-    // same trained models, approximate assignment at the non-default knob
+    // same trained models, approximate assignment via the harness entry
     val approx = IndexIVF.copyTrained(base,
       java.nio.file.Files.createTempDirectory("tl_approx").toString)
-    spark.conf.set("spark.graft.add.assignProbes", "1")
-    try approx.add(1, docsDf)
-    finally spark.conf.unset("spark.graft.add.assignProbes")
+    approx.addWithApproxAssignForHarness(1, docsDf, assignProbes = 1)
 
-    // knob=high == exact, bit-identical postings
+    // probes >= numGroups == exact, bit-identical postings
     val exhaust = IndexIVF.copyTrained(base,
       java.nio.file.Files.createTempDirectory("tl_exhaust").toString)
-    spark.conf.set("spark.graft.add.assignProbes", "999")
-    try exhaust.add(1, docsDf)
-    finally spark.conf.unset("spark.graft.add.assignProbes")
+    exhaust.addWithApproxAssignForHarness(1, docsDf, assignProbes = 999)
 
     val pBase = postings(base)
     val pApprox = postings(approx)
