@@ -108,7 +108,14 @@ object BatchSearcher {
     * as saturated (see [[NspEscalateKey]]). The clustered-corpus tie runs
     * this detects are float-identical or near-identical scores; 1e-3
     * relative spread is orders above float noise yet far below any real
-    * ranking gap at the boundary. */
+    * ranking gap at the boundary — AT NARROW DOC WIDTHS, where the default
+    * was calibrated (width-4 receipts: 83/212 escalated at 10M). WIDE
+    * documents concentrate the MaxSim sum (relative between-doc gaps
+    * shrink ~1/sqrt(tokens)), so at 120 tok/doc the default fires on
+    * every query — still quality-safe and never costlier than a fixed cut
+    * at the escalation bound, but unselective; tighten eps on wide-doc
+    * corpora (measured r17: 1e-4 at width 120 keeps success@5 = 1.0 with
+    * 147/212 escalated; COVERAGE.md round 17). */
   val NspTieEpsKey = "graft.batch.nspTieEps"
   private def nspTieEps(spark: org.apache.spark.sql.SparkSession): Double =
     spark.conf.get(NspTieEpsKey, "1e-3").toDouble

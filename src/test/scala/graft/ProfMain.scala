@@ -761,6 +761,57 @@ object ProfMain {
           f"mean $meanOv%.4f min ${overlaps.min}%.4f")
         require(meanOv >= 0.95, f"tiled-width ranking diverged: $meanOv%.4f")
 
+      case "slice_copy" =>
+        // r16 verdict item 5 receipt: the snapshot phase-1 path scored each
+        // (query, doc) pair by copyOfRange-ing the doc's codes out of the
+        // CSR flat array before the kernel — at width 120 that is ~1 KiB of
+        // allocation per scored pair. A/B of copy-then-score vs the r17
+        // in-place range entry (scoreCodesTRange) at ColBERT widths; both
+        // sides run the identical kernel, so the delta is purely the
+        // per-pair copy + allocation. args: [tpd=120] [nq=32] [pairs=20000]
+        import graft.functions.CentroidScore
+        val dimS = 128
+        val tpdS = args.lift(1).map(_.toInt).getOrElse(120)
+        val nqS = args.lift(2).map(_.toInt).getOrElse(32)
+        val pairsS = args.lift(3).map(_.toInt).getOrElse(20000)
+        val ncS = 1024
+        val rndS = new scala.util.Random(3)
+        val centS = Array.fill(ncS * dimS)(rndS.nextFloat() * 2f - 1f)
+        val qS = Array.fill(nqS * dimS)(rndS.nextFloat() * 2f - 1f)
+        val qtS = CentroidScore.transposeQuery(qS, dimS)
+        val nDocsS = 4096
+        val flatS = Array.fill(nDocsS * tpdS)(rndS.nextInt(ncS).toLong)
+        val offS = Array.tabulate(nDocsS + 1)(_ * tpdS)
+        def viaCopy(n: Int): Double = {
+          var s = 0.0; var i = 0
+          while (i < n) {
+            val d = i % nDocsS
+            val codes = java.util.Arrays.copyOfRange(flatS, offS(d), offS(d + 1))
+            s += CentroidScore.computeDotAutoL(codes, qS, qtS, centS, nqS, dimS)
+            i += 1
+          }
+          s
+        }
+        def viaRange(n: Int): Double = {
+          var s = 0.0; var i = 0
+          while (i < n) {
+            val d = i % nDocsS
+            s += CentroidScore.computeDotAutoLRange(flatS, offS(d), offS(d + 1),
+              qS, qtS, centS, nqS, dimS)
+            i += 1
+          }
+          s
+        }
+        // FULL-SIZE warmup reps (the shared Vector-API kernel's first
+        // full-size call runs ~8x slow — see assign_twolevel's pattern)
+        (1 to 2).foreach { _ => viaCopy(pairsS); viaRange(pairsS) }
+        (1 to 3).foreach { i =>
+          var a = 0.0; var b = 0.0
+          time(f"score w$tpdS%d nq=$nqS%d copy  #$i ($pairsS%d pairs)") { a = viaCopy(pairsS) }
+          time(f"score w$tpdS%d nq=$nqS%d range #$i ($pairsS%d pairs)") { b = viaRange(pairsS) }
+          assert(a == b, s"copy/range diverged: $a vs $b")
+        }
+
       case "batch_frontier" =>
         // r13 verdict items 2/3/7 in one harness: per-(kTopCentroids,
         // nProbe) config on the production-shaped index, record (a) mean
@@ -838,13 +889,21 @@ object ProfMain {
               k = 10, optsF).count()
             (System.nanoTime() - t0) / 1e6
           }
+          // the quality run records the adaptive-cut escalation count (0
+          // unless GRAFT_NSP_ESCALATE armed the saturation detector) — the
+          // profiler is driver-side timers only, so it can ride untimed
+          spark.conf.set(BatchSearcher.ProfileKey, "true")
           val hitIds = BatchSearcher.searchBatch(idxF, 1, "colbert", queriesF,
             k = 5, optsF).filter(col("query_id") === col("doc_id"))
             .select("query_id").collect().map(_.getLong(0)).toSet
+          spark.conf.set(BatchSearcher.ProfileKey, "false")
+          val escQ = BatchSearcher.lastProfile
+            .getOrElse("adaptive_escalated_queries", 0.0).toInt
           val missed = (0L until 212L).filterNot(hitIds)
           println(f"[prof] frontier it=$itersF kTop=$kt%-3d nProbe=$np%-4d nsp=$nspF%-5d " +
             f"cands/q ${meanCands}%10.0f  ms/q ${times.min / 212}%7.1f  " +
-            f"success@5 ${hitIds.size / 212.0}%.4f  missed=${missed.mkString(",")}")
+            f"success@5 ${hitIds.size / 212.0}%.4f  escalated=$escQ  " +
+            f"missed=${missed.mkString(",")}")
         }
 
       case "batch_breakdown" =>
@@ -888,6 +947,15 @@ object ProfMain {
           .toDF("query_id", "tokens")
         val optsB = SearchOptions(kTopCentroids = ktB, nProbe = npB,
           numSecondPass = nspB)
+        // COLD snapshot-build row (r16 verdict item 6): the fresh handle has
+        // no cached CtxCodes broadcast, so this one call pays the full
+        // collect + CSR build + broadcast the first batch after open/mutation
+        // would otherwise absorb in-band (prior rounds' breakdowns showed
+        // 0.000 s here because the codegen warmup batch had already built it)
+        val tWarm0 = System.nanoTime()
+        idxB.warmBatchCaches(1, "colbert")
+        println(f"[prof]   ctx_snapshot_cold_build ${(System.nanoTime() - tWarm0) / 1e9}%8.3f s" +
+          "  (one-time per index state; warmBatchCaches at open hides it)")
         // codegen warmup on a small batch BEFORE any timed rep
         BatchSearcher.searchBatch(idxB, 1, "colbert", queriesB.limit(8), 10,
           SearchOptions(kTopCentroids = 2, nProbe = 8, numSecondPass = nspB)).count()
