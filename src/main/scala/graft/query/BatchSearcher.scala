@@ -431,13 +431,20 @@ object BatchSearcher {
         s"(gate $MaxBatchQueriesKey): split the batch into multiple " +
         "searchBatch calls, or raise the gate if the driver has the heap")
     // no cross-query memoization is possible (each VectorQuery instance is
-    // fresh and keys by identity); the cache arg just satisfies queryPlan
+    // fresh and keys by identity); the cache arg just satisfies queryPlan.
+    // Queries plan independently (fresh per-query cache, stateless
+    // scoreBlock/topCentroids, per-call output arrays), and the matrix
+    // fills are the driver's own SIMD flops — 212 x (nq x K x dim) ran
+    // 0.6-0.8 s single-threaded per batch at the 10M shape (r17
+    // breakdown), so planning fans out across the driver's cores; the
+    // parallel map preserves input order.
     val plans = prof("plan_probe_select") {
-      qRows.map { case (qid, toks) =>
+      import scala.collection.parallel.CollectionConverters._
+      qRows.par.map { case (qid, toks) =>
         implicit val perQuery: Searcher.PlanCache = scala.collection.mutable.Map.empty
         val (m, probes) = Searcher.queryPlan(idx, VectorQuery(field, toks), opts)
         (qid, toks, m, probes)
-      }
+      }.seq.toIndexedSeq
     }
 
     import spark.implicits._
