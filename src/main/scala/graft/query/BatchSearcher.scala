@@ -330,6 +330,20 @@ object BatchSearcher {
   private def ctxBroadcastCache(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get(CtxBroadcastCacheKey, "true").toBoolean
 
+  /** Max doc_id literals in the phase-2 multiget's pushed-down IN-list.
+    * Below it the IN-set row-group-prunes the doc_id-sorted context files
+    * (worth real IO on a small interactive pool); above it the literals
+    * cost more than the pruning returns — Spark re-ANALYZES the plan on
+    * every transformation, walking batch x nsp literal nodes (measured
+    * 1.2 s/batch at the 212 x 256 shape, r17 breakdown), while a pool
+    * that large saturates the row groups' id ranges anyway — so the ids
+    * switch to a broadcast left-semi join (one plan node, identical rows;
+    * BatchSearchSpec pins the A/B). Same guard class as
+    * [[MaxCentroidInList]]. */
+  val MaxDocIdInListKey = "graft.rerank.maxDocIdInList"
+  private def maxDocIdInList(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get(MaxDocIdInListKey, "4096").toInt
+
   /** Pre-builds the serving caches the FIRST batch after open()/a mutation
     * would otherwise pay in-band (r16 breakdown: at the 10M shape the
     * context-snapshot build — a gated ~839 MiB driver collect + CSR build +
@@ -448,9 +462,11 @@ object BatchSearcher {
     }
 
     import spark.implicits._
-    val probeDf = plans.flatMap { case (qid, _, _, probes) =>
-      probes.map(c => (qid, c))
-    }.toSeq.toDF("query_id", "centroid")
+    val probeDf = prof("plan_probe_df") {
+      plans.flatMap { case (qid, _, _, probes) =>
+        probes.map(c => (qid, c))
+      }.toSeq.toDF("query_id", "centroid")
+    }
 
     // per-query token vectors ride in ONE small broadcast (batch x nq x dim
     // floats, ~0.4 MiB for 212 queries) shared by the phase-1 scoring
@@ -460,8 +476,10 @@ object BatchSearcher {
     // constant — batch x K-proportional (159 MiB at 212 queries/K=49152),
     // Java-deserialized per task, measured 4.1 s/query at the 10M-doc
     // shape. Nothing K-proportional ships with the plan now.
-    val bQueries = spark.sparkContext.broadcast(
-      plans.map { case (qid, toks, _, _) => qid -> toks.flatten }.toMap)
+    val bQueries = prof("plan_bquery_bcast") {
+      spark.sparkContext.broadcast(
+        plans.map { case (qid, toks, _, _) => qid -> toks.flatten }.toMap)
+    }
     val bcCent = idx.centroidBroadcast(field)
 
     // the UNION of all queries' probes is known at plan time: push it into
@@ -654,19 +672,39 @@ object BatchSearcher {
                 org.apache.spark.sql.types.LongType, nullable = false),
               org.apache.spark.sql.types.StructField("score",
                 org.apache.spark.sql.types.DoubleType, nullable = true))))
-        else {
+        else prof("rerank_assembly") {
           // bucket-grouped multiget: the ids' doc_bucket set prunes
           // context DIRECTORIES (saturated by a large batch — expected;
           // the filters' real work is keeping the corpus' residual
-          // bytes out of the dedup shuffle and the join), then the
-          // doc_id IN-set row-group-prunes the surviving doc_id-sorted
-          // files where the id density allows
+          // bytes out of the dedup shuffle and the join). The id-level
+          // filter is shape-switched on pool size: a small pool's doc_id
+          // IN-set row-group-prunes the surviving doc_id-sorted files,
+          // but a big batch's pool (batch x nsp, 54k at the 212/256
+          // shape) puts that many LITERAL nodes in the plan and Spark's
+          // eager per-transformation analysis walks them all — measured
+          // 1.2 s of every batch (r17 rerank_assembly segment) for
+          // row-group pruning that id density saturates anyway — so past
+          // MaxDocIdInListKey the ids arrive as a broadcast left-semi
+          // join instead: one plan node, same corpus-residuals-stay-out
+          // guarantee, same rows (spec-pinned A/B).
           val ids = poolRows.map(_._2).distinct
           val buckets = ids.map(IndexIVF.docBucketOf).distinct.toSeq
-          val ctxM = idx.contextDf
+          val ctxBase = idx.contextDf
             .filter(col("tenant") === tenant && col("field") === fid &&
-              col("doc_bucket").isin(buckets: _*) &&
-              col("doc_id").isInCollection(ids.toSeq))
+              col("doc_bucket").isin(buckets: _*))
+          val ctxPicked =
+            if (ids.length <= maxDocIdInList(spark))
+              ctxBase.filter(col("doc_id").isInCollection(ids.toSeq))
+            else {
+              val idsDf = spark.createDataFrame(
+                spark.sparkContext.parallelize(ids.toIndexedSeq.map(i =>
+                  org.apache.spark.sql.Row(i)), 1),
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("doc_id",
+                    org.apache.spark.sql.types.LongType, nullable = false))))
+              ctxBase.join(broadcast(idsDf), Seq("doc_id"), "left_semi")
+            }
+          val ctxM = ctxPicked
             .select(col("doc_id"), col("doc_codes"), col("doc_residuals"))
             .dropDuplicates("doc_id")
           val poolDf = spark.createDataFrame(

@@ -237,6 +237,14 @@ class BatchSearchSpec extends AnyFunSuite {
       "per-batch BHJ shape diverged from the cached-snapshot shape")
     finally spark.conf.unset(BatchSearcher.CtxBroadcastCacheKey)
 
+    // phase-2 multiget shape switch: forcing the big-pool broadcast
+    // left-semi join (threshold 0) must return the exact rows the
+    // doc_id IN-list path returns
+    spark.conf.set(BatchSearcher.MaxDocIdInListKey, "0")
+    try assert(run() == cachedShape,
+      "semi-join multiget diverged from the IN-list multiget")
+    finally spark.conf.unset(BatchSearcher.MaxDocIdInListKey)
+
     // freshness: an add() on this handle must invalidate the snapshot —
     // a query matching ONLY the new doc has to find it in the next batch
     val newToks = corpus(5L).map(_.map(v => v + 0.001f)) // lands near doc 5
