@@ -761,6 +761,33 @@ object ProfMain {
           f"mean $meanOv%.4f min ${overlaps.min}%.4f")
         require(meanOv >= 0.95, f"tiled-width ranking diverged: $meanOv%.4f")
 
+      case "ctx_lookup" =>
+        // Is the CtxCodes binary search a material share of phase-1 at
+        // NARROW widths? Each scored pair pays one indexOf over the
+        // snapshot's sorted id array (log2(10M) ~ 23 probes, mostly cache
+        // misses on an 80 MB array) before ~codes x nq x dim dot products;
+        // at width 4 the two are plausibly comparable. Times random
+        // lookups alone so the dots can't mask the answer.
+        // args: [nDocs=10000000] [probes=2000000]
+        val nL = args.lift(1).map(_.toInt).getOrElse(10000000)
+        val probesL = args.lift(2).map(_.toInt).getOrElse(2000000)
+        val idsL = Array.tabulate(nL)(i => i.toLong * 7)
+        val offsL = Array.tabulate(nL + 1)(identity)
+        val ctxL = new graft.functions.CtxCodes(idsL, offsL, new Array[Long](1))
+        val rndL = new java.util.Random(11)
+        val qIdsL = Array.fill(probesL)(idsL(rndL.nextInt(nL)))
+        def sweepL(): Long = {
+          var s = 0L; var i = 0
+          while (i < probesL) { s += graft.functions.CtxCodes.indexOf(ctxL, qIdsL(i)); i += 1 }
+          s
+        }
+        (1 to 2).foreach(_ => require(sweepL() > 0)) // warmup
+        (1 to 3).foreach { r =>
+          time(f"indexOf $probesL%d probes over $nL%d docs #$r") {
+            require(sweepL() > 0)
+          }
+        }
+
       case "slice_copy" =>
         // r16 verdict item 5 receipt: the snapshot phase-1 path scored each
         // (query, doc) pair by copyOfRange-ing the doc's codes out of the
