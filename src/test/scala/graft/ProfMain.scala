@@ -993,6 +993,12 @@ object ProfMain {
         // "build the 839 MiB relation" from "scan postings and score"
         val jobsB = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
         val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+        // stage-level attribution (r17): per-stage executor CPU vs wall and
+        // input volume split phase-1's one big job into scan IO vs score
+        // compute — the r18 target after planning + multiget fixes left
+        // phase1_pool_action as ~68 % of the batch
+        val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Int, Long, Long, Long, Long, Int)]()
         val jlst = new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
             val desc = Option(js.properties)
@@ -1006,6 +1012,15 @@ object ProfMain {
             Option(jobsB.remove(je.jobId)).foreach { case (t0, desc) =>
               jobLog.add((je.jobId, je.time - t0, desc))
             }
+            ()
+          }
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val m = si.taskMetrics
+            if (m != null) stageLog.add((si.stageId, m.executorRunTime,
+              m.executorCpuTime / 1000000L, m.inputMetrics.bytesRead,
+              m.inputMetrics.recordsRead, si.numTasks))
             ()
           }
         }
@@ -1040,6 +1055,13 @@ object ProfMain {
           jobs.take(8).foreach { case (jid, ms, desc) =>
             println(f"[prof]     job $jid%-4d ${ms / 1000.0}%8.3f s  " +
               desc.take(90))
+          }
+          val stages = stageLog.asScala.toVector.sortBy(-_._2)
+          stageLog.clear()
+          stages.take(6).foreach { case (sid, runMs, cpuMs, inB, inRec, nt) =>
+            println(f"[prof]     stage $sid%-4d run ${runMs / 1000.0}%8.3f " +
+              f"cpu ${cpuMs / 1000.0}%8.3f core-s  " +
+              f"in ${inB / 1048576.0}%8.1f MiB/${inRec}%d rows  tasks=$nt%d")
           }
         }
         spark.sparkContext.removeSparkListener(jlst)
