@@ -239,11 +239,20 @@ class BatchSearchSpec extends AnyFunSuite {
 
     // phase-2 multiget shape switch: forcing the big-pool broadcast
     // left-semi join (threshold 0) must return the exact rows the
-    // doc_id IN-list path returns
+    // doc_id IN-list path returns, and the ids must arrive as a
+    // BROADCAST left-semi (a shuffled semi over the pool would defeat
+    // the point of the switch)
     spark.conf.set(BatchSearcher.MaxDocIdInListKey, "0")
-    try assert(run() == cachedShape,
-      "semi-join multiget diverged from the IN-list multiget")
-    finally spark.conf.unset(BatchSearcher.MaxDocIdInListKey)
+    try {
+      val df = BatchSearcher.searchBatch(idx, 1, "colbert", queriesDf, 5, opts)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi"),
+        s"threshold 0 must route the multiget through a semi-join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"the semi-join must broadcast the pool ids, not shuffle:\n$plan")
+      assert(run() == cachedShape,
+        "semi-join multiget diverged from the IN-list multiget")
+    } finally spark.conf.unset(BatchSearcher.MaxDocIdInListKey)
 
     // freshness: an add() on this handle must invalidate the snapshot —
     // a query matching ONLY the new doc has to find it in the next batch
