@@ -125,7 +125,7 @@ final class IndexIVF private (
     }
   }
 
-  /** Handle-cached broadcast of the deduped (doc_id -> codes) context
+  /** JVM-global cached broadcast of the deduped (doc_id -> codes) context
     * snapshot one batch search scores against ([[graft.functions.CtxCodes]]).
     * The BHJ shape this replaces rebuilt the relation EVERY batch — a full
     * context scan + dedup shuffle + an 839 MiB driver collect at the
@@ -133,46 +133,50 @@ final class IndexIVF private (
     * (COVERAGE.md round 16 breakdown). Built once per index state and
     * shipped to executors once; steady-state batches pay a map lookup.
     *
-    * Freshness contract: the cache is invalidated by (a) any write-lock
-    * section on ANY in-process handle for this path ([[mutationTick]] is
-    * JVM-global per qualified path, like the write lock itself — covers
-    * add/remove/merge/update/compact through this handle OR a sibling),
-    * and (b) a change in the VISIBLE row count the caller
-    * already computed for its byte gate. An external PROCESS's mutation
-    * that keeps the row count identical (same-count update) can serve
-    * stale codes until a count-changing mutation or a re-open — the same
-    * cross-process staleness bound as the byte-gate cache, here made
-    * explicit because it affects scores, not sizing. Concurrent external
-    * writers during serving are outside the engine's single-writer
-    * contract anyway; `graft.batch.ctxBroadcastCache=false` restores the
-    * per-batch BHJ rebuild. */
-  @transient private lazy val ctxCodesBcastCache =
-    new java.util.concurrent.ConcurrentHashMap[(Long, Int),
-      (Long, Long, org.apache.spark.broadcast.Broadcast[graft.functions.CtxCodes])]()
-
-  /** Per-key build locks for [[contextCodesBroadcast]]: two concurrent
-    * batches that both miss the cache must not both run the gated
-    * hundreds-of-MiB collect — the loser's broadcast would leak executor
-    * blocks until ContextCleaner GC (neither saw the other's put). The
-    * build serializes per (tenant, field); the winner's snapshot is reused
-    * by the waiter after a re-check under the lock. */
-  @transient private lazy val ctxCodesBuildLocks =
-    new java.util.concurrent.ConcurrentHashMap[(Long, Int), Object]()
-
+    * The cache lives in [[IndexIVF.ctxCodesSnapshots]], keyed by the
+    * QUALIFIED path (like [[IndexIVF.writeLocks]]/[[IndexIVF.mutationTicks]])
+    * rather than per handle: two sibling handles on one path share ONE
+    * snapshot and ONE build lock, instead of concurrently running the gated
+    * hundreds-of-MiB collect and holding duplicate executor-resident
+    * broadcasts for the same (tenant, field) (r17 ADVICE). A read-only
+    * [[IndexIVF.openAt]] snapshot handle gets its own slot per snapshot
+    * epoch — its visible set is immutable by construction, so the slot
+    * never invalidates and never collides with the live handle's.
+    *
+    * Freshness contract for the live slot — invalidated by: (a) any
+    * write-lock section on ANY in-process handle for this path
+    * ([[mutationTick]] is JVM-global per qualified path); (b) a change in
+    * the VISIBLE row count the caller already computed for its byte gate;
+    * (c) an advance of the PERSISTED `_meta/epoch.json` counter, read once
+    * per call (one tiny metadata read) — so a mutation committed by a
+    * FOREIGN PROCESS invalidates on the next batch even when the row count
+    * happens to match (same-count update: removeDeferred + add both
+    * advance the persisted epoch). The residual cross-process hole is a
+    * foreign physical rewrite that changes neither rows nor epoch
+    * (compactFiles — content-identical by contract, so serving the cached
+    * snapshot is correct). Concurrent external writers during serving
+    * remain outside the engine's single-writer contract;
+    * `graft.batch.ctxBroadcastCache=false` restores the per-batch BHJ
+    * rebuild. */
   def contextCodesBroadcast(tenant: Long, field: String, visibleRows: Long,
       measuredBytes: Long, maxBytes: Long)
       : org.apache.spark.broadcast.Broadcast[graft.functions.CtxCodes] = {
     val fid = mapper.id(field)
-    val key = (tenant, fid)
+    val key = (lockKey, tenant, fid, snapshotEpoch)
+    val live = snapshotEpoch.isEmpty
+    // one metadata read per call: the cross-process invalidation probe
+    // (snapshot handles skip it — their visible set cannot change)
+    val persistedEpoch = if (live) currentEpoch() else -1L
     def freshHit(): org.apache.spark.broadcast.Broadcast[graft.functions.CtxCodes] = {
-      val cached = ctxCodesBcastCache.get(key)
-      if (cached != null && cached._1 == mutationTick.get() &&
-        cached._2 == visibleRows) cached._3
+      val cached = IndexIVF.ctxCodesSnapshots.get(key)
+      if (cached != null && cached.rows == visibleRows &&
+        (!live || (cached.tick == mutationTick.get() &&
+          cached.epoch == persistedEpoch))) cached.bcast
       else null
     }
     val hit = freshHit()
     if (hit != null) hit
-    else ctxCodesBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
+    else IndexIVF.ctxCodesBuildLocks.computeIfAbsent(key, _ => new Object).synchronized {
       val won = freshHit() // another thread may have built while we waited
       if (won != null) won
       else {
@@ -183,7 +187,6 @@ final class IndexIVF private (
         // read the tick BEFORE the collect: a mutation landing mid-build
         // makes the entry stale-on-arrival and the next call rebuilds
         val tick = mutationTick.get()
-        val stale = ctxCodesBcastCache.get(key)
         val thin = contextDf
           .filter(col("tenant") === tenant && col("field") === fid)
           .select(col("doc_id"), col("doc_codes"))
@@ -194,15 +197,67 @@ final class IndexIVF private (
         }
         val snap = graft.functions.CtxCodes.build(rows)
         val b = spark.sparkContext.broadcast(snap)
-        ctxCodesBcastCache.put(key, (tick, visibleRows, b))
-        // unpersist (not destroy): an in-flight batch may still hold the
-        // stale broadcast — executor blocks are released now, the driver
-        // copy stays readable until ContextCleaner collects it
+        val stale = IndexIVF.ctxCodesSnapshots.put(key,
+          IndexIVF.CtxSnapshotEntry(tick, visibleRows, persistedEpoch, b))
+        // unpersist (not destroy) the replaced slot's broadcast: an
+        // in-flight batch may still hold it — executor blocks are released
+        // now, the driver copy stays readable until ContextCleaner collects
         if (stale != null)
-          try { stale._3.unpersist(); () } catch { case _: Exception => () }
+          try { stale.bcast.unpersist(); () } catch { case _: Exception => () }
         b
       }
     }
+  }
+
+  /** Resolve (building if needed) the [[PointStore]] for this handle's
+    * visible (tenant, field) context — the record-addressable residual
+    * layout batch phase-2 hydration multigets against once the pool
+    * outgrows scan pruning. Same freshness contract, cache scope (JVM-
+    * global by qualified path + handle snapshot epoch) and build-lock
+    * discipline as [[contextCodesBroadcast]]; additionally the state tag
+    * encodes (visible rows, persisted epoch), so a RESTARTED process
+    * adopts a matching on-disk store instead of rebuilding. Returns the
+    * store directory and its bucket count.
+    *
+    * `visibleRowsHint`: the caller's already-computed visible row count
+    * (the batch byte-gate stats), so the steady-state resolve is one
+    * metadata read + a map hit; None runs the count. */
+  def pointStore(tenant: Long, field: String,
+      visibleRowsHint: Option[Long] = None): (String, Int) = {
+    val fid = mapper.id(field)
+    val key = (lockKey, tenant, fid, snapshotEpoch)
+    val live = snapshotEpoch.isEmpty
+    val persistedEpoch = if (live) currentEpoch() else -1L
+    def thin = contextDf
+      .filter(col("tenant") === tenant && col("field") === fid)
+      .select(col("doc_id"), col("doc_residuals"))
+    lazy val visibleRows = visibleRowsHint.getOrElse(thin.count())
+    def freshHit(): (String, Int) = {
+      val c = IndexIVF.pointStoreDirs.get(key)
+      if (c != null && c.rows == visibleRows &&
+        (!live || (c.tick == mutationTick.get() &&
+          c.epoch == persistedEpoch))) (c.dir, c.buckets)
+      else null
+    }
+    val hit = freshHit()
+    if (hit != null) hit
+    else IndexIVF.pointStoreBuildLocks.computeIfAbsent(key, _ => new Object)
+      .synchronized {
+        val won = freshHit()
+        if (won != null) won
+        else {
+          val tick = mutationTick.get()
+          val root = p(s"_cache/points/t${tenant}_f$fid")
+          val tag = snapshotEpoch
+            .map(e => s"snap${e}_r$visibleRows")
+            .getOrElse(s"r${visibleRows}_e$persistedEpoch")
+          val (dir, meta) = PointStore.build(spark, thin, root, tag)
+          IndexIVF.pointStoreDirs.put(key,
+            IndexIVF.PointStoreEntry(tick, visibleRows, persistedEpoch,
+              dir, meta.buckets))
+          (dir, meta.buckets)
+        }
+      }
   }
 
   /** Warm the batch-serving caches for (tenant, field) so the first
@@ -1847,6 +1902,69 @@ object IndexIVF {
     * serving stale codes (wrong scores) until a row-count change. */
   private val mutationTicks = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.atomic.AtomicLong]()
+
+  private[index] final case class CtxSnapshotEntry(tick: Long, rows: Long,
+      epoch: Long,
+      bcast: org.apache.spark.broadcast.Broadcast[graft.functions.CtxCodes])
+
+  /** JVM-global CtxCodes snapshot cache, keyed like [[writeLocks]] by the
+    * filesystem-qualified path (+ tenant, field id, and the handle's
+    * snapshot epoch — None for live handles): sibling handles on one path
+    * share one executor-resident snapshot instead of holding duplicates
+    * (r17 ADVICE). Access-order LRU capped at [[CtxSnapshotSlots]] entries:
+    * each entry pins an up-to-broadcast-gate-sized block on every executor,
+    * so an unbounded global map would leak serving memory one openAt-epoch
+    * slot at a time on a session that batch-searches many historical
+    * snapshots. Eviction and replacement unpersist (not destroy) the old
+    * broadcast: an in-flight batch may still hold it — executor blocks are
+    * released now, the driver copy stays readable until ContextCleaner
+    * collects it. All mutation goes through the synchronized wrapper; the
+    * per-key [[ctxCodesBuildLocks]] additionally serialize the expensive
+    * builds so two cache-missing batches never both run the gated collect. */
+  private[index] val CtxSnapshotSlots = 16
+  private[index] val ctxCodesSnapshots: java.util.Map[
+      (String, Long, Int, Option[Long]), CtxSnapshotEntry] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Int, Option[Long]),
+          CtxSnapshotEntry](CtxSnapshotSlots * 2, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Int, Option[Long]),
+              CtxSnapshotEntry]): Boolean = {
+          val evict = size() > CtxSnapshotSlots
+          if (evict)
+            try { e.getValue.bcast.unpersist(); () }
+            catch { case _: Exception => () }
+          evict
+        }
+      })
+
+  /** Per-key build locks for `contextCodesBroadcast` — see
+    * [[ctxCodesSnapshots]]. */
+  private[index] val ctxCodesBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Int, Option[Long]), Object]()
+
+  private[index] final case class PointStoreEntry(tick: Long, rows: Long,
+      epoch: Long, dir: String, buckets: Int)
+
+  /** JVM-global resolved point-store directories, keyed and validated
+    * exactly like [[ctxCodesSnapshots]] (qualified path + tenant + field +
+    * handle snapshot epoch; tick/rows/persisted-epoch freshness). Entries
+    * are just strings — the heavy state lives on disk, GC'd by the next
+    * build — so no LRU is needed. */
+  private[index] val pointStoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Int, Option[Long]), PointStoreEntry]()
+
+  private[index] val pointStoreBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Int, Option[Long]), Object]()
+
+  /** Drop the in-memory point-store resolve (NOT the disk state) — spec
+    * hook simulating a process restart, which must ADOPT a still-valid
+    * on-disk store instead of rebuilding. */
+  private[graft] def clearPointStoreResolveForTest(): Unit =
+    pointStoreDirs.clear()
 
   private[graft] val MaxTargetedPartitionsKey = "graft.index.maxTargetedPartitions"
   private[graft] def maxTargetedPartitions(spark: SparkSession): Int =

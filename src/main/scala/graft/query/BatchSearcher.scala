@@ -105,20 +105,47 @@ object BatchSearcher {
     spark.conf.get(NspEscalateKey, "0").toInt
 
   /** Relative score-spread threshold under which the cut boundary counts
-    * as saturated (see [[NspEscalateKey]]). The clustered-corpus tie runs
-    * this detects are float-identical or near-identical scores; 1e-3
-    * relative spread is orders above float noise yet far below any real
-    * ranking gap at the boundary — AT NARROW DOC WIDTHS, where the default
-    * was calibrated (width-4 receipts: 83/212 escalated at 10M). WIDE
-    * documents concentrate the MaxSim sum (relative between-doc gaps
-    * shrink ~1/sqrt(tokens)), so at 120 tok/doc the default fires on
-    * every query — still quality-safe and never costlier than a fixed cut
-    * at the escalation bound, but unselective; tighten eps on wide-doc
-    * corpora (measured r17: 1e-4 at width 120 keeps success@5 = 1.0 with
-    * 147/212 escalated; COVERAGE.md round 17). */
+    * as saturated (see [[NspEscalateKey]]). Default `auto`: derived from
+    * the corpus' average document width — WIDE documents concentrate the
+    * MaxSim sum (between-doc relative gaps shrink with the token count),
+    * so one fixed threshold cannot serve both regimes: the width-4
+    * calibration (1e-3 — orders above float noise, far below any real
+    * boundary gap; 83/212 escalated at 10M) degenerates to escalate-all at
+    * 120 tok/doc, while the width-120 calibration (1e-4 — 147/212
+    * escalated, success@5 = 1.0) would under-fire on narrow docs. The two
+    * measured operating points (COVERAGE.md rounds 15/17) pin a power law
+    * `eps(w) = 1e-3 x (4 / w)^0.677` (exponent ln 10 / ln 30 — steeper
+    * than the ~1/sqrt(w) concentration heuristic, which the data
+    * over-rules); [[defaultTieEps]] evaluates it from the average width
+    * the batch's byte-gate stats already measured, at zero extra jobs.
+    * A numeric value overrides the derivation entirely. */
   val NspTieEpsKey = "graft.batch.nspTieEps"
-  private def nspTieEps(spark: org.apache.spark.sql.SparkSession): Double =
-    spark.conf.get(NspTieEpsKey, "1e-3").toDouble
+
+  /** The width-derived default for [[NspTieEpsKey]]: a power law through
+    * the two measured calibration points — (width 4, 1e-3) and (width 120,
+    * 1e-4), both at success@5 = 1.0 on the 10M/1M clustered corpora —
+    * clamped to [1e-5, 1e-2] so a degenerate width estimate (empty or
+    * single-token corpus) cannot push the detector into float noise or
+    * fire-on-everything territory. */
+  private[graft] def defaultTieEps(avgDocWidth: Double): Double = {
+    val w = math.max(avgDocWidth, 1.0)
+    math.min(1e-2, math.max(1e-5, 1e-3 * math.pow(4.0 / w, 0.677)))
+  }
+
+  /** Average doc width (codes per doc) recovered from the byte-gate stats
+    * the batch already has in hand: [[measuredContextBytes]] sums
+    * `8 + 8 x size(doc_codes) + 48` per row, so
+    * `avgWidth = (bytes/rows - 56) / 8` — no extra job. */
+  private[graft] def avgDocWidth(ctxRows: Long, ctxBytes: Long): Double =
+    if (ctxRows <= 0L || ctxBytes == Long.MaxValue) 4.0
+    else math.max(1.0, (ctxBytes.toDouble / ctxRows - 56.0) / 8.0)
+
+  private[graft] def nspTieEps(spark: org.apache.spark.sql.SparkSession,
+      ctxRows: Long, ctxBytes: Long): Double = {
+    val conf = spark.conf.get(NspTieEpsKey, "auto")
+    if (conf == "auto") defaultTieEps(avgDocWidth(ctxRows, ctxBytes))
+    else conf.toDouble
+  }
 
   /** Ranks inspected on each side of the cut boundary by the saturation
     * detector. */
@@ -337,12 +364,32 @@ object BatchSearcher {
     * every transformation, walking batch x nsp literal nodes (measured
     * 1.2 s/batch at the 212 x 256 shape, r17 breakdown), while a pool
     * that large saturates the row groups' id ranges anyway — so the ids
-    * switch to a broadcast left-semi join (one plan node, identical rows;
-    * BatchSearchSpec pins the A/B). Same guard class as
+    * leave the scan shape entirely and hydrate through the
+    * [[graft.index.PointStore]] record-addressable multiget (or, with the
+    * store disabled, a broadcast left-semi join over the scan;
+    * BatchSearchSpec pins both A/Bs). Same guard class as
     * [[MaxCentroidInList]]. */
   val MaxDocIdInListKey = "graft.rerank.maxDocIdInList"
   private def maxDocIdInList(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.get(MaxDocIdInListKey, "4096").toInt
+
+  /** Phase-2 hydration shape for a pool past [[MaxDocIdInListKey]].
+    * `true` (default): multiget the pooled ids' residuals from the
+    * [[graft.index.PointStore]] — IO and decode are O(pool), where ANY
+    * context-scan shape is O(corpus) once the pool saturates row groups
+    * (a 54k-id pool over 10M docs touches every `doc_bucket % 64`
+    * directory, row group and page: the r17 breakdown measured the
+    * semi-join scan decoding all 10M context rows / 40.6 core-s per batch
+    * to keep 54k — the one scan in the engine that grows with the corpus
+    * while its output stays pool-sized; the reference's analogue is an
+    * O(#ids) RocksDB MultiGet, RocksdbForwardIndex.cpp:44-92). The store
+    * builds once per index state (a corpus-sized shuffle, same class as
+    * the CtxCodes snapshot build; `warmBatchCaches` pre-builds it) and
+    * serves from immutable record files after. `false`: the r17 broadcast
+    * left-semi scan, kept as the fallback and A/B hatch. */
+  val PointStoreKey = "graft.rerank.pointStore"
+  private def pointStoreEnabled(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get(PointStoreKey, "true").toBoolean
 
   /** Pre-builds the serving caches the FIRST batch after open()/a mutation
     * would otherwise pay in-band (r16 breakdown: at the 10M shape the
@@ -353,18 +400,35 @@ object BatchSearcher {
     * .contextCodesBroadcast]] CtxCodes snapshot. Call once at open for
     * latency-sensitive serving; a no-op (beyond the metadata-sized stats
     * job) when the context outgrows the gate or the snapshot path is
-    * disabled. Idempotent until the next mutation. */
+    * disabled. Idempotent until the next mutation.
+    *
+    * Mirrors searchBatch's FULL snapshot guard — `poolHeap &&
+    * !carryResiduals`, not just the cache switch: with the heap off or
+    * residual-carry on, the serving path never reads the snapshot, and
+    * warming would pin an up-to-gate-sized broadcast (1 GiB default) on
+    * every executor that nothing consumes until the next mutation drops
+    * it (r17 ADVICE). */
   def warmBatchCaches(idx: IndexIVF, tenant: Long, field: String): Unit = {
     val spark = idx.spark
     idx.centroidBroadcast(field)
-    if (ctxBroadcastCache(spark)) {
-      val gate = broadcastContextMaxBytes(spark)
-      val (rows, bytes) = contextRelationStats(idx, tenant, field)
-      if (bytes <= gate) {
-        idx.contextCodesBroadcast(tenant, field, rows, bytes, gate)
-        ()
-      }
-    }
+    val wantSnapshot = ctxBroadcastCache(spark) && poolHeap(spark) &&
+      !carryResiduals(spark)
+    // the phase-2 point store serves the (default) rerank-multiget path —
+    // its cold build is the other corpus-sized one-time cost a first big
+    // batch would otherwise pay in-band
+    val wantStore = pointStoreEnabled(spark) && rerankMultiget(spark) &&
+      !carryResiduals(spark)
+    val rowsHint =
+      if (wantSnapshot) {
+        val gate = broadcastContextMaxBytes(spark)
+        val (rows, bytes) = contextRelationStats(idx, tenant, field)
+        if (bytes <= gate) {
+          idx.contextCodesBroadcast(tenant, field, rows, bytes, gate)
+          ()
+        }
+        Some(rows)
+      } else None
+    if (wantStore) { idx.pointStore(tenant, field, rowsHint); () }
   }
 
   /** Partition count for the round-robin spread of the pruned postings
@@ -611,19 +675,26 @@ object BatchSearcher {
     }
 
     val bq = spark.sparkContext.broadcast(idx.quantizers(field))
-    val rerankUdf = udf { (qid: Long, codes: Seq[Long], residuals: Array[Byte]) =>
-      val quant = bq.value
-      val n = codes.length
-      val doc = new Array[Float](n * dim)
-      var i = 0
-      while (i < n) {
-        val tok = quant.decode(java.util.Arrays.copyOfRange(
-          residuals, i * quant.codeSize, (i + 1) * quant.codeSize))
-        System.arraycopy(tok, 0, doc, i * dim, dim)
-        i += 1
+    // one decode+score kernel for both phase-2 shapes (scan rows feed it a
+    // token count from doc_codes; the point store derives it from the
+    // residual length, nTokens = bytes / codeSize — same value by the
+    // write-path invariant resLen == nTokens x codeSize)
+    val scoreFromResiduals: (Long, Int, Array[Byte]) => Double =
+      (qid, n, residuals) => {
+        val quant = bq.value
+        val doc = new Array[Float](n * dim)
+        var i = 0
+        while (i < n) {
+          val tok = quant.decode(java.util.Arrays.copyOfRange(
+            residuals, i * quant.codeSize, (i + 1) * quant.codeSize))
+          System.arraycopy(tok, 0, doc, i * dim, dim)
+          i += 1
+        }
+        val q = bQueries.value(qid)
+        Plaid.scoreByResiduals(q, q.length / dim, doc, n, dim, normalize = true).toDouble
       }
-      val q = bQueries.value(qid)
-      Plaid.scoreByResiduals(q, q.length / dim, doc, n, dim, normalize = true).toDouble
+    val rerankUdf = udf { (qid: Long, codes: Seq[Long], residuals: Array[Byte]) =>
+      scoreFromResiduals(qid, codes.length, residuals)
     }
     val reranked =
       if (!opts.secondPass) pool
@@ -653,7 +724,7 @@ object BatchSearcher {
                 .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
             }
             val (kept, escalated) = adaptivePoolCut(withScores,
-              opts.numSecondPass, esc, nspTieEps(spark))
+              opts.numSecondPass, esc, nspTieEps(spark, ctxRows, ctxBytes))
             if (prof.on) prof.buf("adaptive_escalated_queries") = escalated.toDouble
             kept
           } else prof("phase1_pool_action") {
@@ -673,21 +744,29 @@ object BatchSearcher {
               org.apache.spark.sql.types.StructField("score",
                 org.apache.spark.sql.types.DoubleType, nullable = true))))
         else prof("rerank_assembly") {
-          // bucket-grouped multiget: the ids' doc_bucket set prunes
-          // context DIRECTORIES (saturated by a large batch — expected;
-          // the filters' real work is keeping the corpus' residual
-          // bytes out of the dedup shuffle and the join). The id-level
-          // filter is shape-switched on pool size: a small pool's doc_id
-          // IN-set row-group-prunes the surviving doc_id-sorted files,
-          // but a big batch's pool (batch x nsp, 54k at the 212/256
-          // shape) puts that many LITERAL nodes in the plan and Spark's
-          // eager per-transformation analysis walks them all — measured
-          // 1.2 s of every batch (r17 rerank_assembly segment) for
-          // row-group pruning that id density saturates anyway — so past
-          // MaxDocIdInListKey the ids arrive as a broadcast left-semi
-          // join instead: one plan node, same corpus-residuals-stay-out
-          // guarantee, same rows (spec-pinned A/B).
+          // phase-2 hydration, shape-switched on pool size. A small
+          // interactive pool's doc_id IN-set genuinely prunes the
+          // doc_id-sorted context files (directories via the bucket set,
+          // row groups via the IN-list), so it stays a scan. Past
+          // MaxDocIdInListKey the pool's id density saturates every
+          // granule a columnar scan can skip — directories, row groups
+          // AND pages (the r17 breakdown measured the semi-join scan
+          // decoding all 10M context rows per batch to keep 54k) — so the
+          // ids multiget the record-addressable PointStore instead:
+          // O(pool) bytes touched and records decoded, the distributed
+          // twin of the reference's RocksDB MultiGet
+          // (RocksdbForwardIndex.cpp:44-92). The r17 broadcast left-semi
+          // scan remains the PointStoreKey=false fallback/A-B hatch.
           val ids = poolRows.map(_._2).distinct
+          if (ids.length > maxDocIdInList(spark) && pointStoreEnabled(spark)) {
+            val (storeDir, storeBuckets) = prof("pointstore_resolve") {
+              idx.pointStore(tenant, field, if (heap) Some(ctxRows) else None)
+            }
+            graft.index.PointStore.multigetScore(spark, storeDir, storeBuckets,
+              poolRows,
+              (qid, _, res) =>
+                scoreFromResiduals(qid, res.length / bq.value.codeSize, res))
+          } else {
           val buckets = ids.map(IndexIVF.docBucketOf).distinct.toSeq
           val ctxBase = idx.contextDf
             .filter(col("tenant") === tenant && col("field") === fid &&
@@ -718,6 +797,7 @@ object BatchSearcher {
           ctxM.join(broadcast(poolDf), Seq("doc_id"))
             .select(col("query_id"), col("doc_id"),
               rerankUdf(col("query_id"), col("doc_codes"), col("doc_residuals")).as("score"))
+          }
         }
       } else {
         // r10-shape measurement hatch: re-join the FULL context table

@@ -39,7 +39,7 @@ object Searcher {
   /** Per-search cache of driver-side query plans, keyed by vector-node
     * identity: compileVector, postingCandidates and And's candidateIds all
     * need the same (score matrix, probes) — computed once per leaf. */
-  private[query] type PlanCache =
+  private[graft] type PlanCache =
     scala.collection.mutable.Map[VectorQuery, (Array[Float], Array[Long])]
 
   /** Upper bound (bytes, session conf) on the phase-2 rerank's driver-side
@@ -375,7 +375,7 @@ object Searcher {
   /** Driver-side query planning: full (nq x nc) score matrix + probe list
     * (KnnNearestCentroids.cpp:6-110, including the score>0 prune).
     * Memoized per vector leaf within a search. */
-  private[query] def queryPlan(idx: IndexIVF, v: VectorQuery, opts: SearchOptions)(
+  private[graft] def queryPlan(idx: IndexIVF, v: VectorQuery, opts: SearchOptions)(
       implicit plans: PlanCache): (Array[Float], Array[Long]) =
     plans.getOrElseUpdate(v, computePlan(idx, v, opts))
 

@@ -140,6 +140,38 @@ class BatchSearchSpec extends AnyFunSuite {
     assert(byQ(2L) == 8, s"unsaturated query keeps base pairs, got ${byQ(2L)}")
   }
 
+  test("width-derived tie eps: the default power law reproduces both " +
+      "measured calibration points and a numeric conf overrides it") {
+    // the two operating points that pinned the law (COVERAGE.md r15/r17):
+    // width 4 -> 1e-3 (83/212 escalated at 10M), width 120 -> 1e-4
+    // (147/212 escalated, success@5 = 1.0) — the derived DEFAULT must land
+    // on the measured-good values at both widths, not just interpolate
+    assert(math.abs(BatchSearcher.defaultTieEps(4.0) - 1e-3) < 1e-9)
+    assert(math.abs(BatchSearcher.defaultTieEps(120.0) - 1e-4) < 2e-6)
+    // monotone in width, clamped against degenerate estimates
+    assert(BatchSearcher.defaultTieEps(32.0) < 1e-3)
+    assert(BatchSearcher.defaultTieEps(32.0) > 1e-4)
+    assert(BatchSearcher.defaultTieEps(0.0) <= 1e-2)
+    assert(BatchSearcher.defaultTieEps(1e9) >= 1e-5)
+
+    // width recovery inverts the byte-gate accounting exactly:
+    // bytes = rows x (8 + 8 x width + 48)
+    val rows = 1000L
+    val width = 120L
+    val bytes = rows * (8L + 8L * width + 48L)
+    assert(math.abs(BatchSearcher.avgDocWidth(rows, bytes) - 120.0) < 1e-9)
+    // no stats in hand (shuffle shape sentinel / empty corpus): falls back
+    // to the width-4 calibration point
+    assert(BatchSearcher.avgDocWidth(0L, 0L) == 4.0)
+    assert(BatchSearcher.avgDocWidth(10L, Long.MaxValue) == 4.0)
+
+    // explicit numeric conf short-circuits the derivation
+    spark.conf.set(BatchSearcher.NspTieEpsKey, "7e-4")
+    try assert(BatchSearcher.nspTieEps(spark, rows, bytes) == 7e-4)
+    finally spark.conf.unset(BatchSearcher.NspTieEpsKey)
+    assert(math.abs(BatchSearcher.nspTieEps(spark, rows, bytes) - 1e-4) < 2e-6)
+  }
+
   test("adaptive cut sorts with the heap's own total order (NaN first, " +
       "±0.0 tied to doc_id) and refuses base < 1") {
     // NaN ranks ABOVE every double in the heap/window order; a
@@ -238,21 +270,33 @@ class BatchSearchSpec extends AnyFunSuite {
     finally spark.conf.unset(BatchSearcher.CtxBroadcastCacheKey)
 
     // phase-2 multiget shape switch: forcing the big-pool broadcast
-    // left-semi join (threshold 0) must return the exact rows the
+    // left-semi join (threshold 0, point store disabled — the store path
+    // has its own A/B in PointStoreSpec) must return the exact rows the
     // doc_id IN-list path returns, and the ids must arrive as a
     // BROADCAST left-semi (a shuffled semi over the pool would defeat
     // the point of the switch)
     spark.conf.set(BatchSearcher.MaxDocIdInListKey, "0")
+    spark.conf.set(BatchSearcher.PointStoreKey, "false")
     try {
       val df = BatchSearcher.searchBatch(idx, 1, "colbert", queriesDf, 5, opts)
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("LeftSemi"),
         s"threshold 0 must route the multiget through a semi-join:\n$plan")
-      assert(!plan.contains("SortMergeJoin"),
-        s"the semi-join must broadcast the pool ids, not shuffle:\n$plan")
+      // assert the POSITIVE physical shape, not just the absence of
+      // SortMergeJoin: a planner change dropping the broadcast hint to a
+      // ShuffledHashJoin left-semi would invert the switch's win while
+      // still passing a no-SMJ check (r17 ADVICE) — every LeftSemi in the
+      // plan must execute as a BroadcastHashJoin
+      plan.linesIterator.filter(_.contains("LeftSemi")).foreach { l =>
+        assert(l.contains("BroadcastHashJoin"),
+          s"LeftSemi must be a BroadcastHashJoin, got: $l\n$plan")
+      }
       assert(run() == cachedShape,
         "semi-join multiget diverged from the IN-list multiget")
-    } finally spark.conf.unset(BatchSearcher.MaxDocIdInListKey)
+    } finally {
+      spark.conf.unset(BatchSearcher.MaxDocIdInListKey)
+      spark.conf.unset(BatchSearcher.PointStoreKey)
+    }
 
     // freshness: an add() on this handle must invalidate the snapshot —
     // a query matching ONLY the new doc has to find it in the next batch
@@ -335,5 +379,51 @@ class BatchSearchSpec extends AnyFunSuite {
       "sibling-handle update must invalidate the snapshot cache: doc 7's " +
         "new tokens are far from the query, yet it still ranked first " +
         "(stale codes served)")
+
+    // sibling handles must SHARE the snapshot (JVM-global cache, r17
+    // ADVICE): after this handle's batch rebuilt it, a serving-path
+    // request through the sibling must return the same broadcast, not
+    // build a duplicate
+    val (rows, bytes) = BatchSearcher.contextRelationStats(idx, 1, "colbert")
+    val mine = idx.contextCodesBroadcast(1, "colbert", rows, bytes, 1L << 30)
+    val theirs = sibling.contextCodesBroadcast(1, "colbert", rows, bytes, 1L << 30)
+    assert(mine.id == theirs.id,
+      s"sibling handles built duplicate snapshots (${mine.id} vs ${theirs.id})")
+  }
+
+  test("snapshot cache: a FOREIGN-PROCESS write (persisted epoch advanced " +
+      "behind every in-process handle's back) invalidates on the next batch") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(44)
+    def tokens() = Seq.fill(4)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val corpus = (0L until 20L).map(i => i -> tokens()).toMap
+    val path = java.nio.file.Files.createTempDirectory("idx_foreignepoch").toString
+    val idx = IndexIVF.create(spark, path, GSchema(Seq(
+      GField.colbert("colbert", dim, numCentroids = 4, numIterations = 4))))
+    val docs = corpus.toSeq.sortBy(_._1).map { case (i, t) => Doc(i, t, "x", 0L) }
+      .toDF().select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("colbert"))
+    idx.train(docs)
+    idx.add(1, docs)
+
+    val (rows, bytes) = BatchSearcher.contextRelationStats(idx, 1, "colbert")
+    def snap() = idx.contextCodesBroadcast(1, "colbert", rows, bytes, 1L << 30)
+    val first = snap()
+    // steady state: the per-call epoch probe must NOT rebuild by itself
+    assert(snap().id == first.id, "epoch probe rebuilt an unchanged snapshot")
+
+    // simulate a writer in ANOTHER PROCESS: advance _meta/epoch.json on
+    // disk directly — no in-process write lock runs, so the JVM-global
+    // mutation tick cannot see it and the row count happens to be
+    // unchanged (the same-count-update shape); only the persisted-epoch
+    // probe can catch this
+    graft.core.Json.write(s"$path/_meta/epoch.json",
+      Map("epoch" -> (idx.currentEpoch() + 1L)))
+    val after = snap()
+    assert(after.id != first.id,
+      "a foreign-process epoch advance must invalidate the snapshot cache " +
+        s"on the next batch (still serving broadcast ${first.id})")
+    assert(snap().id == after.id, "rebuilt snapshot must then be stable")
   }
 }

@@ -979,10 +979,21 @@ object ProfMain {
         // collect + CSR build + broadcast the first batch after open/mutation
         // would otherwise absorb in-band (prior rounds' breakdowns showed
         // 0.000 s here because the codegen warmup batch had already built it)
+        // r18: warmBatchCaches now also builds the phase-2 point store —
+        // time the two one-time builds separately (conf-gating the store
+        // off for the first call isolates the snapshot build)
+        spark.conf.set(BatchSearcher.PointStoreKey, "false")
         val tWarm0 = System.nanoTime()
         idxB.warmBatchCaches(1, "colbert")
         println(f"[prof]   ctx_snapshot_cold_build ${(System.nanoTime() - tWarm0) / 1e9}%8.3f s" +
           "  (one-time per index state; warmBatchCaches at open hides it)")
+        spark.conf.unset(BatchSearcher.PointStoreKey)
+        if (spark.conf.get(BatchSearcher.PointStoreKey, "true").toBoolean) {
+          val tPs0 = System.nanoTime()
+          idxB.pointStore(1, "colbert")
+          println(f"[prof]   pointstore_cold_build  ${(System.nanoTime() - tPs0) / 1e9}%8.3f s" +
+            "  (one-time per index state; adopt-from-disk on reopen)")
+        }
         // codegen warmup on a small batch BEFORE any timed rep
         BatchSearcher.searchBatch(idxB, 1, "colbert", queriesB.limit(8), 10,
           SearchOptions(kTopCentroids = 2, nProbe = 8, numSecondPass = nspB)).count()
@@ -1066,6 +1077,118 @@ object ProfMain {
         }
         spark.sparkContext.removeSparkListener(jlst)
         spark.conf.set(BatchSearcher.ProfileKey, "false")
+
+      case "batch_probe_group" =>
+        // r17 verdict item 2: does splitting a big batch into
+        // probe-overlap-clustered SUB-batches (one pruned postings scan per
+        // group, each with a small enough probe union to re-enable the
+        // centroid IN-list row-group pruning) beat ONE shared saturated
+        // scan? Times arm A (one 212-query batch) against arm B (G greedy
+        // probe-clustered sub-batches run sequentially) at the same
+        // operating point, reporting ms/q and the postings-scan input rows
+        // per arm (stage listener). args: [nDocs] [K] [codec] [geom]
+        // [config=1x8] [nsp=256] [groups=4,8,16] [reps=2]
+        import graft.query._
+        import spark.implicits._
+        val dimG = 128; val tpdG = 4
+        val nDocsG = args.lift(1).map(_.toInt).getOrElse(10000000)
+        val kG = args.lift(2).map(_.toInt).getOrElse(49152)
+        val codecSufG = args.lift(3).map(c => s"_${c.toLowerCase}")
+          .filter(_ != "_none").getOrElse("")
+        val geomG = args.lift(4).getOrElse("clustered")
+        val (ktG, npG) = {
+          val Array(a, b) = args.lift(5).getOrElse("1x8").split("x"); (a.toInt, b.toInt)
+        }
+        val nspG = args.lift(6).map(_.toInt).getOrElse(256)
+        val groupCounts = args.lift(7).map(_.split(",").map(_.toInt).toSeq)
+          .getOrElse(Seq(4, 8, 16))
+        val repsG = args.lift(8).map(_.toInt).getOrElse(2)
+        val pathG = s"/root/repo/target/prof_batch_scale_${nDocsG}_$kG" +
+          s"$codecSufG${geomSuffix(geomG)}"
+        require(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(pathG, "_prof_ready")),
+          s"run batch_scale $nDocsG $kG <codec> 2 $geomG first")
+        val idxG = graft.index.IndexIVF.open(spark, pathG)
+        val qToksG = spark.range(nDocsG.toLong).select(col("id"),
+          geomTokensExpr(geomG, tpdG, dimG, noise = 0.05).as("colbert"))
+          .filter(col("id") < 212).orderBy("id").collect()
+          .map(_.getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("colbert")
+            .map(_.toArray).toArray)
+        val optsG = SearchOptions(kTopCentroids = ktG, nProbe = npG,
+          numSecondPass = nspG)
+        // per-query probe sets (the same driver planning searchBatch runs)
+        val probeSets: Array[Set[Long]] = qToksG.map { toks =>
+          implicit val pc: Searcher.PlanCache = scala.collection.mutable.Map.empty
+          Searcher.queryPlan(idxG, VectorQuery("colbert", toks), optsG)._2.toSet
+        }
+        def queriesDf(ids: Seq[Int]) = ids
+          .map(i => (i.toLong, qToksG(i).map(_.toSeq).toSeq)).toSeq
+          .toDF("query_id", "tokens")
+        // postings-scan input accounting: sum of input records across all
+        // stages of the arm (dominated by the postings scan at this shape;
+        // the context snapshot is warmed once outside the timed arms)
+        val recIn = new java.util.concurrent.atomic.AtomicLong(0L)
+        val grpLst = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = sc.stageInfo.taskMetrics
+            if (m != null) { recIn.addAndGet(m.inputMetrics.recordsRead); () }
+          }
+        }
+        idxG.warmBatchCaches(1, "colbert")
+        BatchSearcher.searchBatch(idxG, 1, "colbert",
+          queriesDf(0 until 8), 10,
+          SearchOptions(kTopCentroids = 2, nProbe = 8, numSecondPass = nspG)).count()
+        spark.sparkContext.addSparkListener(grpLst)
+        def timedArm(name: String, groups: Seq[Seq[Int]]): Unit =
+          (1 to repsG).foreach { rep =>
+            recIn.set(0L)
+            val t0 = System.nanoTime()
+            var rows = 0L
+            groups.foreach { g =>
+              rows += BatchSearcher.searchBatch(idxG, 1, "colbert",
+                queriesDf(g), 10, optsG).count()
+            }
+            val ms = (System.nanoTime() - t0) / 1e6
+            Thread.sleep(1200) // listener bus is async
+            val distinctProbes = groups.map(g =>
+              g.map(probeSets(_)).reduce(_ ++ _).size)
+            println(f"[prof] probe_group $name%-14s rep=$rep " +
+              f"total ${ms / 1000}%7.2f s  ms/q ${ms / 212}%6.1f  rows=$rows%d  " +
+              f"scan_rows_in ${recIn.get()}%d  " +
+              s"probes/group ${distinctProbes.mkString(",")}")
+          }
+        timedArm("A_one_batch", Seq(0 until 212))
+        groupCounts.foreach { gc =>
+          // greedy probe-overlap clustering: seed with the largest probe
+          // sets, then place each query (descending size) into the capped
+          // group with max Jaccard overlap against the group's probe union
+          val cap = (212 + gc - 1) / gc
+          val order = (0 until 212).sortBy(i => -probeSets(i).size)
+          val members = Array.fill(gc)(List.newBuilder[Int])
+          val unions = Array.fill(gc)(Set.empty[Long])
+          val sizes = new Array[Int](gc)
+          order.foreach { qi =>
+            val ps = probeSets(qi)
+            var best = -1; var bestScore = -1.0
+            var g = 0
+            while (g < gc) {
+              if (sizes(g) < cap) {
+                val score =
+                  if (unions(g).isEmpty) 0.0
+                  else ps.intersect(unions(g)).size.toDouble /
+                    ps.union(unions(g)).size
+                if (score > bestScore) { bestScore = score; best = g }
+              }
+              g += 1
+            }
+            members(best) += qi
+            unions(best) = unions(best) ++ ps
+            sizes(best) += 1
+          }
+          timedArm(s"B_${gc}_groups", members.map(_.result()).toSeq.filter(_.nonEmpty))
+        }
+        spark.sparkContext.removeSparkListener(grpLst)
 
       case "frontier_miss" =>
         // Ground-truth reachability probe for batch_frontier misses: for
@@ -1876,10 +1999,15 @@ object ProfMain {
         // CentroidScoreSpec). args: [rows]
         import graft.functions.CentroidScore
         val rows = args.lift(1).map(_.toInt).getOrElse(200000)
+        // widths arg (default all): running ONE width per JVM isolates
+        // cross-species type-profile pollution — mixing vector species in
+        // a JVM megamorphizes the Vector API's shared virtual sites
+        val widths = args.lift(2).map(_.split(",").map(_.toInt).toSeq)
+          .getOrElse(Seq(4, 8, 16, 32))
         val rndS = new scala.util.Random(5)
         val dimS = 128; val ncS = 1024
         val cent = Array.fill(ncS * dimS)(rndS.nextFloat() * 2 - 1)
-        Seq(4, 8, 16, 32).foreach { nqS =>
+        widths.foreach { nqS =>
           val q = Array.fill(nqS * dimS)(rndS.nextFloat() * 2 - 1)
           val qt = CentroidScore.transposeQuery(q, dimS)
           val codeRows = Array.fill(rows)(
