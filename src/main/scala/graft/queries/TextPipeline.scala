@@ -861,9 +861,30 @@ object TextPipeline {
   /** candidate pairs sharing >= 1 shingle, with exact Jaccard over the
     * distinct-shingle sets — the inverted-index (no cross join) plan,
     * df-capped so no single stop-shingle can turn the self-join quadratic.
-    * Jaccard is computed consistently over the capped shingle universe. */
+    * Jaccard is computed consistently over the capped shingle universe.
+    *
+    * `minJaccard`: when the caller only consumes pairs at or above a
+    * threshold t (q_neardup_jaccard / cluster edges at 0.8), the verify
+    * work is pre-pruned with the DETERMINISTIC size bound
+    * `J(A,B) <= min(|A|,|B|) / max(|A|,|B|)` — a shared-shingle pair whose
+    * capped set sizes differ by more than t cannot reach t, so it is
+    * dropped BEFORE the pair-count aggregation (the superlinear term: the
+    * shuffle of every co-occurring (a, b, shingle) row). Provably
+    * recall-safe, unlike a minhash-estimate prefilter, whose Hoeffding
+    * tail (exp(-2 x 32 x margin^2) per pair with 32 perms) can never be
+    * zero — an oracle-checked exact operator cannot ship a filter that is
+    * merely "usually" lossless. The bound is applied with a 1e-9 relative
+    * slack so double rounding (0.8 x 5 > 4.0 in binary) can only ADMIT a
+    * boundary pair for exact verification, never drop one
+    * (TextPipelineSpec pins the boundary). Size rows ride the cached
+    * shingle table via one window count (one linear shuffle, amortized
+    * across the session) — the pruned pair stream it buys shrinks the
+    * quadratic-in-bucket-size term. None (q_containment) keeps every
+    * pair: containment has no size bound BY DESIGN (small-inside-big is
+    * exactly what it detects). */
   private[graft] def jaccardPairs(s: SparkSession, d: DataFrame,
-      dfCap: Int = ShingleDfCap, cacheKey: String = ""): DataFrame = {
+      dfCap: Int = ShingleDfCap, cacheKey: String = "",
+      minJaccard: Option[Double] = None): DataFrame = {
     // cap-dependent tables carry the cap in their cache key, so two calls
     // with different caps can never share a capped table
     def cached(key: String)(b: => DataFrame): DataFrame =
@@ -892,10 +913,28 @@ object TextPipeline {
     // cached persist stops the shingle scan from running once per join side
     // (and re-invocations reuse the same entry instead of stacking caches)
     val n = cached("jaccard_counts")(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c")))
-    val common = sh.as("x").join(sh.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("common"))
+    val common = minJaccard match {
+      case Some(t) if t > 0.0 =>
+        // capped-set size on every shingle row (one windowed count — a
+        // linear doc_id shuffle, cached per session) lets the size bound
+        // evaluate INSIDE the self-join, ahead of the pair aggregation
+        val shSized = cached("jaccard_sh_sized") {
+          import org.apache.spark.sql.expressions.Window
+          sh.withColumn("c",
+            count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        }
+        shSized.as("x").join(shSized.as("y"),
+            col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
+              least(col("x.c"), col("y.c")).cast("double") >=
+                (lit(t) - lit(1e-9)) * greatest(col("x.c"), col("y.c")))
+          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("common"))
+      case _ =>
+        sh.as("x").join(sh.as("y"),
+            col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("common"))
+    }
     common
       .join(n.as("na"), col("a_id") === col("na.doc_id"))
       .join(n.as("nb"), col("b_id") === col("nb.doc_id"))
@@ -1263,7 +1302,8 @@ object TextPipeline {
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
     DfCache.getOrBuild(s, s"cc_labels#$dir") {
       val d = docs(s, dir)
-      val edges = jaccardPairs(s, d, dfCap = Knobs.shingleDfCap(s), cacheKey = dir)
+      val edges = jaccardPairs(s, d, dfCap = Knobs.shingleDfCap(s),
+          cacheKey = dir, minJaccard = Some(0.8))
         .filter(col("jaccard_raw") >= 0.8).select("a_id", "b_id")
       connectedComponents(d.select("doc_id"), edges)
     }
@@ -1300,7 +1340,8 @@ object TextPipeline {
         |WHERE common * 1.0 / (na.c + nb.c - common) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin) {
       (s, dir) =>
-        jaccardPairs(s, docs(s, dir), dfCap = Knobs.shingleDfCap(s), cacheKey = dir)
+        jaccardPairs(s, docs(s, dir), dfCap = Knobs.shingleDfCap(s),
+            cacheKey = dir, minJaccard = Some(0.8))
           .filter(col("jaccard_raw") >= 0.8)
           .select("a_id", "b_id", "jaccard")
           .orderBy("a_id", "b_id")

@@ -24,6 +24,36 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getDouble(2) >= 0.8 && r.getDouble(2) <= 1.0))
   }
 
+  test("size-bound prefilter is recall-lossless: boundary pair at exactly " +
+      "J = 0.8 survives, and pruned == unpruned on the corpus") {
+    import spark.implicits._
+    // A (6 words) has 4 distinct 3-shingles, all contained in B's 5
+    // (7 words): J = 4 / 5 = 0.8 EXACTLY, with sizes (4, 5) sitting on the
+    // size bound min/max = 0.8 — the pair double rounding would drop
+    // without the slack (0.8 x 5 > 4.0 in binary)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val pruned = graft.queries.TextPipeline
+      .jaccardPairs(spark, docs, minJaccard = Some(0.8))
+      .filter(org.apache.spark.sql.functions.col("jaccard_raw") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    assert(pruned.toSeq == Seq((1L, 2L, 0.8)),
+      s"boundary pair must survive the size prefilter: ${pruned.toSeq}")
+
+    // on the real corpus: the prefiltered pipeline must emit EXACTLY the
+    // unpruned >= 0.8 rows (the bound is an upper bound on J — provable
+    // recall, unlike a signature-estimate prefilter)
+    val base = graft.queries.TextPipeline
+      .jaccardPairs(spark, graft.queries.Tables.t(spark, sf, "documents"))
+      .filter(org.apache.spark.sql.functions.col("jaccard_raw") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs == base,
+      "size-pruned q_neardup_jaccard diverged from the unpruned pipeline")
+  }
+
   /** pairs similar enough that LSH banding must catch them (see the
     * miss-probability notes on the band layouts in TextPipeline). */
   lazy val verySimilar: Set[(Long, Long)] = run("q_neardup_jaccard")
