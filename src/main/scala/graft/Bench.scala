@@ -29,16 +29,22 @@ object Bench {
     // total of a partial run must not read as a speedup to a consumer that
     // diffs `value` without also checking `failed`
     val valueJson = if (failedNames.isEmpty) num(total) else "null"
-    // batch212_ms_per_query is STEADY state (min of 2 on a warm handle —
-    // what every batch after the first costs between mutations), keeping
-    // the cross-round trend line meaningful; the cold twin records the
-    // first batch on a fresh handle, which pays the one-time context-
-    // snapshot build (r16 verdict item 2: the cold-only field regressed in
-    // the exact round real serving got 16% faster)
+    // The serving trend ships under EXPLICIT names — batch212_STEADY_
+    // (min of 2 on a warm handle: what every batch after the first costs
+    // between mutations) and batch212_COLD_ (first batch on a fresh
+    // handle, which pays the one-time context-snapshot build). The legacy
+    // batch212_ms_per_query field stays, aliasing STEADY, because rounds
+    // <= 16 recorded the conflated cold+steady value under that name: a
+    // trend consumer diffing it across the r17 cut-over sees a
+    // discontinuity that mixes the metric redefinition with the real
+    // speedup (r17 ADVICE), so the semantics marker names the regime the
+    // legacy field now carries and the cut-over round.
     s"""{"metric":"total","value":$valueJson,"unit":"sec","queries":$qs,""" +
       s""""failed":$failed,"sf":"$sfDir","repeats":$repeats,""" +
       s""""calibration_ms":${num(calibrationMs)},""" +
       s""""loadavg":"$loadavg","batch212_ms_per_query":${num(batch212MsPerQuery)},""" +
+      s""""batch212_steady_ms_per_query":${num(batch212MsPerQuery)},""" +
+      s""""batch212_semantics":"steady_since_r17",""" +
       s""""batch212_cold_ms_per_query":${num(batch212ColdMsPerQuery)}}"""
   }
 

@@ -45,7 +45,14 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(j.get("loadavg").asText().nonEmpty)
     assert(j.get("batch212_ms_per_query").asDouble() > 0)
     // the steady/cold pair: steady keeps the legacy name (trend line), cold
-    // carries the fresh-handle snapshot-build cost (r16 verdict item 2)
+    // carries the fresh-handle snapshot-build cost (r16 verdict item 2).
+    // Since r18 (r17 ADVICE) the regime is ALSO named explicitly so trend
+    // tooling can detect the r17 cold->steady cut-over of the legacy field:
+    // batch212_steady_ms_per_query must alias the legacy value exactly, and
+    // the semantics marker names the cut-over round.
+    assert(j.get("batch212_steady_ms_per_query").asDouble()
+      == j.get("batch212_ms_per_query").asDouble())
+    assert(j.get("batch212_semantics").asText() == "steady_since_r17")
     assert(j.get("batch212_cold_ms_per_query").asDouble() > 0)
     // the -1 failure signal survives the fixed-point formatting
     val failed = parse(Bench.headlineJson(-1.0, Seq("q_x" -> -1.0), "d", 1, 1.0, "", -1.0, -1.0))
