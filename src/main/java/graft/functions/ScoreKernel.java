@@ -36,8 +36,16 @@ public final class ScoreKernel {
 
     /** Lane count of the preferred species — the dispatch threshold: below
      * one full vector of tokens the body is empty and the scalar twin in
-     * CentroidScore.computeDotT wins (measured 0.6-0.8x at nq=4 through
-     * the reflective call; 5.2-5.6x at nq=32). */
+     * CentroidScore.computeDotT wins. A narrow-species path for nq &lt; 16
+     * was measured and REJECTED (r18, ProfMain score_kernel): 128/256-bit
+     * kernels win 2.0x/3.5x in a single-species JVM, but the FIRST compile
+     * of a second species de-intrinsifies the Vector API's shared virtual
+     * sites for every other width — one nq=4 batch dropped the production
+     * nq=32 path from 6.1x to 0.8x vs scalar for the JVM's lifetime. A
+     * serving process cannot promise width purity, so the kernel stays
+     * single-species ON PURPOSE; do not reintroduce a width-dispatched
+     * species without re-measuring the mixed-width run
+     * (score_kernel 200000 4,32). */
     public static int lanes() {
         return S.length();
     }
