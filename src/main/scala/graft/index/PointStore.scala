@@ -102,8 +102,67 @@ object PointStore {
     * just O(corpus) again). */
   private[graft] val buildsForTest = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** One shared Configuration per JVM: constructing one parses the
+    * default XML resources — measured ~100 ms of CPU per multiget TASK
+    * when each built its own (306 tasks x ~100 ms = the entire "O(pool)"
+    * claim eaten by config parsing). Reads of a Configuration are
+    * thread-safe; FileSystem.get additionally caches FS instances per
+    * (scheme, authority). */
+  private lazy val sharedHadoopConf = new Configuration()
+
   private def fsFor(dir: String): FileSystem =
-    new Path(dir).getFileSystem(new Configuration())
+    new Path(dir).getFileSystem(sharedHadoopConf)
+
+  /** file:// paths bypass the Hadoop stream stack for READS:
+    * LocalFileSystem is a ChecksumFileSystem, so every positioned read
+    * re-verifies 512 B CRC chunks through the checker (measured ~90 ms of
+    * CPU per multiget task — the point store's whole per-task budget —
+    * for ~170 x 500 B preads that cost microseconds through a raw
+    * FileChannel). Remote filesystems (HDFS/S3) keep the Hadoop stream
+    * path: their positioned reads are native and checksums live below the
+    * FS API. Writes stay on the Hadoop API everywhere (portability; the
+    * local .crc sidecars are ~0.4 % overhead and are GC'd with the dir). */
+  private def localPathOf(dir: String): Option[String] = {
+    val u = new Path(dir).toUri
+    if (u.getScheme == null || u.getScheme == "file") Some(u.getPath) else None
+  }
+
+  /** Positioned-read handle over one data file — NIO on local paths,
+    * FSDataInputStream otherwise. */
+  private sealed trait RangeReader extends AutoCloseable {
+    def length: Long
+    def readFully(pos: Long, buf: Array[Byte]): Unit
+  }
+  private final class NioReader(p: String) extends RangeReader {
+    private val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(p), java.nio.file.StandardOpenOption.READ)
+    val length: Long = ch.size()
+    def readFully(pos: Long, buf: Array[Byte]): Unit = {
+      val bb = java.nio.ByteBuffer.wrap(buf)
+      var at = pos
+      while (bb.hasRemaining) {
+        val n = ch.read(bb, at)
+        require(n >= 0, s"EOF at $at reading $p")
+        at += n
+      }
+    }
+    def close(): Unit = ch.close()
+  }
+  private final class HadoopReader(fs: FileSystem, p: Path) extends RangeReader {
+    val length: Long = fs.getFileStatus(p).getLen
+    private val in = fs.open(p)
+    def readFully(pos: Long, buf: Array[Byte]): Unit =
+      in.readFully(pos, buf, 0, buf.length)
+    def close(): Unit = in.close()
+  }
+  private def readerFor(dir: String, name: String): RangeReader =
+    localPathOf(dir) match {
+      case Some(local) =>
+        new NioReader(new java.io.File(local, name).getPath)
+      case None =>
+        val fs = fsFor(dir)
+        new HadoopReader(fs, new Path(dir, name))
+    }
 
   private[graft] def autoBuckets(rows: Long): Int =
     math.min(MaxBuckets.toLong,
@@ -261,25 +320,29 @@ object PointStore {
         }
       })
 
-  private def loadIdx(fs: FileSystem, dir: String, bucket: Int): IdxEntry = {
+  private def loadIdx(dir: String, bucket: Int): IdxEntry = {
     val key = (dir, bucket)
     val hit = idxCache.get(key)
     if (hit != null) return hit
-    val f = new Path(dir, s"b$bucket.idx")
-    if (!fs.exists(f)) {
-      val empty = IdxEntry(Array.emptyLongArray, Array.emptyLongArray)
-      return empty // an empty bucket never wrote files; don't cache
-    }
-    val len = fs.getFileStatus(f).getLen
-    val n = (len / 16L).toInt
-    val ids = new Array[Long](n)
-    val offsets = new Array[Long](n)
-    val in = new java.io.DataInputStream(
-      new java.io.BufferedInputStream(fs.open(f), 1 << 18))
-    try {
-      var i = 0
-      while (i < n) { ids(i) = in.readLong(); offsets(i) = in.readLong(); i += 1 }
-    } finally in.close()
+    val r =
+      try readerFor(dir, s"b$bucket.idx")
+      catch {
+        case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
+          // an empty bucket never wrote files; don't cache
+          return IdxEntry(Array.emptyLongArray, Array.emptyLongArray)
+      }
+    val (ids, offsets) =
+      try {
+        val n = (r.length / 16L).toInt
+        val raw = new Array[Byte](n * 16)
+        r.readFully(0L, raw)
+        val bb = java.nio.ByteBuffer.wrap(raw)
+        val ids = new Array[Long](n)
+        val offsets = new Array[Long](n)
+        var i = 0
+        while (i < n) { ids(i) = bb.getLong; offsets(i) = bb.getLong; i += 1 }
+        (ids, offsets)
+      } finally r.close()
     val e = IdxEntry(ids, offsets)
     if (idxCache.put(key, e) == null) idxCacheBytes.addAndGet(e.bytes)
     e
@@ -288,6 +351,23 @@ object PointStore {
   /** Clear the idx cache (spec hygiene between temp indexes). */
   private[graft] def clearIdxCacheForTest(): Unit = {
     idxCache.clear(); idxCacheBytes.set(0L)
+  }
+
+  /** Per-JVM multiget segment accounting (profiling aid — meaningful in
+    * local mode where executors share the driver JVM; in cluster mode the
+    * adders stay executor-local and read 0 on the driver). Nanoseconds. */
+  private[graft] object MgProf {
+    val idxNs = new java.util.concurrent.atomic.LongAdder
+    val ioNs = new java.util.concurrent.atomic.LongAdder
+    val scoreNs = new java.util.concurrent.atomic.LongAdder
+    val taskNs = new java.util.concurrent.atomic.LongAdder
+    val tasks = new java.util.concurrent.atomic.LongAdder
+    def reset(): Unit = { idxNs.reset(); ioNs.reset(); scoreNs.reset()
+      taskNs.reset(); tasks.reset() }
+    def snapshot: String =
+      f"tasks=${tasks.sum()} task ${taskNs.sum() / 1e9}%.2f = " +
+        f"idx ${idxNs.sum() / 1e9}%.2f + io ${ioNs.sum() / 1e9}%.2f + " +
+        f"score ${scoreNs.sum() / 1e9}%.2f core-s"
   }
 
   // --------------------------------------------------------------- multiget
@@ -301,17 +381,38 @@ object PointStore {
       pairs: Array[(Long, Long)],
       score: (Long, Long, Array[Byte]) => Double): org.apache.spark.sql.DataFrame = {
     val gap = coalesceGap(spark)
-    val groups = pairs.groupBy(p => bucketOf(p._2, buckets)).toSeq
+    // the pool rides in ONE broadcast of primitive arrays, NOT in the
+    // parallelized collection: a ParallelCollectionRDD's data is part of
+    // the task binary, which every task re-deserializes — 306 tasks each
+    // deserializing all 54k boxed pairs measured ~23-45 core-s per batch
+    // (the whole multiget budget); the broadcast deserializes once per
+    // executor and each task reads only its bucket's slice
+    val groups: Map[Int, (Array[Long], Array[Long])] =
+      pairs.groupBy(p => bucketOf(p._2, buckets))
+        .map { case (b, ps) => b -> (ps.map(_._1), ps.map(_._2)) }
+    val bcGroups = spark.sparkContext.broadcast(groups)
+    // partitions: one bucket per task up to 4 x the cluster's parallelism,
+    // then pack buckets (the in-task body is ~1 core-s for a 54k pool —
+    // measured MgProf — so hundreds of single-bucket tasks are pure task
+    // machinery on a small cluster, while a large one still fans out to
+    // every touched bucket)
+    val slices = math.max(1, math.min(groups.size,
+      spark.sparkContext.defaultParallelism * 4))
     val rdd = spark.sparkContext
-      .parallelize(groups, math.max(1, groups.size))
-      .flatMap { case (bucket, bPairs) =>
-        val fs = fsFor(dir)
-        val idx = loadIdx(fs, dir, bucket)
+      .parallelize(groups.keys.toSeq.sorted, slices)
+      .flatMap { bucket =>
+        val tTask0 = System.nanoTime()
+        val (bQids, bDids) = bcGroups.value(bucket)
+        val tIdx0 = System.nanoTime()
+        val idx = loadIdx(dir, bucket)
+        MgProf.idxNs.add(System.nanoTime() - tIdx0)
         if (idx.ids.length == 0) Iterator.empty
         else {
-          val datLen = fs.getFileStatus(new Path(dir, s"b$bucket.dat")).getLen
+          val in = readerFor(dir, s"b$bucket.dat")
+          try {
+          val datLen = in.length
           // distinct wanted ids -> (offset, length) via the sorted idx
-          val wanted = bPairs.map(_._2).distinct.sorted
+          val wanted = bDids.distinct.sorted
           val found = wanted.flatMap { id =>
             val i = java.util.Arrays.binarySearch(idx.ids, id)
             if (i < 0) None
@@ -322,46 +423,56 @@ object PointStore {
             }
           }
           val byId = new java.util.HashMap[Long, Array[Byte]](found.length * 2)
+          val tIo0 = System.nanoTime()
           if (found.nonEmpty) {
-            val in = fs.open(new Path(dir, s"b$bucket.dat"))
-            try {
-              // coalesce reads: wanted records are offset-sorted (the file
-              // shares the idx's doc_id order); merge neighbors with a gap
-              // under the threshold into one positioned read
-              var i = 0
-              while (i < found.length) {
-                var j = i
-                var end = found(i)._2 + found(i)._3
-                while (j + 1 < found.length && found(j + 1)._2 - end <= gap) {
-                  j += 1
-                  end = found(j)._2 + found(j)._3
-                }
-                val start = found(i)._2
-                val buf = new Array[Byte]((end - start).toInt)
-                in.readFully(start, buf, 0, buf.length)
-                val bb = java.nio.ByteBuffer.wrap(buf)
-                var k = i
-                while (k <= j) {
-                  bb.position((found(k)._2 - start).toInt)
-                  val id = bb.getLong
-                  require(id == found(k)._1,
-                    s"point store corruption in $dir b$bucket.dat: expected " +
-                      s"doc ${found(k)._1} at offset ${found(k)._2}, read $id")
-                  val resLen = bb.getInt
-                  val res = new Array[Byte](resLen)
-                  bb.get(res)
-                  byId.put(id, res)
-                  k += 1
-                }
-                i = j + 1
+            // coalesce reads: wanted records are offset-sorted (the file
+            // shares the idx's doc_id order); merge neighbors with a gap
+            // under the threshold into one positioned read
+            var i = 0
+            while (i < found.length) {
+              var j = i
+              var end = found(i)._2 + found(i)._3
+              while (j + 1 < found.length && found(j + 1)._2 - end <= gap) {
+                j += 1
+                end = found(j)._2 + found(j)._3
               }
-            } finally in.close()
+              val start = found(i)._2
+              val buf = new Array[Byte]((end - start).toInt)
+              in.readFully(start, buf)
+              val bb = java.nio.ByteBuffer.wrap(buf)
+              var k = i
+              while (k <= j) {
+                bb.position((found(k)._2 - start).toInt)
+                val id = bb.getLong
+                require(id == found(k)._1,
+                  s"point store corruption in $dir b$bucket.dat: expected " +
+                    s"doc ${found(k)._1} at offset ${found(k)._2}, read $id")
+                val resLen = bb.getInt
+                val res = new Array[Byte](resLen)
+                bb.get(res)
+                byId.put(id, res)
+                k += 1
+              }
+              i = j + 1
+            }
           }
-          bPairs.iterator.flatMap { case (qid, did) =>
+          MgProf.ioNs.add(System.nanoTime() - tIo0)
+          val tSc0 = System.nanoTime()
+          val out = new scala.collection.mutable.ArrayBuffer[
+            org.apache.spark.sql.Row](bQids.length)
+          var i = 0
+          while (i < bQids.length) {
+            val qid = bQids(i); val did = bDids(i)
             val res = byId.get(did)
-            if (res == null) Iterator.empty
-            else Iterator.single(org.apache.spark.sql.Row(qid, did, score(qid, did, res)))
+            if (res != null)
+              out += org.apache.spark.sql.Row(qid, did, score(qid, did, res))
+            i += 1
           }
+          MgProf.scoreNs.add(System.nanoTime() - tSc0)
+          MgProf.taskNs.add(System.nanoTime() - tTask0)
+          MgProf.tasks.add(1L)
+          out.iterator
+          } finally in.close()
         }
       }
     spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(

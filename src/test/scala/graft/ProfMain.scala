@@ -1009,7 +1009,7 @@ object ProfMain {
         // compute — the r18 target after planning + multiget fixes left
         // phase1_pool_action as ~68 % of the batch
         val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[
-          (Int, Long, Long, Long, Long, Int)]()
+          (Int, Long, Long, Long, Long, Int, Long)]()
         val jlst = new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
             val desc = Option(js.properties)
@@ -1031,7 +1031,7 @@ object ProfMain {
             val m = si.taskMetrics
             if (m != null) stageLog.add((si.stageId, m.executorRunTime,
               m.executorCpuTime / 1000000L, m.inputMetrics.bytesRead,
-              m.inputMetrics.recordsRead, si.numTasks))
+              m.inputMetrics.recordsRead, si.numTasks, m.jvmGCTime))
             ()
           }
         }
@@ -1060,6 +1060,9 @@ object ProfMain {
           val inCallOther = callMs - segs.values.sum
           println(f"[prof]   in-call-other          ${inCallOther / 1000}%8.3f s  " +
             f"(plan assembly + broadcast vars)")
+          println(s"[prof]   multiget_body          " +
+            graft.index.PointStore.MgProf.snapshot)
+          graft.index.PointStore.MgProf.reset()
           println(f"[prof]   final_action           ${actionMs / 1000}%8.3f s  " +
             f"(${100 * actionMs / totalMs}%4.1f %% — phase-2 multiget + " +
             "rerank + top-k)")
@@ -1069,9 +1072,9 @@ object ProfMain {
           }
           val stages = stageLog.asScala.toVector.sortBy(-_._2)
           stageLog.clear()
-          stages.take(6).foreach { case (sid, runMs, cpuMs, inB, inRec, nt) =>
+          stages.take(6).foreach { case (sid, runMs, cpuMs, inB, inRec, nt, gcMs) =>
             println(f"[prof]     stage $sid%-4d run ${runMs / 1000.0}%8.3f " +
-              f"cpu ${cpuMs / 1000.0}%8.3f core-s  " +
+              f"cpu ${cpuMs / 1000.0}%8.3f core-s  gc ${gcMs / 1000.0}%7.3f  " +
               f"in ${inB / 1048576.0}%8.1f MiB/${inRec}%d rows  tasks=$nt%d")
           }
         }
@@ -1189,6 +1192,60 @@ object ProfMain {
           timedArm(s"B_${gc}_groups", members.map(_.result()).toSeq.filter(_.nonEmpty))
         }
         spark.sparkContext.removeSparkListener(grpLst)
+
+      case "pointstore_micro" =>
+        // isolate the multiget's per-task constant: same store, same pool
+        // shape as batch_breakdown's phase 2, but timed standalone with
+        // (a) a no-op scorer (pure resolve+IO+parse) vs (b) the real
+        // decode+MaxSim scorer — the delta is scoring, the rest is the
+        // harness floor. args: [nDocs] [K] [codec] [geom] [pairs=54272]
+        import spark.implicits._
+        val dimP = 128
+        val nDocsP = args.lift(1).map(_.toInt).getOrElse(10000000)
+        val kP = args.lift(2).map(_.toInt).getOrElse(49152)
+        val codecSufP = args.lift(3).map(c => s"_${c.toLowerCase}")
+          .filter(_ != "_none").getOrElse("")
+        val geomP = args.lift(4).getOrElse("clustered")
+        val nPairsP = args.lift(5).map(_.toInt).getOrElse(212 * 256)
+        val pathP = s"/root/repo/target/prof_batch_scale_${nDocsP}_$kP" +
+          s"$codecSufP${geomSuffix(geomP)}"
+        val idxP = graft.index.IndexIVF.open(spark, pathP)
+        val t0P = System.nanoTime()
+        val (dirP, bucketsP) = idxP.pointStore(1, "colbert")
+        println(f"[prof] pointstore resolve ${(System.nanoTime() - t0P) / 1e9}%.3f s " +
+          s"dir=$dirP buckets=$bucketsP")
+        val rndP = new scala.util.Random(11)
+        val pairsP = Array.tabulate(nPairsP)(i =>
+          ((i / 256).toLong, math.abs(rndP.nextLong()) % nDocsP))
+        val bqP = spark.sparkContext.broadcast(idxP.quantizers("colbert"))
+        val bQP = spark.sparkContext.broadcast(
+          (0L until 212L).map(q => q -> Array.fill(4 * dimP)(rndP.nextFloat())).toMap)
+        val noop: (Long, Long, Array[Byte]) => Double =
+          (_, _, res) => res.length.toDouble
+        val real: (Long, Long, Array[Byte]) => Double = (qid, _, res) => {
+          val quant = bqP.value
+          val n = res.length / quant.codeSize
+          val doc = new Array[Float](n * dimP)
+          var i = 0
+          while (i < n) {
+            val tok = quant.decode(java.util.Arrays.copyOfRange(
+              res, i * quant.codeSize, (i + 1) * quant.codeSize))
+            System.arraycopy(tok, 0, doc, i * dimP, dimP)
+            i += 1
+          }
+          val q = bQP.value(qid)
+          graft.scoring.Plaid.scoreByResiduals(q, q.length / dimP, doc, n, dimP,
+            normalize = true).toDouble
+        }
+        Seq(("noop", noop), ("real", real)).foreach { case (name, fn) =>
+          (1 to 4).foreach { rep =>
+            val t0 = System.nanoTime()
+            val n = graft.index.PointStore
+              .multigetScore(spark, dirP, bucketsP, pairsP, fn).count()
+            println(f"[prof] pointstore_micro $name rep=$rep " +
+              f"${(System.nanoTime() - t0) / 1e6}%8.1f ms  rows=$n")
+          }
+        }
 
       case "frontier_miss" =>
         // Ground-truth reachability probe for batch_frontier misses: for
