@@ -160,7 +160,34 @@ final class CtxCodes(
     val offsets: Array[Int],
     val codes: Array[Long]) extends Serializable {
   def numDocs: Int = docIds.length
+
+  /** Inverted (centroid -> doc positions) view of this snapshot — the
+    * in-memory postings the batch phase-1 walk traverses instead of
+    * scanning the postings table ([[graft.query.BatchSearcher]],
+    * `graft.batch.invertedWalk`). The entry for centroid c lists the
+    * POSITIONS (indexes into [[docIds]]/[[offsets]], ascending) of every
+    * doc whose deduped codes contain c — exactly the visible postings
+    * relation, which the write path derives as
+    * `explode(array_distinct(doc_codes))` from the same codes
+    * (IndexIVF add(); reference DocEncoder.cpp:71-104 groups token codes
+    * per centroid the same way).
+    *
+    * `@transient lazy`: the inversion never ships — the broadcast moves
+    * only the forward arrays, and each executor JVM inverts once on first
+    * use (three linear passes over [[codes]], a few hundred ms at the
+    * 34M-code 10M-doc shape) under the lazy-val lock. */
+  @transient lazy val inverted: CtxInverted = CtxCodes.invert(this)
 }
+
+/** CSR postings view over a [[CtxCodes]] snapshot: `docPos` slices
+  * `[offsets(c), offsets(c+1))` hold the ascending doc POSITIONS for
+  * centroid c. Positions, not ids: the walk goes straight to the doc's
+  * codes slice for scoring without the binary search the pair-scoring
+  * expression needs. */
+final class CtxInverted(
+    val numCentroids: Int,
+    val offsets: Array[Int],
+    val docPos: Array[Int])
 
 object CtxCodes {
   /** Binary-search lookup; negative when the doc has no context row (the
@@ -201,6 +228,63 @@ object CtxCodes {
     }
     new CtxCodes(java.util.Arrays.copyOf(ids, kept),
       java.util.Arrays.copyOf(offs, kept + 1), flat)
+  }
+
+  /** Invert a snapshot to its CSR postings view. Per-doc DISTINCT codes
+    * only (a doc with the same centroid on several tokens posts once),
+    * matching the write path's `array_distinct` — enforced with a
+    * centroid-stamped scratch array, O(1) per code, so a wide doc costs
+    * no more than its code count. Three linear passes: max code, counts,
+    * fill. */
+  def invert(ctx: CtxCodes): CtxInverted = {
+    val codes = ctx.codes
+    val nDocs = ctx.numDocs
+    var maxCode = -1L
+    var i = 0
+    while (i < codes.length) {
+      if (codes(i) > maxCode) maxCode = codes(i)
+      require(codes(i) >= 0, s"negative centroid code ${codes(i)}")
+      i += 1
+    }
+    require(maxCode + 1 <= Int.MaxValue, s"centroid id overflow: $maxCode")
+    val k = (maxCode + 1).toInt
+    val counts = new Array[Int](k + 1)
+    // stamp(c) = 1 + index of the last doc that posted c: dedups within a
+    // doc without clearing between docs
+    val stamp = new Array[Int](k)
+    var d = 0
+    while (d < nDocs) {
+      var j = ctx.offsets(d)
+      val end = ctx.offsets(d + 1)
+      while (j < end) {
+        val c = codes(j).toInt
+        if (stamp(c) != d + 1) { stamp(c) = d + 1; counts(c + 1) += 1 }
+        j += 1
+      }
+      d += 1
+    }
+    var c = 0
+    while (c < k) { counts(c + 1) += counts(c); c += 1 }
+    val offs = java.util.Arrays.copyOf(counts, k + 1)
+    val docPos = new Array[Int](offs(k))
+    java.util.Arrays.fill(stamp, 0)
+    val cursor = counts // reuse: cursor(c) = next write slot for centroid c
+    d = 0
+    while (d < nDocs) {
+      var j = ctx.offsets(d)
+      val end = ctx.offsets(d + 1)
+      while (j < end) {
+        val cc = codes(j).toInt
+        if (stamp(cc) != d + 1) {
+          stamp(cc) = d + 1
+          docPos(cursor(cc)) = d
+          cursor(cc) += 1
+        }
+        j += 1
+      }
+      d += 1
+    }
+    new CtxInverted(k, offs, docPos)
   }
 }
 

@@ -357,6 +357,30 @@ object BatchSearcher {
   private def ctxBroadcastCache(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get(CtxBroadcastCacheKey, "true").toBoolean
 
+  /** Phase-1 candidate generation when the [[CtxBroadcastCacheKey]]
+    * snapshot is active. `true` (default): WALK the snapshot's inverted
+    * (centroid -> doc positions) view in one task per query — candidates
+    * come from in-memory postings lists ([[graft.functions.CtxCodes
+    * .inverted]]), each candidate doc is scored exactly once (bitmap
+    * dedup across a query's probes), and the per-query [[graft.functions
+    * .TopKHeap]] applies the same (score desc, doc_id asc) cut as
+    * [[graft.functions.TopKByScore]] — so steady-state phase-1 reads NO
+    * table at all: no postings scan (34.3M rows / 44.4 core-s per batch
+    * at the 10M shape, the largest stage of the r17 breakdown), no
+    * repartition exchange, no fan-out join, no partial-heap shuffle, and
+    * none of the duplicate (query, doc) pair scoring the join shape
+    * produces when a doc matches several of a query's probes. Results
+    * are bit-identical to the scan shape (same candidate set by the
+    * postings = `explode(array_distinct(doc_codes))` write-path
+    * invariant; same kernel; same heap order) — BatchSearchSpec pins the
+    * A/B. `false`: the r17 scan -> BHJ -> score -> heap shape, kept as
+    * the fallback hatch. Scale note: this only applies in the
+    * under-the-byte-gate snapshot regime; past the gate the fully
+    * distributed scan shape runs regardless. */
+  val InvertedWalkKey = "graft.batch.invertedWalk"
+  private def invertedWalk(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get(InvertedWalkKey, "true").toBoolean
+
   /** Max doc_id literals in the phase-2 multiget's pushed-down IN-list.
     * Below it the IN-set row-group-prunes the doc_id-sorted context files
     * (worth real IO on a small interactive pool); above it the literals
@@ -423,8 +447,15 @@ object BatchSearcher {
         val gate = broadcastContextMaxBytes(spark)
         val (rows, bytes) = contextRelationStats(idx, tenant, field)
         if (bytes <= gate) {
-          idx.contextCodesBroadcast(tenant, field, rows, bytes, gate)
-          ()
+          val b = idx.contextCodesBroadcast(tenant, field, rows, bytes, gate)
+          // materialize the inverted postings view the walk shape reads
+          // (lazy on the snapshot object): in local mode the broadcast
+          // value IS the driver's instance, so this removes the first
+          // batch's in-band inversion; on a cluster each executor still
+          // inverts once on first use (a few hundred ms at the 34M-code
+          // 10M-doc shape — the forward arrays it derives from are
+          // already resident)
+          if (invertedWalk(spark)) { b.value.inverted; () }
         }
         Some(rows)
       } else None
@@ -594,7 +625,65 @@ object BatchSearcher {
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    val pool: DataFrame = if (bcastCtx) {
+    val pool: DataFrame = if (bcastCtx && ctxBroadcastCache(spark) &&
+        invertedWalk(spark)) {
+      // SCAN-FREE phase-1 (see InvertedWalkKey): one task per query walks
+      // the snapshot's inverted postings view and heaps its own pool cut.
+      // The probe lists ride in the task closure (batch x nProbe longs,
+      // ~50 KiB for 212 queries — nothing corpus- or K-proportional).
+      val bcCtx = prof("ctx_bcast_build") {
+        idx.contextCodesBroadcast(tenant, field, ctxRows, ctxBytes,
+          ctxGateBytes)
+      }
+      val qProbes = plans.map { case (qid, _, _, probes) => (qid, probes) }
+      val depth = poolDepth
+      val walked = spark.sparkContext
+        .parallelize(qProbes, math.max(1, qProbes.size))
+        .mapPartitions { it =>
+          val ctx = bcCtx.value
+          val inv = ctx.inverted
+          val queries = bQueries.value
+          val queriesT =
+            graft.functions.BatchCentroidScore.transposeAll(queries, dim)
+          val cent = bcCent.value
+          // one bitmap per task, cleared per query: dedups a doc that
+          // matches several of the query's probes, so each candidate is
+          // scored once (the join shape scored it once per matching probe
+          // and relied on the heap's membership probe to dedup)
+          val seen = new java.util.BitSet(ctx.numDocs)
+          it.flatMap { case (qid, probes) =>
+            seen.clear()
+            val heap = new graft.functions.TopKHeap(depth)
+            var pi = 0
+            while (pi < probes.length) {
+              val c = probes(pi)
+              if (c >= 0 && c < inv.numCentroids) {
+                val ci = c.toInt
+                var j = inv.offsets(ci)
+                val end = inv.offsets(ci + 1)
+                while (j < end) {
+                  val pos = inv.docPos(j)
+                  if (!seen.get(pos)) {
+                    seen.set(pos)
+                    heap.insert(ctx.docIds(pos),
+                      graft.functions.BatchCtxCentroidScore.compute(
+                        qid, ctx, pos, queries, queriesT, cent, dim))
+                  }
+                  j += 1
+                }
+              }
+              pi += 1
+            }
+            // same output order as TopKByScore.eval: the heap's own total
+            // order (NaN-first descending, doc_id ascending on ties)
+            val order = Array.range(0, heap.size).sortWith((a, b) =>
+              heap.ranksBefore(heap.scores(a), heap.ids(a),
+                heap.scores(b), heap.ids(b)))
+            order.iterator.map(i => (qid, heap.ids(i), heap.scores(i)))
+          }
+        }
+      walked.toDF("query_id", "doc_id", "score")
+    } else if (bcastCtx) {
       // MAP-SIDE phase-1 (the high-fan-out scale shape): probe map and the
       // deduplicated doc -> codes relation both broadcast, so the
       // (query, doc) candidate stream — which at a skewed probe profile

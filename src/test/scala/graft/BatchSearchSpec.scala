@@ -311,6 +311,74 @@ class BatchSearchSpec extends AnyFunSuite {
       s"doc added after the snapshot build must be visible, got $after")
   }
 
+  test("inverted walk: identical rows to the scan shape, and steady " +
+      "phase-1 touches no postings files") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(33)
+    def tokens() = Seq.fill(4)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val corpus = (0L until 50L).map(i => i -> tokens()).toMap
+    val path = java.nio.file.Files.createTempDirectory("idx_walk").toString
+    val idx = IndexIVF.create(spark, path, GSchema(Seq(
+      GField.colbert("colbert", dim, numCentroids = 6, numIterations = 4))))
+    val docs = corpus.toSeq.sortBy(_._1).map { case (i, t) => Doc(i, t, "x", 0L) }
+      .toDF().select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("colbert"))
+    idx.train(docs)
+    idx.add(1, docs)
+
+    val opts = SearchOptions(kTopCentroids = 3, nProbe = 6)
+    val queriesDf = Seq(4L, 19L, 42L).map(qid => (qid, corpus(qid)))
+      .toDF("query_id", "tokens")
+    def run(): (Map[Long, Seq[(Long, Double)]], String) = {
+      val df = BatchSearcher.searchBatch(idx, 1, "colbert", queriesDf, 5, opts)
+      val rows = df.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+      (rows, df.queryExecution.executedPlan.toString)
+    }
+
+    val (walked, _) = run() // InvertedWalkKey defaults true
+    spark.conf.set(BatchSearcher.InvertedWalkKey, "false")
+    try {
+      val (scanShape, _) = run()
+      assert(scanShape == walked,
+        "inverted walk diverged from the postings-scan shape")
+    } finally spark.conf.unset(BatchSearcher.InvertedWalkKey)
+
+    // plan pin: with the rerank multiget off the returned frame keeps the
+    // FULL lineage (the multiget collects the pool eagerly, hiding
+    // phase-1 from the final plan), so the phase-1 shape is assertable:
+    // the walk must not reference the postings relation anywhere (its
+    // `centroid_bucket` column is the marker — no other table has one),
+    // the hatch must (canary that the marker still detects the scan)
+    spark.conf.set(BatchSearcher.RerankMultigetKey, "false")
+    try {
+      val (walkRows, walkPlan) = run()
+      assert(walkRows == walked, "multiget-off walk shape diverged")
+      assert(!walkPlan.contains("centroid_bucket"),
+        s"the walk shape must not scan the postings table:\n$walkPlan")
+      spark.conf.set(BatchSearcher.InvertedWalkKey, "false")
+      try {
+        val (scanRows, scanPlan) = run()
+        assert(scanRows == walked, "multiget-off scan shape diverged")
+        assert(scanPlan.contains("centroid_bucket"),
+          "the hatch must restore the postings-scan shape (plan-pin canary)")
+      } finally spark.conf.unset(BatchSearcher.InvertedWalkKey)
+    } finally spark.conf.unset(BatchSearcher.RerankMultigetKey)
+
+    // freshness rides the snapshot's own invalidation: a new doc is
+    // visible to the walk's next batch (the inverted view hangs off the
+    // rebuilt CtxCodes)
+    idx.add(1, Seq(Doc(200L, corpus(4L).map(_.map(_ + 0.001f)), "x", 0L)).toDF()
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("colbert")))
+    val after = BatchSearcher.searchBatch(idx, 1, "colbert",
+      Seq((4L, corpus(4L))).toDF("query_id", "tokens"), k = 10, opts)
+      .collect().map(_.getLong(1)).toSet
+    assert(after.contains(200L),
+      s"doc added after the walk's snapshot build must be visible, got $after")
+  }
+
   test("warmBatchCaches pre-builds the snapshot so the serving call is a " +
       "cache hit, and results match an unwarmed batch") {
     import spark.implicits._

@@ -145,6 +145,46 @@ class CentroidScoreSpec extends AnyFunSuite {
     assert(graft.functions.CtxCodes.indexOf(snap, 99L) < 0)
   }
 
+  test("CtxCodes.inverted reproduces explode(array_distinct(doc_codes)) " +
+      "with ascending doc positions per centroid") {
+    // doc 11 repeats centroid 0 (two tokens, one posting — array_distinct
+    // semantics); centroid 3 has no docs (empty slice, not a crash);
+    // duplicate doc 7 rows: first occurrence (codes 1,2) wins in the
+    // forward snapshot, so the postings view lists doc 7 under 1 and 2
+    // only — the view is derived from the codes actually scored
+    val rows = Array(
+      (7L, Array(1L, 2L)), (3L, Array(9L)), (7L, Array(5L)),
+      (11L, Array(0L, 0L, 4L)), (2L, Array(1L)))
+    val snap = graft.functions.CtxCodes.build(rows)
+    val inv = snap.inverted
+    assert(inv.numCentroids == 10) // max code 9 -> ids 0..9
+    def docsOf(c: Int): Seq[Long] =
+      (inv.offsets(c) until inv.offsets(c + 1)).map(j => snap.docIds(inv.docPos(j)))
+    assert(docsOf(0) == Seq(11L))
+    assert(docsOf(1) == Seq(2L, 7L), "positions must ascend (doc order)")
+    assert(docsOf(2) == Seq(7L))
+    assert(docsOf(3) == Seq.empty)
+    assert(docsOf(4) == Seq(11L))
+    assert(docsOf(5) == Seq.empty, "the dropped duplicate row posts nothing")
+    assert(docsOf(9) == Seq(3L))
+    assert(inv.docPos.length == 6, "one posting per (doc, distinct centroid)")
+    // brute-force parity on a random corpus: every (centroid, doc) posting
+    // appears exactly once and matches the per-doc distinct codes
+    val rnd = new scala.util.Random(7)
+    val big = Array.tabulate(200)(i =>
+      (i.toLong, Array.fill(1 + rnd.nextInt(12))(rnd.nextInt(40).toLong)))
+    val bigSnap = graft.functions.CtxCodes.build(big)
+    val bigInv = bigSnap.inverted
+    val expected = big.flatMap { case (d, cs) => cs.distinct.map(c => (c, d)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    (0 until bigInv.numCentroids).foreach { c =>
+      val got = (bigInv.offsets(c) until bigInv.offsets(c + 1))
+        .map(j => bigSnap.docIds(bigInv.docPos(j)))
+      assert(got == expected.getOrElse(c.toLong, Seq.empty),
+        s"centroid $c postings diverged")
+    }
+  }
+
   test("batch expression routes each query_id to its own token vectors") {
     import spark.implicits._
     val q2 = Array.fill(2 * dim)(rnd.nextFloat() * 2 - 1) // nq=2 second query

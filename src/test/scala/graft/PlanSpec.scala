@@ -272,8 +272,7 @@ class PlanSpec extends AnyFunSuite {
       assert(res.collect().nonEmpty)
       val deadline = System.nanoTime() + 10e9.toLong
       var multiget = false
-      var phase1Thin = false
-      while (!(multiget && phase1Thin) && System.nanoTime() < deadline) {
+      while (!multiget && System.nanoTime() < deadline) {
         val snap = scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
         // phase-2 runs as its OWN job (no postings in its plan): the context
         // read carries the pool ids' IN-set AND the doc_bucket partition
@@ -282,42 +281,70 @@ class PlanSpec extends AnyFunSuite {
         multiget = snap.exists(p => p.contains("context") &&
           !p.contains("postings") && p.contains("In(doc_id") &&
           p.contains("doc_bucket") && p.contains("BroadcastHashJoin"))
-        // the phase-1 pool job must not touch the context TABLE at all
-        // (r16): candidates are scored against the handle-cached CtxCodes
-        // broadcast snapshot by expression lookup, so the only corpus scan
-        // left in phase-1 is postings — and residual bytes stay phase-2's
-        phase1Thin = snap.exists(p => p.contains("postings") &&
-          p.contains("graft_batch_ctx_centroid_score") &&
-          !p.contains("/context") && !p.contains("doc_residuals"))
-        if (!(multiget && phase1Thin)) Thread.sleep(50)
+        if (!multiget) Thread.sleep(50)
       }
       val all = scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
         .mkString("\n---\n")
       assert(multiget,
         s"no batch plan multigets context with bucket + id pruning + broadcast pool:\n$all")
-      assert(phase1Thin, "batch phase-1 must score via the cached snapshot " +
-        s"lookup with no context scan and no doc_residuals:\n$all")
-      // phase-1 join shape: only the tiny probe map joins (broadcast); a
-      // SortMerge/ShuffledHash join would mean corpus rows crossed an
-      // exchange for the candidate pairing (the pre-r11 corpus-wide shape)
-      val p1 = scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
-        .filter(p => p.contains("postings") &&
-          p.contains("graft_batch_ctx_centroid_score"))
-      assert(p1.nonEmpty, s"no phase-1 plan captured:\n$all")
-      assert(p1.exists(p => p.contains("BroadcastHashJoin") && p.contains("BuildRight")),
-        s"phase-1 probe join is not a broadcast:\n$all")
-      assert(p1.forall(p => !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")),
-        s"phase-1 shuffles corpus rows for the candidate pairing:\n$all")
-      // pool cut shape: the per-query numSecondPass cut is the bounded-heap
-      // aggregate (ObjectHashAggregate over graft_topk_by_score) — a Window
-      // in the phase-1 plan would mean the full candidate stream is sorted
-      // (the 73-81 GB/stage spill shape at the 10M-doc high-fan-out profile)
-      assert(p1.exists(p => p.contains("ObjectHashAggregate") &&
-        p.contains("graft_topk_by_score")),
-        s"phase-1 pool cut is not the bounded-heap aggregate:\n$all")
-      assert(p1.forall(p => !p.contains("RunningWindowFunction") &&
-        !p.contains("Window [row_number")),
-        s"phase-1 pool cut fell back to a full window sort:\n$all")
+      // DEFAULT phase-1 (r18 inverted walk): no SQL job reads ANY table —
+      // candidates come from the snapshot's in-memory inverted view in an
+      // RDD job the listener never sees a table plan for. Postings must
+      // not appear in any captured plan (the r17 scan shape put it in
+      // phase-1's; the walk removes that scan entirely).
+      assert(all.linesIterator.forall(l => !l.contains("postings")),
+        s"the default (inverted-walk) batch must not scan postings:\n$all")
+
+      // the r17 scan shape survives as the InvertedWalkKey=false hatch:
+      // postings scan -> broadcast probe join -> snapshot-lookup scoring ->
+      // bounded-heap cut, with residuals and the context table untouched
+      plans.clear()
+      spark.conf.set(graft.query.BatchSearcher.InvertedWalkKey, "false")
+      try {
+        assert(BatchSearcher.searchBatch(idx, 1, "colbert", queriesDf, k = 2,
+          SearchOptions(kTopCentroids = 4, nProbe = 4, numSecondPass = 2))
+          .collect().nonEmpty)
+        val dl1 = System.nanoTime() + 10e9.toLong
+        var phase1Thin = false
+        while (!phase1Thin && System.nanoTime() < dl1) {
+          val snap = scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
+          // the phase-1 pool job must not touch the context TABLE at all
+          // (r16): candidates are scored against the handle-cached CtxCodes
+          // broadcast snapshot by expression lookup, so the only corpus
+          // scan left in phase-1 is postings — and residual bytes stay
+          // phase-2's
+          phase1Thin = snap.exists(p => p.contains("postings") &&
+            p.contains("graft_batch_ctx_centroid_score") &&
+            !p.contains("/context") && !p.contains("doc_residuals"))
+          if (!phase1Thin) Thread.sleep(50)
+        }
+        val allH = scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
+          .mkString("\n---\n")
+        assert(phase1Thin, "hatch phase-1 must score via the cached snapshot " +
+          s"lookup with no context scan and no doc_residuals:\n$allH")
+        // phase-1 join shape: only the tiny probe map joins (broadcast); a
+        // SortMerge/ShuffledHash join would mean corpus rows crossed an
+        // exchange for the candidate pairing (the pre-r11 corpus-wide shape)
+        val p1 = scala.jdk.CollectionConverters.SetHasAsScala(plans).asScala
+          .filter(p => p.contains("postings") &&
+            p.contains("graft_batch_ctx_centroid_score"))
+        assert(p1.nonEmpty, s"no phase-1 plan captured:\n$allH")
+        assert(p1.exists(p => p.contains("BroadcastHashJoin") && p.contains("BuildRight")),
+          s"phase-1 probe join is not a broadcast:\n$allH")
+        assert(p1.forall(p => !p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")),
+          s"phase-1 shuffles corpus rows for the candidate pairing:\n$allH")
+        // pool cut shape: the per-query numSecondPass cut is the bounded-
+        // heap aggregate (ObjectHashAggregate over graft_topk_by_score) — a
+        // Window in the phase-1 plan would mean the full candidate stream
+        // is sorted (the 73-81 GB/stage spill shape at the 10M-doc
+        // high-fan-out profile)
+        assert(p1.exists(p => p.contains("ObjectHashAggregate") &&
+          p.contains("graft_topk_by_score")),
+          s"phase-1 pool cut is not the bounded-heap aggregate:\n$allH")
+        assert(p1.forall(p => !p.contains("RunningWindowFunction") &&
+          !p.contains("Window [row_number")),
+          s"phase-1 pool cut fell back to a full window sort:\n$allH")
+      } finally spark.conf.unset(graft.query.BatchSearcher.InvertedWalkKey)
 
       // the per-batch BHJ hatch (ctxBroadcastCache=false) keeps the r15
       // shape: context joins phase-1 as a BuildRight broadcast, codes-only

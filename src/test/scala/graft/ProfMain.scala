@@ -96,6 +96,10 @@ object ProfMain {
     // fallback crossing on clustered geometry) with GRAFT_CTX_BCAST_MAX=1
     sys.env.get("GRAFT_CTX_BCAST_MAX").foreach(v =>
       spark.conf.set("graft.batch.broadcastContextMaxBytes", v))
+    // phase-1 inverted-walk A/B (r18): GRAFT_INVERTED_WALK=false restores
+    // the postings-scan shape under identical conditions
+    sys.env.get("GRAFT_INVERTED_WALK").foreach(v =>
+      spark.conf.set(graft.query.BatchSearcher.InvertedWalkKey, v))
 
     what match {
       case "engine" => profEngine(spark, dir)
