@@ -209,6 +209,36 @@ final class IndexIVF private (
     }
   }
 
+  /** Per-batch gate stats (visible rows, measured relation bytes) for
+    * (tenant, field), cached under the same freshness discipline as
+    * [[contextCodesBroadcast]] (JVM-global by qualified path; in-process
+    * mutation tick + persisted-epoch probe for foreign writers; snapshot
+    * handles cache forever — their visible set is immutable). The stats
+    * only change when the visible set does, yet the batch path re-ran the
+    * footer count + byte measure on EVERY call — 0.27 s/batch, ~15 % of
+    * the steady 10M batch after the r18 inverted walk. `compute` runs the
+    * real jobs on miss ([[graft.query.BatchSearcher.contextRelationStats]]
+    * owns the byte pricing). */
+  private[graft] def cachedContextStats(tenant: Long, field: String)(
+      compute: => (Long, Long)): (Long, Long) = {
+    val fid = mapper.id(field)
+    val key = (lockKey, tenant, fid, snapshotEpoch)
+    val live = snapshotEpoch.isEmpty
+    val persistedEpoch = if (live) currentEpoch() else -1L
+    val cached = IndexIVF.ctxStatsCache.get(key)
+    if (cached != null && (!live || (cached.tick == mutationTick.get() &&
+        cached.epoch == persistedEpoch))) (cached.rows, cached.bytes)
+    else {
+      // tick read BEFORE the jobs, like the snapshot build: a mutation
+      // landing mid-measure makes the entry stale-on-arrival
+      val tick = mutationTick.get()
+      val (rows, bytes) = compute
+      IndexIVF.ctxStatsCache.put(key,
+        IndexIVF.CtxStatsEntry(tick, persistedEpoch, rows, bytes))
+      (rows, bytes)
+    }
+  }
+
   /** Resolve (building if needed) the [[PointStore]] for this handle's
     * visible (tenant, field) context — the record-addressable residual
     * layout batch phase-2 hydration multigets against once the pool
@@ -1943,6 +1973,16 @@ object IndexIVF {
   private[index] val ctxCodesBuildLocks =
     new java.util.concurrent.ConcurrentHashMap[
       (String, Long, Int, Option[Long]), Object]()
+
+  private[index] final case class CtxStatsEntry(tick: Long, epoch: Long,
+      rows: Long, bytes: Long)
+
+  /** JVM-global per-batch gate stats, keyed and validated exactly like
+    * [[ctxCodesSnapshots]] — see [[IndexIVF.cachedContextStats]]. Entries
+    * are four longs; no LRU needed. */
+  private[index] val ctxStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Int, Option[Long]), CtxStatsEntry]()
 
   private[index] final case class PointStoreEntry(tick: Long, rows: Long,
       epoch: Long, dir: String, buckets: Int)

@@ -332,16 +332,21 @@ object BatchSearcher {
 
   /** (visible rows, measured relation bytes) in one call — the batch path
     * needs both (rows keys the [[IndexIVF.contextCodesBroadcast]] cache,
-    * bytes feeds the gate) and must not run the count job twice. */
+    * bytes feeds the gate) and must not run the count job twice. Cached
+    * through [[IndexIVF.cachedContextStats]] (tick + persisted-epoch
+    * freshness): the per-batch footer count was 0.27 s of the 1.9 s
+    * steady 10M batch, re-measuring a value that only changes on
+    * mutation. */
   private[graft] def contextRelationStats(idx: IndexIVF, tenant: Long,
-      field: String): (Long, Long) = {
-    val fid = idx.mapper.id(field)
-    val thin = idx.contextDf
-      .filter(col("tenant") === tenant && col("field") === fid)
-      .select(col("doc_id"), col("doc_codes"))
-    val rows = thin.count()
-    (rows, measuredContextBytes(idx, thin, tenant, fid, rows))
-  }
+      field: String): (Long, Long) =
+    idx.cachedContextStats(tenant, field) {
+      val fid = idx.mapper.id(field)
+      val thin = idx.contextDf
+        .filter(col("tenant") === tenant && col("field") === fid)
+        .select(col("doc_id"), col("doc_codes"))
+      val rows = thin.count()
+      (rows, measuredContextBytes(idx, thin, tenant, fid, rows))
+    }
 
   /** Phase-1 context shape when the relation fits the broadcast gate.
     * `true` (default): score (query_id, doc_id) pairs against the

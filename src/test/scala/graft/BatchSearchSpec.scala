@@ -494,4 +494,55 @@ class BatchSearchSpec extends AnyFunSuite {
         s"on the next batch (still serving broadcast ${first.id})")
     assert(snap().id == after.id, "rebuilt snapshot must then be stable")
   }
+
+  test("context gate stats are cached: no jobs on a steady-state repeat, " +
+      "recompute after an add and after a foreign epoch bump") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(55)
+    def tokens() = Seq.fill(4)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val path = java.nio.file.Files.createTempDirectory("idx_statscache").toString
+    val idx = IndexIVF.create(spark, path, GSchema(Seq(
+      GField.colbert("colbert", dim, numCentroids = 4, numIterations = 4))))
+    def docsDf(ids: Seq[Long]) = ids.map(i => Doc(i, tokens(), "x", 0L)).toDF()
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("colbert"))
+    val docs = docsDf(0L until 15L)
+    idx.train(docs)
+    idx.add(1, docs)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val s1 = BatchSearcher.contextRelationStats(idx, 1, "colbert")
+    assert(s1._1 == 15L)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val s2 = BatchSearcher.contextRelationStats(idx, 1, "colbert")
+      Thread.sleep(800) // listener events drain asynchronously
+      assert(s2 == s1, "cached stats diverged from the measured stats")
+      assert(jobs.get() == 0,
+        s"steady-state stats repeat ran ${jobs.get()} jobs — the cache " +
+          "must serve them jobless (0.27 s/batch at the 10M shape)")
+      // an in-process mutation (tick bump) must recompute: rows grow
+      idx.add(1, docsDf(100L until 105L))
+      assert(BatchSearcher.contextRelationStats(idx, 1, "colbert")._1 == 20L,
+        "stats served stale after an add through this handle")
+      // a FOREIGN-process write (epoch bumped on disk, tick unmoved, rows
+      // coincidentally unchanged) must also recompute — same hole the
+      // snapshot's epoch probe closes
+      graft.core.Json.write(s"$path/_meta/epoch.json",
+        Map("epoch" -> (idx.currentEpoch() + 1L)))
+      val before = jobs.get()
+      val s4 = BatchSearcher.contextRelationStats(idx, 1, "colbert")
+      Thread.sleep(800)
+      assert(s4._1 == 20L)
+      assert(jobs.get() > before,
+        "a foreign epoch advance must force a stats recompute")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
