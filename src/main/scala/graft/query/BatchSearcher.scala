@@ -562,7 +562,9 @@ object BatchSearcher {
     }
 
     import spark.implicits._
-    val probeDf = prof("plan_probe_df") {
+    // lazy: the join shapes map centroid -> query_id through it; the
+    // default inverted walk never touches it
+    lazy val probeDf = prof("plan_probe_df") {
       plans.flatMap { case (qid, _, _, probes) =>
         probes.map(c => (qid, c))
       }.toSeq.toDF("query_id", "centroid")
@@ -642,8 +644,15 @@ object BatchSearcher {
       }
       val qProbes = plans.map { case (qid, _, _, probes) => (qid, probes) }
       val depth = poolDepth
+      // pack queries into ~2 x cores partitions: the per-task fixed cost
+      // (launch, bitmap allocation, per-partition query transpose) was
+      // ~40 % of the walk stage at one-task-per-query x 212; per-query
+      // work varies little on a clustered corpus, so coarse packing
+      // loses negligible balance
+      val walkParts = math.max(1, math.min(qProbes.size,
+        spark.sparkContext.defaultParallelism * 2))
       val walked = spark.sparkContext
-        .parallelize(qProbes, math.max(1, qProbes.size))
+        .parallelize(qProbes, walkParts)
         .mapPartitions { it =>
           val ctx = bcCtx.value
           val inv = ctx.inverted
