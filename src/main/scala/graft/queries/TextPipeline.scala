@@ -788,9 +788,19 @@ object TextPipeline {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(col("x.doc_id").as("in_id"), col("y.doc_id").as("ex_id"))
       .distinct()
+    // deterministic size-bound prune at the >= 0.5 output threshold (see
+    // sizeCompatible): size-incompatible incoming x existing candidates are
+    // dropped before the verify re-join — the only candidates x set-size
+    // term — using the distinct-shingle counts already on the signature
+    // frames. Provably recall-safe; the md5 twins' oracle hashes pin it.
+    val candSized = cand
+      .join(sigsIn.select(col("doc_id").as("in_id"), col("cnt").as("pi")), Seq("in_id"))
+      .join(sigsEx.select(col("doc_id").as("ex_id"), col("cnt").as("pe")), Seq("ex_id"))
+      .filter(sizeCompatible(0.5)(col("pi"), col("pe")))
+      .select("in_id", "ex_id")
     val shIn = shInRaw.toDF("in_id", "sh")
     val shEx = shExRaw.toDF("ex_id", "sh")
-    val common = cand.join(shIn, Seq("in_id")).join(shEx, Seq("ex_id", "sh"))
+    val common = candSized.join(shIn, Seq("in_id")).join(shEx, Seq("ex_id", "sh"))
       .groupBy(col("in_id"), col("ex_id")).agg(count(lit(1)).as("common"))
     val scored = common
       .join(sigsIn.select(col("doc_id").as("in_id"), col("cnt").as("ci")), Seq("in_id"))
@@ -882,6 +892,16 @@ object TextPipeline {
     * quadratic-in-bucket-size term. None (q_containment) keeps every
     * pair: containment has no size bound BY DESIGN (small-inside-big is
     * exactly what it detects). */
+  /** The deterministic verify-prune predicate shared by every >= t Jaccard
+    * pipeline: J(A,B) <= min(|A|,|B|) / max(|A|,|B|), so a candidate pair
+    * whose distinct-set sizes differ by more than t cannot reach t and can
+    * be dropped BEFORE the exact-verify join. Applied with 1e-9 relative
+    * slack so double rounding (0.8 x 5 > 4.0 in binary) can only ADMIT a
+    * boundary pair for exact verification, never drop one (TextPipelineSpec
+    * pins the boundary both at the predicate and through jaccardPairs). */
+  private[graft] def sizeCompatible(t: Double)(ca: Column, cb: Column): Column =
+    least(ca, cb).cast("double") >= (lit(t) - lit(1e-9)) * greatest(ca, cb)
+
   private[graft] def jaccardPairs(s: SparkSession, d: DataFrame,
       dfCap: Int = ShingleDfCap, cacheKey: String = "",
       minJaccard: Option[Double] = None): DataFrame = {
@@ -925,8 +945,7 @@ object TextPipeline {
         }
         shSized.as("x").join(shSized.as("y"),
             col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
-              least(col("x.c"), col("y.c")).cast("double") >=
-                (lit(t) - lit(1e-9)) * greatest(col("x.c"), col("y.c")))
+              sizeCompatible(t)(col("x.c"), col("y.c")))
           .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .agg(count(lit(1)).as("common"))
       case _ =>
@@ -1648,6 +1667,19 @@ object TextPipeline {
       // the accumulator pass-through on the broadcast side — no dedicated
       // job (see minhashCandidates).
       val candPairs = minhashCandidates(s, sigs, bands, rows, cap)
+      val cnts = sigs.select(col("doc_id"), col("cnt"))
+      // deterministic size-bound prune at the output threshold (0.5): a
+      // banded candidate whose distinct-shingle counts are size-incompatible
+      // (J <= min/max — see sizeCompatible) cannot reach the >= 0.5 filter,
+      // so it is dropped BEFORE the verify re-join, the pipeline's only
+      // candidates x set-size term. Sizes ride the already-cached signature
+      // frame; the two joins touch candidate-sized data only. Results are
+      // provably unchanged (TextPipelineSpec pins pruned == unpruned).
+      val candSized = candPairs
+        .join(cnts.select(col("doc_id").as("a_id"), col("cnt").as("pa")), Seq("a_id"))
+        .join(cnts.select(col("doc_id").as("b_id"), col("cnt").as("pb")), Seq("b_id"))
+        .filter(sizeCompatible(0.5)(col("pa"), col("pb")))
+        .select("a_id", "b_id")
       // exact-Jaccard verify by re-joining the shingle table on the
       // candidate ids — O(candidates x set size) narrow rows, never a
       // megabyte-wide collected set riding a shuffle. Skew note: a doc in
@@ -1656,11 +1688,10 @@ object TextPipeline {
       // and AQE's skew-join splitting handles the residual partition skew,
       // so a Skew.saltedJoin here (which would replicate the 260k-row
       // shingle side salt-fold on EVERY run) is deliberately not wired
-      val common = candPairs
+      val common = candSized
         .join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
         .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
         .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
-      val cnts = sigs.select(col("doc_id"), col("cnt"))
       common
         .join(cnts.select(col("doc_id").as("a_id"), col("cnt").as("ca")), Seq("a_id"))
         .join(cnts.select(col("doc_id").as("b_id"), col("cnt").as("cb")), Seq("b_id"))
@@ -1724,11 +1755,19 @@ object TextPipeline {
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .distinct()
-        val common = candPairs
+        val cnts = sigs.select(col("doc_id"), col("cnt"))
+        // same deterministic size-bound verify prune as the xxhash scale
+        // path, so the hash-checked twin pins its recall-safety: the oracle
+        // SQL does NOT prune, and the hashes must still match
+        val candSized = candPairs
+          .join(cnts.select(col("doc_id").as("a_id"), col("cnt").as("pa")), Seq("a_id"))
+          .join(cnts.select(col("doc_id").as("b_id"), col("cnt").as("pb")), Seq("b_id"))
+          .filter(sizeCompatible(0.5)(col("pa"), col("pb")))
+          .select("a_id", "b_id")
+        val common = candSized
           .join(sh.select(col("doc_id").as("a_id"), col("s")), Seq("a_id"))
           .join(sh.select(col("doc_id").as("b_id"), col("s")), Seq("b_id", "s"))
           .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
-        val cnts = sigs.select(col("doc_id"), col("cnt"))
         common
           .join(cnts.select(col("doc_id").as("a_id"), col("cnt").as("ca")), Seq("a_id"))
           .join(cnts.select(col("doc_id").as("b_id"), col("cnt").as("cb")), Seq("b_id"))

@@ -164,6 +164,65 @@ object ProfMain {
         println(s"[prof] candidate pairs: $cands")
         time("full query (caches warm)")(
           SparkEntry.queries("q_dedup_minhash")(spark, dir).count())
+      case "minhash_prune" =>
+        // r18 verify-prune receipt: candidate volume before/after the
+        // deterministic size bound at t=0.5, and the verify phase (shingle
+        // re-join + pair aggregation + jaccard filter) timed on each
+        // candidate set. args: [corpus] — default the SPARK_GRAFT_SF_DIR
+        // documents table (whose planted dups are size-MATCHED, so the
+        // expected prune rate there is ~0: the no-harm arm); "skew" builds
+        // a containment-planted corpus (short docs fully inside 2.1x-
+        // larger ones, J = 100/212 ≈ 0.47 < 0.5, so banding collides ~33%
+        // of pairs that exact verify then discards — the shape the bound
+        // exists for, cf. q_containment's scaladoc) plus true dups
+        // (J = 100/130 ≈ 0.77) that must survive both prune and filter.
+        import graft.queries.TextPipeline
+        val d = if (args.lift(1).contains("skew")) {
+          val contained = spark.range(2000).selectExpr(
+            "id * 4 as base", "concat('c', id) as p")
+          val trueDup = spark.range(2000, 2500).selectExpr(
+            "id * 4 as base", "concat('t', id) as p")
+          def doc(src: org.apache.spark.sql.DataFrame, off: Int, words: Int) =
+            src.select((col("base") + off).as("doc_id"), expr(
+              s"concat_ws(' ', transform(sequence(0, ${words - 1}), " +
+                "i -> concat(p, '_w', i)))").as("text"))
+          doc(contained, 0, 102).union(doc(contained, 1, 214))
+            .union(doc(trueDup, 0, 102)).union(doc(trueDup, 1, 132))
+        } else graft.queries.Tables.t(spark, dir, "documents")
+        val arrs = TextPipeline.shingleArrays(d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        arrs.count()
+        val sigs = TextPipeline.minhashSigs(arrs, 32)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        sigs.count()
+        val sh = arrs.select(col("doc_id"), explode(col("shs")).as("sh"))
+        val cnts = sigs.select(col("doc_id"), col("cnt"))
+        val candAll = TextPipeline.minhashCandidates(spark, sigs, 8, 4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        val nAll = candAll.count()
+        val candSized = candAll
+          .join(cnts.select(col("doc_id").as("a_id"), col("cnt").as("pa")), Seq("a_id"))
+          .join(cnts.select(col("doc_id").as("b_id"), col("cnt").as("pb")), Seq("b_id"))
+          .filter(TextPipeline.sizeCompatible(0.5)(col("pa"), col("pb")))
+          .select("a_id", "b_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        val nSized = candSized.count()
+        println(f"[prof] candidates: $nAll%d -> size-compatible: $nSized%d " +
+          f"(${100.0 * (nAll - nSized) / math.max(1, nAll)}%.1f%% pruned)")
+        def verify(cand: org.apache.spark.sql.DataFrame): Long =
+          cand.join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
+            .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+            .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+            .join(cnts.select(col("doc_id").as("a_id"), col("cnt").as("ca")), Seq("a_id"))
+            .join(cnts.select(col("doc_id").as("b_id"), col("cnt").as("cb")), Seq("b_id"))
+            .filter(col("common") * lit(1.0) /
+              (col("ca") + col("cb") - col("common")) >= 0.5)
+            .count()
+        (1 to 2).foreach { i =>
+          val a = time(s"verify on ALL candidates #$i")(verify(candAll))
+          val b = time(s"verify on size-compatible #$i")(verify(candSized))
+          assert(a == b, s"prune changed the verified >= 0.5 pair count: $a vs $b")
+        }
       case "minhash_ab" =>
         // geometry A/B on the same machine via the session knobs: old 8x2
         // vs default 8x4, interleaved twice to average out drift

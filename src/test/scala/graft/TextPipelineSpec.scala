@@ -54,6 +54,54 @@ class TextPipelineSpec extends AnyFunSuite {
       "size-pruned q_neardup_jaccard diverged from the unpruned pipeline")
   }
 
+  test("sizeCompatible predicate: boundary admitted (with slack), " +
+      "incompatible denied") {
+    import org.apache.spark.sql.functions._
+    def eval(t: Double, a: Long, b: Long): Boolean =
+      spark.range(1).select(graft.queries.TextPipeline
+        .sizeCompatible(t)(lit(a), lit(b)).as("ok")).head.getBoolean(0)
+    // exact boundary: J <= min/max == t must be ADMITTED (it could reach t)
+    assert(eval(0.5, 1L, 2L), "J-bound exactly at t must survive")
+    assert(eval(0.8, 4L, 5L), "the 0.8 x 5 > 4.0 binary-rounding boundary " +
+      "must survive via the slack")
+    // strictly incompatible: min/max < t cannot reach t
+    assert(!eval(0.5, 1L, 3L), "min/max = 1/3 < 0.5 must be pruned")
+    assert(!eval(0.8, 3L, 5L), "min/max = 0.6 < 0.8 must be pruned")
+    // symmetric in its arguments
+    assert(eval(0.5, 2L, 1L) && !eval(0.5, 3L, 1L))
+  }
+
+  test("minhash verify size-bound prune is recall-lossless: " +
+      "q_dedup_minhash == the unpruned verify pipeline") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.{QueryDef, TextPipeline}
+    val d = graft.queries.Tables.t(spark, sf, "documents")
+    val arrs = TextPipeline.shingleArrays(d)
+    val sigs = TextPipeline.minhashSigs(arrs, 32)
+    val candPairs = TextPipeline.minhashCandidates(spark, sigs, 8, 4)
+    val sh = arrs.select(col("doc_id"), explode(col("shs")).as("sh"))
+    // the pre-r18 unpruned verify: every banded candidate re-joined
+    val common = candPairs
+      .join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("common"))
+    val cnts = sigs.select(col("doc_id"), col("cnt"))
+    val unpruned = common
+      .join(cnts.select(col("doc_id").as("a_id"), col("cnt").as("ca")), Seq("a_id"))
+      .join(cnts.select(col("doc_id").as("b_id"), col("cnt").as("cb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("common") * lit(1.0) / (col("ca") + col("cb") - col("common")))
+          .as("jr"))
+      .filter(col("jr") >= 0.5)
+      .select(col("a_id"), col("b_id"), QueryDef.floorRound(col("jr"), 4).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = run("q_dedup_minhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == unpruned,
+      "size-pruned q_dedup_minhash diverged from the unpruned verify")
+    assert(pruned.nonEmpty, "planted near-dups must keep the pin non-vacuous")
+  }
+
   /** pairs similar enough that LSH banding must catch them (see the
     * miss-probability notes on the band layouts in TextPipeline). */
   lazy val verySimilar: Set[(Long, Long)] = run("q_neardup_jaccard")
