@@ -912,38 +912,45 @@ object TextPipeline {
     // the shingle-array table is cap-independent and SHARED with
     // q_dedup_minhash: both pipelines read the same per-doc arrays, so
     // within a session the shingling runs once for the pair of them
-    val shAll = explodedShingles(
+    val arrsAll =
       if (cacheKey.isEmpty) shingleArrays(d)
-      else DfCache.getOrBuild(s, s"shingle_arrs#$cacheKey")(shingleArrays(d)))
-    // the hot set is small by construction (stop-phrases) => broadcast anti.
-    // The whole cap — df aggregation, hot filter, anti-join — lives INSIDE
-    // this one cached table's plan, so it materializes pipelined with the
-    // first query that reads it (round 3 ran an eager hot.count() plus a
-    // separately-cached df table here, which serialized two cold aggregation
+      else DfCache.getOrBuild(s, s"shingle_arrs#$cacheKey")(shingleArrays(d))
+    // the hot set is small by construction (stop-phrases) and was already
+    // required to be broadcast-small; folding it to ONE collected array and
+    // capping with row-local array_except keeps the per-doc capped set AND
+    // its size `c` in array form — so neither a windowed per-doc count (a
+    // full doc_id shuffle + sort of every exploded shingle row, the r18
+    // sized branch's cost) nor a counts groupBy (a second corpus-sized
+    // shuffle) exists anywhere in the pipeline: the only corpus-sized
+    // shuffles left are the df aggregation and the self-join itself. The
+    // whole cap lives INSIDE this one cached table's plan, so it
+    // materializes pipelined with the first query that reads it (round 3
+    // ran an eager hot.count() here, which serialized two cold aggregation
     // passes before the self-join could start). Drops are logged by the
-    // accumulator pass-through on the broadcast side — no dedicated job.
-    val sh = cached("jaccard_sh") {
+    // accumulator pass-through feeding the collected hot array — no
+    // dedicated job. array_except builds its lookup set per ROW from the
+    // hot array, which is safe precisely because hot is stop-phrase-sized;
+    // if a corpus ever produced a huge hot set, the broadcast in the old
+    // anti-join shape would have been the same wall.
+    val capped = cached("jaccard_capped") {
+      val shAll = explodedShingles(arrsAll)
       val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") > dfCap).select("sh")
       val ticked = hot.select(
         DropLog.tick(s, s"jaccardPairs: shingles with df > $dfCap")(col("sh")).as("sh"))
-      shAll.join(broadcast(ticked), Seq("sh"), "left_anti")
+      val hotArr = ticked.agg(collect_set(col("sh")).as("hot"))
+      arrsAll.crossJoin(broadcast(hotArr))
+        .select(col("doc_id"), array_except(col("shs"), col("hot")).as("shs"))
+        .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("c"))
     }
-    // doc-level shingle counts are read twice (na/nb); the session-aware
-    // cached persist stops the shingle scan from running once per join side
-    // (and re-invocations reuse the same entry instead of stacking caches)
-    val n = cached("jaccard_counts")(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("c")))
+    // exploded rows carry the doc's capped size for free (row-local), so
+    // the size bound can evaluate INSIDE the self-join with no extra
+    // shuffle; the doc-level counts table is a zero-shuffle projection
+    val sh = capped.select(col("doc_id"), col("c"), explode(col("shs")).as("sh"))
+    val n = capped.select(col("doc_id"), col("c"))
     val common = minJaccard match {
       case Some(t) if t > 0.0 =>
-        // capped-set size on every shingle row (one windowed count — a
-        // linear doc_id shuffle, cached per session) lets the size bound
-        // evaluate INSIDE the self-join, ahead of the pair aggregation
-        val shSized = cached("jaccard_sh_sized") {
-          import org.apache.spark.sql.expressions.Window
-          sh.withColumn("c",
-            count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-        }
-        shSized.as("x").join(shSized.as("y"),
+        sh.as("x").join(sh.as("y"),
             col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id") &&
               sizeCompatible(t)(col("x.c"), col("y.c")))
           .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
