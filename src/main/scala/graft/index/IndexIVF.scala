@@ -290,6 +290,85 @@ final class IndexIVF private (
       }
   }
 
+  /** The DOC-PARTITIONED context snapshot: one deduped
+    * [[graft.functions.CtxCodes]] per partition, persisted across batches —
+    * the distributed twin of [[contextCodesBroadcast]] for a context that
+    * outgrows the broadcast byte gate. Where the broadcast snapshot puts
+    * the WHOLE inverted view on every executor, this spreads it: each
+    * partition holds a doc-disjoint slice (hash(doc_id) co-locates
+    * duplicate adds, so the per-partition first-wins dedup in
+    * [[graft.functions.CtxCodes.build]] reproduces the arbitrary-winner
+    * contract of the dropDuplicates it replaces), and the per-partition
+    * `inverted` CSR view materializes lazily on first walk and stays with
+    * the cached partition object. Built ONCE per index state — the one
+    * corpus-sized shuffle here replaces the per-batch postings scan +
+    * fanout join + candidate distinct + semi-join prune + pair join of the
+    * over-gate scan shape ([[graft.query.BatchSearcher]],
+    * `graft.batch.distributedWalk`).
+    *
+    * Same JVM-global cache scope, freshness contract (mutation tick +
+    * visible rows + persisted-epoch probe; openAt snapshot handles cache
+    * forever) and build-lock discipline as [[contextCodesBroadcast]] —
+    * see [[IndexIVF.ctxPartSnapshots]]. Partition count derives from the
+    * MEASURED relation bytes over `bytesPerPart` (floored at the cluster's
+    * default parallelism) — scale-adaptive, never a local-mode constant.
+    * MEMORY_AND_DISK: a partition evicted under memory pressure re-reads
+    * from local disk (or recomputes from lineage), never fails the batch. */
+  def contextCodesPartitioned(tenant: Long, field: String, visibleRows: Long,
+      measuredBytes: Long, bytesPerPart: Long)
+      : org.apache.spark.rdd.RDD[graft.functions.CtxCodes] = {
+    val fid = mapper.id(field)
+    val key = (lockKey, tenant, fid, snapshotEpoch)
+    val live = snapshotEpoch.isEmpty
+    val persistedEpoch = if (live) currentEpoch() else -1L
+    def freshHit(): org.apache.spark.rdd.RDD[graft.functions.CtxCodes] = {
+      val c = IndexIVF.ctxPartSnapshots.get(key)
+      if (c != null && c.rows == visibleRows &&
+        (!live || (c.tick == mutationTick.get() &&
+          c.epoch == persistedEpoch))) c.rdd
+      else null
+    }
+    val hit = freshHit()
+    if (hit != null) hit
+    else IndexIVF.ctxPartBuildLocks.computeIfAbsent(key, _ => new Object)
+      .synchronized {
+        val won = freshHit()
+        if (won != null) won
+        else {
+          // tick read BEFORE the build: a mutation landing mid-build makes
+          // the entry stale-on-arrival and the next batch rebuilds
+          val tick = mutationTick.get()
+          val thin = contextDf
+            .filter(col("tenant") === tenant && col("field") === fid)
+            .select(col("doc_id"), col("doc_codes"))
+          val parts = math.max(spark.sparkContext.defaultParallelism.toLong,
+            (measuredBytes + math.max(1L, bytesPerPart) - 1)
+              / math.max(1L, bytesPerPart))
+          require(parts <= Int.MaxValue,
+            s"context partition count overflow: $parts")
+          val rdd = thin.repartition(parts.toInt, col("doc_id")).rdd
+            .mapPartitions { it =>
+              val rows = it.map(r =>
+                r.getLong(0) -> r.getSeq[Long](1).toArray).toArray
+              Iterator.single(graft.functions.CtxCodes.build(rows))
+            }
+            .setName(s"graft ctx-codes partitioned t${tenant} f$fid")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // materialize eagerly: the one-time build cost lands HERE (and in
+          // warmBatchCaches when pre-warmed), not silently inside the first
+          // batch's phase-1 stage
+          rdd.count()
+          val stale = IndexIVF.ctxPartSnapshots.put(key,
+            IndexIVF.CtxPartSnapshotEntry(tick, visibleRows, persistedEpoch,
+              rdd))
+          if (stale != null)
+            try { stale.rdd.unpersist(blocking = false); () }
+            catch { case _: Exception => () }
+          rdd
+        }
+      }
+  }
+
   /** Warm the batch-serving caches for (tenant, field) so the first
     * searchBatch doesn't pay the one-time snapshot build in-band — see
     * [[graft.query.BatchSearcher.warmBatchCaches]] for what is built and
@@ -1997,6 +2076,45 @@ object IndexIVF {
       (String, Long, Int, Option[Long]), PointStoreEntry]()
 
   private[index] val pointStoreBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Int, Option[Long]), Object]()
+
+  private[index] final case class CtxPartSnapshotEntry(tick: Long, rows: Long,
+      epoch: Long,
+      rdd: org.apache.spark.rdd.RDD[graft.functions.CtxCodes])
+
+  /** JVM-global cache of the DOC-PARTITIONED context snapshot RDDs — the
+    * distributed twin of [[ctxCodesSnapshots]] for a context that outgrows
+    * the broadcast gate ([[IndexIVF.contextCodesPartitioned]]). Keyed and
+    * freshness-validated exactly like the broadcast cache (qualified path +
+    * tenant + field id + handle snapshot epoch; tick / rows / persisted
+    * epoch). Access-order LRU with FEWER slots than the broadcast cache:
+    * each entry pins an over-the-gate-sized (multi-GiB at production shape)
+    * persisted RDD distributed across executor storage memory, so holding
+    * many is the faster path to eviction churn than to hits. Replacement
+    * and eviction unpersist the old RDD non-blocking — an in-flight batch's
+    * tasks keep computing from lineage if their block vanishes mid-run
+    * (slower, never wrong). */
+  private[index] val CtxPartSnapshotSlots = 4
+  private[index] val ctxPartSnapshots: java.util.Map[
+      (String, Long, Int, Option[Long]), CtxPartSnapshotEntry] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Int, Option[Long]),
+          CtxPartSnapshotEntry](CtxPartSnapshotSlots * 2, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Int, Option[Long]),
+              CtxPartSnapshotEntry]): Boolean = {
+          val evict = size() > CtxPartSnapshotSlots
+          if (evict)
+            try { e.getValue.rdd.unpersist(blocking = false); () }
+            catch { case _: Exception => () }
+          evict
+        }
+      })
+
+  /** Per-key build locks for `contextCodesPartitioned` — see
+    * [[ctxPartSnapshots]]. */
+  private[index] val ctxPartBuildLocks =
     new java.util.concurrent.ConcurrentHashMap[
       (String, Long, Int, Option[Long]), Object]()
 

@@ -694,41 +694,99 @@ object TextPipeline {
       (0 until n).map(i => col("hs")(i).as(s"h$i")) :+ col("cnt"): _*)
   }
 
-  /** (doc_id, band, bucket) rows over a MinHash signature frame — one row
-    * per doc x band, bucket = `bandHash` of that band's `rows` signature
-    * mins (xxhash64 on the production path; the md5 twin passes
-    * md5-of-concat so DuckDB can reproduce it), hot buckets above
-    * `bucketCap` dropped per band (+ DropLog under `dropLabel`). Shared by
-    * the within-corpus self-join ([[minhashCandidates]]) and the
-    * cross-corpus join ([[crossCorpusNearDups]]), where each corpus gets
-    * its own capped band frame. */
-  private def bandRows(s: SparkSession, sigs: DataFrame, bands: Int,
+  /** The capped band frame over a MinHash signature frame, in ARRAY form:
+    * one (doc_id, bks, band, bucket) row per doc x KEPT band, where `bks`
+    * is the doc's full per-band bucket array with NULL at every band the
+    * hot-bucket cap dropped (buckets with > `bucketCap` members get no
+    * near-dup signal, only a quadratic join hazard; drops DropLog-ticked
+    * under `dropLabel`, same accounting as before). bucket = `bandHash` of
+    * that band's `rows` signature mins (xxhash64 on the production path;
+    * the md5 twins pass md5-of-concat so DuckDB can reproduce it).
+    *
+    * Array form matters twice (guide §2.4): (a) the cap is applied with a
+    * row-local array rewrite against the one collected hot row — the
+    * per-row anti-join this replaces carried the same broadcast, so the
+    * smallness requirement is unchanged; (b) `bks` rides every banded row
+    * into the candidate joins, so "is THIS band the pair's first
+    * (surviving) collision?" becomes the row-local
+    * [[firstCappedBandCollision]] predicate and the downstream candidate
+    * `distinct()` — a full exchange + aggregate of every band collision,
+    * the dominant term of q_dedup_minhash once the verify side was pruned
+    * — disappears from the within-corpus AND cross-corpus pipelines. The
+    * fuzzy-decon md5 twins run through this same code with their oracle
+    * hashes unchanged, pinning the dedup-equivalence with ground truth. */
+  private def cappedBandFrame(s: SparkSession, sigs: DataFrame, bands: Int,
       rows: Int, bucketCap: Int, dropLabel: String,
       bandHash: Seq[Column] => Column = xxhash64(_: _*)): DataFrame = {
-    val b = sigs.select(col("doc_id"),
-      posexplode(array((0 until bands).map(i =>
-        bandHash((0 until rows).map(r => col(s"h${rows * i + r}")))): _*))
-        .as(Seq("band", "bucket")))
-    val hotB = b.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bc")).filter(col("bc") > bucketCap)
-      .select(col("band"),
-        DropLog.tick(s, s"$dropLabel: LSH buckets with > $bucketCap members")(
-          col("bucket")).as("bucket"))
-    b.join(broadcast(hotB), Seq("band", "bucket"), "left_anti")
+    val arr = array((0 until bands).map(i =>
+      bandHash((0 until rows).map(r => col(s"h${rows * i + r}")))): _*)
+    cappedBandedFromArrays(s, sigs.select(col("doc_id"), arr.as("bks")),
+      bands, bucketCap,
+      s"$dropLabel: LSH buckets with > $bucketCap members")
   }
 
+  /** The generic core of [[cappedBandFrame]] over any
+    * (doc_id, bks: array of per-band buckets) frame — shared with the
+    * random-hyperplane embedding LSH (q_neardup_lsh), whose bucket arrays
+    * come from a projection UDF rather than signature columns. Applies the
+    * per-(band, bucket) hot cap by NULLING the doc's entry in `bks`
+    * (row-local against the one collected hot row) and explodes the kept
+    * bands with `bks` riding along for [[firstCappedBandCollision]]. */
+  private def cappedBandedFromArrays(s: SparkSession, withArr: DataFrame,
+      bands: Int, bucketCap: Int, dropMsg: String): DataFrame = {
+    val exploded = withArr.select(col("doc_id"),
+      posexplode(col("bks")).as(Seq("band", "bucket")))
+    val hot = exploded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bc")).filter(col("bc") > bucketCap)
+      .select(col("band"),
+        DropLog.tick(s, dropMsg)(col("bucket")).as("bucket"))
+    // one collected row of per-band hot-bucket arrays (collect_set skips
+    // the non-matching bands' nulls); hot is stop-cluster-sized by
+    // construction — the exact relation the old anti-join broadcast
+    val hotCols = (0 until bands).map(j =>
+      collect_set(when(col("band") === j, col("bucket"))).as(s"hot$j"))
+    val hotArr = hot.agg(hotCols.head, hotCols.tail: _*)
+    val capped = withArr.crossJoin(broadcast(hotArr))
+      .select(col("doc_id"), array((0 until bands).map(j =>
+        when(array_contains(col(s"hot$j"), col("bks")(j)), lit(null))
+          .otherwise(col("bks")(j))): _*).as("bks"))
+    capped.select(col("doc_id"), col("bks"),
+      posexplode(col("bks")).as(Seq("band", "bucket")))
+      .filter(col("bucket").isNotNull)
+  }
+
+  /** TRUE iff `band` is the pair's first band that BOTH sides kept (non-
+    * null after the cap) and collide on — the capped-banding analogue of
+    * [[firstBandCollision]]: each colliding pair then emits exactly one
+    * joined row, at its minimal surviving collision band, making the
+    * candidate stream distinct by construction with no exchange. A band
+    * one side lost to the cap cannot have produced a joined row in the
+    * anti-join shape either, so skipping it preserves the old result set
+    * exactly (TextPipelineSpec pins multi-band and capped-band cases; the
+    * decon md5 twins' oracle hashes pin it cross-engine). */
+  private def firstCappedBandCollision(xBks: Column, yBks: Column,
+      band: Column, bands: Int): Column =
+    (0 until bands - 1).map { jp =>
+      val a = xBks(jp)
+      val b = yBks(jp)
+      band > jp && a.isNotNull && b.isNotNull && a === b
+    }.reduceOption(_ || _).map(e => !e).getOrElse(lit(true))
+
   /** Banded candidate pairs over a MinHash signature frame: within-bucket
-    * collisions deduped across bands. The geometry knob lives here so the
-    * spec can measure candidate volume per (bands x rows) layout on one
-    * corpus. */
+    * collisions deduped across bands by the row-local minimal-band
+    * conjunct (see [[cappedBandFrame]] — no pair `distinct()` exchange).
+    * The geometry knob lives here so the spec can measure candidate volume
+    * per (bands x rows) layout on one corpus. */
   private[graft] def minhashCandidates(s: SparkSession, sigs: DataFrame,
       bands: Int, rows: Int, bucketCap: Int = BucketCap): DataFrame = {
-    val banded = bandRows(s, sigs, bands, rows, bucketCap, "q_dedup_minhash")
+    val banded = cappedBandFrame(s, sigs, bands, rows, bucketCap,
+      "q_dedup_minhash")
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
-          && col("x.doc_id") < col("y.doc_id"))
+          && col("x.doc_id") < col("y.doc_id")
+          && firstCappedBandCollision(col("x.bks"), col("y.bks"),
+            col("x.band"), bands))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
   }
 
   /** Cross-corpus near-duplicate screening — "don't re-ingest what the
@@ -780,14 +838,19 @@ object TextPipeline {
       sigsIn: DataFrame, sigsEx: DataFrame, shInRaw: DataFrame,
       shExRaw: DataFrame, bands: Int, rows: Int, bucketCap: Int,
       bandHash: Seq[Column] => Column = xxhash64(_: _*)): DataFrame = {
-    val bIn = bandRows(s, sigsIn, bands, rows, bucketCap,
+    val bIn = cappedBandFrame(s, sigsIn, bands, rows, bucketCap,
       "crossCorpus incoming", bandHash)
-    val bEx = bandRows(s, sigsEx, bands, rows, bucketCap,
+    val bEx = cappedBandFrame(s, sigsEx, bands, rows, bucketCap,
       "crossCorpus existing", bandHash)
+    // multi-band collisions deduped by the row-local minimal-surviving-band
+    // conjunct (each side capped independently; a band either side lost
+    // cannot collide) — the candidate distinct() exchange is gone, and the
+    // md5 twins' unchanged oracle hashes pin the set-equality
     val cand = bIn.as("x").join(bEx.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && firstCappedBandCollision(col("x.bks"), col("y.bks"),
+            col("x.band"), bands))
       .select(col("x.doc_id").as("in_id"), col("y.doc_id").as("ex_id"))
-      .distinct()
     // deterministic size-bound prune at the >= 0.5 output threshold (see
     // sizeCompatible): size-incompatible incoming x existing candidates are
     // dropped before the verify re-join — the only candidates x set-size
@@ -988,6 +1051,27 @@ object TextPipeline {
         .as(Seq("band", "bucket")))
   }
 
+  /** TRUE iff `band` is the pair's FIRST colliding band. A pair colliding
+    * in several bands produces one joined row per colliding band; both
+    * signatures ride each row, and band j' collides exactly when the
+    * signatures' XOR is all-zero across band j's bits — so "no band below
+    * mine collides" is a ROW-LOCAL predicate, and keeping only the minimal
+    * colliding band's row makes the pair stream distinct BY CONSTRUCTION.
+    * That replaces the downstream pair-`distinct()` — a full exchange +
+    * aggregate of every collision row — with a codegen'd filter (guide
+    * §2.4, remove shuffles outright). Emits each colliding pair exactly
+    * once, so the result set is identical to the distinct it replaces (the
+    * md5 twin's unchanged DuckDB oracle hash pins this with ground truth,
+    * and TextPipelineSpec pins the multi-band-collision case). */
+  private def firstBandCollision(xSim: Column, ySim: Column, band: Column,
+      bandBits: Int, numBands: Int): Column = {
+    val z = xSim.bitwiseXOR(ySim)
+    val mask = (1L << bandBits) - 1
+    (0 until numBands - 1).map(jp =>
+        band > jp && shiftright(z, jp * bandBits).bitwiseAND(mask) === 0)
+      .reduceOption(_ || _).map(e => !e).getOrElse(lit(true))
+  }
+
   /** SimHash near-dup pairs: same band bucket + hamming <= maxHamming.
     *
     * Banding math (Manku et al., WWW'07 §3): with B = 64/bandBits bands,
@@ -1000,19 +1084,21 @@ object TextPipeline {
     * membership — and with it candidate pairs — stays bounded (ScaleSpec
     * measures exactly this trade on a synthetic 10x corpus). The self-
     * join's two sides are plan-identical so the bucket shuffle is computed
-    * once (ReusedExchange); hamming is filtered BEFORE the distinct so far
-    * fewer rows ride the dedup shuffle (a multi-band collision pair is
-    * identical in every copy, so the result is unchanged). */
+    * once (ReusedExchange); multi-band collisions are deduped by the
+    * row-local [[firstBandCollision]] conjunct INSIDE the join — no pair
+    * `distinct()` exchange exists in the pipeline at any corpus size (it
+    * shuffled ~n^2/2^bandBits collision rows on a saturated corpus). */
   private[graft] def simhashPairs(d: DataFrame, bandBits: Int = 8,
       maxHamming: Int = 8): DataFrame = {
     val bands = simhashBands(d, bandBits)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
-          && col("x.doc_id") < col("y.doc_id"))
+          && col("x.doc_id") < col("y.doc_id")
+          && firstBandCollision(col("x.simhash"), col("y.simhash"),
+            col("x.band"), bandBits, 64 / bandBits))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Connected components over an undirected (a_id, b_id) edge list.
@@ -1839,14 +1925,20 @@ object TextPipeline {
           posexplode(array((0 until 6).map(b =>
             shiftright(col("simhash"), b * 10).bitwiseAND(1023)): _*))
             .as(Seq("band", "bucket")))
+        // multi-band collisions deduped by the row-local minimal-band
+        // conjunct, not a pair-distinct exchange — same rewrite as
+        // [[simhashPairs]]; the twin's DuckDB oracle keeps its DISTINCT,
+        // so the unchanged hash pins the rewrite's set-equality with
+        // ground truth
         bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
-              && col("x.doc_id") < col("y.doc_id"))
+              && col("x.doc_id") < col("y.doc_id")
+              && firstBandCollision(col("x.simhash"), col("y.simhash"),
+                col("x.band"), 10, 6))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
             bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long")
               .as("hamming"))
           .filter(col("hamming") <= 8)
-          .distinct()
           .orderBy("a_id", "b_id")
     },
 
@@ -2052,22 +2144,22 @@ object TextPipeline {
           bucket
         }.toSeq
       }
-      val bands = e.select(col("vec_id"),
-        posexplode(bucketsUdf(col("emb").cast("array<float>"))).as(Seq("band", "bucket")))
-      val hot = bands.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("bc")).filter(col("bc") > cap)
-        .select(col("band"),
-          DropLog.tick(s, s"q_neardup_lsh: band buckets with > $cap members")(
-            col("bucket")).as("bucket"))
-      val pruned = bands.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-      // candidate pairs deduped across bands BEFORE the unit vectors are
-      // joined back — only (a_id, b_id) longs ride the distinct shuffle,
-      // never the 64-wide vectors
+      // array-form cap + row-local minimal-band dedup (see cappedBandFrame /
+      // firstCappedBandCollision): candidate pairs are distinct BY
+      // CONSTRUCTION, so neither the anti-join nor the pair distinct()
+      // exchange exist — and still only (a_id, b_id) longs leave the join,
+      // never the 64-wide vectors. The generated DuckDB oracle keeps its
+      // DISTINCT-over-bands shape, so the unchanged hash pins the rewrite.
+      val pruned = cappedBandedFromArrays(s,
+        e.select(col("vec_id").as("doc_id"),
+          bucketsUdf(col("emb").cast("array<float>")).as("bks")),
+        nBands, cap, s"q_neardup_lsh: band buckets with > $cap members")
       val pairs = pruned.as("a").join(pruned.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-            && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        .distinct()
+            && col("a.doc_id") < col("b.doc_id")
+            && firstCappedBandCollision(col("a.bks"), col("b.bks"),
+              col("a.band"), nBands))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       val u = e.select(col("vec_id"), l2normalize(col("emb")).as("unit"))
       pairs
         .join(u.select(col("vec_id").as("a_id"), col("unit").as("ua")), Seq("a_id"))

@@ -386,6 +386,93 @@ object BatchSearcher {
   private def invertedWalk(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get(InvertedWalkKey, "true").toBoolean
 
+  /** Phase-1 candidate generation PAST the broadcast byte gate. `true`
+    * (default): walk the DOC-PARTITIONED context snapshot
+    * ([[IndexIVF.contextCodesPartitioned]]) — each executor inverts its
+    * partitions once (cached across batches with the same freshness
+    * contract as the broadcast snapshot), every batch then walks the local
+    * CSR postings for all queries and emits per-partition [[graft
+    * .functions.TopKHeap]] cuts, merged by one tiny partial-heap shuffle
+    * (<= partitions x queries x poolDepth rows). Steady-state over-gate
+    * phase-1 therefore reads NO table: no postings scan (44.4 core-s /
+    * batch at the 10M shape in the r17 breakdown), no fanout join, no
+    * candidate distinct, no semi-join context prune, no pair join — the
+    * same stage-shape win the under-gate inverted walk measured 3.1x, now
+    * carried across the gate instead of stepping back to the scan shape
+    * the moment the corpus outgrows 1 GiB of codes. Results are
+    * bit-identical to the scan shape (doc-disjoint partitions, same
+    * kernel, same heap order; BatchSearchSpec pins the A/B). `false`: the
+    * r17 scan -> distinct -> semi-join -> pair-join shape, kept as the
+    * fallback hatch. Applies only when the heap pool cut is active (the
+    * walk carries no residual payload). */
+  val DistributedWalkKey = "graft.batch.distributedWalk"
+  private def distributedWalk(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get(DistributedWalkKey, "true").toBoolean
+
+  /** Target bytes per partition of the doc-partitioned context snapshot
+    * (measured relation bytes / this = partition count, floored at the
+    * cluster's default parallelism). 256 MiB default: big enough that the
+    * per-batch per-partition fixed cost (task launch, per-query heap,
+    * bitmap clear) stays amortized, small enough that one partition's
+    * forward + inverted arrays sit comfortably inside an executor's
+    * storage fraction. */
+  val WalkPartitionBytesKey = "graft.batch.walkPartitionBytes"
+  private def walkPartitionBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get(WalkPartitionBytesKey, (256L << 20).toString).toLong
+
+  /** Walk one [[graft.functions.CtxCodes]] snapshot (or one doc-partition
+    * of it) for a stream of queries: per query, candidates come from the
+    * snapshot's inverted CSR postings, a bitmap dedups a doc matching
+    * several of the query's probes (so each candidate is scored exactly
+    * once — the scan shape's pair distinct did this with a shuffle), and a
+    * [[graft.functions.TopKHeap]] applies the (score desc NaN-first,
+    * doc_id asc) cut at `depth`. Emitted rows are exactly the rows
+    * [[groupTopK]]'s TopKByScore would keep from this snapshot's docs, in
+    * the heap's own total order — so per-partition cuts merged by one more
+    * groupTopK reproduce the global cut bit-identically (a global top-depth
+    * member is always inside its own partition's top-depth). Shared by the
+    * under-gate broadcast walk (one snapshot, queries partitioned) and the
+    * over-gate distributed walk (doc-partitioned snapshots, every query
+    * walks every partition). */
+  private[query] def walkQueries(ctx: graft.functions.CtxCodes,
+      qProbes: Iterator[(Long, Array[Long])],
+      queries: Map[Long, Array[Float]], queriesT: Map[Long, Array[Float]],
+      cent: Array[Float], dim: Int, depth: Int): Iterator[(Long, Long, Double)] = {
+    val inv = ctx.inverted
+    // one bitmap per snapshot walk, cleared per query
+    val seen = new java.util.BitSet(ctx.numDocs)
+    qProbes.flatMap { case (qid, probes) =>
+      seen.clear()
+      val heap = new graft.functions.TopKHeap(depth)
+      var pi = 0
+      while (pi < probes.length) {
+        val c = probes(pi)
+        if (c >= 0 && c < inv.numCentroids) {
+          val ci = c.toInt
+          var j = inv.offsets(ci)
+          val end = inv.offsets(ci + 1)
+          while (j < end) {
+            val pos = inv.docPos(j)
+            if (!seen.get(pos)) {
+              seen.set(pos)
+              heap.insert(ctx.docIds(pos),
+                graft.functions.BatchCtxCentroidScore.compute(
+                  qid, ctx, pos, queries, queriesT, cent, dim))
+            }
+            j += 1
+          }
+        }
+        pi += 1
+      }
+      // same output order as TopKByScore.eval: the heap's own total
+      // order (NaN-first descending, doc_id ascending on ties)
+      val order = Array.range(0, heap.size).sortWith((a, b) =>
+        heap.ranksBefore(heap.scores(a), heap.ids(a),
+          heap.scores(b), heap.ids(b)))
+      order.iterator.map(i => (qid, heap.ids(i), heap.scores(i)))
+    }
+  }
+
   /** Max doc_id literals in the phase-2 multiget's pushed-down IN-list.
     * Below it the IN-set row-group-prunes the doc_id-sorted context files
     * (worth real IO on a small interactive pool); above it the literals
@@ -440,8 +527,12 @@ object BatchSearcher {
   def warmBatchCaches(idx: IndexIVF, tenant: Long, field: String): Unit = {
     val spark = idx.spark
     idx.centroidBroadcast(field)
-    val wantSnapshot = ctxBroadcastCache(spark) && poolHeap(spark) &&
-      !carryResiduals(spark)
+    // the broadcast and the doc-partitioned snapshots are independent
+    // serving paths (under vs over the byte gate); the heap guard is
+    // common — with the heap off or residual-carry on, neither walk runs
+    // and warming would pin state nothing reads (r17 ADVICE)
+    val wantSnapshot = (ctxBroadcastCache(spark) || distributedWalk(spark)) &&
+      poolHeap(spark) && !carryResiduals(spark)
     // the phase-2 point store serves the (default) rerank-multiget path —
     // its cold build is the other corpus-sized one-time cost a first big
     // batch would otherwise pay in-band
@@ -451,7 +542,7 @@ object BatchSearcher {
       if (wantSnapshot) {
         val gate = broadcastContextMaxBytes(spark)
         val (rows, bytes) = contextRelationStats(idx, tenant, field)
-        if (bytes <= gate) {
+        if (bytes <= gate && ctxBroadcastCache(spark)) {
           val b = idx.contextCodesBroadcast(tenant, field, rows, bytes, gate)
           // materialize the inverted postings view the walk shape reads
           // (lazy on the snapshot object): in local mode the broadcast
@@ -461,6 +552,13 @@ object BatchSearcher {
           // 10M-doc shape — the forward arrays it derives from are
           // already resident)
           if (invertedWalk(spark)) { b.value.inverted; () }
+        } else if (bytes > gate && distributedWalk(spark)) {
+          // past the gate the serving shape is the doc-partitioned walk:
+          // pre-build (and materialize the inverted views of) ITS snapshot
+          // so the first over-gate batch is a cache hit too
+          idx.contextCodesPartitioned(tenant, field, rows, bytes,
+            walkPartitionBytes(spark))
+            .foreachPartition(_.foreach { ctx => ctx.inverted; () })
         }
         Some(rows)
       } else None
@@ -655,48 +753,40 @@ object BatchSearcher {
         .parallelize(qProbes, walkParts)
         .mapPartitions { it =>
           val ctx = bcCtx.value
-          val inv = ctx.inverted
           val queries = bQueries.value
           val queriesT =
             graft.functions.BatchCentroidScore.transposeAll(queries, dim)
           val cent = bcCent.value
-          // one bitmap per task, cleared per query: dedups a doc that
-          // matches several of the query's probes, so each candidate is
-          // scored once (the join shape scored it once per matching probe
-          // and relied on the heap's membership probe to dedup)
-          val seen = new java.util.BitSet(ctx.numDocs)
-          it.flatMap { case (qid, probes) =>
-            seen.clear()
-            val heap = new graft.functions.TopKHeap(depth)
-            var pi = 0
-            while (pi < probes.length) {
-              val c = probes(pi)
-              if (c >= 0 && c < inv.numCentroids) {
-                val ci = c.toInt
-                var j = inv.offsets(ci)
-                val end = inv.offsets(ci + 1)
-                while (j < end) {
-                  val pos = inv.docPos(j)
-                  if (!seen.get(pos)) {
-                    seen.set(pos)
-                    heap.insert(ctx.docIds(pos),
-                      graft.functions.BatchCtxCentroidScore.compute(
-                        qid, ctx, pos, queries, queriesT, cent, dim))
-                  }
-                  j += 1
-                }
-              }
-              pi += 1
-            }
-            // same output order as TopKByScore.eval: the heap's own total
-            // order (NaN-first descending, doc_id ascending on ties)
-            val order = Array.range(0, heap.size).sortWith((a, b) =>
-              heap.ranksBefore(heap.scores(a), heap.ids(a),
-                heap.scores(b), heap.ids(b)))
-            order.iterator.map(i => (qid, heap.ids(i), heap.scores(i)))
-          }
+          walkQueries(ctx, it, queries, queriesT, cent, dim, depth)
         }
       walked.toDF("query_id", "doc_id", "score")
+    } else if (!bcastCtx && heap && distributedWalk(spark)) {
+      // DISTRIBUTED inverted walk (see DistributedWalkKey): the context
+      // outgrew the broadcast gate, so the snapshot is DOC-PARTITIONED
+      // across executors instead of replicated onto each; every query
+      // walks every partition's local inverted view, per-partition heap
+      // cuts merge through one partial-heap shuffle. The probe lists ride
+      // in one small broadcast (batch x nProbe longs — nothing corpus- or
+      // K-proportional); steady-state phase-1 reads no table at all.
+      val partsRdd = prof("ctx_part_build") {
+        idx.contextCodesPartitioned(tenant, field, ctxRows, ctxBytes,
+          walkPartitionBytes(spark))
+      }
+      val qProbes = plans.map { case (qid, _, _, probes) => (qid, probes) }
+      val bcProbes = spark.sparkContext.broadcast(qProbes)
+      val depth = poolDepth
+      val walked = partsRdd.mapPartitions { ctxIt =>
+        val queries = bQueries.value
+        val queriesT =
+          graft.functions.BatchCentroidScore.transposeAll(queries, dim)
+        val cent = bcCent.value
+        val qps = bcProbes.value
+        ctxIt.flatMap(ctx =>
+          walkQueries(ctx, qps.iterator, queries, queriesT, cent, dim, depth))
+      }
+      // per-partition cuts are local top-depth supersets of the global cut,
+      // so one more groupTopK reproduces the scan shape's pool bit-exactly
+      groupTopK(walked.toDF("query_id", "doc_id", "score"), depth)
     } else if (bcastCtx) {
       // MAP-SIDE phase-1 (the high-fan-out scale shape): probe map and the
       // deduplicated doc -> codes relation both broadcast, so the

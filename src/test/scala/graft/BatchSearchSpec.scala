@@ -110,6 +110,81 @@ class BatchSearchSpec extends AnyFunSuite {
     } finally spark.conf.unset(BatchSearcher.MaxPoolBytesKey)
   }
 
+  test("over-gate distributed walk: identical rows to the scan shape, " +
+      "no postings reference in the walk plan, mutation visible") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(77)
+    def tokens() = Seq.fill(4)(Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    val corpus = (0L until 45L).map(i => i -> tokens()).toMap
+    val path = java.nio.file.Files.createTempDirectory("idx_distwalk").toString
+    val idx = IndexIVF.create(spark, path, GSchema(Seq(
+      GField.colbert("colbert", dim, numCentroids = 6, numIterations = 4))))
+    val docs = corpus.toSeq.sortBy(_._1).map { case (i, t) => Doc(i, t, "x", 0L) }
+      .toDF().select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("colbert"))
+    idx.train(docs)
+    idx.add(1, docs)
+
+    val opts = SearchOptions(kTopCentroids = 3, nProbe = 6)
+    val queriesDf = Seq(3L, 20L, 41L).map(qid => (qid, corpus(qid)))
+      .toDF("query_id", "tokens")
+    def run(): (Map[Long, Seq[(Long, Double)]], String) = {
+      val df = BatchSearcher.searchBatch(idx, 1, "colbert", queriesDf, 5, opts)
+      val rows = df.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+      (rows, df.queryExecution.executedPlan.toString)
+    }
+
+    val (underGate, _) = run() // broadcast-snapshot walk (reference rows)
+    // force the over-gate regime: every shape below must reproduce the
+    // under-gate rows bit-identically
+    spark.conf.set(BatchSearcher.BroadcastContextMaxBytesKey, "1024")
+    try {
+      val (distWalked, _) = run() // DistributedWalkKey defaults true
+      assert(distWalked == underGate,
+        "over-gate distributed walk diverged from the broadcast-walk rows")
+      val (steady, _) = run() // second batch rides the cached partitions
+      assert(steady == underGate, "steady over-gate batch diverged")
+      spark.conf.set(BatchSearcher.DistributedWalkKey, "false")
+      try {
+        val (scanShape, _) = run()
+        assert(scanShape == underGate,
+          "over-gate scan-shape hatch diverged from the distributed walk")
+      } finally spark.conf.unset(BatchSearcher.DistributedWalkKey)
+
+      // plan pin (multiget off keeps phase-1 in the returned lineage):
+      // the walk must not reference the postings relation — its
+      // centroid_bucket column is the marker — while the hatch must
+      // (canary that the marker still detects the scan shape)
+      spark.conf.set(BatchSearcher.RerankMultigetKey, "false")
+      try {
+        val (walkRows, walkPlan) = run()
+        assert(walkRows == underGate, "multiget-off distributed walk diverged")
+        assert(!walkPlan.contains("centroid_bucket"),
+          s"the distributed walk must not scan the postings table:\n$walkPlan")
+        spark.conf.set(BatchSearcher.DistributedWalkKey, "false")
+        try {
+          val (scanRows, scanPlan) = run()
+          assert(scanRows == underGate, "multiget-off scan shape diverged")
+          assert(scanPlan.contains("centroid_bucket"),
+            "the hatch must restore the postings-scan shape (plan-pin canary)")
+        } finally spark.conf.unset(BatchSearcher.DistributedWalkKey)
+      } finally spark.conf.unset(BatchSearcher.RerankMultigetKey)
+
+      // freshness rides the partitioned snapshot's own invalidation: a doc
+      // added after the build must be visible to the next over-gate batch
+      idx.add(1, Seq(Doc(300L, corpus(3L).map(_.map(_ + 0.001f)), "x", 0L)).toDF()
+        .select(org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("colbert")))
+      val after = BatchSearcher.searchBatch(idx, 1, "colbert",
+        Seq((3L, corpus(3L))).toDF("query_id", "tokens"), k = 10, opts)
+        .collect().map(_.getLong(1)).toSet
+      assert(after.contains(300L),
+        s"doc added after the partitioned-snapshot build must be visible, got $after")
+    } finally spark.conf.unset(BatchSearcher.BroadcastContextMaxBytesKey)
+  }
+
   test("saturation detector: flat boundary escalates, real gap does not") {
     // synthesized saturated fixture: 64 candidates whose scores are
     // near-identical across the cut at base=8 (the tight-cluster signature)

@@ -153,12 +153,106 @@ class TextPipelineSpec extends AnyFunSuite {
     } finally { sigs.unpersist(); () }
   }
 
+  test("minhash min-band candidate dedup: set-equal to the anti-join + " +
+      "distinct shape on a corpus with multi-band collisions AND a capped " +
+      "cluster, each pair emitted exactly once") {
+    import spark.implicits._
+    import graft.queries.TextPipeline
+    import org.apache.spark.sql.functions._
+    // 6 identical docs (collide in EVERY band — the multi-band multiplicity
+    // the old distinct() laundered), 3 near-dups, and a 40-doc exact-dup
+    // mega-cluster that exceeds the cap (its buckets must be dropped on
+    // BOTH shapes, in every band)
+    val cluster = (100L until 140L).map(i =>
+      i -> (0 until 25).map(j => s"mega w$j").mkString(" "))
+    val docs = ((0L until 6L).map(i =>
+        i -> (0 until 25).map(j => s"same w$j").mkString(" ")) ++
+      Seq(50L -> (0 until 25).map(j => s"near w$j").mkString(" "),
+        51L -> ((0 until 24).map(j => s"near w$j") :+ "tail").mkString(" "),
+        60L -> (0 until 25).map(j => s"other v$j").mkString(" ")) ++
+      cluster).toDF("doc_id", "text")
+    val (bands, rows, cap) = (8, 4, 16)
+    val sigs = TextPipeline.minhashSigs(TextPipeline.shingleArrays(docs),
+      bands * rows).persist()
+    try {
+      val fast = TextPipeline.minhashCandidates(spark, sigs, bands, rows, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(fast.distinct == fast,
+        s"min-band conjunct must emit each candidate pair exactly once")
+      // reference: the old shape — posexplode band rows, hot-bucket
+      // anti-join, self-join, pair distinct
+      val b = sigs.select(col("doc_id"),
+        posexplode(array((0 until bands).map(i =>
+          xxhash64((0 until rows).map(r => col(s"h${rows * i + r}")): _*)): _*))
+          .as(Seq("band", "bucket")))
+      val hotB = b.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bc")).filter(col("bc") > cap)
+        .select("band", "bucket")
+      val banded = b.join(broadcast(hotB), Seq("band", "bucket"), "left_anti")
+      val reference = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast.toSet == reference,
+        s"min-band candidates diverged from the anti-join + distinct shape: " +
+          s"extra=${fast.toSet -- reference} missing=${reference -- fast.toSet}")
+      // fixture sanity: the identical docs DID pair, the mega-cluster was
+      // capped away, and the cap actually fired
+      assert(fast.toSet.contains((0L, 1L)), "identical docs must pair")
+      assert(!fast.toSet.exists(p => p._1 >= 100L && p._1 < 140L),
+        "mega-cluster pairs must be dropped by the cap")
+      assert(TextPipeline.droppedHotKeys("q_dedup_minhash") > 0,
+        "the hot-bucket cap must tick DropLog in array form")
+    } finally { sigs.unpersist(); () }
+  }
+
   test("SimHash bands recover the >=0.95 pairs with small hamming") {
     val sim = run("q_dedup_simhash").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     val missed = verySimilar.filterNot(sim.contains)
     assert(missed.isEmpty, s"SimHash missed very-similar pairs: $missed")
     sim.values.foreach(h => assert(h <= 8))
+  }
+
+  test("simhash min-band dedup: multi-band collisions emit exactly one row, " +
+      "set-equal to the pair-distinct shape, no aggregate in the plan") {
+    import spark.implicits._
+    import graft.queries.TextPipeline
+    import org.apache.spark.sql.functions.{col, bit_count}
+    // identical texts collide in EVERY band; the near-identical pair in
+    // several — the exact multiplicity the old distinct() laundered
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "omega psi chi phi upsilon tau sigma rho")).toDF("doc_id", "text")
+    val fastDf = TextPipeline.simhashPairs(docs, bandBits = 8, maxHamming = 8)
+    val fast = fastDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(fast.distinct == fast,
+      s"min-band filter must emit each colliding pair exactly once: $fast")
+    // reference: the join + pair-distinct shape this rewrite replaced
+    val bands = TextPipeline.simhashBands(docs, 8)
+    val reference = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 8)
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fast.toSet == reference,
+      s"min-band dedup diverged from the distinct shape: " +
+        s"${fast.toSet} vs $reference")
+    assert(fast.toSet.contains((1L, 2L, 0)), "identical docs must pair at hamming 0")
+    // plan pin: the pipeline has NO aggregate left — the pair dedup is a
+    // row-local join conjunct, so the only exchange is the band shuffle
+    val plan = fastDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate") &&
+      !plan.contains("ObjectHashAggregate"),
+      s"pair dedup must not be an aggregate:\n$plan")
   }
 
   test("shingling + MinHash signatures shuffle nothing (scale invariant)") {
