@@ -538,31 +538,49 @@ object BatchSearcher {
     // batch would otherwise pay in-band
     val wantStore = pointStoreEnabled(spark) && rerankMultiget(spark) &&
       !carryResiduals(spark)
-    val rowsHint =
-      if (wantSnapshot) {
-        val gate = broadcastContextMaxBytes(spark)
-        val (rows, bytes) = contextRelationStats(idx, tenant, field)
-        if (bytes <= gate && ctxBroadcastCache(spark)) {
-          val b = idx.contextCodesBroadcast(tenant, field, rows, bytes, gate)
-          // materialize the inverted postings view the walk shape reads
-          // (lazy on the snapshot object): in local mode the broadcast
-          // value IS the driver's instance, so this removes the first
-          // batch's in-band inversion; on a cluster each executor still
-          // inverts once on first use (a few hundred ms at the 34M-code
-          // 10M-doc shape — the forward arrays it derives from are
-          // already resident)
-          if (invertedWalk(spark)) { b.value.inverted; () }
-        } else if (bytes > gate && distributedWalk(spark)) {
-          // past the gate the serving shape is the doc-partitioned walk:
-          // pre-build (and materialize the inverted views of) ITS snapshot
-          // so the first over-gate batch is a cache hit too
-          idx.contextCodesPartitioned(tenant, field, rows, bytes,
-            walkPartitionBytes(spark))
-            .foreachPartition(_.foreach { ctx => ctx.inverted; () })
-        }
-        Some(rows)
-      } else None
-    if (wantStore) { idx.pointStore(tenant, field, rowsHint); () }
+    val statsOpt =
+      if (wantSnapshot) Some(contextRelationStats(idx, tenant, field)) else None
+    // OVERLAP the two one-time corpus-sized builds (guide §2.6 — two jobs
+    // in flight): the point-store build is a distributed bucketed write,
+    // the snapshot build a gated driver collect + CSR (+ broadcast) or a
+    // partitioned shuffle — independent derived state with no ordering
+    // constraint, each behind its own build lock, so the warm wall is
+    // max(build, build) instead of their sum. Results are unaffected by
+    // the order (both are idempotent per index state); BatchSearchSpec
+    // pins warmed == unwarmed rows and the jobless idempotent re-warm.
+    val storeTask = if (wantStore) {
+      val t = new java.util.concurrent.FutureTask(
+        () => idx.pointStore(tenant, field, statsOpt.map(_._1)))
+      val th = new Thread(t, "graft-warm-pointstore")
+      th.setDaemon(true)
+      th.start()
+      Some(t)
+    } else None
+    statsOpt.foreach { case (rows, bytes) =>
+      val gate = broadcastContextMaxBytes(spark)
+      if (bytes <= gate && ctxBroadcastCache(spark)) {
+        val b = idx.contextCodesBroadcast(tenant, field, rows, bytes, gate)
+        // materialize the inverted postings view the walk shape reads
+        // (lazy on the snapshot object): in local mode the broadcast
+        // value IS the driver's instance, so this removes the first
+        // batch's in-band inversion; on a cluster each executor still
+        // inverts once on first use (a few hundred ms at the 34M-code
+        // 10M-doc shape — the forward arrays it derives from are
+        // already resident)
+        if (invertedWalk(spark)) { b.value.inverted; () }
+      } else if (bytes > gate && distributedWalk(spark)) {
+        // past the gate the serving shape is the doc-partitioned walk:
+        // pre-build (and materialize the inverted views of) ITS snapshot
+        // so the first over-gate batch is a cache hit too
+        idx.contextCodesPartitioned(tenant, field, rows, bytes,
+          walkPartitionBytes(spark))
+          .foreachPartition(_.foreach { ctx => ctx.inverted; () })
+      }
+    }
+    storeTask.foreach { t =>
+      try { t.get(); () }
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+    }
   }
 
   /** Partition count for the round-robin spread of the pruned postings
@@ -727,6 +745,28 @@ object BatchSearcher {
     val adaptive = esc > opts.numSecondPass && heap && opts.secondPass &&
       rerankMultiget(spark)
     val poolDepth = if (adaptive) esc else opts.numSecondPass
+
+    // OVERLAP the phase-2 point-store resolve with phase-1 (guide §2.6):
+    // the pool's plan-time id bound (queries x poolDepth) can only exceed
+    // the IN-list threshold if the multiget will route through the store,
+    // so when it does, kick the (idempotent, build-locked, once-per-index-
+    // state) resolve on a background thread BEFORE the phase-1 action — a
+    // cold first batch then pays max(phase-1, store build) instead of
+    // their sum. When the deduped pool lands under the threshold after
+    // all, the speculative build still caches state every later
+    // over-threshold batch reads; steady-state resolves are cache hits
+    // either way. Failures surface at get() on the consuming path.
+    val storeTask: Option[java.util.concurrent.FutureTask[(String, Int)]] =
+      if (opts.secondPass && !carry && rerankMultiget(spark) &&
+          pointStoreEnabled(spark) &&
+          plans.length.toLong * poolDepth > maxDocIdInList(spark)) {
+        val t = new java.util.concurrent.FutureTask(
+          () => idx.pointStore(tenant, field, if (heap) Some(ctxRows) else None))
+        val th = new Thread(t, "graft-batch-pointstore")
+        th.setDaemon(true)
+        th.start()
+        Some(t)
+      } else None
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -953,7 +993,16 @@ object BatchSearcher {
           val ids = poolRows.map(_._2).distinct
           if (ids.length > maxDocIdInList(spark) && pointStoreEnabled(spark)) {
             val (storeDir, storeBuckets) = prof("pointstore_resolve") {
-              idx.pointStore(tenant, field, if (heap) Some(ctxRows) else None)
+              storeTask match {
+                case Some(t) =>
+                  try t.get()
+                  catch {
+                    case e: java.util.concurrent.ExecutionException =>
+                      throw e.getCause
+                  }
+                case None =>
+                  idx.pointStore(tenant, field, if (heap) Some(ctxRows) else None)
+              }
             }
             graft.index.PointStore.multigetScore(spark, storeDir, storeBuckets,
               poolRows,

@@ -480,6 +480,25 @@ class BatchSearchSpec extends AnyFunSuite {
       s"serving call built a NEW broadcast (id ${served.id} >= $marker) — " +
         "warmBatchCaches did not pre-build the snapshot")
 
+    // warm is idempotent AND jobless on repeat: the overlapped store/
+    // snapshot builds (warm runs them concurrently — guide §2.6) must both
+    // be cache hits the second time, independent of which finished first
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      idx.warmBatchCaches(1, "colbert")
+      Thread.sleep(800) // listener events drain asynchronously
+      assert(jobs.get() == 0,
+        s"repeat warmBatchCaches ran ${jobs.get()} jobs — the overlapped " +
+          "builds must be idempotent cache hits")
+    } finally spark.sparkContext.removeSparkListener(l)
+
     val opts = SearchOptions(kTopCentroids = 2, nProbe = 4)
     val q = Seq((3L, corpus(3L))).toDF("query_id", "tokens")
     val hits = BatchSearcher.searchBatch(idx, 1, "colbert", q, k = 3, opts)

@@ -737,6 +737,105 @@ object ProfMain {
           println(s"[prof] layout $t: $dirs bucket dirs, $files parquet files")
         }
 
+      case "batch_gate_cross" =>
+        // r19: the gate-crossing A/B for the over-gate DISTRIBUTED inverted
+        // walk — the same 212-query batch measured (a) under the broadcast
+        // gate (broadcast-snapshot walk), (b) past a FORCED gate with the
+        // doc-partitioned distributed walk (default), (c) past the gate
+        // with the walk hatched off (the r17 scan -> distinct -> semi-join
+        // -> pair-join shape). Rows are asserted identical across arms.
+        // Reuses the batch_scale index path/builder. args: [nDocs] [K]
+        // [codec] [iters] [geom] [tpd]
+        import graft.core._
+        import graft.query._
+        import spark.implicits._
+        val dimG = 128
+        val nDocsG = args.lift(1).map(_.toInt).getOrElse(1000000)
+        val kG = args.lift(2).map(_.toInt).getOrElse(16384)
+        val codecG = args.lift(3).getOrElse("none").toLowerCase match {
+          case "none" => QuantizerKind.NONE
+          case "sq8" => QuantizerKind.SQ8
+          case "pq" => QuantizerKind.PRODUCT_ENCODER
+          case "binarizer" => QuantizerKind.BINARIZER
+          case other => sys.error(s"unknown codec $other")
+        }
+        val codecSufG =
+          if (codecG == QuantizerKind.NONE) "" else s"_${args(3).toLowerCase}"
+        val itersG = args.lift(4).map(_.toInt).getOrElse(2)
+        val iterSufG = if (itersG == 2) "" else s"_it$itersG"
+        val geomG = args.lift(5).getOrElse("uniform")
+        val tpdG = args.lift(6).map(_.toInt).getOrElse(4)
+        val pathG = s"/root/repo/target/prof_batch_scale_${nDocsG}_$kG" +
+          s"$codecSufG$iterSufG${geomSuffix(geomG)}${widthSuffix(tpdG)}"
+        val docsG = spark.range(nDocsG.toLong).select(col("id"),
+          geomTokensExpr(geomG, tpdG, dimG, noise = 0.0).as("colbert"),
+          pmod(col("id") * 31L, lit(5000)).as("n_chars"))
+        val readyG = java.nio.file.Paths.get(pathG, "_prof_ready")
+        val idxG =
+          if (java.nio.file.Files.exists(readyG)) {
+            println(s"[prof] reusing index at $pathG")
+            graft.index.IndexIVF.open(spark, pathG)
+          } else {
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(pathG))) {
+              println(s"[prof] wiping partial build at $pathG")
+              val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(pathG))
+              try {
+                import scala.jdk.CollectionConverters._
+                walk.iterator().asScala.toVector.reverse
+                  .foreach(java.nio.file.Files.delete)
+              } finally walk.close()
+            }
+            val schema = GSchema(Seq(
+              GField.colbert("colbert", dimensions = dimG,
+                numCentroids = kG, quantization = codecG,
+                numIterations = itersG, nbits = 2),
+              GField(name = "n_chars", dataType = GDataType.INTEGER.toString,
+                roles = Seq(FieldRole.Indexed.toString, FieldRole.Stored.toString))))
+            val ix = graft.index.IndexIVF.create(spark, pathG, schema)
+            time(s"train K=$kG dim=$dimG n=${nDocsG * tpdG}") { ix.train(docsG) }
+            time(s"add $nDocsG docs") { ix.add(1, docsG) }
+            java.nio.file.Files.createFile(readyG)
+            ix
+          }
+        val qPoolG = docsG.filter(col("id") < 212).orderBy("id").collect()
+          .map(_.getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("colbert")
+            .map(_.toArray).toArray)
+        val queriesG = qPoolG.zipWithIndex
+          .map { case (toks, i) => (i.toLong, toks.map(_.toSeq).toSeq) }.toSeq
+          .toDF("query_id", "tokens")
+        val optsG = SearchOptions(kTopCentroids = 4, nProbe = 32, numSecondPass = 64)
+        // codegen warm-up (small batch, under-gate default)
+        BatchSearcher.searchBatch(idxG, 1, "colbert",
+          queriesG.limit(8), k = 10, optsG).count()
+        val (rowsG, bytesG) = BatchSearcher.contextRelationStats(idxG, 1, "colbert")
+        println(s"[prof] context relation: $rowsG rows, $bytesG bytes " +
+          s"(default gate ${1L << 30})")
+        def arm(name: String): Seq[org.apache.spark.sql.Row] = {
+          var last: Seq[org.apache.spark.sql.Row] = Seq.empty
+          (0 until 3).foreach { i =>
+            val t0 = System.nanoTime()
+            last = BatchSearcher.searchBatch(idxG, 1, "colbert", queriesG,
+              k = 10, optsG).collect().toSeq
+            val ms = (System.nanoTime() - t0) / 1e6
+            println(f"[prof] gate_cross $name%-28s #$i ${ms / 1000}%7.2f s " +
+              f"${ms / 212}%7.1f ms/query  ${last.size} rows")
+          }
+          last.sortBy(r => (r.getLong(0), r.getLong(1)))
+        }
+        val underGate = arm("under-gate (bcast walk)")
+        // force the over-gate regime well below the measured bytes
+        spark.conf.set(BatchSearcher.BroadcastContextMaxBytesKey, "1024")
+        val distWalk = arm("over-gate distributed walk")
+        spark.conf.set(BatchSearcher.DistributedWalkKey, "false")
+        val scanShape = arm("over-gate scan shape (r17)")
+        spark.conf.unset(BatchSearcher.DistributedWalkKey)
+        spark.conf.unset(BatchSearcher.BroadcastContextMaxBytesKey)
+        require(distWalk == underGate,
+          "over-gate distributed walk rows diverged from the under-gate walk")
+        require(scanShape == underGate,
+          "over-gate scan-shape rows diverged from the under-gate walk")
+        println("[prof] gate_cross: all three arms returned identical rows")
+
       case "batch_width" =>
         // r13 verdict item 1: pair the nq=4 and nq=32 serving floors on
         // the SAME production-shaped index, post-ScoreKernel. Query i at
